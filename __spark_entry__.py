@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship end-to-end pipeline (SURVEY.md §7.3) on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2, each a
+callable ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (the correctness gate).
+
+Column names are aliased identically on both sides; float results are rounded
+(6 dp) on both sides so value hashes agree; LIMIT/top-k queries carry explicit
+tie-breakers so the selected rows are deterministic.
 """
 
 from __future__ import annotations
@@ -12,27 +15,557 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vectordb_etl_spark.config import ChunkerConfig, EmbeddingConfig, StoreConfig
+from vectordb_etl_spark.functions import cleaning, language
+from vectordb_etl_spark.functions import text as T
+from vectordb_etl_spark.functions import vector as V
+from vectordb_etl_spark.operators import chunker
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read nanos as long and truncate to micros (exactly what DuckDB's
+    reader does), using integer division to avoid double rounding."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# flagship: clean → chunk → dedup → hash-embed → write collection → search
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship E2E slice (SURVEY.md §7.3) on /root/testdata/sf0.001."""
+    from vectordb_etl_spark.embeddings import query_vector
+    from vectordb_etl_spark.operators.topk import topk_search
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb_cfg = EmbeddingConfig(dimension=64)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        cleaning.clean_text_col("text").alias("text"),
+        language.detect_language_content_col("text").alias("language"),
+    )
+    chunks = chunker.chunk_documents(docs, ChunkerConfig())
+    deduped = chunker.remove_duplicate_chunks(chunks)
+    from vectordb_etl_spark.embeddings import with_embeddings
+
+    embedded = with_embeddings(deduped, config=emb_cfg)
+    q = query_vector("Seoul office address", emb_cfg)
+    return topk_search(
+        embedded,
+        q,
+        k=3,
+        metric="COSINE",
+        predicate=F.col("language") == "english",
+        tie_break=["chunk_id"],
+        output_cols=["doc_id", "chunk_id", "chunk_index", "language", "text"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles (kept adjacent per operator so they evolve together)
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None):
+    _QUERIES[name] = fn
+    if sql is not None:
+        _ORACLES[name] = sql
+
+
+# -- P1/P2: cleaning ---------------------------------------------------------
+
+_register(
+    "clean_text",
+    lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", cleaning.clean_text_col("text").alias("clean")
+    ),
+    f"SELECT doc_id, {cleaning.clean_text_sql('text')} AS clean FROM documents",
+)
+
+_register(
+    "clean_hwp_text",
+    lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", cleaning.clean_hwp_text_col("text").alias("clean")
+    ),
+    f"SELECT doc_id, {cleaning.clean_hwp_text_sql('text')} AS clean FROM documents",
+)
+
+# -- P3/P4: language detection ------------------------------------------------
+
+_register(
+    "detect_language",
+    lambda spark, sf: _docs(spark, sf).select(
+        "doc_id",
+        language.detect_language_content_col("text").alias("lang_content"),
+        language.detect_language_query_col("text").alias("lang_query"),
+    ),
+    "SELECT doc_id, "
+    f"{language.detect_language_content_sql('text')} AS lang_content, "
+    f"{language.detect_language_query_sql('text')} AS lang_query FROM documents",
+)
+
+# -- P5: token estimate -------------------------------------------------------
+
+_register(
+    "token_estimate",
+    lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", T.estimate_tokens_col("text").alias("est_tokens")
+    ),
+    f"SELECT doc_id, {T.estimate_tokens_sql('text')} AS est_tokens FROM documents",
+)
+
+# -- P6: chunk id --------------------------------------------------------------
+
+_register(
+    "chunk_id",
+    lambda spark, sf: _docs(spark, sf).select(
+        "doc_id",
+        T.chunk_id_col("source", F.lit(0), "text").alias("chunk_id"),
+    ),
+    f"SELECT doc_id, {T.chunk_id_sql('source', '0', 'text')} AS chunk_id FROM documents",
+)
+
+# -- P7: varchar truncation -----------------------------------------------------
+
+_register(
+    "varchar_truncate",
+    lambda spark, sf: _docs(spark, sf).select(
+        "doc_id",
+        F.substring("text", 1, 100).alias("text_t"),
+        F.substring("source", 1, 4).alias("source_t"),
+    ),
+    "SELECT doc_id, substring(text, 1, 100) AS text_t, "
+    "substring(source, 1, 4) AS source_t FROM documents",
+)
+
+# -- beyond-reference text analysis ---------------------------------------------
+
+_register(
+    "doc_fingerprint",
+    lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", T.doc_fingerprint_col("text").alias("fingerprint")
+    ),
+    f"SELECT doc_id, {T.doc_fingerprint_sql('text')} AS fingerprint FROM documents",
+)
+
+
+def _quality_spark(spark: SparkSession, sf: str) -> DataFrame:
+    cols = T.quality_score_cols("text")
+    return _docs(spark, sf).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+_quality_sql_cols = ", ".join(
+    f"{sql} AS {name}" for name, sql in T.quality_score_sql("text").items()
+)
+_register(
+    "text_quality",
+    _quality_spark,
+    f"SELECT doc_id, {_quality_sql_cols} FROM documents",
+)
+
+
+def _tokens_spark(spark: SparkSession, sf: str) -> DataFrame:
+    cols = T.token_count_cols("text")
+    return _docs(spark, sf).select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+_token_sql_cols = ", ".join(
+    f"{sql} AS {name}" for name, sql in T.token_count_sql("text").items()
+)
+_register(
+    "token_counts",
+    _tokens_spark,
+    f"SELECT doc_id, {_token_sql_cols} FROM documents",
+)
+
+# -- C6: exact dedup (first-wins) -------------------------------------------------
+
+_register(
+    "exact_dedup",
+    lambda spark, sf: chunker.remove_duplicate_chunks(
+        _docs(spark, sf), order_cols=["doc_id"]
+    ).select("doc_id", chunker.normalized_hash_col("text").alias("text_hash")),
+    f"SELECT doc_id, {chunker.normalized_hash_sql('text')} AS text_hash "
+    "FROM documents "
+    f"QUALIFY row_number() OVER (PARTITION BY {chunker.normalized_hash_sql('text')} "
+    "ORDER BY doc_id) = 1",
+)
+
+# -- A1: distribution stats --------------------------------------------------------
+
+_register(
+    "chunk_stats",
+    lambda spark, sf: _docs(spark, sf)
+    .groupBy("lang")
+    .agg(
+        F.count("*").alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+        F.round(F.stddev_pop("n_chars"), 6).alias("std_chars"),
+    ),
+    "SELECT lang, count(*) AS n, min(n_chars) AS min_chars, "
+    "max(n_chars) AS max_chars, round(avg(n_chars), 6) AS avg_chars, "
+    "round(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 6) AS median_chars, "
+    "round(stddev_pop(n_chars), 6) AS std_chars FROM documents GROUP BY lang",
+)
+
+# -- A2: histogram (fixed-width buckets) ----------------------------------------------
+
+_register(
+    "size_histogram",
+    lambda spark, sf: _docs(spark, sf)
+    .select(F.least(F.floor(F.col("n_chars") / 100), F.lit(49)).alias("bucket"))
+    .groupBy("bucket")
+    .count()
+    .select("bucket", F.col("count").alias("n")),
+    "SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 49) AS bucket, "
+    "count(*) AS n FROM documents GROUP BY 1",
+)
+
+# -- A3: language distribution ----------------------------------------------------------
+
+_register(
+    "language_distribution",
+    lambda spark, sf: _docs(spark, sf)
+    .groupBy("lang")
+    .agg(F.count("*").alias("n"))
+    .withColumn(
+        "pct",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(Window.partitionBy()), 6),
+    ),
+    "SELECT lang, count(*) AS n, "
+    "round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS pct "
+    "FROM documents GROUP BY lang",
+)
+
+# -- A4: top sources by doc count ----------------------------------------------------------
+
+_register(
+    "top_sources",
+    lambda spark, sf: _docs(spark, sf)
+    .groupBy("source")
+    .agg(F.count("*").alias("n"))
+    .orderBy(F.desc("n"), F.asc("source"))
+    .limit(10),
+    "SELECT source, count(*) AS n FROM documents GROUP BY source "
+    "ORDER BY n DESC, source ASC LIMIT 10",
+)
+
+# -- A6/A7/A12: quality report -----------------------------------------------------------
+
+
+def _report_spark(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    tok = T.estimate_tokens_col("text")
+    return docs.agg(
+        F.count("*").alias("total_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_char_size"),
+        F.round(F.avg(tok.cast("double")), 6).alias("avg_token_size"),
+        F.round(
+            F.avg(F.when(tok.between(30, 100), 1.0).otherwise(0.0)) * 100.0, 6
+        ).alias("in_range_pct"),
+        F.round(
+            F.stddev_pop(tok.cast("double")) / F.avg(tok.cast("double")) * 100.0, 6
+        ).alias("cv_pct"),
+    )
+
+
+_tok_sql = T.estimate_tokens_sql("text")
+_register(
+    "quality_report",
+    _report_spark,
+    f"SELECT count(*) AS total_docs, round(avg(n_chars), 6) AS avg_char_size, "
+    f"round(avg(CAST({_tok_sql} AS DOUBLE)), 6) AS avg_token_size, "
+    f"round(avg(CASE WHEN {_tok_sql} BETWEEN 30 AND 100 THEN 1.0 ELSE 0.0 END) * 100.0, 6) AS in_range_pct, "
+    f"round(stddev_pop(CAST({_tok_sql} AS DOUBLE)) / avg(CAST({_tok_sql} AS DOUBLE)) * 100.0, 6) AS cv_pct "
+    "FROM documents",
+)
+
+# -- A9: deterministic sample review -------------------------------------------------------
+
+_register(
+    "sample_review",
+    lambda spark, sf: _docs(spark, sf)
+    .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+    .orderBy("h")
+    .limit(5)
+    .select("doc_id"),
+    "SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 5",
+)
+
+# -- Q1: exact top-k vector search -----------------------------------------------------------
+
+
+def _vector_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from vectordb_etl_spark.operators.topk import topk_search
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return topk_search(
+        emb, list(q), k=10, metric="COSINE", tie_break=["vec_id"],
+        output_cols=["vec_id", "label"],
+    )
+
+
+_register(
+    "vector_topk",
+    _vector_topk,
+    "SELECT vec_id, label, "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score "
+    "FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10",
+)
+
+
+def _vector_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    from vectordb_etl_spark.operators.topk import topk_search
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return topk_search(
+        emb, list(q), k=10, metric="COSINE",
+        predicate=F.col("label") == 1, tie_break=["vec_id"],
+        output_cols=["vec_id", "label"],
+    )
+
+
+_register(
+    "vector_topk_filtered",
+    _vector_topk_filtered,
+    "SELECT vec_id, label, "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score "
+    "FROM embeddings WHERE label = 1 ORDER BY score DESC, vec_id ASC LIMIT 10",
+)
+
+
+def _fanout_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2 analog: per-label top-3 hit lists (window rank per group)."""
+    from vectordb_etl_spark.operators.topk import search_per_group_topk
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return search_per_group_topk(
+        emb, list(q), k=3, metric="COSINE", group_col="label",
+        tie_break=["vec_id"],
+    ).select("vec_id", "label", "score")
+
+
+_register(
+    "fanout_topk_per_label",
+    _fanout_topk,
+    "SELECT vec_id, label, score FROM ("
+    "SELECT vec_id, label, "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score, "
+    "row_number() OVER (PARTITION BY label ORDER BY "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) DESC, "
+    "vec_id ASC) AS rnk FROM embeddings) WHERE rnk <= 3",
+)
+
+_register(
+    "embedding_norms",
+    lambda spark, sf: _table(spark, sf, "embeddings").select(
+        "vec_id", F.round(V.norm_col("embedding"), 6).alias("norm")
+    ),
+    "SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[]))), 6) AS norm FROM embeddings",
+)
+
+# -- star-schema analytics (generic OLAP tier, SURVEY.md §2.7-2.8) ------------------------------
+
+_register(
+    "pricing_summary",
+    lambda spark, sf: _table(spark, sf, "lineitem")
+    .groupBy("l_returnflag", "l_linestatus")
+    .agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+    .select(
+        "l_returnflag", "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        "avg_disc", "count_order",
+    ),
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+    "round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+
+
+def _top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _table(spark, sf, "orders")
+    cust = _table(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.count("*").alias("order_count"),
+        )
+        .select(
+            "c_custkey", "c_name",
+            F.col("revenue").cast("double").alias("revenue"), "order_count",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+_register(
+    "top_customers",
+    _top_customers,
+    "SELECT c_custkey, c_name, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+    "count(*) AS order_count FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey ASC LIMIT 10",
+)
+
+
+def _regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = _table(spark, sf, "lineitem")
+    orders = _table(spark, sf, "orders")
+    cust = _table(spark, sf, "customer")
+    nation = _table(spark, sf, "nation")
+    region = _table(spark, sf, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(rev.cast("decimal(18,4)")).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select("r_name", F.col("revenue").cast("double").alias("revenue"), "n_items")
+    )
+
+
+_register(
+    "regional_revenue",
+    _regional_revenue,
+    "SELECT r_name, "
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, "
+    "count(*) AS n_items "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+)
+
+
+def _priority_window(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+_register(
+    "order_priority_window",
+    _priority_window,
+    "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+    "row_number() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders "
+    "QUALIFY rnk <= 3",
+)
+
+
+def _sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: 30-min-gap rule via lag + running sum (the batch twin
+    of the streaming session-window operator)."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w)
+    )
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = ev.withColumn("new_s", new_session).withColumn(
+        "session_id", F.sum("new_s").over(w)
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_register(
+    "events_sessionize",
+    _sessionize,
+    "SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events FROM ("
+    "SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id "
+    "FROM (SELECT user_id, ts, event_id, "
+    "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 "
+    "THEN 1 ELSE 0 END AS new_s FROM events)) GROUP BY user_id",
+)
+
+_register(
+    "events_hourly",
+    lambda spark, sf: _events(spark, sf)
+    .groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    )
+    .agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "total_value"
+        ),
+    ),
+    "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
+    "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value "
+    "FROM events GROUP BY 1, 2",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

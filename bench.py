@@ -1,0 +1,102 @@
+"""Headline benchmark suite.
+
+Runs the flagship pipeline + representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+Execution is forced with the noop sink (full computation, no result IO) for
+wide results and collect() for small aggregates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    name = Path(d).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from vectordb_etl_spark.config import ChunkerConfig, EmbeddingConfig
+    from vectordb_etl_spark.embeddings import with_embeddings
+    from vectordb_etl_spark.functions import cleaning, language
+    from vectordb_etl_spark.operators import chunker
+    from vectordb_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    def run(name: str, fn, collect: bool = False) -> None:
+        t0 = time.time()
+        df = fn()
+        if collect:
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship ETL: clean → chunk → dedup → hash-embed (the write path minus IO)
+    def etl():
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id",
+            "source",
+            cleaning.clean_text_col("text").alias("text"),
+            language.detect_language_content_col("text").alias("language"),
+        )
+        chunks = chunker.chunk_documents(docs, ChunkerConfig())
+        deduped = chunker.remove_duplicate_chunks(chunks)
+        return with_embeddings(deduped, config=EmbeddingConfig(dimension=64))
+
+    run("etl_pipeline", etl)
+
+    # per-query timings from the registered suite (small results → collect)
+    collect_queries = [
+        "vector_topk",
+        "fanout_topk_per_label",
+        "quality_report",
+        "chunk_stats",
+        "pricing_summary",
+        "regional_revenue",
+        "top_customers",
+        "events_sessionize",
+        "language_distribution",
+    ]
+    noop_queries = ["clean_text", "exact_dedup", "token_counts", "doc_fingerprint"]
+    for name in collect_queries:
+        run(name, lambda n=name: qs[n](spark, SF_DIR), collect=True)
+    for name in noop_queries:
+        run(name, lambda n=name: qs[n](spark, SF_DIR), collect=False)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

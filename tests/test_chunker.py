@@ -1,0 +1,111 @@
+"""Chunker tests C1–C7 (FIXTURES.md F-CHUNK): splitter invariants, merge fold,
+metadata enrichment, first-wins dedup determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.config import ChunkerConfig
+from vectordb_etl_spark.operators.chunker import (
+    _merge_small_chunks,
+    chunk_documents,
+    chunk_text,
+    recursive_split,
+    remove_duplicate_chunks,
+)
+
+CFG = ChunkerConfig()
+
+
+def test_split_short_text_single_chunk():
+    assert recursive_split("short text", CFG) == ["short text"]
+
+
+def test_split_respects_chunk_size():
+    text = "para one. " * 100  # 1000 chars, sentence separators available
+    chunks = recursive_split(text, CFG)
+    assert all(len(c) <= CFG.chunk_size for c in chunks)
+    assert len(chunks) >= 3
+
+
+def test_split_prefers_paragraph_separator():
+    text = ("A" * 120 + "\n\n") * 4
+    chunks = recursive_split(text, CFG)
+    # paragraph-separated 120-char pieces merge pairwise under 300
+    assert all("A" * 120 in c for c in chunks)
+    assert all(len(c) <= CFG.chunk_size for c in chunks)
+
+
+def test_split_overlap_carries_tail():
+    # single-separator text: pieces of 50; overlap=60 keeps ≥1 trailing piece
+    words = " ".join(f"w{i:03d}" for i in range(200))
+    chunks = recursive_split(words, CFG)
+    for a, b in zip(chunks, chunks[1:]):
+        tail = a.split()[-1]
+        assert tail in b.split()[:16], f"no overlap between {a[-30:]!r} and {b[:30]!r}"
+
+
+def test_split_unsplittable_run_hard_cut():
+    text = "B" * 700  # no separators at all except ""
+    chunks = recursive_split(text, CFG)
+    assert all(len(c) <= CFG.chunk_size for c in chunks)
+    assert "".join(chunks)[: CFG.chunk_size] == "B" * CFG.chunk_size
+
+
+def test_merge_small_chunks_reference_fold():
+    cfg = ChunkerConfig()  # min=100 max=500
+    # adjacent small chunks merge with '\n' while ≤ max (chunker.py:75-125)
+    # a(50)+b(50) merge to 101 ≥ min, so c stays separate
+    merged = _merge_small_chunks(["a" * 50, "b" * 50, "c" * 200], cfg)
+    assert merged == ["a" * 50 + "\n" + "b" * 50, "c" * 200]
+    # merge stops when it would exceed max
+    merged = _merge_small_chunks(["a" * 50, "b" * 480], cfg)
+    assert merged == ["a" * 50, "b" * 480]
+    # two adequate chunks don't merge
+    merged = _merge_small_chunks(["a" * 150, "b" * 150], cfg)
+    assert merged == ["a" * 150, "b" * 150]
+
+
+def test_chunk_text_small_doc_passthrough():
+    # ≤ max_chunk_size docs are NOT split (chunker.py:148-153)
+    text = "z" * 450
+    assert chunk_text(text, CFG) == [text]
+
+
+def test_chunk_documents_metadata(spark):
+    rows = [(1, "srcA", "hello. " * 120), (2, "srcB", "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = chunk_documents(df, CFG).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_index"])
+        assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["total_chunks"] == len(chunks) for c in chunks)
+        assert all(c["chunk_size_chars"] == len(c["text"]) for c in chunks)
+        assert all(len(c["chunk_id"]) == 12 for c in chunks)
+    assert len(by_doc[2]) == 1
+
+
+def test_remove_duplicates_first_wins(spark):
+    rows = [
+        (1, 0, "Same  Text"),
+        (2, 0, "same text"),  # normalized duplicate of doc 1
+        (3, 0, "unique"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_index", "text"])
+    kept = remove_duplicate_chunks(df).select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [1, 3]  # doc 1 survives, not doc 2 — insertion order
+
+
+def test_remove_duplicates_stable_under_repartition(spark):
+    rows = [(i, 0, f"text {i % 10}") for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_index", "text"])
+    a = sorted(r["doc_id"] for r in remove_duplicate_chunks(df).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in remove_duplicate_chunks(df.repartition(7)).collect()
+    )
+    assert a == b == list(range(1, 11))

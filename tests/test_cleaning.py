@@ -1,0 +1,60 @@
+"""Golden-fixture tests for the P1/P2 cleaning pipeline (FIXTURES.md F-CLEAN).
+
+Expected values encode the reference's documented behavior
+(modules/text_cleaner.py:166-224): each case exercises one pattern family.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.functions.cleaning import clean_hwp_text_col, clean_text_col
+
+CASES = [
+    # (raw, expected_clean)
+    ("<p>hello</p>", "hello"),
+    ("a {{layout}} b", "a b"),
+    ("a {% block x %} b", "a b"),
+    ("a ${var} b", "a b"),
+    ("a [[wiki link]] b", "a b"),
+    ("click javascript:void(0) here", "click here"),
+    ('x onclick="doIt()" y', "x y"),
+    ("keep function(a) { body } none", "keep none"),
+    ("smile \U0001F600\U0001F601 end", "smile end"),
+    ("text Copyright ACME 2024 tail", "text tail"),
+    ("read Page 3 of 7 done", "read done"),
+    ("see www.example.com now", "see now"),
+    ("multi    spaces\tand tabs", "multi spaces and tabs"),
+    ("a\n\n\n\n\nb", "a\n\nb"),
+    ("  padded  ", "padded"),
+    ("", ""),
+    # whitelist strips exotic symbols (U+2200 ∀ is in a garbage range)
+    ("x ∀ y", "x y"),
+    # Hangul preserved end-to-end
+    ("서울 사무실 주소", "서울 사무실 주소"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_clean_text(spark, raw, expected):
+    df = spark.createDataFrame([(raw,)], ["text"])
+    out = df.select(clean_text_col("text").alias("c")).head()["c"]
+    assert out == expected, f"raw={raw!r}"
+
+
+def test_clean_hwp_keeps_korean_lines(spark):
+    raw = "가나다 줄\nab\n이 줄은 충분히 깁니다 정말로"
+    df = spark.createDataFrame([(raw,)], ["text"])
+    out = df.select(clean_hwp_text_col("text").alias("c")).head()["c"]
+    # short non-Korean line 'ab' dropped; survivors joined, whitespace collapsed
+    assert "ab" not in out.split()
+    assert "가나다" in out
+
+
+def test_clean_text_is_pure_column_expression(spark, docs_tiny):
+    # no Python UDF in the plan — the whole clean is codegen-able
+    plan = docs_tiny.select(clean_text_col("text")).queryExecution if False else None
+    explained = docs_tiny.select(clean_text_col("text").alias("c"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in explained
+    assert "ArrowEvalPython" not in explained

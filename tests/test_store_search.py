@@ -1,0 +1,103 @@
+"""End-to-end store + search tests (S8–S10, Q1–Q4, A11)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.config import EmbeddingConfig, StoreConfig
+from vectordb_etl_spark.embeddings import query_vector, with_embeddings
+from vectordb_etl_spark.functions.language import detect_language_content_col
+from vectordb_etl_spark.operators.topk import fanout_search, topk_search
+from vectordb_etl_spark.search import create_rag_prompt, search_with_scores
+from vectordb_etl_spark.store.collections import CollectionStore
+
+EMB = EmbeddingConfig(dimension=32)
+
+
+@pytest.fixture(scope="module")
+def store(spark, docs_tiny, tmp_path_factory):
+    root = tmp_path_factory.mktemp("warehouse")
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(root)))
+    docs = docs_tiny.select(
+        "doc_id",
+        "source",
+        F.col("source").alias("folder_name"),
+        F.concat(F.col("source"), F.lit(".html")).alias("filename"),
+        "text",
+        detect_language_content_col("text").alias("language"),
+        F.col("doc_id").alias("chunk_index"),
+    ).limit(40)
+    store.insert_documents(docs, embedding_config=EMB, mode="overwrite")
+    return store
+
+
+def test_collections_ddl(store):
+    cols = store.list_collections()
+    assert len(cols) > 1  # one per folder (source)
+    assert all(c.startswith("html_") for c in cols)
+    assert store.collection_exists(cols[0])
+    assert not store.collection_exists("nope")
+
+
+def test_collection_stats(store):
+    stats = store.collection_stats()
+    assert sum(stats.values()) == 40
+
+
+def test_partition_pruning_on_named_collection(store):
+    name = store.list_collections()[0]
+    plan = store.read(name)._jdf.queryExecution().executedPlan().toString()
+    # collection predicate must become a partition filter, not a row filter
+    assert "PartitionFilters: [isnotnull(collection" in plan
+
+
+def test_topk_search_exact(store):
+    df = store.read()
+    q = query_vector("test query", EMB)
+    hits = topk_search(df, q, k=5, tie_break=["doc_id"]).collect()
+    assert len(hits) == 5
+    scores = [h["score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_fanout_matches_union_of_collections(store):
+    q = query_vector("another query", EMB)
+    global_hits = fanout_search(store.read(), q, k=3, tie_break=["doc_id"]).collect()
+    per_col = []
+    for c in store.list_collections():
+        per_col.extend(
+            topk_search(store.read(c), q, k=3, tie_break=["doc_id"]).collect()
+        )
+    per_col.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    assert [r["doc_id"] for r in global_hits] == [r["doc_id"] for r in per_col[:3]]
+
+
+def test_search_facade_language_filter(store):
+    hits = search_with_scores(
+        store, "Seoul office address", k=3, embedding_config=EMB
+    )
+    # P4 detects english; all hits must be english
+    assert all(h.metadata["language"] == "english" for h in hits)
+    assert len(hits) <= 3
+
+
+def test_rag_prompt_shape(store):
+    # synthetic corpus is ASCII → detected english; an english query gets hits
+    msgs = create_rag_prompt(store, "Seoul office address", k=2, embedding_config=EMB)
+    assert [m["role"] for m in msgs] == ["system", "user"]
+    assert "문서 1:" in msgs[0]["content"]
+
+
+def test_drop_and_reset(spark, tmp_path):
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(tmp_path / "w")))
+    df = spark.createDataFrame(
+        [(1, "a", "f1", "t", "english", 0)],
+        ["doc_id", "source", "folder_name", "text", "language", "chunk_index"],
+    )
+    store.insert_documents(df, embedding_config=EMB)
+    assert store.list_collections() == ["html_f1"]
+    store.drop_collection("html_f1")
+    assert store.list_collections() == []
+    with pytest.raises(ValueError):
+        store.reset(confirm=False)

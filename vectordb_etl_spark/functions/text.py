@@ -1,0 +1,179 @@
+"""Scalar text functions: token estimate, ids, truncation, training-data
+quality/fingerprint metrics (operators P5–P8 of SURVEY.md §2.2 plus the
+beyond-reference text-analysis tier).
+
+Every function has a Spark Column rendering and a DuckDB SQL rendering for
+the oracle. Both engines truncate (FLOOR) rather than round so the integer
+casts agree (DuckDB CAST(double AS int) rounds; Spark truncates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_HANGUL = "[가-힣]"
+
+
+def _as_col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --------------------------------------------------------------------------
+# P5 token estimate: int(hangul/1.5 + other/4)  (reference: chunker.py:65-69)
+# --------------------------------------------------------------------------
+
+
+def estimate_tokens_col(col: Column | str) -> Column:
+    c = _as_col(col)
+    hangul = (F.length(c) - F.length(F.regexp_replace(c, _HANGUL, ""))).cast("double")
+    other = F.length(c).cast("double") - hangul
+    return F.floor(hangul / 1.5 + other / 4.0).cast("int")
+
+
+def estimate_tokens_sql(expr: str) -> str:
+    hangul = f"CAST(length({expr}) - length(regexp_replace({expr}, '{_HANGUL}', '', 'g')) AS DOUBLE)"
+    other = f"(CAST(length({expr}) AS DOUBLE) - {hangul})"
+    return f"CAST(FLOOR({hangul} / 1.5 + {other} / 4.0) AS INT)"
+
+
+# --------------------------------------------------------------------------
+# P6 chunk id: md5(f"{source}_{i}_{text[:50]}")[:12]  (chunker.py:168-171)
+# --------------------------------------------------------------------------
+
+
+def chunk_id_col(source: Column | str, index: Column | str, text: Column | str) -> Column:
+    s, i, t = _as_col(source), _as_col(index), _as_col(text)
+    key = F.concat_ws("_", s, i.cast("string"), F.substring(t, 1, 50))
+    return F.substring(F.md5(key), 1, 12)
+
+
+def chunk_id_sql(source: str, index: str, text: str) -> str:
+    key = f"concat_ws('_', {source}, CAST({index} AS VARCHAR), substring({text}, 1, 50))"
+    return f"substring(md5({key}), 1, 12)"
+
+
+# --------------------------------------------------------------------------
+# P7 varchar truncation at the sink  (milvus_store.py:207-211)
+# --------------------------------------------------------------------------
+
+
+def truncate_cols(
+    text_max: int = 65535,
+    source_max: int = 512,
+    filename_max: int = 256,
+    language_max: int = 32,
+) -> dict[str, Column]:
+    """Projection map enforcing the collection schema's varchar limits."""
+    return {
+        "text": F.substring(F.col("text"), 1, text_max),
+        "source": F.substring(F.col("source"), 1, source_max),
+        "filename": F.substring(F.col("filename"), 1, filename_max),
+        "language": F.substring(F.col("language"), 1, language_max),
+    }
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: document fingerprint — min-hash over character 8-gram
+# shingles (winnowing-lite). Deterministic, portable: md5 hex strings compare
+# lexicographically in both engines.
+# --------------------------------------------------------------------------
+
+FINGERPRINT_NGRAM = 8
+
+
+def doc_fingerprint_col(col: Column | str, n: int = FINGERPRINT_NGRAM) -> Column:
+    c = _as_col(col)
+    upper = F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), upper), lambda i: F.md5(F.substring(c, i, n))
+    )
+    return F.array_min(shingles)
+
+
+def doc_fingerprint_sql(expr: str, n: int = FINGERPRINT_NGRAM) -> str:
+    upper = f"greatest(length({expr}) - {n - 1}, 1)"
+    return (
+        f"list_aggregate(list_transform(range(1, {upper} + 1), "
+        f"i -> md5(substring({expr}, i, {n}))), 'min')"
+    )
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: text-quality scoring for training-data curation.
+# Pure ratios — length, punctuation, stopword, digit, uppercase, mean word
+# length — each a Column; SQL renderings inline in __spark_entry__.
+# --------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def quality_score_cols(col: Column | str) -> dict[str, Column]:
+    c = _as_col(col)
+    n = F.length(c).cast("double")
+    words = F.split(F.trim(c), r"\s+")
+    word_count = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS)))
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+    digits = F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))
+    uppers = F.length(c) - F.length(F.regexp_replace(c, "[A-Z]", ""))
+    return {
+        "char_len": F.length(c),
+        "word_count": word_count,
+        "punct_ratio": F.round(punct.cast("double") / n, 6),
+        "digit_ratio": F.round(digits.cast("double") / n, 6),
+        "upper_ratio": F.round(uppers.cast("double") / n, 6),
+        "stopword_ratio": F.round(
+            stop_hits.cast("double") / word_count.cast("double"), 6
+        ),
+        "avg_word_len": F.round(
+            F.aggregate(
+                words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+            )
+            / word_count.cast("double"),
+            6,
+        ),
+    }
+
+
+def quality_score_sql(expr: str) -> dict[str, str]:
+    n = f"CAST(length({expr}) AS DOUBLE)"
+    words = f"string_split_regex(trim({expr}), '\\s+')"
+    wc = f"len({words})"
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_hits = f"len(list_filter({words}, w -> lower(w) IN ({stop_list})))"
+    punct = f"(length({expr}) - length(regexp_replace({expr}, '[.,!?;:]', '', 'g')))"
+    digits = f"(length({expr}) - length(regexp_replace({expr}, '[0-9]', '', 'g')))"
+    uppers = f"(length({expr}) - length(regexp_replace({expr}, '[A-Z]', '', 'g')))"
+    return {
+        "char_len": f"length({expr})",
+        "word_count": f"CAST({wc} AS INT)",
+        "punct_ratio": f"round(CAST({punct} AS DOUBLE) / {n}, 6)",
+        "digit_ratio": f"round(CAST({digits} AS DOUBLE) / {n}, 6)",
+        "upper_ratio": f"round(CAST({uppers} AS DOUBLE) / {n}, 6)",
+        "stopword_ratio": f"round(CAST({stop_hits} AS DOUBLE) / CAST({wc} AS DOUBLE), 6)",
+        "avg_word_len": (
+            f"round(list_aggregate(list_transform({words}, w -> CAST(length(w) AS DOUBLE)), 'sum')"
+            f" / CAST({wc} AS DOUBLE), 6)"
+        ),
+    }
+
+
+# token counting (training-data token accounting): whitespace tokens and a
+# BPE-ish count = alphanumeric runs + standalone non-space symbols. Both
+# portable: regexp_extract_all exists in Spark (3.1+) and DuckDB.
+_BPEISH_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count_cols(col: Column | str) -> dict[str, Column]:
+    c = _as_col(col)
+    ws = F.size(F.split(F.trim(c), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(c, F.lit(_BPEISH_PATTERN), 0))
+    return {"ws_tokens": ws, "bpeish_tokens": bpe}
+
+
+def token_count_sql(expr: str) -> dict[str, str]:
+    return {
+        "ws_tokens": f"CAST(len(string_split_regex(trim({expr}), '\\s+')) AS INT)",
+        "bpeish_tokens": f"CAST(len(regexp_extract_all({expr}, '{_BPEISH_PATTERN}')) AS INT)",
+    }

@@ -1,0 +1,259 @@
+"""Hybrid chunking operators C1–C7 (SURVEY.md §2.3).
+
+The reference chunks per document with a LangChain
+``RecursiveCharacterTextSplitter`` (reference: modules/chunker.py:37-43) and
+an undersize-merge fold (modules/chunker.py:75-125). Chunking is a pure
+deterministic function of one document's text, so the Spark shape is:
+
+    pandas UDF (text -> array<string>)  →  posexplode  →  column exprs
+
+Parallelism is across documents — the same grain as the reference's per-doc
+loop — and the per-document sequential merge fold (order-dependent by design,
+SURVEY.md §7.4) stays inside the UDF. Everything after the explode
+(chunk_index, total_chunks, sizes, ids, dedup) is pure column expressions.
+
+The splitter algorithm below reimplements the publicly documented LangChain
+recursive-split semantics (separator cascade, keep-separator, windowed
+overlap merge) from its public API contract — not a copy of reference code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.window import Window
+
+from vectordb_etl_spark.config import ChunkerConfig
+from vectordb_etl_spark.functions.text import chunk_id_col, estimate_tokens_col
+
+# --------------------------------------------------------------------------
+# C1 — recursive character split (pure Python, runs inside the pandas UDF)
+# --------------------------------------------------------------------------
+
+
+def _split_keep_separator(text: str, separator: str) -> list[str]:
+    """Split so each piece after the first starts with the separator
+    (LangChain keep_separator=True behavior)."""
+    if separator == "":
+        return list(text)
+    raw = text.split(separator)
+    out = [raw[0]] + [separator + piece for piece in raw[1:]]
+    return [p for p in out if p != ""]
+
+
+def _merge_splits(
+    splits: Iterable[str], chunk_size: int, chunk_overlap: int
+) -> list[str]:
+    """Greedy window merge with overlap carry-back (public splitter contract:
+    join pieces up to chunk_size; on flush, retain a trailing window of at
+    most chunk_overlap chars as the start of the next chunk)."""
+    docs: list[str] = []
+    current: list[str] = []
+    total = 0
+    for d in splits:
+        length = len(d)
+        if total + length > chunk_size and current:
+            doc = "".join(current).strip()
+            if doc:
+                docs.append(doc)
+            while total > chunk_overlap or (total + length > chunk_size and total > 0):
+                total -= len(current[0])
+                current.pop(0)
+        current.append(d)
+        total += length
+    doc = "".join(current).strip()
+    if doc:
+        docs.append(doc)
+    return docs
+
+
+def recursive_split(text: str, config: ChunkerConfig) -> list[str]:
+    """C1 — recursive character split (reference config: chunk_size=300,
+    overlap=60, separator cascade of modules/config.py:81-92)."""
+
+    def _go(text: str, separators: tuple[str, ...]) -> list[str]:
+        separator = separators[-1]
+        remaining: tuple[str, ...] = ()
+        for i, sep in enumerate(separators):
+            if sep == "":
+                separator = sep
+                break
+            if sep in text:
+                separator = sep
+                remaining = separators[i + 1 :]
+                break
+        pieces = _split_keep_separator(text, separator)
+        final: list[str] = []
+        good: list[str] = []
+        for piece in pieces:
+            if len(piece) < config.chunk_size:
+                good.append(piece)
+            else:
+                if good:
+                    final.extend(
+                        _merge_splits(good, config.chunk_size, config.chunk_overlap)
+                    )
+                    good = []
+                if not remaining:
+                    stripped = piece.strip()
+                    if stripped:
+                        final.append(stripped)
+                else:
+                    final.extend(_go(piece, remaining))
+        if good:
+            final.extend(_merge_splits(good, config.chunk_size, config.chunk_overlap))
+        return final
+
+    if not text:
+        return []
+    return _go(text, tuple(config.separators))
+
+
+# --------------------------------------------------------------------------
+# C3 + C4 — size optimization: oversize re-split, undersize merge fold
+# (reference: modules/chunker.py:144-156, 75-125)
+# --------------------------------------------------------------------------
+
+
+def _merge_small_chunks(chunks: list[str], config: ChunkerConfig) -> list[str]:
+    """C4 — sequential buffer fold merging adjacent small chunks with '\\n'
+    while the merge stays ≤ max_chunk_size (modules/chunker.py:75-125)."""
+    if not chunks:
+        return chunks
+    merged: list[str] = []
+    buffer: str | None = None
+    for chunk in chunks:
+        if buffer is None:
+            buffer = chunk
+        elif len(buffer) < config.min_chunk_size or len(chunk) < config.min_chunk_size:
+            candidate = buffer + "\n" + chunk
+            if len(candidate) <= config.max_chunk_size:
+                buffer = candidate
+            else:
+                merged.append(buffer)
+                buffer = chunk
+        else:
+            merged.append(buffer)
+            buffer = chunk
+    if buffer is not None:
+        merged.append(buffer)
+    return merged
+
+
+def chunk_text(text: str, config: ChunkerConfig | None = None) -> list[str]:
+    """Full per-document pipeline C1→C3→C4 (semantic stage C2 optional and
+    off by default, matching the reference fallback, chunker.py:47-63):
+    pieces > max_chunk_size are recursively split, then small neighbors are
+    merged (modules/chunker.py:127-156)."""
+    config = config or ChunkerConfig()
+    if not text:
+        return []
+    pieces = [text]  # C2 semantic stage would refine this list
+    optimized: list[str] = []
+    for piece in pieces:
+        if len(piece) > config.max_chunk_size:
+            optimized.extend(recursive_split(piece, config))
+        else:
+            optimized.append(piece)
+    return _merge_small_chunks(optimized, config)
+
+
+# --------------------------------------------------------------------------
+# C5 + C7 — Spark operator: explode chunks with metadata enrichment
+# --------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    config: ChunkerConfig | None = None,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """One row per chunk, carrying all document columns plus
+    chunk_index / total_chunks / chunk_size_chars / chunk_size_tokens /
+    chunk_id (reference: modules/chunker.py:162-171).
+
+    Scale note: `total_chunks` comes from `size(chunks)` computed BEFORE the
+    explode — no window, no extra shuffle; the whole operator is map-side.
+    """
+    config = config or ChunkerConfig()
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def chunk_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: chunk_text(t or "", config))
+
+    passthrough = [c for c in df.columns if c != text_col]
+    exploded = (
+        df.withColumn("__chunks", chunk_udf(F.col(text_col)))
+        .select(
+            *passthrough,
+            F.size("__chunks").alias("total_chunks"),
+            F.posexplode("__chunks").alias("chunk_index", text_col),
+        )
+    )
+    return exploded.select(
+        *passthrough,
+        F.col(text_col),
+        "chunk_index",
+        "total_chunks",
+        F.length(text_col).alias("chunk_size_chars"),
+        estimate_tokens_col(text_col).alias("chunk_size_tokens"),
+        chunk_id_col(source_col, F.col("chunk_index"), F.col(text_col)).alias(
+            "chunk_id"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# C6 — exact-duplicate removal, first-wins by stable order
+# (reference: modules/chunker.py:182-207)
+# --------------------------------------------------------------------------
+
+
+def normalized_hash_col(col: Column | str = "text") -> Column:
+    """md5 of whitespace-normalized lowercase text
+    (`' '.join(text.lower().split())`, chunker.py:194-195)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"^\s+|\s+$", ""), r"\s+", " "
+    )
+    return F.md5(normalized)
+
+
+def normalized_hash_sql(expr: str) -> str:
+    return (
+        f"md5(regexp_replace(regexp_replace(lower({expr}), '^\\s+|\\s+$', '', 'g'), "
+        f"'\\s+', ' ', 'g'))"
+    )
+
+
+def remove_duplicate_chunks(
+    df: DataFrame,
+    order_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the first occurrence of each normalized-text hash.
+
+    The reference iterates an insertion-ordered list (chunker.py:192-201);
+    distributed first-wins needs an explicit stable order — plain
+    ``dropDuplicates`` is nondeterministic about the survivor (SURVEY.md
+    §7.4). One hash-partitioned shuffle; md5 keys don't skew.
+    """
+    order_cols = order_cols or ["doc_id", "chunk_index"]
+    h = normalized_hash_col(text_col)
+    w = Window.partitionBy(h).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def chunk_hash(text: str) -> str:
+    """Driver-side twin of :func:`normalized_hash_col` (unit tests)."""
+    return hashlib.md5(" ".join(text.lower().split()).encode()).hexdigest()

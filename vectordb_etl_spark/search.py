@@ -1,0 +1,111 @@
+"""Search facades — operators Q3/Q4/Q5/Q6 (SURVEY.md §2.5).
+
+Mirrors reference modules/search_utils.py: language auto-detection on the
+query, filter construction, delegation to the store, RAG prompt assembly and
+result presentation (driver-side after collect, like the reference)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.config import EmbeddingConfig, SearchConfig
+from vectordb_etl_spark.embeddings import query_vector
+from vectordb_etl_spark.functions.language import detect_language_query
+from vectordb_etl_spark.operators.topk import topk_search
+from vectordb_etl_spark.store.collections import CollectionStore
+
+
+@dataclass
+class SearchHit:
+    """Q3 — the reference's (Document, score) pair (milvus_store.py:327-368)."""
+
+    text: str
+    score: float
+    metadata: dict
+
+
+def search_with_scores(
+    store: CollectionStore,
+    query: str,
+    k: int = 3,
+    filter_language: str | None = None,
+    auto_detect_language: bool = True,
+    collection_name: str | None = None,
+    search_all_collections: bool = False,
+    metric: str = "COSINE",
+    embedding_config: EmbeddingConfig | None = None,
+) -> list[SearchHit]:
+    """Q4 — language-filtered search facade
+    (reference: modules/search_utils.py:70-98).
+
+    Auto-detects the query language with the P4 detector when no filter is
+    given (search_utils.py:84-87) and embeds the query ONCE on the driver."""
+    if auto_detect_language and filter_language is None:
+        filter_language = detect_language_query(query)
+    predicate = (
+        F.col("language") == filter_language if filter_language else None
+    )
+    df = store.read(None if search_all_collections else collection_name)
+    vec = query_vector(query, embedding_config)
+    rows = topk_search(
+        df,
+        vec,
+        k=k,
+        metric=metric,
+        predicate=predicate,
+        tie_break=["chunk_id"] if "chunk_id" in df.columns else None,
+    ).collect()
+    hits = []
+    for r in rows:
+        d = r.asDict()
+        text = d.pop("text", "")
+        score = d.pop("score")
+        d.pop("embedding", None)
+        hits.append(SearchHit(text=text, score=score, metadata=d))
+    return hits
+
+
+def search(store: CollectionStore, query: str, k: int = 3, **kwargs) -> list[str]:
+    """Reference search_utils.py:36-67 — documents only, scores dropped."""
+    return [h.text for h in search_with_scores(store, query, k=k, **kwargs)]
+
+
+def create_rag_prompt(
+    store: CollectionStore,
+    query: str,
+    k: int = 3,
+    auto_detect_language: bool = True,
+    **kwargs,
+) -> list[dict[str, str]]:
+    """Q5 — RAG prompt assembly (reference: search_utils.py:101-136).
+    Driver-side after collect; not a distributed op."""
+    hits = search_with_scores(
+        store, query, k=k, auto_detect_language=auto_detect_language, **kwargs
+    )
+    context = "\n\n".join(
+        f"문서 {i + 1}: {h.text}" for i, h in enumerate(hits)
+    )
+    system_message = (
+        "당신은 훌륭한 상담원입니다. 아래 문서들은 질문과 관련된 참고 자료입니다.\n\n"
+        f"{context}\n\n"
+        "위 문서들을 참고하여 질문에 답변해 주세요.\n"
+        "반드시 한국어로 답변해 주세요."
+    )
+    return [
+        {"role": "system", "content": system_message},
+        {"role": "user", "content": query},
+    ]
+
+
+def format_search_results(hits: list[SearchHit], preview: int = 300) -> str:
+    """Q6 — result presentation (reference: search_utils.py:139-145)."""
+    lines = []
+    for i, h in enumerate(hits, 1):
+        lines.append(f"[{i}] Score: {h.score:.4f}")
+        lines.append(f"Source: {h.metadata.get('filename', 'N/A')}")
+        lines.append(f"Language: {h.metadata.get('language', 'N/A')}")
+        lines.append(f"Content: {h.text[:preview]}...")
+        lines.append("")
+    return "\n".join(lines)

@@ -1,0 +1,134 @@
+"""Collection store — operators S8/S9/S10/A11/X3 (SURVEY.md §2.1, §2.7).
+
+The reference keeps one Milvus collection per source folder
+(modules/milvus_store.py:138-174, name rule modules/config.py:37-43). Here a
+"collection" is a value of the ``collection`` partition column of ONE
+parquet dataset under the warehouse root — the 100 TB layout from SURVEY.md
+§1.4: naming a collection ⇒ partition pruning; fan-out search ⇒ simply no
+filter (one scan, no per-collection loop, no re-embedding).
+
+Durability mapping: Milvus ``flush`` (milvus_store.py:232) ≅ the atomic
+parquet job commit; ``load_collection`` (milvus_store.py:72-76) ≅ optional
+``cache()``.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.config import EmbeddingConfig, StoreConfig
+from vectordb_etl_spark.embeddings import with_embeddings
+from vectordb_etl_spark.functions.text import truncate_cols
+
+
+class CollectionStore:
+    def __init__(self, spark: SparkSession, config: StoreConfig | None = None):
+        self.spark = spark
+        self.config = config or StoreConfig()
+
+    @property
+    def _root(self) -> Path:
+        return Path(self.config.warehouse_dir)
+
+    @property
+    def _data_dir(self) -> Path:
+        return self._root / "collections"
+
+    # -- S9: DDL ------------------------------------------------------------
+
+    def list_collections(self) -> list[str]:
+        """Reference: milvus_store.py:370-372."""
+        if not self._data_dir.exists():
+            return []
+        return sorted(
+            p.name.split("=", 1)[1]
+            for p in self._data_dir.iterdir()
+            if p.is_dir() and p.name.startswith("collection=")
+        )
+
+    def collection_exists(self, name: str) -> bool:
+        """Reference: milvus_store.py:68-70."""
+        return name in self.list_collections()
+
+    def drop_collection(self, name: str) -> None:
+        """Reference: milvus_store.py:408-414. Partition-directory drop."""
+        target = self._data_dir / f"collection={name}"
+        if target.exists():
+            shutil.rmtree(target)
+
+    def reset(self, confirm: bool = False) -> int:
+        """S10 — drop everything (reference: main.py:243-277, --confirm gate)."""
+        if not confirm:
+            raise ValueError("reset requires confirm=True")
+        n = len(self.list_collections())
+        if self._root.exists():
+            shutil.rmtree(self._root)
+        return n
+
+    # -- S8: sink -------------------------------------------------------------
+
+    def insert_documents(
+        self,
+        chunks: DataFrame,
+        split_by_folder: bool = True,
+        folder_col: str = "folder_name",
+        embed: bool = True,
+        embedding_config: EmbeddingConfig | None = None,
+        mode: str = "append",
+    ) -> dict[str, int]:
+        """Embed + write, partitioned by collection.
+
+        Reference (milvus_store.py:138-234) groups docs by folder in the
+        driver and loops collections with batch-100 inserts; here grouping is
+        the partitioned write itself (one distributed job, no driver loop)
+        and batching is Arrow's. Returns per-collection row counts like the
+        reference's Dict[str, int].
+        """
+        cfg = self.config
+        if split_by_folder and folder_col in chunks.columns:
+            collection = F.concat_ws(
+                "_", F.lit(cfg.collection_prefix), F.col(folder_col)
+            )
+        else:
+            collection = F.lit(f"{cfg.collection_prefix}_documents")
+        df = chunks.withColumn("collection", collection)
+        # P7 varchar truncation at the sink (milvus_store.py:207-215)
+        for name, col in truncate_cols(
+            cfg.text_max_len, cfg.source_max_len, cfg.filename_max_len,
+            cfg.language_max_len,
+        ).items():
+            if name in df.columns:
+                df = df.withColumn(name, col)
+        if embed and "embedding" not in df.columns:
+            df = with_embeddings(df, config=embedding_config)
+        df.write.mode(mode).partitionBy("collection").parquet(str(self._data_dir))
+        counts = (
+            self.read().groupBy("collection").count().collect()
+        )
+        return {r["collection"]: r["count"] for r in counts}
+
+    # -- scans ---------------------------------------------------------------
+
+    def read(self, collection: str | None = None) -> DataFrame:
+        """Scan one collection (partition-pruned) or all (fan-out)."""
+        df = self.spark.read.parquet(str(self._data_dir))
+        if collection is not None:
+            df = df.filter(F.col("collection") == collection)
+        return df
+
+    def load_collection(self, collection: str | None = None) -> DataFrame:
+        """X3 — memory residency ≅ cache() (milvus_store.py:72-76)."""
+        return self.read(collection).cache()
+
+    # -- A11: stats ------------------------------------------------------------
+
+    def collection_stats(self, collection: str | None = None) -> dict[str, int]:
+        """Row counts per collection (milvus_store.py:374-406) — one
+        partition-column-only aggregation (metadata-cheap scan)."""
+        df = self.read(collection)
+        rows = df.groupBy("collection").count().collect()
+        return {r["collection"]: r["count"] for r in rows}
