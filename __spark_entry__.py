@@ -563,6 +563,57 @@ _register(
 )
 
 
+# -- dedup suite (SURVEY.md §2.3 C6 upgrades; training-data curation tier) ---------
+
+from vectordb_etl_spark.operators import dedup as D  # noqa: E402
+
+_register(
+    "minhash_signatures",
+    lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", D.minhash_signature_col("text", 8, 3).alias("signature")
+    ),
+    f"SELECT doc_id, {D.minhash_signature_sql('text', 8, 3)} AS signature FROM documents",
+)
+
+_register(
+    "minhash_lsh_candidates",
+    lambda spark, sf: D.lsh_candidate_pairs(
+        _docs(spark, sf), num_hashes=8, bands=4
+    ),
+    D.lsh_candidate_pairs_sql("documents", num_hashes=8, bands=4),
+)
+
+_register(
+    "ngram_jaccard_pairs",
+    lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2),
+    D.ngram_jaccard_pairs_sql("documents", threshold=0.2),
+)
+
+_register(
+    "simhash_fingerprints",
+    lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", D.simhash_col("text", 32).alias("fingerprint")
+    ),
+    f"SELECT doc_id, {D.simhash_sql('text', 32)} AS fingerprint FROM documents",
+)
+
+_register(
+    "simhash_near_dups",
+    lambda spark, sf: D.simhash_near_dup_pairs(
+        _docs(spark, sf), bits=32, max_hamming=3, blocks=4
+    ),
+    D.simhash_near_dup_pairs_sql("documents", bits=32, max_hamming=3),
+)
+
+_register(
+    "embedding_topk_pairs",
+    lambda spark, sf: D.embedding_topk_pairs(
+        _table(spark, sf, "embeddings"), k=20
+    ),
+    D.embedding_topk_pairs_sql("embeddings", k=20),
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

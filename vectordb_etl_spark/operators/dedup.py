@@ -1,0 +1,409 @@
+"""Deduplication suite — exact + near-duplicate operators for training-data
+curation (beyond-reference tier; upgrades the reference's accepted-but-unused
+``similarity_threshold``, modules/chunker.py:182-186, into explicit operators).
+
+Operators:
+
+- exact dedup        → operators/chunker.py (C6, md5 of normalized text)
+- MinHash signatures → :func:`minhash_signature_col` (k min-hashes over word
+  n-gram shingles; hashes are md5 hex strings — min is lexicographic, which
+  is portable to the DuckDB oracle)
+- LSH candidates     → :func:`lsh_candidate_pairs` (band signature → bucket
+  join). The scale path: shuffle is on band keys (uniform md5 → no skew);
+  candidate verification re-checks true Jaccard.
+- n-gram Jaccard     → :func:`ngram_jaccard_pairs` (exact set similarity via
+  shingle-explode + self-join — the classic similarity join; at 100 TB the
+  join key is the shingle, so frequent shingles are the skew risk: cap with
+  ``max_shingle_freq`` which drops stop-shingles, a standard trick)
+- SimHash            → :func:`simhash_col` (b-bit sign fingerprint) +
+  :func:`simhash_near_dup_pairs` (pigeonhole-blocked Hamming join — exact,
+  no false negatives, while avoiding the O(n²) cross join)
+- embedding cosine   → :func:`embedding_topk_pairs` (brute-force exact tier)
+  and operators/ann.py for the LSH/IVF approximate tier.
+
+Everything here is pure column expressions + joins — no Python in the hot
+path — and every operator has a DuckDB oracle rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.functions.vector import cosine_col
+
+# --------------------------------------------------------------------------
+# shingles
+# --------------------------------------------------------------------------
+
+
+def _as_col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def word_shingles_col(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Guarded so short texts yield []
+    (Spark's ``sequence(1, 0)`` would count DOWN, unlike DuckDB's range)."""
+    c = _as_col(col)
+    words = F.split(F.trim(c), r"\s+")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array()))
+
+
+def word_shingles_sql(expr: str, n: int = 3) -> str:
+    words = f"string_split_regex(trim({expr}), '\\s+')"
+    parts = ", ".join(f"{words}[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({words}) - {n - 1}, 0) + 1), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash
+# --------------------------------------------------------------------------
+
+
+def minhash_signature_col(
+    col: Column | str, num_hashes: int = 8, shingle_n: int = 3
+) -> Column:
+    """k-permutation MinHash: hash_j(s) = md5('seed<j>:' + s); signature_j =
+    min over shingles (lexicographic on hex — identical in both engines).
+    Empty shingle set ⇒ nulls (doc too short to near-dup)."""
+    shingles = word_shingles_col(col, shingle_n)
+
+    def _hash_with_seed(j: int) -> Column:
+        # nested fn (not a default-arg lambda: pyspark counts lambda params
+        # to decide the (element, index) calling convention)
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"seed{j}:"), s)))
+        )
+
+    return F.array(*[_hash_with_seed(j) for j in range(num_hashes)])
+
+
+def minhash_signature_sql(expr: str, num_hashes: int = 8, shingle_n: int = 3) -> str:
+    shingles = word_shingles_sql(expr, shingle_n)
+    sig = ", ".join(
+        f"list_aggregate(list_transform({shingles}, s -> md5(concat('seed{j}:', s))), 'min')"
+        for j in range(num_hashes)
+    )
+    return f"[{sig}]"
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing ≥1 band bucket
+    (rows_per_band = num_hashes/bands). Returns (id_a, id_b) with a < b.
+
+    Scale shape: signature computation is map-side; the only shuffle is the
+    band-key self-join (md5 keys — uniform). Pairs are distinct-ed, which
+    AQE coalesces. For a 100 TB corpus, bucket sizes stay bounded because a
+    band collision requires r exact hash matches."""
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_col(text_col, num_hashes, shingle_n).alias("sig"),
+    ).filter(F.col("sig")[0].isNotNull())
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(str(b)), *[F.col("sig")[b * r + i] for i in range(r)]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    ).distinct()
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> str:
+    r = num_hashes // bands
+    sig = minhash_signature_sql(text_col, num_hashes, shingle_n)
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', '%d', %s))"
+        % (b, ", ".join(f"sig[{b * r + i + 1}]" for i in range(r)))
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS (
+  SELECT {id_col} AS id, {sig} AS sig FROM {table}
+), banded AS (
+  SELECT DISTINCT id, unnest([{band_exprs}]) AS band_key
+  FROM sig WHERE sig[1] IS NOT NULL
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.id < b.id
+"""
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets for all pairs sharing ≥1
+    shingle. Returns (id_a, id_b, jaccard≥threshold), jaccard rounded 6 dp.
+
+    ``max_shingle_freq`` drops shingles occurring in more than that many docs
+    before the join — the standard skew guard for similarity joins (a
+    boilerplate shingle shared by 1M docs would otherwise create a 10^12-row
+    join partition at 100 TB)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(text_col, shingle_n)).alias("s"),
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("s").agg(F.count("*").alias("f"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)), "s")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    shingles = word_shingles_sql(text_col, shingle_n)
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, unnest({shingles}) AS s FROM {table}
+), sizes AS (
+  SELECT id, count(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= {threshold}
+"""
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy near-dup removal: drop every doc that is the LARGER id of any
+    duplicate pair (deterministic first-wins by id — the distributed analog
+    of the reference's insertion-order exact dedup). ``pairs`` is any
+    (id_a, id_b) relation from the operators above."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_col(col: Column | str, bits: int = 16) -> Column:
+    """b-bit SimHash over word tokens (weighted by occurrence): bit i is the
+    sign of Σ_tokens (+1 if hex digit i of md5(token) ≥ '8' else −1).
+    Returned as a '0'/'1' string for engine-portable bit math."""
+    c = _as_col(col)
+    hashes = F.transform(F.split(F.trim(c), r"\s+"), lambda w: F.md5(w))
+
+    def _bit(i: int) -> Column:
+        s = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.substring(h, i, 1) >= "8", 1).otherwise(-1),
+        )
+        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[_bit(i) for i in range(1, bits + 1)])
+
+
+def simhash_sql(expr: str, bits: int = 16) -> str:
+    hashes = f"list_transform(string_split_regex(trim({expr}), '\\s+'), w -> md5(w))"
+    bit_exprs = ", ".join(
+        f"CASE WHEN list_aggregate(list_transform({hashes}, "
+        f"h -> CASE WHEN substring(h, {i}, 1) >= '8' THEN 1 ELSE -1 END), 'sum') >= 0 "
+        f"THEN '1' ELSE '0' END"
+        for i in range(1, bits + 1)
+    )
+    return f"concat({bit_exprs})"
+
+
+def hamming_col(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    ca, cb = _as_col(a), _as_col(b)
+    return sum(
+        F.when(F.substring(ca, i, 1) != F.substring(cb, i, 1), 1).otherwise(0)
+        for i in range(1, bits + 1)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming. Exact via pigeonhole
+    blocking: split the fingerprint into ``blocks`` segments; any pair within
+    distance < blocks must agree on ≥1 segment, so the join is on
+    (segment_idx, segment_value) — linear shuffle, no cross join. Requires
+    max_hamming < blocks for exactness."""
+    assert max_hamming < blocks, "pigeonhole exactness needs max_hamming < blocks"
+    seg = bits // blocks
+    fp = df.select(
+        F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("fp")
+    )
+    blocked = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(str(i)), F.substring("fp", i * seg + 1, seg)
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("block_key"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.block_key") == F.col("b.block_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming_col(F.col("a.fp"), F.col("b.fp"), bits).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> str:
+    """Oracle: brute-force O(n²) Hamming — identical result set to the
+    blocked join (blocking is exact for max_hamming < blocks)."""
+    fp = simhash_sql(text_col, bits)
+    ham = " + ".join(
+        f"CASE WHEN substring(a.fp, {i}, 1) != substring(b.fp, {i}, 1) THEN 1 ELSE 0 END"
+        for i in range(1, bits + 1)
+    )
+    return f"""
+SELECT * FROM (
+  WITH fp AS (SELECT {id_col} AS id, {fp} AS fp FROM {table})
+  SELECT a.id AS id_a, b.id AS id_b, {ham} AS hamming
+  FROM fp a JOIN fp b ON a.id < b.id
+) WHERE hamming <= {max_hamming}
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (exact tier; ANN tier in operators/ann.py)
+# --------------------------------------------------------------------------
+
+
+def embedding_topk_pairs(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most-similar pairs by cosine — brute force O(n²) pairwise.
+
+    This is the exact baseline; at 100 TB the LSH/IVF bucketed variants in
+    operators/ann.py bound the pair space. The self-join is range-partitioned
+    by id so AQE can balance the quadratic work."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col("ea", "eb"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(k)
+    )
+
+
+def embedding_topk_pairs_sql(
+    table: str = "embeddings", k: int = 20, id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    return (
+        f"SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, "
+        f"round(list_cosine_similarity(CAST(a.{emb_col} AS DOUBLE[]), "
+        f"CAST(b.{emb_col} AS DOUBLE[])), 6) AS cosine "
+        f"FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col} "
+        f"ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT {k}"
+    )
