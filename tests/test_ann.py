@@ -1,0 +1,80 @@
+"""ANN tier tests: IVF build/search recall + partition pruning, LSH buckets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.operators.ann import (
+    IVFIndex,
+    lsh_bucket_col,
+    lsh_topk_search,
+    recall_at_k,
+)
+from vectordb_etl_spark.operators.topk import topk_search
+
+
+@pytest.fixture(scope="module")
+def ivf(spark, embeddings_tiny, tmp_path_factory):
+    path = tmp_path_factory.mktemp("ivf") / "index"
+    return IVFIndex(spark, str(path)).build(embeddings_tiny, nlist=16, seed=42)
+
+
+@pytest.fixture(scope="module")
+def query_vec(embeddings_tiny):
+    return list(embeddings_tiny.filter(F.col("vec_id") == 7).head()["embedding"])
+
+
+def _exact_ids(embeddings_tiny, q, k=10):
+    return [
+        r["vec_id"]
+        for r in topk_search(embeddings_tiny, q, k=k, tie_break=["vec_id"]).collect()
+    ]
+
+
+def test_ivf_full_probe_is_exact(spark, embeddings_tiny, ivf, query_vec):
+    exact = _exact_ids(embeddings_tiny, query_vec)
+    approx = [
+        r["vec_id"]
+        for r in ivf.search(query_vec, k=10, nprobe=16, tie_break=["vec_id"]).collect()
+    ]
+    assert recall_at_k(exact, approx) == 1.0  # probing all clusters ⇒ exact
+
+
+def test_ivf_partial_probe_recall_and_monotonicity(embeddings_tiny, ivf, query_vec):
+    exact = _exact_ids(embeddings_tiny, query_vec)
+    recalls = []
+    for nprobe in (2, 8, 16):
+        ids = [
+            r["vec_id"]
+            for r in ivf.search(query_vec, k=10, nprobe=nprobe, tie_break=["vec_id"]).collect()
+        ]
+        recalls.append(recall_at_k(exact, ids))
+    assert recalls[0] > 0.0
+    assert recalls[-1] == 1.0
+    assert recalls == sorted(recalls)  # more probes never hurt
+
+
+def test_ivf_probe_prunes_partitions(spark, ivf, query_vec):
+    probes = ivf.probe_ids(query_vec, nprobe=2)
+    assert len(probes) == 2
+    df = spark.read.parquet(str(ivf.path / "data")).filter(
+        F.col("centroid_id").isin(probes)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_lsh_bucket_deterministic(spark, embeddings_tiny):
+    b1 = embeddings_tiny.select(lsh_bucket_col("embedding", 64).alias("b")).collect()
+    b2 = embeddings_tiny.select(lsh_bucket_col("embedding", 64).alias("b")).collect()
+    assert [r["b"] for r in b1] == [r["b"] for r in b2]
+    assert all(len(r["b"]) == 8 and set(r["b"]) <= {"0", "1"} for r in b1)
+
+
+def test_lsh_search_self_hit(embeddings_tiny, query_vec):
+    rows = lsh_topk_search(
+        embeddings_tiny, query_vec, k=5, tie_break=["vec_id"]
+    ).collect()
+    assert rows, "query's own bucket must contain at least the query vector"
+    assert rows[0]["vec_id"] == 7  # self-similarity = 1.0 tops the list

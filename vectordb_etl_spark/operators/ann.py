@@ -1,0 +1,213 @@
+"""Approximate-nearest-neighbor tier — operators X1/X2-analog (SURVEY.md §2.6)
+plus the beyond-reference scale path for similarity search.
+
+The reference delegates ANN to Milvus IVF_FLAT (nlist=128, nprobe=16 —
+modules/milvus_store.py:125-131, config.py:22-25). The Spark-native design
+(SURVEY.md §4) turns the index into DATA LAYOUT:
+
+- **build**: KMeans (spark.ml) over the vectors; each row gets a
+  ``centroid_id``; the table is written partitioned by it. Centroids are a
+  tiny driver-side artifact (nlist × dim floats).
+- **search**: rank centroids against the query ON THE DRIVER (numpy over the
+  tiny centroid matrix), then scan only the top-``nprobe`` partitions —
+  Catalyst partition pruning does the "index probe". Scan fraction ≈
+  nprobe/nlist (the reference's 16/128 = 12.5%), exactly the IVF contract.
+- **LSH alternative**: deterministic random-hyperplane sign buckets as a pure
+  column expression (no model artifact) — :func:`lsh_bucket_col`.
+
+Vector assignment uses an Arrow-batched pandas UDF doing one numpy matmul per
+batch — the embedding-shaped workload where a vectorized Python hop beats
+per-element JVM expressions.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from vectordb_etl_spark.functions.vector import metric_ascending
+from vectordb_etl_spark.operators.topk import topk_search
+
+
+def assign_centroids_udf(centroids: np.ndarray, metric: str = "COSINE"):
+    """Vectorized nearest-centroid assignment. ``centroids`` is broadcast in
+    the UDF closure (nlist × dim — a few KB; fine in task binaries)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    if metric.upper() in ("COSINE",):
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = cents / norms
+
+    @F.pandas_udf(IntegerType())
+    def _assign(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        if metric.upper() == "L2":
+            # argmin of squared distance
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.argmin(axis=1).astype(np.int32))
+        if metric.upper() == "COSINE":
+            row_norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            row_norms[row_norms == 0] = 1.0
+            mat = mat / row_norms
+        return pd.Series((mat @ cents.T).argmax(axis=1).astype(np.int32))
+
+    return _assign
+
+
+def train_centroids(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    nlist: int = 128,
+    metric: str = "COSINE",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """X1 — KMeans centroid training (spark.ml; distributed Lloyd's).
+    Mirrors IVF_FLAT nlist=128 (reference config.py:24)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(emb_col).cast("array<double>")).alias("features"))
+    n = feats.count()
+    k = min(nlist, max(2, n))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+class IVFIndex:
+    """IVF_FLAT as partitioned-parquet layout + driver-side centroid probe.
+
+    build() writes:   <path>/data/centroid_id=<i>/...parquet
+                      <path>/centroids.json
+    search() reads only the probed partitions (partition pruning)."""
+
+    def __init__(self, spark: SparkSession, path: str, metric: str = "COSINE"):
+        self.spark = spark
+        self.path = Path(path)
+        self.metric = metric
+        self._centroids: np.ndarray | None = None
+
+    def build(
+        self,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        nlist: int = 128,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        cents = train_centroids(df, emb_col, nlist, self.metric, seed)
+        assigned = df.withColumn(
+            "centroid_id", assign_centroids_udf(cents, self.metric)(F.col(emb_col))
+        )
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            str(self.path / "data")
+        )
+        self.path.mkdir(parents=True, exist_ok=True)
+        with open(self.path / "centroids.json", "w") as f:
+            json.dump({"metric": self.metric, "centroids": cents.tolist()}, f)
+        self._centroids = cents
+        return self
+
+    @property
+    def centroids(self) -> np.ndarray:
+        if self._centroids is None:
+            with open(self.path / "centroids.json") as f:
+                self._centroids = np.array(json.load(f)["centroids"])
+        return self._centroids
+
+    def probe_ids(self, query: list[float], nprobe: int = 16) -> list[int]:
+        """Rank centroids on the driver (tiny matrix — no Spark job)."""
+        cents = self.centroids
+        q = np.asarray(query, dtype=np.float64)
+        if self.metric.upper() == "L2":
+            scores = -((cents - q) ** 2).sum(axis=1)
+        else:
+            cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+            qn = q / max(np.linalg.norm(q), 1e-12)
+            scores = cn @ qn
+        order = np.argsort(-scores)
+        return [int(i) for i in order[:nprobe]]
+
+    def search(
+        self,
+        query: list[float],
+        k: int = 3,
+        nprobe: int = 16,
+        predicate: Column | None = None,
+        **topk_kwargs,
+    ) -> DataFrame:
+        """Probe top-nprobe clusters, exact top-k inside them. The
+        ``centroid_id IN (...)`` filter is a partition filter — only
+        ~nprobe/nlist of the data is read (verify via explain:
+        PartitionFilters)."""
+        probes = self.probe_ids(query, nprobe)
+        df = self.spark.read.parquet(str(self.path / "data")).filter(
+            F.col("centroid_id").isin(probes)
+        )
+        return topk_search(
+            df, query, k=k, metric=self.metric, predicate=predicate, **topk_kwargs
+        )
+
+
+def lsh_bucket_col(
+    emb_col: Column | str,
+    dim: int,
+    num_planes: int = 8,
+    seed: int = 7,
+) -> Column:
+    """Random-hyperplane LSH bucket as a pure column expression: bit_i =
+    sign(dot(emb, plane_i)). Deterministic planes (seeded numpy) become plan
+    literals; the whole bucket computation is JVM-side codegen — suitable as
+    a partition/bucket column at write time for 100 TB layouts."""
+    c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    planes = np.random.RandomState(seed).standard_normal((num_planes, dim))
+    arr = c.cast("array<double>")
+    bits = []
+    for i in range(num_planes):
+        plane = F.lit([float(x) for x in planes[i]]).cast("array<double>")
+        dot = F.aggregate(
+            F.zip_with(arr, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk_search(
+    df: DataFrame,
+    query: list[float],
+    k: int = 3,
+    num_planes: int = 8,
+    seed: int = 7,
+    multiprobe_hamming: int = 1,
+    metric: str = "COSINE",
+    emb_col: str = "embedding",
+    **topk_kwargs,
+) -> DataFrame:
+    """ANN via hyperplane buckets: scan only rows whose bucket is within
+    ``multiprobe_hamming`` of the query's bucket (multi-probe LSH). With a
+    bucket-partitioned table this prunes like IVF; here it's a filter."""
+    dim = len(query)
+    planes = np.random.RandomState(seed).standard_normal((num_planes, dim))
+    qbits = "".join("1" if planes[i] @ np.asarray(query) >= 0 else "0" for i in range(num_planes))
+    # enumerate probe buckets within the hamming radius (small: C(8,≤1)=9)
+    probes = {qbits}
+    if multiprobe_hamming >= 1:
+        for i in range(num_planes):
+            probes.add(qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1 :])
+    bucket = lsh_bucket_col(emb_col, dim, num_planes, seed)
+    pruned = df.filter(bucket.isin(*probes))
+    return topk_search(pruned, query, k=k, metric=metric, **topk_kwargs)
+
+
+def recall_at_k(exact_ids: list, approx_ids: list) -> float:
+    """Recall@k of an approximate result against the exact top-k."""
+    if not exact_ids:
+        return 1.0
+    return len(set(exact_ids) & set(approx_ids)) / len(exact_ids)
