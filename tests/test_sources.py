@@ -1,0 +1,237 @@
+"""Loader tests (S1–S6): HTML parse fidelity, CFB reader round-trip against a
+minimal in-test [MS-CFB] writer, HWPX zip extraction, full scan pipelines."""
+
+from __future__ import annotations
+
+import struct
+import zipfile
+import zlib
+from io import BytesIO
+
+import pytest
+
+from vectordb_etl_spark.sources.html import parse_html
+from vectordb_etl_spark.sources.hwp import (
+    CompoundFile,
+    extract_hwp,
+    extract_hwpx,
+)
+from vectordb_etl_spark.sources.scan import load_html_documents, load_hwp_documents
+
+# ---------------------------------------------------------------------------
+# minimal CFB v3 writer (test-only): root + FileHeader + BodyText/Section0,
+# small streams in the mini-stream, one FAT + one miniFAT sector.
+# ---------------------------------------------------------------------------
+
+FREE, ENDCHAIN, FATSECT, NOSTREAM = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD, 0xFFFFFFFF
+
+
+def _dir_entry(name, etype, left=NOSTREAM, right=NOSTREAM, child=NOSTREAM,
+               start=0, size=0):
+    raw = name.encode("utf-16-le")
+    buf = bytearray(128)
+    buf[0 : len(raw)] = raw
+    struct.pack_into("<H", buf, 64, len(raw) + 2)
+    buf[66] = etype
+    buf[67] = 1  # black
+    struct.pack_into("<III", buf, 68, left, right, child)
+    struct.pack_into("<I", buf, 116, start)
+    struct.pack_into("<Q", buf, 120, size)
+    return bytes(buf)
+
+
+def write_min_cfb(streams: dict[str, bytes]) -> bytes:
+    """streams: {'FileHeader': ..., 'BodyText/Section0': ...} (all < 4096)."""
+    fh = streams["FileHeader"]
+    s0 = streams["BodyText/Section0"]
+
+    def mini_pad(b):
+        return b + b"\x00" * (-len(b) % 64)
+
+    mini = mini_pad(fh) + mini_pad(s0)
+    fh_n, s0_n = len(mini_pad(fh)) // 64, len(mini_pad(s0)) // 64
+    minifat = []
+    for i in range(fh_n):
+        minifat.append(i + 1 if i < fh_n - 1 else ENDCHAIN)
+    for i in range(s0_n):
+        minifat.append(fh_n + i + 1 if i < s0_n - 1 else ENDCHAIN)
+    minifat += [FREE] * (128 - len(minifat))
+
+    mini_sectors = -(-len(mini) // 512)
+    # sectors: 0=FAT 1=miniFAT 2=dir 3..=ministream
+    fat = [FATSECT, ENDCHAIN, ENDCHAIN]
+    for i in range(mini_sectors):
+        fat.append(3 + i + 1 if i < mini_sectors - 1 else ENDCHAIN)
+    fat += [FREE] * (128 - len(fat))
+
+    dirs = (
+        _dir_entry("Root Entry", 5, child=1, start=3, size=len(mini))
+        + _dir_entry("FileHeader", 2, right=2, start=0, size=len(fh))
+        + _dir_entry("BodyText", 1, child=3)
+        + _dir_entry("Section0", 2, start=fh_n, size=len(s0))
+    )
+    dirs += b"\x00" * (-len(dirs) % 512)
+
+    header = bytearray(512)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 24, 0x3E)   # minor
+    struct.pack_into("<H", header, 26, 3)      # major v3
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 9)      # 512 B sectors
+    struct.pack_into("<H", header, 32, 6)      # 64 B mini
+    struct.pack_into("<I", header, 44, 1)      # one FAT sector
+    struct.pack_into("<I", header, 48, 2)      # dir start
+    struct.pack_into("<I", header, 56, 4096)   # mini cutoff
+    struct.pack_into("<I", header, 60, 1)      # miniFAT start
+    struct.pack_into("<I", header, 64, 1)      # one miniFAT sector
+    struct.pack_into("<I", header, 68, ENDCHAIN)  # no DIFAT continuation
+    struct.pack_into("<I", header, 72, 0)
+    struct.pack_into("<I", header, 76, 0)      # DIFAT[0] = FAT sector 0
+    for i in range(1, 109):
+        struct.pack_into("<I", header, 76 + 4 * i, FREE)
+
+    body = struct.pack("<128I", *fat) + struct.pack("<128I", *minifat) + dirs
+    body += mini + b"\x00" * (-len(mini) % 512)
+    return bytes(header) + body
+
+
+def _hwp_section_bytes(paragraphs: list[str], compress=True) -> bytes:
+    units = []
+    for p in paragraphs:
+        units.extend(ord(c) for c in p)
+        units.append(0x0D)
+    raw = b"".join(struct.pack("<H", u) for u in units)
+    if not compress:
+        return raw
+    c = zlib.compressobj(wbits=-15)
+    return c.compress(raw) + c.flush()
+
+
+def make_hwp(paragraphs: list[str], compress=True) -> bytes:
+    return write_min_cfb(
+        {
+            "FileHeader": b"HWP Document File" + b"\x00" * 239,
+            "BodyText/Section0": _hwp_section_bytes(paragraphs, compress),
+        }
+    )
+
+
+def make_hwpx(paragraphs: list[str], title="t", creator="c") -> bytes:
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        body = "".join(f"<p>{p}</p>\n" for p in paragraphs)
+        zf.writestr("Contents/section0.xml", f"<doc>{body}</doc>")
+        zf.writestr(
+            "Contents/meta.xml",
+            "<meta xmlns:dc='http://purl.org/dc/elements/1.1/'>"
+            f"<dc:title>{title}</dc:title><dc:creator>{creator}</dc:creator></meta>",
+        )
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# HTML parse unit tests (S2/S3)
+# ---------------------------------------------------------------------------
+
+HTML_DOC = """<html><head><title> My Title </title>
+<script>var x = 'NOISE';</script><style>.c{color:red}</style></head>
+<body><nav>menu NOISE</nav><header>hdr NOISE</header>
+<h1>Heading One</h1><p>First paragraph 안녕하세요.</p>
+<h2>Sub</h2><p>Second paragraph.</p>
+<table><tr><td>cell</td></tr></table><ul><li>item</li></ul>
+<footer>foot NOISE</footer><aside>side NOISE</aside></body></html>"""
+
+
+def test_parse_html_strips_boilerplate_and_counts():
+    r = parse_html(HTML_DOC)
+    assert "NOISE" not in r["text"]
+    assert "First paragraph" in r["text"] and "cell" in r["text"]
+    assert r["title"] == "My Title"
+    assert r["heading_count"] == 2
+    assert r["headings"][0] == {"level": 1, "text": "Heading One"}
+    assert r["paragraph_count"] == 2
+    assert r["table_count"] == 1
+    assert r["list_count"] == 1
+
+
+def test_parse_html_empty_and_garbage():
+    assert parse_html("")["text"] == ""
+    assert parse_html("just plain text")["text"] == "just plain text"
+
+
+# ---------------------------------------------------------------------------
+# CFB reader round-trip (S4)
+# ---------------------------------------------------------------------------
+
+
+def test_cfb_roundtrip_streams():
+    data = make_hwp(["Hello World", "안녕하세요"])
+    cf = CompoundFile(data)
+    assert cf.list_streams() == ["BodyText/Section0", "FileHeader"]
+    assert cf.read_stream("FileHeader").startswith(b"HWP Document File")
+
+
+def test_extract_hwp_compressed_and_raw():
+    for compress in (True, False):
+        out = extract_hwp(make_hwp(["Hello World", "안녕하세요 반갑습니다"], compress))
+        assert out["n_sections"] == 1
+        assert out["text"].split("\n") == ["Hello World", "안녕하세요 반갑습니다"]
+
+
+def test_extract_hwp_filters_non_whitelisted_codepoints():
+    # control chars and symbols outside ASCII/Hangul/CJK must be dropped
+    out = extract_hwp(make_hwp(["abé☃cd"]))  # é and snowman dropped
+    assert out["text"] == "abcd"
+
+
+def test_extract_hwpx():
+    out = extract_hwpx(make_hwpx(["문단 하나", "Paragraph two"], "제목", "저자"))
+    assert "문단 하나" in out["text"] and "Paragraph two" in out["text"]
+    assert out["title"] == "제목" and out["author"] == "저자"
+    assert out["n_sections"] == 1
+
+
+# ---------------------------------------------------------------------------
+# full scan pipelines on a temp directory tree (S1+S6+P8)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def doc_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("docs")
+    (root / "folderA").mkdir()
+    (root / "folderA" / "a.html").write_text(HTML_DOC, encoding="utf-8")
+    (root / "b.jsp").write_text(
+        "<html><body><p>JSP English document body text here.</p></body></html>",
+        encoding="utf-8",
+    )
+    (root / "folderA" / "tiny.html").write_text("<p>x</p>", encoding="utf-8")
+    (root / "folderA" / "doc.hwp").write_bytes(
+        make_hwp(["한글 문서 본문입니다 이것은 테스트", "둘째 문단"])
+    )
+    (root / "doc2.hwpx").write_bytes(
+        make_hwpx(["HWPX body paragraph with enough text"], "T2", "A2")
+    )
+    return root
+
+
+def test_load_html_documents(spark, doc_tree):
+    rows = {r["filename"]: r for r in load_html_documents(spark, str(doc_tree)).collect()}
+    assert set(rows) == {"a.html", "b.jsp"}  # tiny.html filtered (S6)
+    a = rows["a.html"]
+    assert a["folder_name"] == "folderA" and a["file_type"] == "html"
+    assert a["title"] == "My Title" and a["heading_count"] == 2
+    assert "NOISE" not in a["text"]
+    b = rows["b.jsp"]
+    assert b["folder_name"] == "root" and b["language"] == "english"
+    assert b["char_count"] == len(b["text"])
+
+
+def test_load_hwp_documents(spark, doc_tree):
+    rows = {r["filename"]: r for r in load_hwp_documents(spark, str(doc_tree)).collect()}
+    assert set(rows) == {"doc.hwp", "doc2.hwpx"}
+    h = rows["doc.hwp"]
+    assert h["language"] == "korean" and "한글 문서" in h["text"]
+    x = rows["doc2.hwpx"]
+    assert x["title"] == "T2" and x["author"] == "A2"
+    assert x["folder_name"] == "root" and x["file_type"] == "hwpx"

@@ -1,0 +1,289 @@
+"""HWP / HWPX binary extraction — operators S4/S5 (SURVEY.md §2.1; reference
+modules/hwp_loader.py:126-239 and 417-460).
+
+The reference's distributable tier opens the HWP v5 OLE container with
+``olefile``, iterates ``BodyText/Section{N}`` streams, zlib-inflates them
+(wbits=-15) and scans UTF-16LE code units keeping ASCII/Hangul/CJK ranges
+(hwp_loader.py:150-170, 195-211). ``olefile`` is not in this runtime, so
+:class:`CompoundFile` is a minimal reader for the public Microsoft Compound
+File Binary format ([MS-CFB]) — header, DIFAT/FAT chains, directory tree,
+mini-stream — in ~120 lines of stdlib ``struct``. HWPX (S5) is plain
+ZIP+XML: concatenate text of ``*section*.xml``, metadata from ``*meta*.xml``
+(hwp_loader.py:417-460).
+
+Both run inside one pandas UDF over ``binaryFile`` rows: pure Python, no
+subprocess tier (the reference's ``hwp5txt`` fallback is env-dependent and
+explicitly not replicated — SURVEY.md S4).
+"""
+
+from __future__ import annotations
+
+import struct
+import zipfile
+import zlib
+from io import BytesIO
+from xml.etree import ElementTree
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_ENDOFCHAIN = 0xFFFFFFFE
+_FREESECT = 0xFFFFFFFF
+_MAXREGSECT = 0xFFFFFFFA
+
+
+class CompoundFile:
+    """Minimal [MS-CFB] compound-file reader (read-only, in-memory).
+
+    Supports v3 (512 B sectors) and v4 (4096 B), DIFAT continuation,
+    FAT/miniFAT chains, and the root mini-stream. Enough surface for
+    ``BodyText/Section*`` + metadata streams of HWP v5 files."""
+
+    def __init__(self, data: bytes):
+        if data[:8] != CFB_MAGIC:
+            raise ValueError("not a compound file (bad magic)")
+        (self.sector_shift,) = struct.unpack_from("<H", data, 30)
+        (self.mini_shift,) = struct.unpack_from("<H", data, 32)
+        (self.n_fat,) = struct.unpack_from("<I", data, 44)
+        (self.first_dir,) = struct.unpack_from("<I", data, 48)
+        (self.mini_cutoff,) = struct.unpack_from("<I", data, 56)
+        (self.first_minifat,) = struct.unpack_from("<I", data, 60)
+        (self.n_minifat,) = struct.unpack_from("<I", data, 64)
+        (self.first_difat,) = struct.unpack_from("<I", data, 68)
+        (self.n_difat,) = struct.unpack_from("<I", data, 72)
+        self.sector_size = 1 << self.sector_shift
+        self.mini_size = 1 << self.mini_shift
+        self.data = data
+
+        # DIFAT: 109 header entries + continuation sectors
+        difat = list(struct.unpack_from("<109I", data, 76))
+        sect = self.first_difat
+        per = self.sector_size // 4 - 1
+        for _ in range(self.n_difat):
+            if sect > _MAXREGSECT:
+                break
+            raw = self._sector(sect)
+            entries = struct.unpack(f"<{per + 1}I", raw)
+            difat.extend(entries[:per])
+            sect = entries[per]
+        self.fat: list[int] = []
+        per_fat = self.sector_size // 4
+        for fs in difat:
+            if fs > _MAXREGSECT:
+                continue
+            self.fat.extend(struct.unpack(f"<{per_fat}I", self._sector(fs)))
+
+        self.minifat: list[int] = []
+        for raw in self._chain_sectors(self.first_minifat):
+            self.minifat.extend(struct.unpack(f"<{per_fat}I", raw))
+
+        self._entries = self._read_directory()
+        root = self._entries[0]
+        self._mini_stream = self._read_chain(root["start"], root["size"])
+        self.paths = self._resolve_paths()
+
+    # -- sector plumbing ---------------------------------------------------
+    def _sector(self, n: int) -> bytes:
+        off = (n + 1) * self.sector_size
+        return self.data[off : off + self.sector_size]
+
+    def _chain_sectors(self, start: int):
+        sect, seen = start, 0
+        while sect <= _MAXREGSECT and seen <= len(self.fat) + 1:
+            yield self._sector(sect)
+            sect = self.fat[sect] if sect < len(self.fat) else _ENDOFCHAIN
+            seen += 1
+
+    def _read_chain(self, start: int, size: int) -> bytes:
+        buf = b"".join(self._chain_sectors(start))
+        return buf[:size]
+
+    def _read_mini_chain(self, start: int, size: int) -> bytes:
+        out, sect, seen = [], start, 0
+        while sect <= _MAXREGSECT and seen <= len(self.minifat) + 1:
+            off = sect * self.mini_size
+            out.append(self._mini_stream[off : off + self.mini_size])
+            sect = self.minifat[sect] if sect < len(self.minifat) else _ENDOFCHAIN
+            seen += 1
+        return b"".join(out)[:size]
+
+    # -- directory ---------------------------------------------------------
+    def _read_directory(self) -> list[dict]:
+        raw = b"".join(self._chain_sectors(self.first_dir))
+        entries = []
+        for off in range(0, len(raw) - 127, 128):
+            name_len = struct.unpack_from("<H", raw, off + 64)[0]
+            if name_len < 2:
+                entries.append(None)
+                continue
+            name = raw[off : off + name_len - 2].decode("utf-16-le", "replace")
+            etype = raw[off + 66]
+            child = struct.unpack_from("<I", raw, off + 76)[0]
+            start = struct.unpack_from("<I", raw, off + 116)[0]
+            size = struct.unpack_from("<Q", raw, off + 120)[0]
+            left = struct.unpack_from("<I", raw, off + 68)[0]
+            right = struct.unpack_from("<I", raw, off + 72)[0]
+            entries.append(
+                {"name": name, "type": etype, "child": child, "start": start,
+                 "size": size, "left": left, "right": right}
+            )
+        return entries
+
+    def _resolve_paths(self) -> dict[str, int]:
+        """Walk the red-black sibling trees to qualified 'Storage/Stream' paths."""
+        paths: dict[str, int] = {}
+
+        def walk(idx: int, prefix: str) -> None:
+            if idx in (0xFFFFFFFF,) or idx >= len(self._entries):
+                return
+            e = self._entries[idx]
+            if e is None:
+                return
+            walk(e["left"], prefix)
+            walk(e["right"], prefix)
+            full = f"{prefix}{e['name']}"
+            if e["type"] == 2:  # stream
+                paths[full] = idx
+            elif e["type"] == 1:  # storage
+                walk(e["child"], full + "/")
+
+        root = self._entries[0]
+        if root:
+            walk(root["child"], "")
+        return paths
+
+    # -- public API --------------------------------------------------------
+    def list_streams(self) -> list[str]:
+        return sorted(self.paths)
+
+    def read_stream(self, path: str) -> bytes:
+        idx = self.paths[path]
+        e = self._entries[idx]
+        if e["size"] < self.mini_cutoff:
+            return self._read_mini_chain(e["start"], e["size"])
+        return self._read_chain(e["start"], e["size"])
+
+
+# --------------------------------------------------------------------------
+# S4 — HWP v5 text extraction (hwp_loader.py:126-239)
+# --------------------------------------------------------------------------
+
+# UTF-16 code-unit whitelist (hwp_loader.py:195-211): ASCII printable, Hangul
+# syllables, CJK unified ideographs; 0x0D = HWP paragraph break.
+def _scan_utf16_text(raw: bytes) -> str:
+    out: list[str] = []
+    for i in range(0, len(raw) - 1, 2):
+        c = raw[i] | (raw[i + 1] << 8)
+        if 0x20 <= c <= 0x7E or 0xAC00 <= c <= 0xD7A3 or 0x4E00 <= c <= 0x9FFF:
+            out.append(chr(c))
+        elif c == 0x0D:
+            out.append("\n")
+    text = "".join(out)
+    lines = [ln.strip() for ln in text.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def extract_hwp(data: bytes) -> dict:
+    """OLE tier: iterate BodyText/Section{N} in numeric order, inflate
+    (wbits=-15; fall back to raw when the distribution-flag bit is off),
+    whitelist-scan UTF-16LE (hwp_loader.py:150-170)."""
+    cf = CompoundFile(data)
+    sections = [
+        p for p in cf.list_streams()
+        if p.startswith("BodyText/Section")
+    ]
+    sections.sort(key=lambda p: int(p.rsplit("Section", 1)[1] or 0))
+    parts = []
+    for path in sections:
+        raw = cf.read_stream(path)
+        try:
+            raw = zlib.decompress(raw, -15)
+        except zlib.error:
+            pass  # uncompressed section
+        t = _scan_utf16_text(raw)
+        if t:
+            parts.append(t)
+    return {
+        "text": "\n".join(parts),
+        "title": None,
+        "author": None,
+        "n_sections": len(sections),
+    }
+
+
+# --------------------------------------------------------------------------
+# S5 — HWPX (ZIP/XML) extraction (hwp_loader.py:417-460)
+# --------------------------------------------------------------------------
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def extract_hwpx(data: bytes) -> dict:
+    """Concatenate element text of every ``*section*.xml``; title/creator
+    from ``*meta*.xml`` (hwp_loader.py:430-457)."""
+    zf = zipfile.ZipFile(BytesIO(data))
+    parts: list[str] = []
+    title = author = None
+    section_names = sorted(n for n in zf.namelist() if "section" in n.lower() and n.endswith(".xml"))
+    for name in section_names:
+        try:
+            root = ElementTree.fromstring(zf.read(name))
+        except ElementTree.ParseError:
+            continue
+        text = "".join(root.itertext())
+        lines = [ln.strip() for ln in text.split("\n")]
+        t = "\n".join(ln for ln in lines if ln)
+        if t:
+            parts.append(t)
+    for name in (n for n in zf.namelist() if "meta" in n.lower() and n.endswith(".xml")):
+        try:
+            root = ElementTree.fromstring(zf.read(name))
+        except ElementTree.ParseError:
+            continue
+        for el in root.iter():
+            if _local(el.tag) == "title" and el.text and not title:
+                title = el.text.strip()
+            elif _local(el.tag) == "creator" and el.text and not author:
+                author = el.text.strip()
+    return {
+        "text": "\n".join(parts),
+        "title": title,
+        "author": author,
+        "n_sections": len(section_names),
+    }
+
+
+HWP_STRUCT = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("n_sections", IntegerType()),
+    ]
+)
+
+
+def _extract_any(data: bytes) -> dict:
+    try:
+        if data[:8] == CFB_MAGIC:
+            return extract_hwp(data)
+        if data[:2] == b"PK":
+            return extract_hwpx(data)
+    except Exception:
+        pass
+    return {"text": "", "title": None, "author": None, "n_sections": 0}
+
+
+@F.pandas_udf(HWP_STRUCT)
+def extract_hwp_udf(content: pd.Series) -> pd.DataFrame:
+    rows = [_extract_any(bytes(b) if b is not None else b"") for b in content]
+    return pd.DataFrame(rows)
