@@ -1,0 +1,108 @@
+"""Pipeline runner (M7) end-to-end: extract→transform→load→validate→search
+over a temp HTML tree, plus CLI smoke via the same SparkSession-free parser."""
+
+from __future__ import annotations
+
+import pytest
+
+from vectordb_etl_spark.cli import build_parser, create_config
+from vectordb_etl_spark.config import (
+    ChunkerConfig,
+    EmbeddingConfig,
+    PipelineConfig,
+    StoreConfig,
+)
+from vectordb_etl_spark.pipeline import PipelineRunner
+
+PAGE = """<html><head><title>{title}</title></head><body>
+<h1>{title}</h1>
+{paras}
+</body></html>"""
+
+
+@pytest.fixture(scope="module")
+def input_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("input")
+    for folder, lang_text in [
+        ("hr", "Employee handbook section about vacation policy and benefits. "),
+        ("eng", "Engineering onboarding guide with setup instructions. "),
+    ]:
+        d = root / folder
+        d.mkdir()
+        for i in range(3):
+            paras = "".join(
+                f"<p>{lang_text * 8} Document {folder}-{i} paragraph {j}.</p>"
+                for j in range(4)
+            )
+            (d / f"doc{i}.html").write_text(
+                PAGE.format(title=f"{folder} doc {i}", paras=paras), encoding="utf-8"
+            )
+    # a duplicate page to exercise dedup
+    (root / "hr" / "dup.html").write_text(
+        (root / "hr" / "doc0.html").read_text(), encoding="utf-8"
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def runner(spark, input_tree, tmp_path_factory):
+    work = tmp_path_factory.mktemp("work")
+    cfg = PipelineConfig(
+        input_dir=str(input_tree),
+        checkpoint_dir=str(work / "ckpt"),
+        chunker=ChunkerConfig(),
+        embedding=EmbeddingConfig(dimension=32),
+        store=StoreConfig(warehouse_dir=str(work / "warehouse")),
+    )
+    return PipelineRunner(spark, cfg)
+
+
+def test_full_pipeline_stages(runner):
+    ext = runner.extract()
+    assert ext.rows == 7  # 6 docs + 1 dup
+
+    tr = runner.transform()
+    assert tr.rows > 0
+    chunks = runner.spark.read.parquet(runner.chunks_path)
+    assert {"chunk_id", "chunk_index", "total_chunks", "chunk_size_chars",
+            "chunk_size_tokens"} <= set(chunks.columns)
+    # dup.html's chunks must have been deduplicated away (same text as doc0)
+    per_doc = chunks.groupBy("filename").count().collect()
+    assert {r["filename"] for r in per_doc} <= {f"doc{i}.html" for i in range(3)} | {"dup.html"}
+
+    ld = runner.load()
+    assert set(ld.extra["collections"]) == {"html_hr", "html_eng"}
+    assert sum(ld.extra["collections"].values()) == tr.rows
+
+    val = runner.validate()
+    assert val.rows == tr.rows
+    assert val.extra["language_distribution"]
+
+    hits = runner.search("vacation policy handbook", k=3)
+    assert len(hits) == 3
+    assert all(h.score is not None for h in hits)
+    assert "vacation" in hits[0].text.lower()
+
+
+def test_search_scoped_to_collection(runner):
+    hits = runner.search("setup instructions", k=2, collection="html_eng")
+    assert hits and all(
+        h.metadata.get("collection") == "html_eng" for h in hits
+    )
+
+
+def test_reset_requires_confirm(runner):
+    with pytest.raises(ValueError):
+        runner.reset(confirm=False)
+
+
+def test_cli_config_plumbing():
+    args = build_parser().parse_args(
+        ["--stage", "all", "--kind", "hwp", "--chunk-size", "200",
+         "--warehouse", "/tmp/w", "--dimension", "64"]
+    )
+    cfg = create_config(args)
+    assert cfg.chunker.chunk_size == 200
+    assert cfg.store.collection_prefix == "hwp"
+    assert cfg.store.warehouse_dir == "/tmp/w"
+    assert cfg.embedding.dimension == 64

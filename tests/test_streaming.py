@@ -1,0 +1,134 @@
+"""Structured Streaming tier: file-source ingest → transform → dedup →
+foreachBatch collection sink (availableNow), windowed counts, stateful
+sessionization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.config import EmbeddingConfig, StoreConfig
+from vectordb_etl_spark.store.collections import CollectionStore
+from vectordb_etl_spark.streaming import (
+    dedup_stream,
+    read_document_stream,
+    sessionize_stream,
+    transform_stream,
+    windowed_event_counts,
+    write_collection_stream,
+)
+
+DOC_SCHEMA = "doc_id string, source string, folder_name string, text string"
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("landing")
+    rows = [
+        ("d1", "s1", "hr", "Vacation policy. " * 30),
+        ("d2", "s2", "hr", "Vacation policy. " * 30),  # exact dup of d1 text
+        ("d3", "s3", "eng", "Onboarding guide for new engineers. " * 25),
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    return str(d)
+
+
+def test_stream_pipeline_end_to_end(spark, landing, tmp_path_factory):
+    work = tmp_path_factory.mktemp("stream_work")
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(work / "wh"))
+    )
+    docs = read_document_stream(spark, landing, DOC_SCHEMA)
+    assert docs.isStreaming
+    chunks = transform_stream(docs, embedding_config=EmbeddingConfig(dimension=16))
+    deduped = dedup_stream(chunks)
+    q = write_collection_stream(
+        deduped, store, str(work / "ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination(120)
+    out = store.read()
+    assert set(r["collection"] for r in out.select("collection").distinct().collect()) == {
+        "html_hr", "html_eng",
+    }
+    # d2's chunks are exact dups of d1's → removed by watermarked dedup
+    assert out.filter(F.col("doc_id") == "d2").count() == 0
+    assert out.filter(F.col("doc_id") == "d1").count() > 0
+    assert len(out.select("embedding").first()[0]) == 16
+    # restart with no new files: checkpoint prevents reprocessing
+    q2 = write_collection_stream(
+        read_document_stream(spark, landing, DOC_SCHEMA).transform(
+            lambda df: dedup_stream(
+                transform_stream(df, embedding_config=EmbeddingConfig(dimension=16))
+            )
+        ),
+        store, str(work / "ckpt"), trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert store.read().count() == out.count()
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events")
+    rows = [
+        (1, "2024-01-01 10:05:00", "click", 1.0),
+        (2, "2024-01-01 10:45:00", "click", 2.0),
+        (3, "2024-01-01 11:05:00", "view", 3.0),
+        (4, "2024-01-01 11:30:00", "click", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d))
+
+    stream = read_document_stream(
+        spark, str(d), "event_id long, event_type string, value double, ts timestamp"
+    )
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 11:00:00", "click")] == (1, 4.0)
+    assert got[("2024-01-01 11:00:00", "view")] == (1, 3.0)
+
+
+def test_sessionize_stream_closes_on_gap(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sess")
+    # user 7: two sessions separated by a >30min gap; second session stays
+    # open (emitted only via timeout, not in this availableNow run)
+    rows = [
+        (7, "2024-01-01 09:00:00"),
+        (7, "2024-01-01 09:10:00"),
+        (7, "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d))
+    stream = read_document_stream(spark, str(d), "user_id long, ts timestamp")
+    sessions = sessionize_stream(stream)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert len(rows) == 1
+    s = rows[0]
+    assert s["user_id"] == 7 and s["n_events"] == 2
+    assert str(s["session_start"]) == "2024-01-01 09:00:00"
+    assert str(s["session_end"]) == "2024-01-01 09:10:00"

@@ -1,0 +1,172 @@
+"""Pipeline runner — M7 (SURVEY.md §7.2; reference main.py:40-277 +
+dags/vectordb_etl_dag.py).
+
+The reference's ``PipelineRunner`` runs extract → transform → load →
+validate with pickle files between stages (main.py:93-94, 133-134). Here
+each stage is a Spark job and the stage contract is a parquet directory —
+same restart semantics, but columnar, splittable, and predicate-pushdown-
+friendly for every downstream read. The Airflow DAG's task boundaries
+(dags/vectordb_etl_dag.py:265-318) map to these stage methods 1:1, so an
+orchestrator can call one stage per task and pass only paths (exactly what
+the DAG's XCom does).
+
+Scale notes:
+- Stage checkpoints mean each stage's lineage is cut — a 100 TB transform
+  does not re-run extract on failure, and the optimizer plans each stage
+  against real parquet statistics.
+- ``repartition`` before the chunk explode spreads documents evenly; the
+  explode (1 doc → N chunks) happens map-side after that.
+- Dedup is the only corpus-wide shuffle in the ETL path (hash-partitioned by
+  md5 — uniform, no skew).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.config import PipelineConfig
+from vectordb_etl_spark.operators import chunker
+from vectordb_etl_spark.store.collections import CollectionStore
+
+
+@dataclass
+class StageResult:
+    stage: str
+    rows: int
+    seconds: float
+    path: str | None = None
+    extra: dict = field(default_factory=dict)
+
+
+class PipelineRunner:
+    """Staged ETL driver (reference: main.py:40-277)."""
+
+    def __init__(self, spark: SparkSession, config: PipelineConfig | None = None):
+        self.spark = spark
+        self.config = config or PipelineConfig()
+        self.store = CollectionStore(spark, self.config.store)
+
+    # -- stage paths (≅ the reference's data/documents.pkl, data/chunks.pkl) --
+    def _ckpt(self, name: str) -> str:
+        return str(Path(self.config.checkpoint_dir) / name)
+
+    @property
+    def documents_path(self) -> str:
+        return self._ckpt("documents.parquet")
+
+    @property
+    def chunks_path(self) -> str:
+        return self._ckpt("chunks.parquet")
+
+    # -- extract (main.py:71-97) ---------------------------------------------
+    def extract(self, input_dir: str | None = None, kind: str = "html") -> StageResult:
+        from vectordb_etl_spark.sources.scan import (
+            load_html_documents,
+            load_hwp_documents,
+        )
+
+        t0 = time.time()
+        root = input_dir or self.config.input_dir
+        loader = load_html_documents if kind == "html" else load_hwp_documents
+        docs = loader(self.spark, root)
+        docs.write.mode("overwrite").parquet(self.documents_path)
+        n = self.spark.read.parquet(self.documents_path).count()
+        return StageResult("extract", n, time.time() - t0, self.documents_path)
+
+    def extract_dataframe(self, docs: DataFrame) -> StageResult:
+        """Extract from an already-loaded DataFrame (driver testdata path)."""
+        t0 = time.time()
+        docs.write.mode("overwrite").parquet(self.documents_path)
+        n = self.spark.read.parquet(self.documents_path).count()
+        return StageResult("extract", n, time.time() - t0, self.documents_path)
+
+    # -- transform (main.py:99-137) ------------------------------------------
+    def transform(self) -> StageResult:
+        t0 = time.time()
+        docs = self.spark.read.parquet(self.documents_path)
+        if "doc_id" not in docs.columns:
+            docs = docs.withColumn(
+                "doc_id", F.md5("source").alias("doc_id")
+            )
+        chunks = chunker.chunk_documents(docs, self.config.chunker)
+        deduped = chunker.remove_duplicate_chunks(
+            chunks, order_cols=["doc_id", "chunk_index"]
+        )
+        deduped.write.mode("overwrite").parquet(self.chunks_path)
+        n = self.spark.read.parquet(self.chunks_path).count()
+        return StageResult("transform", n, time.time() - t0, self.chunks_path)
+
+    # -- load (main.py:139-168) ----------------------------------------------
+    def load(self, drop_existing: bool = True, split_by_folder: bool = True) -> StageResult:
+        t0 = time.time()
+        chunks = self.spark.read.parquet(self.chunks_path)
+        if drop_existing:
+            for name in self.store.list_collections():
+                self.store.drop_collection(name)
+        counts = self.store.insert_documents(
+            chunks,
+            split_by_folder=split_by_folder,
+            embedding_config=self.config.embedding,
+            mode="append",
+        )
+        return StageResult(
+            "load", sum(counts.values()), time.time() - t0,
+            self.config.store.warehouse_dir, {"collections": counts},
+        )
+
+    # -- validate (main.py:170-214) ------------------------------------------
+    def validate(self, report_path: str | None = None) -> StageResult:
+        from vectordb_etl_spark.quality import validate_pipeline
+
+        t0 = time.time()
+        chunks = self.store.read()
+        report = validate_pipeline(chunks)
+        if report_path:
+            report.write_json(report_path)
+        return StageResult(
+            "validate", report.total_chunks, time.time() - t0, report_path,
+            report.to_dict(),
+        )
+
+    # -- search (main.py:216-241) --------------------------------------------
+    def search(
+        self,
+        query: str,
+        k: int = 3,
+        collection: str | None = None,
+        filter_language: str | None = None,
+    ):
+        from vectordb_etl_spark.search import search_with_scores
+
+        return search_with_scores(
+            self.store,
+            query,
+            k=k,
+            collection_name=collection,
+            search_all_collections=collection is None,
+            filter_language=filter_language,
+            embedding_config=self.config.embedding,
+        )
+
+    # -- reset (main.py:243-277) ---------------------------------------------
+    def reset(self, confirm: bool = False) -> int:
+        import shutil
+
+        n = self.store.reset(confirm=confirm)
+        ckpt = Path(self.config.checkpoint_dir)
+        if confirm and ckpt.exists():
+            shutil.rmtree(ckpt)
+        return n
+
+    # -- all (main.py --stage all) -------------------------------------------
+    def run_all(self, input_dir: str | None = None, kind: str = "html") -> list[StageResult]:
+        results = [self.extract(input_dir, kind)]
+        results.append(self.transform())
+        results.append(self.load())
+        results.append(self.validate())
+        return results

@@ -1,0 +1,233 @@
+"""Streaming ingestion — the Auto-Loader pattern over a landing directory
+(SURVEY.md §2.10). Batch and stream share the same operators: everything in
+the ETL path (clean → chunk → embed) is stateless/map-side, so the exact
+same column expressions and pandas UDFs run under ``readStream`` unchanged.
+Stateful pieces differ by design:
+
+- C6 exact dedup → ``withWatermark + dropDuplicates`` (state bounded by the
+  watermark; at 100 TB/day the md5 key-space state would otherwise grow
+  forever).
+- A5-style counts → watermarked tumbling-window aggregates.
+- sessionization → ``applyInPandasWithState`` (custom stateful operator with
+  per-key timeout, the streaming twin of the batch lag/running-sum version in
+  ``__spark_entry__._sessionize``).
+
+Scale notes: file-source streaming scales by listing increments
+(``maxFilesPerTrigger`` backpressure); foreachBatch writes reuse the batch
+collection sink so the parquet layout (partitioned by ``collection``) is
+identical for batch and streaming writers — readers can't tell which path
+produced a row.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from vectordb_etl_spark.config import ChunkerConfig, EmbeddingConfig
+from vectordb_etl_spark.functions import cleaning, language
+from vectordb_etl_spark.operators import chunker
+
+
+def read_document_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory. New files are discovered
+    incrementally; schema must be explicit (streaming never infers)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(landing_dir).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+
+
+def transform_stream(
+    docs: DataFrame,
+    chunker_config: ChunkerConfig | None = None,
+    embedding_config: EmbeddingConfig | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """clean → language → chunk → hash-embed, all stateless — identical
+    operators to the batch path (that's the point)."""
+    from vectordb_etl_spark.embeddings import with_embeddings
+
+    cleaned = docs.withColumn(text_col, cleaning.clean_text_col(text_col)).withColumn(
+        "language", language.detect_language_content_col(text_col)
+    )
+    chunks = chunker.chunk_documents(cleaned, chunker_config, text_col=text_col)
+    return with_embeddings(chunks, config=embedding_config)
+
+
+def dedup_stream(
+    chunks: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """C6 under streaming: first-wins within the watermark horizon. Arrival
+    order replaces the reference's insertion order (chunker.py:192-201) —
+    exactly-once-per-key only within the state window, which is the bounded-
+    state contract any 100 TB stream needs."""
+    return (
+        chunks.withColumn("text_hash", chunker.normalized_hash_col(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["text_hash"])
+    )
+
+
+def write_collection_stream(
+    chunks: DataFrame,
+    store,
+    checkpoint_dir: str,
+    split_by_folder: bool = True,
+    trigger_available_now: bool = False,
+):
+    """S8 as a streaming sink: foreachBatch reuses the batch collection sink,
+    so layout/truncation/naming rules are shared with the batch path."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.insert_documents(
+            batch_df.drop("ingest_ts", "text_hash"),
+            split_by_folder=split_by_folder,
+            embed=False,  # embedding already applied upstream
+            mode="append",
+        )
+
+    writer = (
+        chunks.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming twin of the batch
+    ``events_hourly`` query. Late rows beyond the watermark are dropped;
+    state per (window, group) is finalized and evicted at watermark pass."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            group_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# custom stateful operator: session windows via applyInPandasWithState
+# --------------------------------------------------------------------------
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", IntegerType()),
+    ]
+)
+
+
+def _session_fn(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """30-min-gap sessionizer. State = (start, last, count) per user; emits a
+    session row when the gap rule closes it (or on processing-time timeout)."""
+    gap_ms = 30 * 60 * 1000
+    if state.hasTimedOut:
+        if state.exists:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+        return
+
+    ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+    ms = (ts.astype("int64") // 1_000_000).tolist()
+    if state.exists:
+        start_ms, last_ms, n = state.get
+    else:
+        start_ms, last_ms, n = ms[0], ms[0], 0
+    closed = []
+    for t in ms:
+        if t - last_ms > gap_ms:
+            closed.append((start_ms, last_ms, n))
+            start_ms, n = t, 0
+        last_ms = t
+        n += 1
+    state.update((start_ms, last_ms, n))
+    state.setTimeoutDuration(gap_ms)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): emits one
+    row per CLOSED session (30-min gap rule, processing-time timeout flushes
+    idle users). State is per-user and O(1) — scales to any key cardinality
+    the state store can shard."""
+    return (
+        events.selectExpr("user_id", f"{ts_col} AS ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
