@@ -614,6 +614,116 @@ _register(
 )
 
 
+# -- temporal joins (beyond-reference; operators/temporal.py) ---------------
+
+
+def _asof_events_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event, per user."""
+    from vectordb_etl_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf).select("event_id", "user_id", "ts")
+    orders = (
+        _table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    return asof_join(
+        ev, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["last_orderkey"],
+    ).select("event_id", "user_id", "last_orderkey")
+
+
+_register(
+    "asof_join_events_orders",
+    _asof_events_orders,
+    "SELECT e.event_id, e.user_id, r.last_orderkey "
+    "FROM events e ASOF LEFT JOIN ("
+    "SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS last_orderkey "
+    "FROM orders GROUP BY 1, 2) r "
+    "ON e.user_id = r.user_id AND r.o_orderdate <= e.ts",
+)
+
+
+def _range_join_purchase_followups(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded range join: same-user events in the hour after each purchase,
+    counted per purchase (the attribution-window rollup)."""
+    from vectordb_etl_spark.operators.temporal import range_join_count
+
+    all_ev = _events(spark, sf)
+    ev = all_ev.select("event_id", "user_id", "ts")
+    purchases = all_ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return range_join_count(
+        purchases, ev, on="user_id", left_ts="ts", right_ts="ts",
+        lower_seconds=1, upper_seconds=3600, group_cols=["purchase_id"],
+        count_alias="n_followups",
+    )
+
+
+_register(
+    "range_join_purchase_followups",
+    _range_join_purchase_followups,
+    "SELECT p.event_id AS purchase_id, count(*) AS n_followups "
+    "FROM events p JOIN events e ON e.user_id = p.user_id "
+    "AND CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT) "
+    "BETWEEN 1 AND 3600 WHERE p.event_type = 'purchase' GROUP BY 1",
+)
+
+
+# -- UDF-tier operators: rows-only driver checks (no SQL equivalent) ---------
+
+
+def _chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """C1–C6 full chunking pipeline (pandas-UDF splitter → posexplode →
+    first-wins dedup). Non-SQL-expressible (recursive splitter); rows-only."""
+    docs = _docs(spark, sf).select(
+        "doc_id", "source", cleaning.clean_text_col("text").alias("text")
+    )
+    chunks = chunker.chunk_documents(docs, ChunkerConfig())
+    return chunker.remove_duplicate_chunks(chunks).select(
+        "doc_id", "chunk_id", "chunk_index", "total_chunks",
+        "chunk_size_chars", "chunk_size_tokens",
+    )
+
+
+_register("chunk_pipeline", _chunk_pipeline, None)
+
+
+def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """X1/Q1 approximate tier: IVF (KMeans layout + centroid probe),
+    nlist=16, nprobe=4 at test scale. Model-based; rows-only check."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IVFIndex(spark, f"{tmp}/ivf").build(emb, nlist=16, seed=42)
+        out = idx.search(list(q), k=10, nprobe=4, tie_break=["vec_id"],
+                         output_cols=["vec_id", "label"])
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+    return out
+
+
+_register("ivf_topk", _ivf_topk, None)
+
+
+def _lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN (hyperplane signs, multi-probe hamming≤1); rows-only."""
+    from vectordb_etl_spark.operators.ann import lsh_topk_search
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_topk_search(
+        emb, list(q), k=10, tie_break=["vec_id"], output_cols=["vec_id", "label"]
+    )
+
+
+_register("lsh_topk", _lsh_topk, None)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -1,0 +1,98 @@
+"""As-of join and banded range join vs. brute-force ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.operators.temporal import asof_join, range_join, range_join_count
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [
+        (1, "2024-01-01 09:00:00", 100.0),
+        (1, "2024-01-01 09:05:00", 101.0),
+        (1, "2024-01-01 09:10:00", 102.0),
+        (2, "2024-01-01 09:03:00", 50.0),
+    ]
+    return (
+        spark.createDataFrame(rows, "sym long, ts_s string, px double")
+        .withColumn("qts", F.to_timestamp("ts_s")).drop("ts_s")
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        (1, "2024-01-01 09:04:59", 10),   # → quote 09:00 (100.0)
+        (1, "2024-01-01 09:05:00", 20),   # → quote 09:05 exactly (<=) (101.0)
+        (1, "2024-01-01 09:30:00", 30),   # → quote 09:10 (102.0)
+        (2, "2024-01-01 09:02:00", 40),   # → before any quote → null
+        (3, "2024-01-01 09:05:00", 50),   # key with no quotes → null
+    ]
+    return (
+        spark.createDataFrame(rows, "sym long, ts_s string, qty int")
+        .withColumn("tts", F.to_timestamp("ts_s")).drop("ts_s")
+    )
+
+
+def test_asof_join_semantics(quotes, trades):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts", right_cols=["px"]
+    )
+    got = {(r["sym"], r["qty"]): r["px"] for r in out.collect()}
+    assert got[(1, 10)] == 100.0
+    assert got[(1, 20)] == 101.0  # equal timestamps match (<=)
+    assert got[(1, 30)] == 102.0
+    assert got[(2, 40)] is None   # nothing at-or-before
+    assert got[(3, 50)] is None   # key absent from right
+    assert out.count() == trades.count()  # left join: no row loss
+
+
+def test_asof_join_tolerance(quotes, trades):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        right_cols=["px"], tolerance_seconds=600,
+    )
+    got = {(r["sym"], r["qty"]): r["px"] for r in out.collect()}
+    assert got[(1, 10)] == 100.0
+    assert got[(1, 30)] is None  # 09:30 vs 09:10 = 20 min > 10-min tolerance
+
+
+def test_range_join_matches_bruteforce(spark, quotes, trades):
+    out = range_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        lower_seconds=0, upper_seconds=600,
+    )
+    got = {(r["sym"], r["qty"], r["px"]) for r in out.collect()}
+    # brute force via cross-join filter
+    brute = (
+        trades.alias("t").join(quotes.alias("q"), F.col("t.sym") == F.col("q.sym"))
+        .filter(
+            (F.unix_timestamp("qts") - F.unix_timestamp("tts")).between(0, 600)
+        )
+        .select(F.col("t.sym"), "qty", "px")
+    )
+    expect = {(r["sym"], r["qty"], r["px"]) for r in brute.collect()}
+    assert got == expect and got  # non-empty
+
+
+def test_range_join_count(spark, quotes, trades):
+    out = range_join_count(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        lower_seconds=0, upper_seconds=600, group_cols=["sym", "qty"],
+    )
+    got = {(r["sym"], r["qty"]): r["n_matches"] for r in out.collect()}
+    # trade (1, 10) at 09:04:59: quotes 09:05, 09:10 in (0,600] window → 2
+    assert got[(1, 10)] == 2
+    assert (3, 50) not in got  # inner semantics
+
+
+def test_asof_plan_has_single_shuffle(quotes, trades):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts", right_cols=["px"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union-trick: exactly one Exchange (the window's hashpartitioning)
+    assert plan.count("Exchange hashpartitioning") == 1

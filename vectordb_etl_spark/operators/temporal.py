@@ -1,0 +1,150 @@
+"""Temporal join operators — as-of join and banded range join.
+
+Beyond-reference (the reference has no joins between user tables at all);
+these are the canonical "operator Spark lacks" cases from the build brief,
+implemented as compositions of existing DataFrame ops (SURVEY.md custom-
+operator rule (a)) — no UDF, no cartesian product, fully Catalyst-visible.
+
+**As-of join** (`asof_join`): for each left row, the latest right row with
+``right.ts <= left.ts`` per key. Implemented with the union trick:
+tag both sides, union, one window over (key, ts) carrying the last non-null
+right payload forward, keep left rows. Exactly ONE shuffle (the window
+partition by key) regardless of table sizes — vs. the naive inequality join
+which is O(n·m) per key. At 100 TB both inputs shuffle once on the key,
+which is the lower bound for co-locating them.
+
+**Range join** (`range_join_count`): match right rows with
+``ts ∈ [left.ts + lower, left.ts + upper]`` per key. Implemented by bucketing
+time into windows of width (upper−lower): a right row lands in 1 bucket, a
+left interval covers ≤2 buckets, so the left side is exploded ×2 and the
+match becomes an EQUI-join on (key, bucket) + an exact range filter.
+Shuffle volume is 2·|left| + |right| — no skewed inequality join, no
+broadcast-nested-loop fallback (the plan Spark would otherwise pick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Left as-of join: latest right row at-or-before each left row's time.
+
+    ``right`` should be deterministic per (on, right_ts) — pre-aggregate if
+    multiple rows can share a key+timestamp, or the carried row is undefined
+    (same caveat DuckDB's ASOF JOIN has).
+    """
+    l_tag = left.withColumn("__src", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    r_tag = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__src"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__payload"),
+    )
+    l_norm = l_tag.select(
+        F.col(on).alias("__key"),
+        "__ts",
+        "__src",
+        F.lit(None).cast(r_tag.schema["__payload"].dataType).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+    )
+    r_norm = r_tag.withColumn(
+        "__left", F.lit(None).cast(l_norm.schema["__left"].dataType)
+    )
+    unioned = l_norm.unionByName(r_norm)
+    # right rows (src=0) sort before left rows at equal ts → "<=" semantics
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).withColumn("__match_ts", F.last(
+        F.when(F.col("__src") == 0, F.col("__ts")), ignorenulls=True
+    ).over(w))
+    out = carried.filter(F.col("__src") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.unix_timestamp("__ts") - F.unix_timestamp("__match_ts")
+        ) <= tolerance_seconds
+        out = out.withColumn(
+            "__match", F.when(in_tol, F.col("__match"))
+        )
+    return out.select(
+        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__match.{c}").alias(c) for c in right_cols],
+    )
+
+
+def _bucket(ts: Column, width_s: int) -> Column:
+    return F.floor(F.unix_timestamp(ts) / F.lit(width_s))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+) -> DataFrame:
+    """Inner banded join: pairs where
+    ``right.ts - left.ts ∈ [lower_seconds, upper_seconds]`` and keys match.
+    Returns left columns + right columns (right's key/ts renamed with ``r_``
+    prefix when they collide). Bucketed equi-join, see module docstring."""
+    width = max(1, upper_seconds - lower_seconds)
+    r_renames = {
+        c: (f"r_{c}" if c in left.columns else c) for c in right.columns
+    }
+    r = right.select(
+        *[F.col(c).alias(n) for c, n in r_renames.items()]
+    ).withColumn("__bucket", _bucket(F.col(r_renames[right_ts]), width))
+    r_key, r_ts = r_renames[on], r_renames[right_ts]
+
+    start = F.unix_timestamp(F.col(left_ts)) + F.lit(lower_seconds)
+    l_exp = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(start / width).cast("long"),
+                F.floor((start + F.lit(width)) / width).cast("long"),
+            )
+        ),
+    )
+    delta = F.unix_timestamp(F.col(r_ts)) - F.unix_timestamp(F.col(left_ts))
+    return (
+        l_exp.join(r, (F.col(on) == F.col(r_key)) & (l_exp["__bucket"] == r["__bucket"]))
+        .filter(delta.between(lower_seconds, upper_seconds))
+        .drop("__bucket", r_key)
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    group_cols: list[str],
+    count_alias: str = "n_matches",
+) -> DataFrame:
+    """Count right rows in each left row's time band (the common rollup form
+    of a range join). Same bucketed plan + one aggregation."""
+    joined = range_join(
+        left, right, on, left_ts, right_ts, lower_seconds, upper_seconds
+    )
+    return joined.groupBy(*group_cols).agg(F.count("*").alias(count_alias))
