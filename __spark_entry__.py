@@ -26,11 +26,24 @@ from vectordb_etl_spark.operators import chunker
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """documents feeds map-heavy expression pipelines (cleaning, shingling,
+    hashing); the testdata is a single parquet file = a single partition, so
+    without a spread every one of those runs on one core."""
+    from vectordb_etl_spark.session import ensure_min_partitions
+
+    return ensure_min_partitions(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "embeddings":
+        # vector scoring / pair joins are map-heavy too (see _docs)
+        from vectordb_etl_spark.session import ensure_min_partitions
+
+        df = ensure_min_partitions(df)
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,9 +67,11 @@ def entry(spark: SparkSession) -> DataFrame:
     from vectordb_etl_spark.embeddings import query_vector
     from vectordb_etl_spark.operators.topk import topk_search
 
+    from vectordb_etl_spark.session import ensure_min_partitions
+
     sf_dir = "/root/testdata/sf0.001"
     emb_cfg = EmbeddingConfig(dimension=64)
-    docs = _docs(spark, sf_dir).select(
+    docs = ensure_min_partitions(_docs(spark, sf_dir)).select(
         "doc_id",
         "source",
         cleaning.clean_text_col("text").alias("text"),
@@ -677,7 +692,9 @@ _register(
 def _chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """C1–C6 full chunking pipeline (pandas-UDF splitter → posexplode →
     first-wins dedup). Non-SQL-expressible (recursive splitter); rows-only."""
-    docs = _docs(spark, sf).select(
+    from vectordb_etl_spark.session import ensure_min_partitions
+
+    docs = ensure_min_partitions(_docs(spark, sf)).select(
         "doc_id", "source", cleaning.clean_text_col("text").alias("text")
     )
     chunks = chunker.chunk_documents(docs, ChunkerConfig())
@@ -700,7 +717,7 @@ def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     with tempfile.TemporaryDirectory() as tmp:
-        idx = IVFIndex(spark, f"{tmp}/ivf").build(emb, nlist=16, seed=42)
+        idx = IVFIndex(spark, f"{tmp}/ivf").build(emb, nlist=16, seed=42, max_iter=8)
         out = idx.search(list(q), k=10, nprobe=4, tie_break=["vec_id"],
                          output_cols=["vec_id", "label"])
         out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp

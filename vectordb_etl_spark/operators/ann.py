@@ -69,12 +69,20 @@ def train_centroids(
     max_iter: int = 20,
 ) -> np.ndarray:
     """X1 — KMeans centroid training (spark.ml; distributed Lloyd's).
-    Mirrors IVF_FLAT nlist=128 (reference config.py:24)."""
+    Mirrors IVF_FLAT nlist=128 (reference config.py:24).
+
+    Trains on a bounded sample (≈256·nlist rows, the standard IVF training
+    heuristic): at 100 TB you cluster a sample, never the full set — centroid
+    quality saturates at a few hundred points per centroid while full-data
+    Lloyd's would be nlist·iters full scans."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feats = df.select(array_to_vector(F.col(emb_col).cast("array<double>")).alias("features"))
     n = feats.count()
+    target = 256 * nlist
+    if n > target:
+        feats = feats.sample(fraction=min(1.0, 1.25 * target / n), seed=seed).limit(target)
     k = min(nlist, max(2, n))
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
     return np.array([np.asarray(c) for c in model.clusterCenters()])
@@ -99,8 +107,9 @@ class IVFIndex:
         emb_col: str = "embedding",
         nlist: int = 128,
         seed: int = 42,
+        max_iter: int = 20,
     ) -> "IVFIndex":
-        cents = train_centroids(df, emb_col, nlist, self.metric, seed)
+        cents = train_centroids(df, emb_col, nlist, self.metric, seed, max_iter)
         assigned = df.withColumn(
             "centroid_id", assign_centroids_udf(cents, self.metric)(F.col(emb_col))
         )

@@ -70,31 +70,61 @@ def word_shingles_sql(expr: str, n: int = 3) -> str:
 # --------------------------------------------------------------------------
 
 
+# Kirsch–Mitzenhacher double hashing: two 60-bit ints from one md5 per
+# shingle, h_j = (h1 + j·h2) mod 2^60 — k independent-enough hash families
+# at the cost of ONE md5 per shingle instead of k. 15 hex digits = 60 bits
+# parse identically in Spark (conv) and DuckDB ('0x…'::BIGINT); all
+# arithmetic stays under 2^63 so BIGINT math agrees bit-for-bit.
+_MH_MOD = 1 << 60
+
+
+def _hex60_col(h: Column, start: int) -> Column:
+    return F.conv(F.substring(h, start, 15), 16, 10).cast("long")
+
+
+def minhash_values_col(s: Column, num_hashes: int) -> Column:
+    """Array of the k hash values of one shingle (portable numeric MinHash)."""
+    h = F.md5(s)
+    h1 = _hex60_col(h, 1) % _MH_MOD
+    h2 = _hex60_col(h, 16) % _MH_MOD
+    return F.array(*[(h1 + F.lit(j) * h2) % _MH_MOD for j in range(num_hashes)])
+
+
 def minhash_signature_col(
     col: Column | str, num_hashes: int = 8, shingle_n: int = 3
 ) -> Column:
-    """k-permutation MinHash: hash_j(s) = md5('seed<j>:' + s); signature_j =
-    min over shingles (lexicographic on hex — identical in both engines).
-    Empty shingle set ⇒ nulls (doc too short to near-dup)."""
+    """k-value MinHash signature: sig_j = min over shingles of h_j(shingle).
+    Empty shingle set ⇒ nulls (doc too short to near-dup). Single fold —
+    the naive per-j form would re-evaluate the shingle pipeline k times
+    (Catalyst does not CSE across projection expressions); least(NULL, x)
+    skips nulls, so an all-NULL init works as +infinity."""
     shingles = word_shingles_col(col, shingle_n)
+    init = F.array(*[F.lit(None).cast("long") for _ in range(num_hashes)])
 
-    def _hash_with_seed(j: int) -> Column:
-        # nested fn (not a default-arg lambda: pyspark counts lambda params
-        # to decide the (element, index) calling convention)
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"seed{j}:"), s)))
+    def _step(acc: Column, s: Column) -> Column:
+        return F.zip_with(
+            acc, minhash_values_col(s, num_hashes), lambda a, x: F.least(a, x)
         )
 
-    return F.array(*[_hash_with_seed(j) for j in range(num_hashes)])
+    return F.aggregate(shingles, init, _step)
+
+
+def _minhash_values_sql(num_hashes: int) -> str:
+    """DuckDB lambda body fragment over pre-hashed md5 hex `h`."""
+    h1 = f"(('0x' || substring(h, 1, 15))::BIGINT % {_MH_MOD})"
+    h2 = f"(('0x' || substring(h, 16, 15))::BIGINT % {_MH_MOD})"
+    return "[" + ", ".join(f"({h1} + {j} * {h2}) % {_MH_MOD}" for j in range(num_hashes)) + "]"
 
 
 def minhash_signature_sql(expr: str, num_hashes: int = 8, shingle_n: int = 3) -> str:
     shingles = word_shingles_sql(expr, shingle_n)
-    sig = ", ".join(
-        f"list_aggregate(list_transform({shingles}, s -> md5(concat('seed{j}:', s))), 'min')"
+    hashes = f"list_transform({shingles}, s -> md5(s))"
+    vals = f"list_transform({hashes}, h -> {_minhash_values_sql(num_hashes)})"
+    mins = ", ".join(
+        f"list_aggregate(list_transform({vals}, v -> v[{j + 1}]), 'min')"
         for j in range(num_hashes)
     )
-    return f"[{sig}]"
+    return f"[{mins}]"
 
 
 def lsh_candidate_pairs(
@@ -109,29 +139,48 @@ def lsh_candidate_pairs(
     (rows_per_band = num_hashes/bands). Returns (id_a, id_b) with a < b.
 
     Scale shape: signature computation is map-side; the only shuffle is the
-    band-key self-join (md5 keys — uniform). Pairs are distinct-ed, which
-    AQE coalesces. For a 100 TB corpus, bucket sizes stay bounded because a
-    band collision requires r exact hash matches."""
+    band-key self-join (md5 keys — uniform). Pairs are distinct-ed (a pair
+    can collide in several bands), which AQE coalesces. For a 100 TB corpus,
+    bucket sizes stay bounded because a band collision requires r exact hash
+    matches.
+
+    Plan note: band keys are derived inside the fold's FINISH lambda so the
+    signature expression appears exactly once in the plan — referencing a
+    sig column from filter + generate would re-evaluate the whole fold per
+    reference (no CSE across expressions; measured 4-5× at sf0.1)."""
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature_col(text_col, num_hashes, shingle_n).alias("sig"),
-    ).filter(F.col("sig")[0].isNotNull())
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.lit(str(b)), *[F.col("sig")[b * r + i] for i in range(r)]
-                        )
+    shingles = word_shingles_col(text_col, shingle_n)
+    init = F.array(*[F.lit(None).cast("long") for _ in range(num_hashes)])
+
+    def _step(acc: Column, s: Column) -> Column:
+        return F.zip_with(
+            acc, minhash_values_col(s, num_hashes), lambda a, x: F.least(a, x)
+        )
+
+    def _finish(acc: Column) -> Column:
+        band_keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[acc[b * r + i].cast("string") for i in range(r)],
                     )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_key"),
-    ).distinct()
+                )
+                for b in range(bands)
+            ]
+        )
+        return F.when(acc[0].isNull(), F.lit(None).cast("array<string>")).otherwise(
+            band_keys
+        )
+
+    # Explicit repartition on the join key: the exchange becomes a
+    # ReusedExchange for BOTH sides of the self-join (one signature
+    # evaluation total) and already satisfies the join's distribution.
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.aggregate(shingles, init, _step, _finish)).alias("band_key"),
+    ).repartition("band_key")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
@@ -152,14 +201,14 @@ def lsh_candidate_pairs_sql(
     sig = minhash_signature_sql(text_col, num_hashes, shingle_n)
     band_exprs = ", ".join(
         "md5(concat_ws('|', '%d', %s))"
-        % (b, ", ".join(f"sig[{b * r + i + 1}]" for i in range(r)))
+        % (b, ", ".join(f"CAST(sig[{b * r + i + 1}] AS VARCHAR)" for i in range(r)))
         for b in range(bands)
     )
     return f"""
 WITH sig AS (
   SELECT {id_col} AS id, {sig} AS sig FROM {table}
 ), banded AS (
-  SELECT DISTINCT id, unnest([{band_exprs}]) AS band_key
+  SELECT id, unnest([{band_exprs}]) AS band_key
   FROM sig WHERE sig[1] IS NOT NULL
 )
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -267,16 +316,25 @@ def simhash_col(col: Column | str, bits: int = 16) -> Column:
     Returned as a '0'/'1' string for engine-portable bit math."""
     c = _as_col(col)
     hashes = F.transform(F.split(F.trim(c), r"\s+"), lambda w: F.md5(w))
+    # One fold accumulating all b bit-sums at once (the per-bit form would
+    # re-hash every token b times — Catalyst does not CSE across the b
+    # expressions). Per token: 1 md5 + b substring sign tests.
+    init = F.array_repeat(F.lit(0), bits)
 
-    def _bit(i: int) -> Column:
-        s = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.substring(h, i, 1) >= "8", 1).otherwise(-1),
+    def _step(acc: Column, h: Column) -> Column:
+        signs = F.array(
+            *[
+                F.when(F.substring(h, i, 1) >= "8", 1).otherwise(-1)
+                for i in range(1, bits + 1)
+            ]
         )
-        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+        return F.zip_with(acc, signs, lambda a, x: a + x)
 
-    return F.concat(*[_bit(i) for i in range(1, bits + 1)])
+    sums = F.aggregate(hashes, init, _step)
+    return F.array_join(
+        F.transform(sums, lambda s: F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
 
 
 def simhash_sql(expr: str, bits: int = 16) -> str:
@@ -312,34 +370,84 @@ def simhash_near_dup_pairs(
     (segment_idx, segment_value) — linear shuffle, no cross join. Requires
     max_hamming < blocks for exactness."""
     assert max_hamming < blocks, "pigeonhole exactness needs max_hamming < blocks"
-    seg = bits // blocks
-    fp = df.select(
-        F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("fp")
-    )
-    blocked = fp.select(
-        "id",
-        "fp",
-        F.explode(
-            F.array(
-                *[
+    assert bits <= 63, "fingerprint must fit a signed long for bit_count"
+    # One fold; the FINISH lambda derives everything downstream needs —
+    # packed integer fingerprint + per-block keys — as one array<struct>, so
+    # the expensive sum-fold appears exactly once in the plan (a fp string
+    # column referenced by 30+ expressions would be re-evaluated per
+    # reference; no CSE across projection expressions).
+    #
+    # INTERLEAVED block assignment (bit j → block j mod blocks): real-text
+    # SimHash bits are correlated in runs, so contiguous segments produce one
+    # mega-bucket holding most docs (observed: 65% of sf0.1 in a single
+    # 8-bit block value). Interleaving spreads low-entropy bits across all
+    # blocks; any disjoint partition of bits preserves pigeonhole exactness.
+    c = _as_col(text_col)
+    hashes = F.transform(F.split(F.trim(c), r"\s+"), lambda w: F.md5(w))
+    init = F.array_repeat(F.lit(0), bits)
+
+    def _step(acc: Column, h: Column) -> Column:
+        signs = F.array(
+            *[
+                F.when(F.substring(h, i, 1) >= "8", 1).otherwise(-1)
+                for i in range(1, bits + 1)
+            ]
+        )
+        return F.zip_with(acc, signs, lambda a, x: a + x)
+
+    def _bit(acc: Column, j: int) -> Column:
+        return F.when(acc[j] >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    def _finish(acc: Column) -> Column:
+        fp_int = sum(
+            (_bit(acc, j) * F.lit(1 << (bits - 1 - j)) for j in range(bits)),
+            F.lit(0),
+        ).cast("long")
+        return F.array(
+            *[
+                F.struct(
                     F.concat_ws(
-                        ":", F.lit(str(i)), F.substring("fp", i * seg + 1, seg)
-                    )
-                    for i in range(blocks)
-                ]
-            )
-        ).alias("block_key"),
+                        ":",
+                        F.lit(str(i)),
+                        F.concat_ws(
+                            "",
+                            *[
+                                _bit(acc, j).cast("string")
+                                for j in range(bits)
+                                if j % blocks == i
+                            ],
+                        ),
+                    ).alias("block_key"),
+                    fp_int.alias("fp_int"),
+                )
+                for i in range(blocks)
+            ]
+        )
+
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.aggregate(hashes, init, _step, _finish)).alias("e"),
     )
+    # repartition on the join key ⇒ the exchange is reused by both sides of
+    # the self-join (one fingerprint evaluation total)
+    blocked = exploded.select(
+        "id", F.col("e.block_key").alias("block_key"), F.col("e.fp_int").alias("fp_int")
+    ).repartition("block_key")
     a, b = blocked.alias("a"), blocked.alias("b")
+    # hamming via popcount(xor) on the packed long — one JVM op per pair
+    # instead of `bits` substring compares; filter BEFORE distinct so the
+    # dedup shuffle carries only true near-dups, not all candidates.
     return (
         a.join(b, (F.col("a.block_key") == F.col("b.block_key")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            hamming_col(F.col("a.fp"), F.col("b.fp"), bits).alias("hamming"),
+            F.bit_count(
+                F.col("a.fp_int").bitwiseXOR(F.col("b.fp_int"))
+            ).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -380,16 +488,23 @@ def embedding_topk_pairs(
     """Top-k most-similar pairs by cosine — brute force O(n²) pairwise.
 
     This is the exact baseline; at 100 TB the LSH/IVF bucketed variants in
-    operators/ann.py bound the pair space. The self-join is range-partitioned
-    by id so AQE can balance the quadratic work."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb"))
+    operators/ann.py bound the pair space. Vectors are L2-normalized
+    MAP-SIDE (n rows) so the n² pair step is a bare dot product — the naive
+    per-pair cosine would recompute both norms n times each. orderBy+limit
+    plans as TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from vectordb_etl_spark.functions.vector import dot_col, l2_normalize_col
+
+    normed = df.select(
+        F.col(id_col).alias("id"), l2_normalize_col(emb_col).alias("e")
+    )
+    a = normed.select(F.col("id").alias("id_a"), F.col("e").alias("ea"))
+    b = normed.select(F.col("id").alias("id_b"), F.col("e").alias("eb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_col("ea", "eb"), 6).alias("cosine"),
+            F.round(dot_col("ea", "eb"), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(k)

@@ -87,8 +87,10 @@ class PipelineRunner:
 
     # -- transform (main.py:99-137) ------------------------------------------
     def transform(self) -> StageResult:
+        from vectordb_etl_spark.session import ensure_min_partitions
+
         t0 = time.time()
-        docs = self.spark.read.parquet(self.documents_path)
+        docs = ensure_min_partitions(self.spark.read.parquet(self.documents_path))
         if "doc_id" not in docs.columns:
             docs = docs.withColumn(
                 "doc_id", F.md5("source").alias("doc_id")

@@ -34,3 +34,18 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_min_partitions(df, min_partitions: int | None = None):
+    """Round-robin repartition iff the input is under-partitioned.
+
+    Small-file inputs (one parquet file = one partition) would otherwise run
+    every downstream pandas-UDF stage on a single core. At 100 TB the scan
+    has thousands of splits and this is a no-op; locally it turns a 1-core
+    chunk/embed stage into an N-core one. The guard avoids paying a shuffle
+    when the source is already parallel."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
