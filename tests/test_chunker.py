@@ -109,3 +109,58 @@ def test_remove_duplicates_stable_under_repartition(spark):
         for r in remove_duplicate_chunks(df.repartition(7)).collect()
     )
     assert a == b == list(range(1, 11))
+
+
+# --------------------------------------------------------------------------
+# C2 — semantic split (hybrid mode, deterministic with the hash embedder)
+# --------------------------------------------------------------------------
+
+
+def test_semantic_split_deterministic_and_grouping():
+    from vectordb_etl_spark.config import EmbeddingConfig
+    from vectordb_etl_spark.embeddings import HashEmbedder
+    from vectordb_etl_spark.operators.chunker import semantic_split
+
+    emb = HashEmbedder(dimension=64)
+    text = (
+        "Cats purr softly. Cats nap all day. Cats chase mice. "
+        "Quarterly revenue rose sharply. Margins improved too. "
+        "Cats love boxes."
+    )
+    a = semantic_split(text, emb, 70.0)
+    b = semantic_split(text, emb, 70.0)
+    assert a == b
+    assert len(a) >= 2  # at least one breakpoint found
+    assert " ".join(a).split() == text.split()  # no words lost or reordered
+
+
+def test_semantic_split_short_text_noop():
+    from vectordb_etl_spark.embeddings import HashEmbedder
+    from vectordb_etl_spark.operators.chunker import semantic_split
+
+    assert semantic_split("One sentence only.", HashEmbedder(16), 70.0) == [
+        "One sentence only."
+    ]
+
+
+def test_chunk_documents_hybrid_mode(spark):
+    from vectordb_etl_spark.config import ChunkerConfig, EmbeddingConfig
+
+    rows = [
+        (1, "s1", "A sentence about cats. " * 10 + "Finance report text. " * 10),
+        (2, "s2", "short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    cfg = ChunkerConfig(chunking_mode="hybrid")
+    out = chunk_documents(
+        df, cfg, embedding_config=EmbeddingConfig(dimension=32)
+    ).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    # deterministic across runs
+    out2 = chunk_documents(
+        df, cfg, embedding_config=EmbeddingConfig(dimension=32)
+    ).collect()
+    assert sorted(r["text"] for r in out) == sorted(r["text"] for r in out2)
+    # chunk invariants hold in hybrid mode too
+    for r in out:
+        assert r["chunk_size_chars"] == len(r["text"])

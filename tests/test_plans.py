@@ -1,0 +1,113 @@
+"""Physical-plan assertions: the scale properties the engine promises —
+predicate pushdown, partition pruning, broadcast joins, codegen-only scalar
+paths, top-k without global sort — verified on `.explain` output so a
+regression in plan shape fails CI, not just a benchmark."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.config import EmbeddingConfig, StoreConfig
+from vectordb_etl_spark.functions import cleaning, language
+from vectordb_etl_spark.operators.topk import topk_search
+from vectordb_etl_spark.store.collections import CollectionStore
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    work = tmp_path_factory.mktemp("planwh")
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(work)))
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        "text",
+        F.col("lang").alias("language"),
+        F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd").alias("folder_name"),
+        F.col("source"),
+        F.lit("f.html").alias("filename"),
+    )
+    store.insert_documents(docs, embedding_config=EmbeddingConfig(dimension=16))
+    return store
+
+
+def test_language_filter_pushed_to_parquet_scan(store):
+    df = store.read().filter(F.col("language") == "korean").select("chunk_id")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(language), EqualTo(language,korean)]" in plan
+    # column pruning: scan must not read the wide text/embedding columns
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" not in read_schema and "embedding" not in read_schema
+
+
+def test_collection_scan_prunes_partitions(store):
+    df = store.read("html_even").select("chunk_id")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    frag = plan.split("PartitionFilters")[1][:200]
+    assert "collection" in frag
+    # only the named collection's directory is scanned
+    assert store.read("html_even").count() > 0
+
+
+def test_scalar_pipeline_stays_in_codegen(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        cleaning.clean_text_col("text").alias("c"),
+        language.detect_language_content_col("text").alias("lang"),
+    )
+    plan = plan_of(df)
+    # JVM-side throughout: no Python evaluation nodes in the pure-expression
+    # path. (Higher-order fns like transform/array_join legitimately opt out
+    # of whole-stage codegen but still run as JVM expressions.)
+    assert "EvalPython" not in plan
+    assert "regexp_replace" in plan  # the chain really is plan expressions
+
+
+def test_olap_agg_hash_aggregates_and_prunes_columns(spark):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["pricing_summary"](spark, SF))
+    assert "HashAggregate" in plan  # partial+final, not sort-based
+    # column pruning: 5 of 10 lineitem columns read, shipdate not among them
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_shipdate" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_topk_plans_as_take_ordered(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = list(emb.head()["embedding"])
+    df = topk_search(emb, q, k=5, tie_break=["vec_id"])
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["top_customers"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # small dims must not sort-merge
+
+
+def test_dedup_single_shuffle(spark):
+    from vectordb_etl_spark.operators.chunker import remove_duplicate_chunks
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = remove_duplicate_chunks(df, order_cols=["doc_id"])
+    plan = plan_of(out)
+    # one hash-partition exchange (the dedup window), nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quality_report_single_aggregate_no_shuffle_explosion(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["quality_report"](spark, SF)
+    plan = plan_of(df)
+    # scalar report: partial+final agg — at most one single-partition exchange
+    assert plan.count("Exchange") <= 2

@@ -145,15 +145,67 @@ def _merge_small_chunks(chunks: list[str], config: ChunkerConfig) -> list[str]:
     return merged
 
 
-def chunk_text(text: str, config: ChunkerConfig | None = None) -> list[str]:
-    """Full per-document pipeline C1→C3→C4 (semantic stage C2 optional and
+# --------------------------------------------------------------------------
+# C2 — semantic split (optional stage 1 of hybrid; reference chunker.py:45-63,
+# 131-141). Reimplements the publicly documented SemanticChunker contract:
+# embed sentences, distance between consecutive sentence embeddings,
+# breakpoints at the given percentile, group sentences between breakpoints.
+# Deterministic with the hash embedder; falls back to no-op on any failure
+# exactly like the reference (chunker.py:137-141).
+# --------------------------------------------------------------------------
+
+_SENTENCE_RE = None  # compiled lazily inside the UDF worker
+
+
+def semantic_split(
+    text: str,
+    embedder,
+    breakpoint_percentile: float = 70.0,
+) -> list[str]:
+    """Split at embedding-distance breakpoints between consecutive sentences.
+    ``embedder`` is any object with embed_documents(list[str]) -> list[vec]
+    (normalized); distance = 1 − dot."""
+    global _SENTENCE_RE
+    import re
+
+    import numpy as np
+
+    if _SENTENCE_RE is None:
+        _SENTENCE_RE = re.compile(r"(?<=[.!?।。])\s+|\n{2,}")
+    sentences = [s for s in _SENTENCE_RE.split(text) if s and s.strip()]
+    if len(sentences) < 3:
+        return [text]
+    try:
+        embs = np.asarray(embedder.embed_documents(sentences), dtype=np.float64)
+        dists = 1.0 - (embs[:-1] * embs[1:]).sum(axis=1)
+        threshold = float(np.percentile(dists, breakpoint_percentile))
+        groups: list[list[str]] = [[sentences[0]]]
+        for s, d in zip(sentences[1:], dists):
+            if d > threshold:
+                groups.append([s])
+            else:
+                groups[-1].append(s)
+        return [" ".join(g) for g in groups]
+    except Exception:
+        return [text]  # reference fallback: semantic stage is best-effort
+
+
+def chunk_text(
+    text: str, config: ChunkerConfig | None = None, embedder=None
+) -> list[str]:
+    """Full per-document pipeline C2→C1/C3→C4 (semantic stage C2 optional and
     off by default, matching the reference fallback, chunker.py:47-63):
     pieces > max_chunk_size are recursively split, then small neighbors are
     merged (modules/chunker.py:127-156)."""
     config = config or ChunkerConfig()
     if not text:
         return []
-    pieces = [text]  # C2 semantic stage would refine this list
+    if config.chunking_mode == "hybrid" and embedder is not None:
+        pieces = semantic_split(
+            text, embedder, config.semantic_breakpoint_percentile
+        )
+    else:
+        pieces = [text]
     optimized: list[str] = []
     for piece in pieces:
         if len(piece) > config.max_chunk_size:
@@ -173,6 +225,7 @@ def chunk_documents(
     config: ChunkerConfig | None = None,
     text_col: str = "text",
     source_col: str = "source",
+    embedding_config=None,
 ) -> DataFrame:
     """One row per chunk, carrying all document columns plus
     chunk_index / total_chunks / chunk_size_chars / chunk_size_tokens /
@@ -182,10 +235,19 @@ def chunk_documents(
     explode — no window, no extra shuffle; the whole operator is map-side.
     """
     config = config or ChunkerConfig()
+    hybrid = config.chunking_mode == "hybrid"
+    emb_cfg = embedding_config
 
     @F.pandas_udf(ArrayType(StringType()))
     def chunk_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: chunk_text(t or "", config))
+        embedder = None
+        if hybrid:
+            # lazy per-worker embedder init (reference singleton pattern,
+            # embeddings.py:20-30) — model loads once per executor process
+            from vectordb_etl_spark.embeddings import get_embedder
+
+            embedder = get_embedder(emb_cfg)
+        return texts.map(lambda t: chunk_text(t or "", config, embedder))
 
     passthrough = [c for c in df.columns if c != text_col]
     exploded = (
