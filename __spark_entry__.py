@@ -686,6 +686,72 @@ _register(
 )
 
 
+# -- time-series rollups (beyond-reference; operators/rollup.py) -------------
+
+
+def _events_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup: hour+day buckets in one pass."""
+    from vectordb_etl_spark.operators.rollup import time_rollup
+
+    return time_rollup(
+        _events(spark, sf),
+        ts_col="ts",
+        group_cols=["event_type"],
+        grains=("hour", "day"),
+        aggs={
+            "n": F.count("*"),
+            "total_value": F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ),
+        },
+    )
+
+
+_register(
+    "events_multi_grain_rollup",
+    _events_rollup,
+    "SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_ts, event_type, "
+    "count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value "
+    "FROM events GROUP BY 1, 2, 3 UNION ALL "
+    "SELECT 'day' AS grain, date_trunc('day', ts) AS bucket_ts, event_type, "
+    "count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value "
+    "FROM events GROUP BY 1, 2, 3",
+)
+
+
+def _events_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 1 h moving average per event type (RANGE frame window)."""
+    from vectordb_etl_spark.operators.rollup import sliding_window_agg
+
+    ev = _events(spark, sf).withColumn("value", F.round("value", 6))
+    return sliding_window_agg(ev, window_seconds=3600).select(
+        "event_type", "ts", "moving_avg", "window_n"
+    )
+
+
+_register(
+    "events_moving_avg",
+    _events_moving_avg,
+    "SELECT event_type, ts, "
+    "round(avg(round(value, 6)) OVER w, 6) AS moving_avg, "
+    "count(*) OVER w AS window_n FROM events "
+    "WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+    "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)",
+)
+
+_register(
+    "events_distinct_users",
+    lambda spark, sf: _events(spark, sf)
+    .groupBy("event_type")
+    .agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    ),
+    "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events "
+    "FROM events GROUP BY 1",
+)
+
+
 # -- UDF-tier operators: rows-only driver checks (no SQL equivalent) ---------
 
 
@@ -717,7 +783,7 @@ def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     with tempfile.TemporaryDirectory() as tmp:
-        idx = IVFIndex(spark, f"{tmp}/ivf").build(emb, nlist=16, seed=42, max_iter=8)
+        idx = IVFIndex(spark, f"{tmp}/ivf").build(emb, nlist=16, seed=42, max_iter=4)
         out = idx.search(list(q), k=10, nprobe=4, tie_break=["vec_id"],
                          output_cols=["vec_id", "label"])
         out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp

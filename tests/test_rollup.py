@@ -1,0 +1,60 @@
+"""Time rollup operators: multi-grain one-pass aggregates + sliding window."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.operators.rollup import sliding_window_agg, time_rollup
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        (1, "2024-03-05 10:05:00", "click", 1.0),
+        (2, "2024-03-05 10:45:00", "click", 3.0),
+        (3, "2024-03-05 11:05:00", "click", 5.0),
+        (4, "2024-03-06 09:00:00", "view", 7.0),
+    ]
+    return (
+        spark.createDataFrame(rows, "event_id long, ts_s string, event_type string, value double")
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    )
+
+
+def test_time_rollup_grains(events):
+    out = time_rollup(
+        events, group_cols=["event_type"], grains=("hour", "day"),
+        aggs={"n": F.count("*"), "total": F.sum("value")},
+    ).collect()
+    got = {(r["grain"], str(r["bucket_ts"]), r["event_type"]): (r["n"], r["total"]) for r in out}
+    assert got[("hour", "2024-03-05 10:00:00", "click")] == (2, 4.0)
+    assert got[("hour", "2024-03-05 11:00:00", "click")] == (1, 5.0)
+    assert got[("day", "2024-03-05 00:00:00", "click")] == (3, 9.0)
+    assert got[("day", "2024-03-06 00:00:00", "view")] == (1, 7.0)
+    # every grain's totals sum to the same grand total
+    for g in ("hour", "day"):
+        assert sum(v[1] for k, v in got.items() if k[0] == g) == 16.0
+
+
+def test_time_rollup_single_shuffle(events):
+    out = time_rollup(events, grains=("minute", "hour", "day"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_time_rollup_rejects_bad_grain(events):
+    with pytest.raises(ValueError):
+        time_rollup(events, grains=("fortnight",))
+
+
+def test_sliding_window_agg(events):
+    out = sliding_window_agg(events, window_seconds=3600).collect()
+    by_id = {
+        (r["event_type"], str(r["ts"])): (r["moving_avg"], r["window_n"]) for r in out
+    }
+    # 10:45 click sees 10:05 (40 min earlier) → avg(1,3)=2, n=2
+    assert by_id[("click", "2024-03-05 10:45:00")] == (2.0, 2)
+    # 11:05 click sees 10:45 and 10:05 (exactly 3600 s earlier, inclusive)
+    assert by_id[("click", "2024-03-05 11:05:00")] == (3.0, 3)
+    assert by_id[("view", "2024-03-06 09:00:00")] == (7.0, 1)
