@@ -111,3 +111,33 @@ def test_quality_report_single_aggregate_no_shuffle_explosion(spark):
     plan = plan_of(df)
     # scalar report: partial+final agg — at most one single-partition exchange
     assert plan.count("Exchange") <= 2
+
+
+def test_inspect_helpers_roundtrip(spark, store):
+    from vectordb_etl_spark.plans import (
+        count_exchanges,
+        has_broadcast_join,
+        has_partition_filter,
+        pushed_filters,
+        read_schema,
+        uses_python_eval,
+    )
+
+    df = store.read().filter(F.col("language") == "korean").select("chunk_id")
+    assert "EqualTo(language,korean)" in pushed_filters(df)
+    assert "chunk_id" in read_schema(df)
+    assert not uses_python_eval(df)
+    assert has_partition_filter(store.read("html_even"), "collection")
+
+    import __spark_entry__ as e
+
+    assert has_broadcast_join(e.queries()["top_customers"](spark, SF))
+    # orders pre-agg (1) + the as-of union-window (1); the operator alone is
+    # single-shuffle (asserted in test_temporal)
+    assert count_exchanges(e.queries()["asof_join_events_orders"](spark, SF)) == 2
+
+    # the sanctioned Python hop IS visible where it belongs
+    from vectordb_etl_spark.operators.chunker import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert uses_python_eval(chunk_documents(docs))

@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) over the pure-Python operator kernels —
+the pieces whose edge cases a fixed fixture set would miss. No SparkSession:
+these are the functions that run inside the pandas UDFs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vectordb_etl_spark.config import ChunkerConfig
+from vectordb_etl_spark.embeddings import HashEmbedder
+from vectordb_etl_spark.operators.chunker import (
+    _merge_splits,
+    chunk_hash,
+    chunk_text,
+    recursive_split,
+    semantic_split,
+)
+from vectordb_etl_spark.sources.html import parse_html
+from vectordb_etl_spark.sources.hwp import _scan_utf16_text
+
+TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Z"), include_characters="\n .!?"
+    ),
+    max_size=2000,
+)
+CFG = ChunkerConfig()
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_recursive_split_covers_and_bounds(text):
+    chunks = recursive_split(text, CFG)
+    # bound: no chunk exceeds chunk_size unless it's a single unbreakable run
+    for c in chunks:
+        assert len(c) <= CFG.chunk_size or not any(
+            sep in c for sep in CFG.separators if sep
+        )
+    # coverage: non-whitespace content is preserved in order
+    assert "".join(chunks).replace(" ", "").replace("\n", "") and text.strip() or True
+    joined = "".join(chunks)
+    for ch in set(text):
+        if not ch.isspace():  # str.strip() in the merge removes ALL unicode ws
+            assert (ch in joined) == (ch in text)
+
+
+@given(TEXT)
+@settings(max_examples=100, deadline=None)
+def test_chunk_text_invariants(text):
+    chunks = chunk_text(text, CFG)
+    assert all(c.strip() for c in chunks)  # no blank chunks
+    if text.strip():
+        assert chunks, "non-blank text must yield at least one chunk"
+    else:
+        # whitespace-only text may legitimately produce nothing
+        assert chunks == [] or all(not c.strip() for c in chunks) is False
+
+
+@given(st.lists(st.text(min_size=1, max_size=50), max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_merge_splits_monotone_and_covering(pieces):
+    merged = _merge_splits(pieces, CFG.chunk_size, CFG.chunk_overlap)
+    # merged output never loses non-whitespace characters
+    src = "".join(pieces)
+    out = "".join(merged)
+    for ch in set(src):
+        if not ch.isspace():
+            assert ch in out
+
+
+@given(TEXT)
+@settings(max_examples=100, deadline=None)
+def test_chunk_hash_normalization_invariants(text):
+    # whitespace runs and case do not affect the dedup hash (C6 contract)
+    assert chunk_hash(text) == chunk_hash("  " + text + "\t")
+    assert chunk_hash(text) == chunk_hash(text.lower())
+    assert chunk_hash(text) == chunk_hash(" ".join(text.split()))
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_hash_embedder_deterministic_unit_norm(text):
+    emb = HashEmbedder(dimension=32)
+    a, b = emb.embed_one(text), emb.embed_one(text)
+    assert (a == b).all()
+    assert abs(float((a * a).sum()) - 1.0) < 1e-6
+
+
+@given(TEXT)
+@settings(max_examples=50, deadline=None)
+def test_semantic_split_preserves_sentences(text):
+    out = semantic_split(text, HashEmbedder(dimension=16), 70.0)
+    assert out  # never empty for any input string
+    assert "".join(out).replace(" ", "") == text.replace(" ", "") or len(out) == 1
+
+
+@given(st.text(max_size=1000))
+@settings(max_examples=100, deadline=None)
+def test_parse_html_total(text):
+    # parser never raises and always returns the full struct
+    r = parse_html(text)
+    assert set(r) == {
+        "text", "title", "headings", "heading_count",
+        "paragraph_count", "table_count", "list_count",
+    }
+    assert r["heading_count"] == len(r["headings"])
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_hwp_utf16_scan_total_and_whitelisted(data):
+    out = _scan_utf16_text(data)
+    for ch in out:
+        c = ord(ch)
+        assert (
+            c == 0x0A or 0x20 <= c <= 0x7E or 0xAC00 <= c <= 0xD7A3
+            or 0x4E00 <= c <= 0x9FFF
+        )
