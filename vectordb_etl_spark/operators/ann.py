@@ -68,24 +68,60 @@ def train_centroids(
     seed: int = 42,
     max_iter: int = 20,
 ) -> np.ndarray:
-    """X1 — KMeans centroid training (spark.ml; distributed Lloyd's).
-    Mirrors IVF_FLAT nlist=128 (reference config.py:24).
+    """X1 — IVF centroid training. Mirrors IVF_FLAT nlist=128 (reference
+    config.py:24).
 
-    Trains on a bounded sample (≈256·nlist rows, the standard IVF training
-    heuristic): at 100 TB you cluster a sample, never the full set — centroid
-    quality saturates at a few hundred points per centroid while full-data
-    Lloyd's would be nlist·iters full scans."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feats = df.select(array_to_vector(F.col(emb_col).cast("array<double>")).alias("features"))
-    n = feats.count()
+    Standard IVF practice: train on a bounded sample (≈256·nlist rows —
+    centroid quality saturates at a few hundred points per centroid), never
+    the full set. The sample is SIZE-INDEPENDENT of the table, so it is
+    collected to the driver (≤256·nlist × dim floats, tens of MB at
+    nlist=128/dim=1024) and clustered with in-memory numpy Lloyd's. At any
+    scale this costs ONE sampling scan; distributed KMeans would instead pay
+    a full pass + job-scheduling round trip per iteration for a model that
+    trains on the same number of points."""
     target = 256 * nlist
+    n = df.count()
+    sample = df.select(emb_col)
     if n > target:
-        feats = feats.sample(fraction=min(1.0, 1.25 * target / n), seed=seed).limit(target)
-    k = min(nlist, max(2, n))
-    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
-    return np.array([np.asarray(c) for c in model.clusterCenters()])
+        sample = sample.sample(fraction=min(1.0, 1.25 * target / n), seed=seed).limit(target)
+    mat = np.stack(sample.toPandas()[emb_col].to_numpy()).astype(np.float64)
+    k = min(nlist, max(2, mat.shape[0]))
+    up = metric.upper()
+
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(mat.shape[0], size=k, replace=False)].copy()
+
+    def _unit(m: np.ndarray) -> np.ndarray:
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.maximum(norms, 1e-12)
+
+    pts = _unit(mat) if up == "COSINE" else mat
+    if up == "COSINE":
+        cents = _unit(cents)
+
+    prev = None
+    for _ in range(max_iter):
+        if up == "L2":
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-constant
+            d = -2.0 * (pts @ cents.T) + (cents**2).sum(axis=1)[None, :]
+            assign = d.argmin(axis=1)
+        else:  # COSINE (unit rows) and IP share the dot-argmax rule
+            assign = (pts @ cents.T).argmax(axis=1)
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        prev = assign
+        onehot = np.zeros((pts.shape[0], k))
+        onehot[np.arange(pts.shape[0]), assign] = 1.0
+        counts = onehot.sum(axis=0)
+        sums = onehot.T @ pts  # BLAS segment-sum
+        empty = counts == 0
+        counts[empty] = 1.0
+        cents = sums / counts[:, None]
+        if empty.any():  # reseed dead clusters to random sample points
+            cents[empty] = pts[rng.choice(pts.shape[0], size=int(empty.sum()))]
+        if up == "COSINE":  # spherical k-means: centroids live on the sphere
+            cents = _unit(cents)
+    return cents
 
 
 class IVFIndex:
@@ -113,9 +149,11 @@ class IVFIndex:
         assigned = df.withColumn(
             "centroid_id", assign_centroids_udf(cents, self.metric)(F.col(emb_col))
         )
-        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-            str(self.path / "data")
-        )
+        # repartition by the layout key first: one file per centroid per
+        # shuffle bucket (≈nlist files total), not input-tasks × nlist
+        assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(str(self.path / "data"))
         self.path.mkdir(parents=True, exist_ok=True)
         with open(self.path / "centroids.json", "w") as f:
             json.dump({"metric": self.metric, "centroids": cents.tolist()}, f)
