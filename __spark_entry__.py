@@ -807,6 +807,216 @@ def _lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 _register("lsh_topk", _lsh_topk, None)
 
 
+# -- multi-way star joins (TPC-H Q3/Q12 shapes; broadcast-dim strategy) -----------
+
+
+def _shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Q3 shape: selective dim filter → broadcast customer, fact-fact shuffle
+    join on orderkey, grouped revenue, global top-k (TakeOrderedAndProject)."""
+    cust = _table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev.cast("decimal(18,4)")).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_register(
+    "shipping_priority",
+    _shipping_priority,
+    "SELECT l_orderkey, "
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, "
+    "o_orderdate, o_orderpriority "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' "
+    "AND l_shipdate > TIMESTAMP '1998-01-01' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10",
+)
+
+
+def _priority_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    """Q12 shape: date-banded fact filter (pushed to the scan) → shuffle join
+    on orderkey → conditional-count pivot by priority class."""
+    orders = _table(spark, sf, "orders")
+    li = _table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_count"),
+        )
+    )
+
+
+_register(
+    "priority_shipments",
+    _priority_shipments,
+    "SELECT l_returnflag, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS high_priority_count, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) "
+    "AS low_priority_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY l_returnflag",
+)
+
+
+# -- Structured Streaming, driver-checkable (§2.10) ---------------------------------
+#
+# The watermarked tumbling-window aggregate runs as an actual stream (file
+# source → availableNow trigger → memory sink). All input arrives in one
+# trigger, so nothing is late and the finalized result equals the batch
+# tumbling aggregate — which is exactly what the oracle checks. (The
+# stateful sessionizer stays rows-only-checked via tests: its output depends
+# on trigger boundaries by design.)
+
+_STREAM_SEQ = iter(range(1, 1 << 20))
+
+
+def _streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from vectordb_etl_spark.streaming.ingest import windowed_event_counts
+
+    # decimal sum → exact regardless of per-partition accumulation order
+    ev = _events(spark, sf).withColumn("value", F.col("value").cast("decimal(18,6)"))
+    name = f"stream_wc_{next(_STREAM_SEQ)}"
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(f"{tmp}/landing")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/landing")
+        counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).select(
+            "window_start",
+            "event_type",
+            "n",
+            F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink
+    return out
+
+
+_register(
+    "streaming_windowed_counts",
+    _streaming_windowed_counts,
+    # 1-hour tumbling windows align to epoch == date_trunc('hour')
+    "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, "
+    "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value "
+    "FROM events GROUP BY 1, 2",
+)
+
+
+# -- multimodal tier, driver-checkable ----------------------------------------------
+#
+# The container-header parsers are real (stdlib struct over public formats);
+# the decode step is stubbed (no image/audio libs in this runtime). To make
+# the Spark-side plumbing driver-checkable without binary fixtures, each
+# document synthesizes a media blob whose header fields are arithmetic in
+# doc_id; the mapInPandas parser must round-trip them, and the oracle states
+# the same arithmetic directly in SQL.
+
+
+def _multimodal_image_meta(spark: SparkSession, sf: str) -> DataFrame:
+    import struct as _s
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.types import BinaryType
+
+    from vectordb_etl_spark.multimodal import image_features
+
+    @F.pandas_udf(BinaryType())
+    def synth_bmp(doc_id):
+        def mk(i):
+            w, h = int(i) % 1920 + 16, int(i) % 1080 + 16
+            return b"BM" + b"\x00" * 16 + _s.pack("<ii", w, h)
+
+        return doc_id.map(mk)
+
+    media = _docs(spark, sf).select(
+        F.col("doc_id"), synth_bmp("doc_id").alias("content")
+    )
+    return image_features(media, id_col="doc_id", content_col="content").select(
+        F.col("media_id").alias("doc_id"), "format", "width", "height", "n_bytes"
+    )
+
+
+_register(
+    "multimodal_image_meta",
+    _multimodal_image_meta,
+    "SELECT doc_id, 'bmp' AS format, doc_id % 1920 + 16 AS width, "
+    "doc_id % 1080 + 16 AS height, 26 AS n_bytes FROM documents",
+)
+
+
+def _multimodal_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
+    import struct as _s
+
+    from pyspark.sql.types import BinaryType
+
+    from vectordb_etl_spark.multimodal import audio_features
+
+    @F.pandas_udf(BinaryType())
+    def synth_wav(doc_id):
+        def mk(i):
+            i = int(i)
+            rate, channels, bits = 8000 + (i % 8) * 4000, i % 2 + 1, 16
+            byte_rate = rate * channels * bits // 8
+            payload = byte_rate * (i % 10 + 1) // 100  # (i%10+1)*10 ms, exact
+            hdr = (
+                b"RIFF" + _s.pack("<I", 36 + payload) + b"WAVEfmt "
+                + _s.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate,
+                          channels * bits // 8, bits)
+                + b"data" + _s.pack("<I", payload)
+            )
+            return hdr + b"\x00" * payload
+
+        return doc_id.map(mk)
+
+    media = _docs(spark, sf).select(
+        F.col("doc_id"), synth_wav("doc_id").alias("content")
+    )
+    return audio_features(media, id_col="doc_id", content_col="content").select(
+        F.col("media_id").alias("doc_id"),
+        "format", "channels", "sample_rate", "duration_ms",
+    )
+
+
+_register(
+    "multimodal_audio_meta",
+    _multimodal_audio_meta,
+    "SELECT doc_id, 'wav' AS format, doc_id % 2 + 1 AS channels, "
+    "8000 + (doc_id % 8) * 4000 AS sample_rate, "
+    "(doc_id % 10 + 1) * 10 AS duration_ms FROM documents",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

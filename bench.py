@@ -106,6 +106,9 @@ def main() -> None:
         "range_join_purchase_followups",
         "ivf_topk",
         "lsh_topk",
+        "shipping_priority",
+        "priority_shipments",
+        "streaming_windowed_counts",
     ]
     noop_queries = [
         "clean_text",
@@ -113,6 +116,7 @@ def main() -> None:
         "token_counts",
         "doc_fingerprint",
         "asof_join_events_orders",
+        "multimodal_image_meta",
     ]
     for name in collect_queries:
         run(name, lambda n=name: qs[n](spark, SF_DIR), collect=True)
