@@ -880,6 +880,70 @@ _register(
 )
 
 
+def _brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q14/Q19 shape: fact ⋈ part dim → brand rollup. part scales with SF in
+    TPC-H, so the join strategy is left to AQE (broadcast at small SF, shuffle
+    at 100 TB) rather than hardcoded — unlike fixed-size nation/region."""
+    li = _table(spark, sf, "lineitem")
+    part = _table(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev.cast("decimal(18,4)")).alias("revenue"),
+            F.count("*").alias("n_items"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+        )
+        .select(
+            "p_brand",
+            F.col("revenue").cast("double").alias("revenue"),
+            "n_items",
+            "avg_retail",
+        )
+    )
+
+
+_register(
+    "brand_revenue",
+    _brand_revenue,
+    "SELECT p_brand, "
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, "
+    "count(*) AS n_items, round(avg(p_retailprice), 6) AS avg_retail "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand",
+)
+
+
+def _supplier_balance_by_region(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier-side dim rollup: nation/region are FIXED-cardinality (25/5
+    rows at any SF) → always broadcast."""
+    sup = _table(spark, sf, "supplier")
+    nation = _table(spark, sf, "nation")
+    region = _table(spark, sf, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("total_balance"),
+            F.round(F.avg("s_acctbal"), 6).alias("avg_balance"),
+        )
+    )
+
+
+_register(
+    "supplier_balance_by_region",
+    _supplier_balance_by_region,
+    "SELECT r_name, count(*) AS n_suppliers, "
+    "round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_balance, "
+    "round(avg(s_acctbal), 6) AS avg_balance "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+)
+
+
 # -- Structured Streaming, driver-checkable (§2.10) ---------------------------------
 #
 # The watermarked tumbling-window aggregate runs as an actual stream (file

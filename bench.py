@@ -108,6 +108,8 @@ def main() -> None:
         "lsh_topk",
         "shipping_priority",
         "priority_shipments",
+        "brand_revenue",
+        "supplier_balance_by_region",
         "streaming_windowed_counts",
     ]
     noop_queries = [

@@ -49,12 +49,16 @@ def test_recursive_split_covers_and_bounds(text):
 @settings(max_examples=100, deadline=None)
 def test_chunk_text_invariants(text):
     chunks = chunk_text(text, CFG)
-    assert all(c.strip() for c in chunks)  # no blank chunks
     if text.strip():
         assert chunks, "non-blank text must yield at least one chunk"
+        # recursive_split strips + drops empties and the merge joins
+        # non-blank pieces, so content-bearing text never emits blank chunks
+        assert all(c.strip() for c in chunks)
     else:
-        # whitespace-only text may legitimately produce nothing
-        assert chunks == [] or all(not c.strip() for c in chunks) is False
+        # reference parity: a whitespace-only doc is a single ≤max piece that
+        # is passed through UNSTRIPPED (its chunker never sees such docs —
+        # the loaders drop cleaned length < 10, S6); [] for empty input
+        assert chunks == [] or chunks == [text]
 
 
 @given(st.lists(st.text(min_size=1, max_size=50), max_size=30))
