@@ -141,3 +141,25 @@ def test_inspect_helpers_roundtrip(spark, store):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert uses_python_eval(chunk_documents(docs))
+
+
+def test_star_join_plan_shapes(spark):
+    """Q3/Q12-shape queries: dim broadcast, fact filters at the scan, top-k
+    without a global sort."""
+    import __spark_entry__ as e
+
+    from vectordb_etl_spark.plans import has_broadcast_join, pushed_filters
+
+    df = e.queries()["shipping_priority"](spark, SF)
+    plan = plan_of(df)
+    assert has_broadcast_join(df)  # filtered customer dim is broadcast
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    assert "TakeOrderedAndProject" in plan  # limit 10 never globally sorts
+
+    df = e.queries()["priority_shipments"](spark, SF)
+    # the date band reaches the lineitem scan as two pushed range filters
+    shipdate_filters = [f for f in pushed_filters(df) if "l_shipdate" in f]
+    assert len(shipdate_filters) >= 2
+
+    df = e.queries()["supplier_balance_by_region"](spark, SF)
+    assert plan_of(df).count("BroadcastHashJoin") == 2  # nation + region
