@@ -55,6 +55,11 @@ def main() -> None:
     spark.range(10000).select(_warm(F.col("id"))).write.format("noop").mode(
         "overwrite"
     ).save()
+    # mapInPandas uses a distinct eval path (Arrow stream, not scalar UDF) —
+    # warm it too so the multimodal timings are steady-state
+    spark.range(10000).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
     for t in ("documents", "embeddings", "lineitem", "orders", "customer",
               "nation", "region", "events"):
         try:
