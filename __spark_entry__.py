@@ -752,6 +752,52 @@ _register(
 )
 
 
+def _salted_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py) on a 5-value grouping
+    key: value-hash salt in the phase-1 key bounds per-task state at
+    |users|/num_salts while staying bit-exact (oracle = plain DISTINCT).
+    The layout generalizes to collect_set/percentile/UDAF state that
+    Catalyst cannot partial-aggregate — see operators/skew.py docstring."""
+    from vectordb_etl_spark.operators.skew import salted_count_distinct
+
+    return salted_count_distinct(
+        _events(spark, sf), ["event_type"], "user_id", num_salts=64, out_name="n_users"
+    )
+
+
+_register(
+    "salted_distinct_users_by_type",
+    _salted_distinct_users,
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+)
+
+
+def _vocab_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: tokenize → explode → count → top 20.
+    The explode is map-local; the groupBy gets map-side partial aggregation
+    (term space per task, not corpus-wide), and the final top-k is
+    TakeOrderedAndProject — no global sort. This is the word-count shape a
+    training-data pipeline runs for vocabulary/contamination stats at 100 TB."""
+    return (
+        _docs(spark, sf)
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+_register(
+    "vocab_top_terms",
+    _vocab_top_terms,
+    "SELECT term, count(*) AS n FROM ("
+    "SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents"
+    ") WHERE term <> '' GROUP BY term ORDER BY n DESC, term ASC LIMIT 20",
+)
+
+
 # -- UDF-tier operators: rows-only driver checks (no SQL equivalent) ---------
 
 

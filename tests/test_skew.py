@@ -1,0 +1,75 @@
+"""Salted skew-resistant aggregation: exactness vs the unsalted plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.operators.skew import salted_agg, salted_count_distinct
+from vectordb_etl_spark.plans.inspect import count_exchanges
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90% of rows), repeated values within keys, some NULLs
+    rows = [(i, "hot" if i % 10 else "cold", i % 37 if i % 11 else None) for i in range(1000)]
+    return spark.createDataFrame(rows, "row_id long, k string, v int").repartition(8)
+
+
+def test_salted_count_distinct_exact(skewed):
+    expected = {
+        r["k"]: r["n"]
+        for r in skewed.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    for num_salts in (1, 4, 64):
+        got = {
+            r["k"]: r["distinct_v"]
+            for r in salted_count_distinct(skewed, ["k"], "v", num_salts=num_salts).collect()
+        }
+        assert got == expected, f"num_salts={num_salts}"
+
+
+def test_salted_count_distinct_two_phase_plan(skewed):
+    # two aggregation exchanges on top of the fixture's repartition; the
+    # value-hash salt appears in the phase-1 grouping key, so no exchange
+    # carries raw value rows partitioned by the group key alone
+    out = salted_count_distinct(skewed, ["k"], "v", num_salts=16)
+    assert count_exchanges(out) == 3
+    assert "pmod(hash(v" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_agg_matches_unsalted(skewed):
+    df = skewed.withColumn("x", F.col("row_id").cast("double"))
+    got = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"], round(r["mean"], 9))
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": ("x", "count"),
+                "total": ("x", "sum"),
+                "lo": ("x", "min"),
+                "hi": ("x", "max"),
+                "mean": ("x", "avg"),
+            },
+            num_salts=8,
+        ).collect()
+    }
+    expected = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"], round(r["mean"], 9))
+        for r in df.groupBy("k")
+        .agg(
+            F.count("x").alias("n"),
+            F.sum("x").alias("total"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+            F.avg("x").alias("mean"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_salted_agg_rejects_non_decomposable(skewed):
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_agg(skewed, ["k"], {"m": ("v", "median")})

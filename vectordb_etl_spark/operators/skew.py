@@ -1,0 +1,118 @@
+"""Skew-resistant aggregation patterns for low-cardinality grouping keys.
+
+Why this exists: at 100 TB a ``groupBy`` on a handful of key values (e.g.
+``event_type`` with 5 distinct values) concentrates all final-aggregation
+state for each key on a single reducer. For *decomposable* built-in
+aggregates (sum/count/min/max/avg) Spark's HashAggregate already emits
+map-side partials, so the final shuffle carries only
+``num_map_tasks x num_keys`` rows and skew is a non-issue — do NOT salt
+those, it just adds a shuffle.
+
+The case that genuinely breaks is **non-decomposable aggregation state** —
+``collect_set``-style accumulation, exact per-key percentiles, custom
+UDAF/``applyInPandas`` state — where Catalyst has no partial-aggregate or
+distinct rewrite and one hot key means one reducer materializing that key's
+entire value set. (Plain single ``count(DISTINCT v)`` is *already* fine:
+Catalyst dedups on ``(key, value)`` and combines pre-counted partials, as
+the plan test in tests/test_skew.py documents.) The salted two-phase trick
+bounds per-task state while staying provably exact, because the salt is a
+*hash of the value*, not a random number:
+
+  phase 1: group by ``(key, pmod(hash(value), num_salts))`` and count
+           distinct values *within* each salt bucket. The same value always
+           hashes to the same bucket, so buckets partition the distinct
+           value set — per-bucket distinct counts are additive.
+  phase 2: group by ``key`` and sum the per-bucket counts.
+
+Both phases' reducer state is bounded by ``|distinct values| / num_salts``
+per task instead of ``|distinct values|`` for the hottest key, and both are
+plain hash aggregations that AQE can coalesce. ``salted_count_distinct`` is
+the oracle-checkable instance of this identity (bit-identical to
+``count(DISTINCT value)`` — ``salted_distinct_users_by_type`` in
+``__spark_entry__.py``); swap the phase-1 ``count_distinct`` for
+``collect_set``/``percentile``/a UDAF and the same layout carries the
+non-decomposable cases.
+
+Beyond-reference operator (the reference has no aggregation engine at all:
+its only distinct-ish op is the md5 chunk dedup, modules/chunker.py:182-207).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    keys: Iterable[str],
+    value_col: str,
+    *,
+    num_salts: int = 64,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Exact ``count(DISTINCT value_col)`` per ``keys``, skew-resistant.
+
+    Equivalent to ``df.groupBy(*keys).agg(countDistinct(value_col))`` but
+    spreads each key's distinct-value state over ``num_salts`` reducers.
+    NULL values are excluded, matching ``count(DISTINCT ...)`` semantics.
+    """
+    keys = list(keys)
+    out = out_name or f"distinct_{value_col}"
+    salt = F.pmod(F.hash(F.col(value_col)), F.lit(num_salts)).alias("__salt")
+    per_bucket = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, salt)
+        .agg(F.count_distinct(F.col(value_col)).alias("__bucket_distinct"))
+    )
+    return per_bucket.groupBy(*keys).agg(F.sum("__bucket_distinct").alias(out))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Iterable[str],
+    aggs: dict[str, tuple[str | Column, str]],
+    *,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for *decomposable* aggregates.
+
+    ``aggs`` maps output column name -> (input column, kind) with kind in
+    {"sum", "count", "min", "max", "avg"}. Provided for aggregation paths
+    where map-side partial aggregation is unavailable (e.g. downstream of a
+    UDAF or after an explicit repartition that pins the exchange); for plain
+    built-in aggregates prefer ``df.groupBy(...).agg(...)`` — Spark's
+    partial HashAggregate already neutralizes key skew there (see module
+    docstring). Results are exactly equal to the unsalted aggregation
+    (avg is combined as sum-of-sums / sum-of-counts, not avg-of-avgs).
+    """
+    keys = list(keys)
+    partials: list[Column] = []
+    finals: list[Column] = []
+    for name, (col, kind) in aggs.items():
+        c = F.col(col) if isinstance(col, str) else col
+        if kind == "count":
+            partials.append(F.count(c).alias(f"__c_{name}"))
+            finals.append(F.sum(f"__c_{name}").alias(name))
+        elif kind == "sum":
+            partials.append(F.sum(c).alias(f"__s_{name}"))
+            finals.append(F.sum(f"__s_{name}").alias(name))
+        elif kind == "min":
+            partials.append(F.min(c).alias(f"__mn_{name}"))
+            finals.append(F.min(f"__mn_{name}").alias(name))
+        elif kind == "max":
+            partials.append(F.max(c).alias(f"__mx_{name}"))
+            finals.append(F.max(f"__mx_{name}").alias(name))
+        elif kind == "avg":
+            partials.append(F.sum(c).alias(f"__as_{name}"))
+            partials.append(F.count(c).alias(f"__ac_{name}"))
+            finals.append(
+                (F.sum(f"__as_{name}") / F.sum(f"__ac_{name}")).alias(name)
+            )
+        else:
+            raise ValueError(f"non-decomposable agg kind: {kind!r}")
+    salt = (F.rand(seed=0) * num_salts).cast("int")
+    phase1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partials)
+    return phase1.groupBy(*keys).agg(*finals)
