@@ -115,6 +115,8 @@ def main() -> None:
         "priority_shipments",
         "brand_revenue",
         "supplier_balance_by_region",
+        "salted_distinct_users_by_type",
+        "vocab_top_terms",
         "streaming_windowed_counts",
     ]
     noop_queries = [
