@@ -163,3 +163,25 @@ def test_star_join_plan_shapes(spark):
 
     df = e.queries()["supplier_balance_by_region"](spark, SF)
     assert plan_of(df).count("BroadcastHashJoin") == 2  # nation + region
+
+
+def test_vocab_top_terms_partial_agg_and_take_ordered(spark):
+    # word-count shape at 100 TB: the explode must stay map-local (no
+    # exchange before the partial aggregate), term counting must get
+    # map-side partial aggregation, and the final top-20 must plan as
+    # TakeOrderedAndProject, never a global sort
+    import __spark_entry__ as e
+
+    df = e.queries()["vocab_top_terms"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Sort " not in plan  # no global sort for a limit-20
+    # plan prints top-down: the agg shuffle, then the partial aggregate, then
+    # the explode below it — i.e. explode output is combined map-side and the
+    # shuffle carries (term, partial_count), never raw exploded rows
+    assert (
+        plan.index("hashpartitioning(term")
+        < plan.index("partial_count")
+        < plan.index("Generate explode")
+    )
