@@ -528,15 +528,17 @@ _register(
 
 def _sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization: 30-min-gap rule via lag + running sum (the batch twin
-    of the streaming session-window operator)."""
+    of the streaming session-window operator). Gaps are compared in integer
+    MICROSECONDS (unix_micros ≡ DuckDB epoch_us) — unix_timestamp truncates
+    to whole seconds, so a 1800.4 s gap would not open a new session while
+    the micros-exact rule (and any wall-clock reading of ">30 min") says it
+    must. Integer micros also sidesteps float rounding between engines."""
     from pyspark.sql.window import Window
 
     ev = _events(spark, sf)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(
-        F.lag("ts").over(w)
-    )
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sessions = ev.withColumn("new_s", new_session).withColumn(
         "session_id", F.sum("new_s").over(w)
     )
@@ -556,8 +558,8 @@ _register(
     "SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id "
     "FROM (SELECT user_id, ts, event_id, "
     "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
-    "OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 "
-    "THEN 1 ELSE 0 END AS new_s FROM events)) GROUP BY user_id",
+    "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "> 1800000000 THEN 1 ELSE 0 END AS new_s FROM events)) GROUP BY user_id",
 )
 
 _register(
@@ -582,12 +584,14 @@ _register(
 
 from vectordb_etl_spark.operators import dedup as D  # noqa: E402
 
+# signature emitted as a comma-joined STRING: the driver canonicalizes with
+# pandas sort/factorize, which cannot hash an array<long> column (r01 err)
 _register(
     "minhash_signatures",
     lambda spark, sf: _docs(spark, sf).select(
-        "doc_id", D.minhash_signature_col("text", 8, 3).alias("signature")
+        "doc_id", D.minhash_signature_str_col("text", 8, 3).alias("signature")
     ),
-    f"SELECT doc_id, {D.minhash_signature_sql('text', 8, 3)} AS signature FROM documents",
+    D.minhash_signature_str_select_sql("documents", "doc_id", "text", 8, 3),
 )
 
 _register(
@@ -598,10 +602,14 @@ _register(
     D.lsh_candidate_pairs_sql("documents", num_hashes=8, bands=4),
 )
 
+# max_shingle_freq=5 actually triggers at sf0.01 (max observed doc-freq is
+# 7), so the driver check exercises the skew guard, not just the happy path
 _register(
     "ngram_jaccard_pairs",
-    lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2),
-    D.ngram_jaccard_pairs_sql("documents", threshold=0.2),
+    lambda spark, sf: D.ngram_jaccard_pairs(
+        _docs(spark, sf), threshold=0.2, max_shingle_freq=5
+    ),
+    D.ngram_jaccard_pairs_sql("documents", threshold=0.2, max_shingle_freq=5),
 )
 
 _register(
@@ -679,10 +687,11 @@ def _range_join_purchase_followups(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "range_join_purchase_followups",
     _range_join_purchase_followups,
+    # integer-micros band (epoch_us ≡ Spark unix_micros) — sub-second exact
     "SELECT p.event_id AS purchase_id, count(*) AS n_followups "
     "FROM events p JOIN events e ON e.user_id = p.user_id "
-    "AND CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT) "
-    "BETWEEN 1 AND 3600 WHERE p.event_type = 'purchase' GROUP BY 1",
+    "AND epoch_us(e.ts) - epoch_us(p.ts) "
+    "BETWEEN 1000000 AND 3600000000 WHERE p.event_type = 'purchase' GROUP BY 1",
 )
 
 
@@ -732,11 +741,12 @@ def _events_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "events_moving_avg",
     _events_moving_avg,
+    # frame ordered by integer micros (epoch_us ≡ Spark unix_micros)
     "SELECT event_type, ts, "
     "round(avg(round(value, 6)) OVER w, 6) AS moving_avg, "
     "count(*) OVER w AS window_n FROM events "
-    "WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
-    "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)",
+    "WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)",
 )
 
 _register(
@@ -819,9 +829,23 @@ def _chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 _register("chunk_pipeline", _chunk_pipeline, None)
 
 
+# ANN queries run at the PROBE-ALL edge (nprobe=nlist / hamming radius =
+# num_planes), where the approximate machinery provably returns the exact
+# top-k — so the full build+assign+probe+rank path is oracle-checkable
+# against the brute-force SQL. The approximate regime (nprobe < nlist,
+# radius 1) stays covered by the recall/pruning tests in tests/test_ann.py.
+
+_ANN_ORACLE = (
+    "SELECT vec_id, label, "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score "
+    "FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10"
+)
+
+
 def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """X1/Q1 approximate tier: IVF (KMeans layout + centroid probe),
-    nlist=16, nprobe=4 at test scale. Model-based; rows-only check."""
+    nlist=16 at test scale; nprobe=nlist ⇒ every partition probed ⇒ exact."""
     import tempfile
 
     from vectordb_etl_spark.operators.ann import IVFIndex
@@ -830,27 +854,29 @@ def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     with tempfile.TemporaryDirectory() as tmp:
         idx = IVFIndex(spark, f"{tmp}/ivf").build(emb, nlist=16, seed=42, max_iter=4)
-        out = idx.search(list(q), k=10, nprobe=4, tie_break=["vec_id"],
+        out = idx.search(list(q), k=10, nprobe=16, tie_break=["vec_id"],
                          output_cols=["vec_id", "label"])
         out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
     return out
 
 
-_register("ivf_topk", _ivf_topk, None)
+_register("ivf_topk", _ivf_topk, _ANN_ORACLE)
 
 
 def _lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed ANN (hyperplane signs, multi-probe hamming≤1); rows-only."""
+    """LSH-bucketed ANN (hyperplane signs); hamming radius = num_planes ⇒
+    every bucket probed ⇒ exact."""
     from vectordb_etl_spark.operators.ann import lsh_topk_search
 
     emb = _table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return lsh_topk_search(
-        emb, list(q), k=10, tie_break=["vec_id"], output_cols=["vec_id", "label"]
+        emb, list(q), k=10, multiprobe_hamming=8, tie_break=["vec_id"],
+        output_cols=["vec_id", "label"],
     )
 
 
-_register("lsh_topk", _lsh_topk, None)
+_register("lsh_topk", _lsh_topk, _ANN_ORACLE)
 
 
 # -- multi-way star joins (TPC-H Q3/Q12 shapes; broadcast-dim strategy) -----------

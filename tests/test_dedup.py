@@ -88,3 +88,62 @@ def test_embedding_topk_pairs(embeddings_tiny):
     cos = [r["cosine"] for r in rows]
     assert cos == sorted(cos, reverse=True)
     assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_minhash_num_hashes_overflow_guard(near_dup_docs):
+    # h1 + j*h2 with 60-bit h1/h2 crosses 2^63 at j=8: Spark would silently
+    # wrap while the DuckDB oracle errors/diverges — must be rejected early
+    with pytest.raises(ValueError, match="num_hashes"):
+        D.minhash_signature_col("text", num_hashes=9)
+    with pytest.raises(ValueError, match="num_hashes"):
+        D.minhash_signature_sql("text", num_hashes=9)
+    with pytest.raises(ValueError, match="num_hashes"):
+        D.lsh_candidate_pairs(near_dup_docs, num_hashes=16, bands=4)
+
+
+def test_minhash_signature_str_matches_array(near_dup_docs):
+    # the string form is element-for-element the array signature, and NULL
+    # (not "") for empty shingle sets — doc 5 is 2 words < shingle_n=3
+    rows = near_dup_docs.select(
+        "doc_id",
+        D.minhash_signature_col("text", 8, 3).alias("arr"),
+        D.minhash_signature_str_col("text", 8, 3).alias("s"),
+    ).collect()
+    for r in rows:
+        if r["arr"][0] is None:
+            assert r["s"] is None
+        else:
+            assert r["s"] == ",".join(str(x) for x in r["arr"])
+    assert any(r["s"] is None for r in rows)  # the short doc
+
+
+def test_ngram_jaccard_skew_cap_drops_hot_shingles(spark):
+    # 10 docs share a boilerplate header; pairs (1,2) are near-dups only via
+    # that boilerplate. With the cap below the header's doc-frequency the
+    # boilerplate shingles are dropped and the pair disappears; uncapped it
+    # is found. Distinct payloads keep per-doc shingle sets non-empty.
+    header = "all rights reserved by the example corporation legal dept "
+    rows = [
+        (i, header + f"unique payload number {i} entirely distinct words w{i} x{i} y{i} z{i}")
+        for i in range(1, 11)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_freq=None)
+    capped = D.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_freq=5)
+    assert uncapped.count() > 0
+    assert capped.count() == 0
+
+
+def test_ngram_jaccard_cap_noop_when_above_all_freqs(near_dup_docs):
+    # a cap above every shingle's doc-frequency must not change results
+    capped = {
+        tuple(r) for r in D.ngram_jaccard_pairs(
+            near_dup_docs, threshold=0.2, max_shingle_freq=1000
+        ).collect()
+    }
+    uncapped = {
+        tuple(r) for r in D.ngram_jaccard_pairs(
+            near_dup_docs, threshold=0.2, max_shingle_freq=None
+        ).collect()
+    }
+    assert capped == uncapped

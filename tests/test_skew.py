@@ -70,6 +70,24 @@ def test_salted_agg_matches_unsalted(skewed):
     assert got == expected
 
 
+def test_salted_count_distinct_keeps_all_null_groups(spark):
+    # a group whose values are ALL NULL must appear with count 0, exactly
+    # like groupBy().agg(countDistinct(v)) — filtering nulls pre-groupBy
+    # would silently drop the key from the output
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", None), ("b", None)], "k string, v int"
+    )
+    expected = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    got = {
+        r["k"]: r["distinct_v"]
+        for r in salted_count_distinct(df, ["k"], "v", num_salts=4).collect()
+    }
+    assert got == expected == {"a": 1, "b": 0}
+
+
 def test_salted_agg_rejects_non_decomposable(skewed):
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_agg(skewed, ["k"], {"m": ("v", "median")})

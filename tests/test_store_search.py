@@ -101,3 +101,23 @@ def test_drop_and_reset(spark, tmp_path):
     assert store.list_collections() == []
     with pytest.raises(ValueError):
         store.reset(confirm=False)
+
+
+def test_ddl_is_uri_scheme_agnostic(spark, tmp_path):
+    # DDL goes through the Hadoop FileSystem resolved from the warehouse URI
+    # (not pathlib/shutil), so an explicit file:// root — standing in for
+    # s3a://hdfs:// — must behave identically to a bare local path
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=f"file://{tmp_path}/wh")
+    )
+    df = spark.createDataFrame(
+        [(1, "a", "f1", "t", "english", 0), (2, "b", "f2", "u", "english", 0)],
+        ["doc_id", "source", "folder_name", "text", "language", "chunk_index"],
+    )
+    store.insert_documents(df, embedding_config=EMB)
+    assert store.list_collections() == ["html_f1", "html_f2"]
+    assert store.collection_exists("html_f1")
+    store.drop_collection("html_f1")
+    assert store.list_collections() == ["html_f2"]
+    assert store.reset(confirm=True) == 1
+    assert store.list_collections() == []

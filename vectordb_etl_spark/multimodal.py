@@ -252,7 +252,9 @@ def media_table(
 ) -> DataFrame:
     """Normalize any binary-bearing DataFrame into the canonical media schema:
     (media_id, kind, content, meta struct). Kind sniffed from magic bytes
-    via real header parsers; pure projection otherwise."""
+    via real header parsers; pure projection otherwise. The sniff is an
+    Arrow-batched pandas UDF like every other Python hop in this module —
+    a row-at-a-time ``F.udf`` would pickle each full binary blob per row."""
 
     def _kind(data: bytes) -> str:
         if parse_image_meta(data)["format"]:
@@ -261,7 +263,9 @@ def media_table(
             return "audio"
         return "binary"
 
-    kind_udf = F.udf(lambda b: _kind(bytes(b or b"")), StringType())
+    @F.pandas_udf(StringType())
+    def kind_udf(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: _kind(bytes(b or b"")))
     return df.select(
         F.col(id_col).alias("media_id"),
         kind_udf(F.col(content_col)).alias("kind"),

@@ -239,15 +239,27 @@ def lsh_topk_search(
 ) -> DataFrame:
     """ANN via hyperplane buckets: scan only rows whose bucket is within
     ``multiprobe_hamming`` of the query's bucket (multi-probe LSH). With a
-    bucket-partitioned table this prunes like IVF; here it's a filter."""
+    bucket-partitioned table this prunes like IVF; here it's a filter.
+
+    ``multiprobe_hamming >= num_planes`` probes every bucket — the exact
+    edge (result provably equals brute-force top-k), which is what the
+    driver's ``lsh_topk`` oracle checks; the approximate regime is covered
+    by recall tests."""
+    from itertools import combinations
+
     dim = len(query)
     planes = np.random.RandomState(seed).standard_normal((num_planes, dim))
     qbits = "".join("1" if planes[i] @ np.asarray(query) >= 0 else "0" for i in range(num_planes))
-    # enumerate probe buckets within the hamming radius (small: C(8,≤1)=9)
-    probes = {qbits}
-    if multiprobe_hamming >= 1:
-        for i in range(num_planes):
-            probes.add(qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1 :])
+    # enumerate probe buckets within the hamming radius (C(8,≤1)=9 for the
+    # default; 2^num_planes at the probe-all edge — num_planes is small)
+    flip = {"0": "1", "1": "0"}
+    probes = set()
+    for radius in range(min(multiprobe_hamming, num_planes) + 1):
+        for idxs in combinations(range(num_planes), radius):
+            bits = list(qbits)
+            for i in idxs:
+                bits[i] = flip[bits[i]]
+            probes.add("".join(bits))
     bucket = lsh_bucket_col(emb_col, dim, num_planes, seed)
     pruned = df.filter(bucket.isin(*probes))
     return topk_search(pruned, query, k=k, metric=metric, **topk_kwargs)

@@ -74,8 +74,21 @@ def word_shingles_sql(expr: str, n: int = 3) -> str:
 # shingle, h_j = (h1 + j·h2) mod 2^60 — k independent-enough hash families
 # at the cost of ONE md5 per shingle instead of k. 15 hex digits = 60 bits
 # parse identically in Spark (conv) and DuckDB ('0x…'::BIGINT); all
-# arithmetic stays under 2^63 so BIGINT math agrees bit-for-bit.
+# arithmetic stays under 2^63 so BIGINT math agrees bit-for-bit — but ONLY
+# for j ≤ 7: h1 + j·h2 < (j+1)·2^60, which crosses 2^63 at j = 8, where
+# Spark's non-ANSI BIGINT silently wraps while DuckDB raises/diverges.
+# Hence the hard cap below.
 _MH_MOD = 1 << 60
+_MH_MAX_HASHES = 8
+
+
+def _check_num_hashes(num_hashes: int) -> None:
+    if not 1 <= num_hashes <= _MH_MAX_HASHES:
+        raise ValueError(
+            f"num_hashes must be in [1, {_MH_MAX_HASHES}]: h1 + j*h2 with 60-bit "
+            f"h1/h2 only stays under 2^63 for j <= {_MH_MAX_HASHES - 1} "
+            "(signed-64 overflow would silently wrap in Spark's non-ANSI mode)"
+        )
 
 
 def _hex60_col(h: Column, start: int) -> Column:
@@ -84,6 +97,7 @@ def _hex60_col(h: Column, start: int) -> Column:
 
 def minhash_values_col(s: Column, num_hashes: int) -> Column:
     """Array of the k hash values of one shingle (portable numeric MinHash)."""
+    _check_num_hashes(num_hashes)
     h = F.md5(s)
     h1 = _hex60_col(h, 1) % _MH_MOD
     h2 = _hex60_col(h, 16) % _MH_MOD
@@ -109,8 +123,33 @@ def minhash_signature_col(
     return F.aggregate(shingles, init, _step)
 
 
+def minhash_signature_str_col(
+    col: Column | str, num_hashes: int = 8, shingle_n: int = 3
+) -> Column:
+    """MinHash signature as a comma-joined string — a sortable/hashable
+    scalar for result frames (an ``array<long>`` column breaks pandas-side
+    canonicalization: lists are unhashable). NULL for empty shingle sets.
+    The join happens in the fold's FINISH lambda so the signature expression
+    appears exactly once in the plan (no CSE across expressions)."""
+    shingles = word_shingles_col(col, shingle_n)
+    init = F.array(*[F.lit(None).cast("long") for _ in range(num_hashes)])
+
+    def _step(acc: Column, s: Column) -> Column:
+        return F.zip_with(
+            acc, minhash_values_col(s, num_hashes), lambda a, x: F.least(a, x)
+        )
+
+    def _finish(acc: Column) -> Column:
+        return F.when(acc[0].isNull(), F.lit(None).cast("string")).otherwise(
+            F.array_join(F.transform(acc, lambda x: x.cast("string")), ",")
+        )
+
+    return F.aggregate(shingles, init, _step, _finish)
+
+
 def _minhash_values_sql(num_hashes: int) -> str:
     """DuckDB lambda body fragment over pre-hashed md5 hex `h`."""
+    _check_num_hashes(num_hashes)
     h1 = f"(('0x' || substring(h, 1, 15))::BIGINT % {_MH_MOD})"
     h2 = f"(('0x' || substring(h, 16, 15))::BIGINT % {_MH_MOD})"
     return "[" + ", ".join(f"({h1} + {j} * {h2}) % {_MH_MOD}" for j in range(num_hashes)) + "]"
@@ -125,6 +164,24 @@ def minhash_signature_sql(expr: str, num_hashes: int = 8, shingle_n: int = 3) ->
         for j in range(num_hashes)
     )
     return f"[{mins}]"
+
+
+def minhash_signature_str_select_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> str:
+    """Full SELECT producing (id, signature-string) — the oracle twin of
+    :func:`minhash_signature_str_col` (subquery so the signature list is
+    stated once)."""
+    sig = minhash_signature_sql(text_col, num_hashes, shingle_n)
+    return (
+        f"SELECT {id_col}, CASE WHEN sig[1] IS NULL THEN NULL ELSE "
+        "array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') END "
+        f"AS signature FROM (SELECT {id_col}, {sig} AS sig FROM {table})"
+    )
 
 
 def lsh_candidate_pairs(
@@ -227,22 +284,33 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.2,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 100_000,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets for all pairs sharing ≥1
     shingle. Returns (id_a, id_b, jaccard≥threshold), jaccard rounded 6 dp.
 
-    ``max_shingle_freq`` drops shingles occurring in more than that many docs
-    before the join — the standard skew guard for similarity joins (a
-    boilerplate shingle shared by 1M docs would otherwise create a 10^12-row
-    join partition at 100 TB)."""
+    ``max_shingle_freq`` (doc-frequency cap, default ON) drops shingles
+    occurring in more than that many docs before the join — the standard
+    skew guard for similarity joins: a boilerplate shingle shared by 1M docs
+    would otherwise create a 10^12-row join partition at 100 TB. The hot set
+    is by construction tiny (≤ corpus_shingles / cap), so it is BROADCAST
+    and removed with a left-anti join — never broadcast the complement
+    (every sub-cap shingle), which is corpus-sized. Pass ``None`` for the
+    uncapped exact semantics. Sizes and intersections are both computed
+    AFTER the cap, so the jaccard stays a true set similarity over the
+    retained shingle space (the oracle SQL mirrors this)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles_col(text_col, shingle_n)).alias("s"),
     )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("s").agg(F.count("*").alias("f"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)), "s")
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("f"))
+            .filter(F.col("f") > max_shingle_freq)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -274,11 +342,19 @@ def ngram_jaccard_pairs_sql(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.2,
+    max_shingle_freq: int | None = 100_000,
 ) -> str:
     shingles = word_shingles_sql(text_col, shingle_n)
+    cap = (
+        f"), sh AS (\n  SELECT * FROM sh0 WHERE s NOT IN ("
+        f"SELECT s FROM sh0 GROUP BY s HAVING count(*) > {max_shingle_freq})"
+        if max_shingle_freq is not None
+        else "), sh AS (\n  SELECT * FROM sh0"
+    )
     return f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT {id_col} AS id, unnest({shingles}) AS s FROM {table}
+{cap}
 ), sizes AS (
   SELECT id, count(*) AS n FROM sh GROUP BY id
 ), inter AS (

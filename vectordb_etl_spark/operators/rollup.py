@@ -88,14 +88,16 @@ def sliding_window_agg(
     window_seconds: int = 3600,
 ) -> DataFrame:
     """Per-row trailing-window aggregate (moving average + count) over event
-    time: RANGE BETWEEN window frame on unix seconds. One shuffle on the
-    partition key; the frame scan is sort-local within each partition."""
+    time: RANGE BETWEEN window frame on integer unix MICROseconds
+    (unix_timestamp would truncate sub-second timestamps, blurring the frame
+    edge by up to 1 s). One shuffle on the partition key; the frame scan is
+    sort-local within each partition."""
     from pyspark.sql.window import Window
 
     w = (
         Window.partitionBy(partition_col)
-        .orderBy(F.unix_timestamp(F.col(ts_col)))
-        .rangeBetween(-window_seconds, 0)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
     )
     return df.select(
         partition_col,

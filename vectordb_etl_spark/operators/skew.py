@@ -55,17 +55,18 @@ def salted_count_distinct(
 ) -> DataFrame:
     """Exact ``count(DISTINCT value_col)`` per ``keys``, skew-resistant.
 
-    Equivalent to ``df.groupBy(*keys).agg(countDistinct(value_col))`` but
-    spreads each key's distinct-value state over ``num_salts`` reducers.
-    NULL values are excluded, matching ``count(DISTINCT ...)`` semantics.
+    Equivalent to ``df.groupBy(*keys).agg(countDistinct(value_col))``
+    including for groups whose values are ALL NULL (they appear with count
+    0, exactly like countDistinct) — NULL rows are kept through phase 1
+    (they land in hash(NULL)'s bucket, where ``count_distinct`` already
+    ignores them and contributes 0) rather than filtered out, which would
+    silently drop those grouping keys from the output.
     """
     keys = list(keys)
     out = out_name or f"distinct_{value_col}"
     salt = F.pmod(F.hash(F.col(value_col)), F.lit(num_salts)).alias("__salt")
-    per_bucket = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*keys, salt)
-        .agg(F.count_distinct(F.col(value_col)).alias("__bucket_distinct"))
+    per_bucket = df.groupBy(*keys, salt).agg(
+        F.count_distinct(F.col(value_col)).alias("__bucket_distinct")
     )
     return per_bucket.groupBy(*keys).agg(F.sum("__bucket_distinct").alias(out))
 

@@ -75,9 +75,11 @@ def asof_join(
     ).over(w))
     out = carried.filter(F.col("__src") == 1)
     if tolerance_seconds is not None:
+        # integer-micros gap: unix_timestamp truncates to whole seconds and
+        # would admit matches up to tolerance+0.999999 s
         in_tol = (
-            F.unix_timestamp("__ts") - F.unix_timestamp("__match_ts")
-        ) <= tolerance_seconds
+            F.unix_micros("__ts") - F.unix_micros("__match_ts")
+        ) <= tolerance_seconds * 1_000_000
         out = out.withColumn(
             "__match", F.when(in_tol, F.col("__match"))
         )
@@ -88,6 +90,11 @@ def asof_join(
 
 
 def _bucket(ts: Column, width_s: int) -> Column:
+    # Whole-second bucketing is fine even though the exact band filter below
+    # is microsecond-exact: the bucket is only a superset pre-filter. For
+    # integer lower/upper, exact r ∈ [l+lower, l+upper] implies
+    # floor(r) ∈ [floor(l)+lower, floor(l)+upper], which is exactly the
+    # bucket range the left side explodes into.
     return F.floor(F.unix_timestamp(ts) / F.lit(width_s))
 
 
@@ -123,10 +130,12 @@ def range_join(
             )
         ),
     )
-    delta = F.unix_timestamp(F.col(r_ts)) - F.unix_timestamp(F.col(left_ts))
+    # microsecond-exact band check (unix_timestamp would truncate sub-second
+    # timestamps and blur the band edges by up to 1 s)
+    delta_us = F.unix_micros(F.col(r_ts)) - F.unix_micros(F.col(left_ts))
     return (
         l_exp.join(r, (F.col(on) == F.col(r_key)) & (l_exp["__bucket"] == r["__bucket"]))
-        .filter(delta.between(lower_seconds, upper_seconds))
+        .filter(delta_us.between(lower_seconds * 1_000_000, upper_seconds * 1_000_000))
         .drop("__bucket", r_key)
     )
 

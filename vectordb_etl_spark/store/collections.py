@@ -10,12 +10,17 @@ filter (one scan, no per-collection loop, no re-embedding).
 Durability mapping: Milvus ``flush`` (milvus_store.py:232) ≅ the atomic
 parquet job commit; ``load_collection`` (milvus_store.py:72-76) ≅ optional
 ``cache()``.
+
+DDL (list/exists/drop/reset) goes through the Hadoop FileSystem API resolved
+from the warehouse URI — NOT ``pathlib``/``shutil`` — so the same code works
+when the warehouse root is ``s3a://``/``hdfs://``/``file:`` (the 100 TB
+deployment this module's layout is designed for). Schemeless paths resolve
+to absolute local paths, preserving the local behavior.
 """
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,42 +36,62 @@ class CollectionStore:
         self.config = config or StoreConfig()
 
     @property
-    def _root(self) -> Path:
-        return Path(self.config.warehouse_dir)
+    def _root(self) -> str:
+        w = self.config.warehouse_dir
+        return w if "://" in w or w.startswith("file:") else os.path.abspath(w)
 
     @property
-    def _data_dir(self) -> Path:
-        return self._root / "collections"
+    def _data_dir(self) -> str:
+        return self._root + "/collections"
+
+    # -- Hadoop FS plumbing (URI-scheme-agnostic DDL) ------------------------
+
+    def _jpath(self, uri: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(uri)
+
+    def _fs(self, uri: str):
+        return self._jpath(uri).getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
 
     # -- S9: DDL ------------------------------------------------------------
 
     def list_collections(self) -> list[str]:
-        """Reference: milvus_store.py:370-372."""
-        if not self._data_dir.exists():
+        """Reference: milvus_store.py:370-372. One FS listing of the
+        partition directories — no data read."""
+        p = self._jpath(self._data_dir)
+        fs = self._fs(self._data_dir)
+        if not fs.exists(p):
             return []
-        return sorted(
-            p.name.split("=", 1)[1]
-            for p in self._data_dir.iterdir()
-            if p.is_dir() and p.name.startswith("collection=")
-        )
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("collection="):
+                out.append(name.split("=", 1)[1])
+        return sorted(out)
 
     def collection_exists(self, name: str) -> bool:
         """Reference: milvus_store.py:68-70."""
         return name in self.list_collections()
 
     def drop_collection(self, name: str) -> None:
-        """Reference: milvus_store.py:408-414. Partition-directory drop."""
-        target = self._data_dir / f"collection={name}"
-        if target.exists():
-            shutil.rmtree(target)
+        """Reference: milvus_store.py:408-414. Partition-directory drop
+        (recursive delete via the warehouse's own filesystem)."""
+        target = f"{self._data_dir}/collection={name}"
+        fs = self._fs(target)
+        p = self._jpath(target)
+        if fs.exists(p):
+            fs.delete(p, True)
 
     def reset(self, confirm: bool = False) -> int:
         """S10 — drop everything (reference: main.py:243-277, --confirm gate)."""
         if not confirm:
             raise ValueError("reset requires confirm=True")
         n = len(self.list_collections())
-        if self._root.exists():
-            shutil.rmtree(self._root)
+        fs = self._fs(self._root)
+        p = self._jpath(self._root)
+        if fs.exists(p):
+            fs.delete(p, True)
         return n
 
     # -- S8: sink -------------------------------------------------------------
@@ -105,7 +130,7 @@ class CollectionStore:
                 df = df.withColumn(name, col)
         if embed and "embedding" not in df.columns:
             df = with_embeddings(df, config=embedding_config)
-        df.write.mode(mode).partitionBy("collection").parquet(str(self._data_dir))
+        df.write.mode(mode).partitionBy("collection").parquet(self._data_dir)
         counts = (
             self.read().groupBy("collection").count().collect()
         )
@@ -115,7 +140,7 @@ class CollectionStore:
 
     def read(self, collection: str | None = None) -> DataFrame:
         """Scan one collection (partition-pruned) or all (fan-out)."""
-        df = self.spark.read.parquet(str(self._data_dir))
+        df = self.spark.read.parquet(self._data_dir)
         if collection is not None:
             df = df.filter(F.col("collection") == collection)
         return df

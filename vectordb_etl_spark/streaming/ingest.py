@@ -84,11 +84,17 @@ def dedup_stream(
     """C6 under streaming: first-wins within the watermark horizon. Arrival
     order replaces the reference's insertion order (chunker.py:192-201) —
     exactly-once-per-key only within the state window, which is the bounded-
-    state contract any 100 TB stream needs."""
+    state contract any 100 TB stream needs.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+): plain
+    ``dropDuplicates(subset)`` only evicts state when the event-time column
+    is PART of the subset, so keying on ``text_hash`` alone would grow state
+    forever; the WithinWatermark variant gives key-only dedup with
+    watermark-bounded eviction."""
     return (
         chunks.withColumn("text_hash", chunker.normalized_hash_col(text_col))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["text_hash"])
+        .dropDuplicatesWithinWatermark(["text_hash"])
     )
 
 
