@@ -109,8 +109,6 @@ def main() -> None:
         "simhash_near_dups",
         "embedding_topk_pairs",
         "range_join_purchase_followups",
-        "ivf_topk",
-        "lsh_topk",
         "shipping_priority",
         "priority_shipments",
         "brand_revenue",
@@ -131,6 +129,41 @@ def main() -> None:
         run(name, lambda n=name: qs[n](spark, SF_DIR), collect=True)
     for name in noop_queries:
         run(name, lambda n=name: qs[n](spark, SF_DIR), collect=False)
+
+    # ANN tier at its DESIGN POINT (nprobe < nlist / hamming radius 1 —
+    # the reference's 16-of-128 contract scaled to test size). The entries
+    # registered in queries() deliberately run the probe-all edge so the
+    # driver can oracle-check them; benching that edge would measure a full
+    # scan, not the index. Same build path, same search path — only the
+    # probe width differs.
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from vectordb_etl_spark.operators.ann import IVFIndex, lsh_topk_search
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(_F.col("vec_id") == 0).select("embedding").head()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+
+        def ivf():
+            idx = IVFIndex(spark, f"{tmp}/ivf").build(
+                emb, nlist=16, seed=42, max_iter=4
+            )
+            return idx.search(
+                list(q), k=10, nprobe=4, tie_break=["vec_id"],
+                output_cols=["vec_id", "label"],
+            )
+
+        run("ivf_topk", ivf, collect=True)
+    run(
+        "lsh_topk",
+        lambda: lsh_topk_search(
+            emb, list(q), k=10, multiprobe_hamming=1, tie_break=["vec_id"],
+            output_cols=["vec_id", "label"],
+        ),
+        collect=True,
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -185,3 +185,19 @@ def test_vocab_top_terms_partial_agg_and_take_ordered(spark):
         < plan.index("partial_count")
         < plan.index("Generate explode")
     )
+
+
+def test_embedding_topk_pairs_no_cartesian(spark):
+    # the exact pair search must plan as block-replicate -> one shuffle on
+    # the block-pair key -> local BLAS matmul (FlatMapGroupsInPandas) ->
+    # TakeOrderedAndProject, never a nested-loop/cartesian materializing n²
+    # pair rows through the JVM
+    from vectordb_etl_spark.operators.dedup import embedding_topk_pairs
+    from vectordb_etl_spark.plans.inspect import executed_plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = executed_plan(embedding_topk_pairs(emb, k=5))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
