@@ -879,6 +879,30 @@ def _lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 _register("lsh_topk", _lsh_topk, _ANN_ORACLE)
 
 
+def _graph_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 analog: sharded NSW graph index (HNSW contract — reference
+    modules/milvus_store.py:115-124). ef far above shard size ⇒ beam search
+    visits every node of each connected shard graph ⇒ exact."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = GraphANNIndex(spark, f"{tmp}/graph").build(
+            emb, num_shards=8, m=16, ef_construction=64, passthrough=["label"]
+        )
+        out = idx.search(
+            list(q), k=10, ef=1_000_000, output_cols=["id", "label"]
+        ).withColumnRenamed("id", "vec_id")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+    return out
+
+
+_register("graph_topk", _graph_topk, _ANN_ORACLE)
+
+
 # -- multi-way star joins (TPC-H Q3/Q12 shapes; broadcast-dim strategy) -----------
 
 

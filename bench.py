@@ -164,6 +164,18 @@ def main() -> None:
         ),
         collect=True,
     )
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    with tempfile.TemporaryDirectory() as tmp:
+
+        def graph():
+            idx = GraphANNIndex(spark, f"{tmp}/graph").build(
+                emb, num_shards=8, m=16, ef_construction=64,
+                passthrough=["label"],
+            )
+            return idx.search(list(q), k=10, ef=100, output_cols=["id", "label"])
+
+        run("graph_topk", graph, collect=True)
 
     total = round(sum(timings.values()), 3)
     print(

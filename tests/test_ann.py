@@ -78,3 +78,67 @@ def test_lsh_search_self_hit(embeddings_tiny, query_vec):
     ).collect()
     assert rows, "query's own bucket must contain at least the query vector"
     assert rows[0]["vec_id"] == 7  # self-similarity = 1.0 tops the list
+
+
+# -- sharded NSW graph index (X2 analog) -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def graph_idx(spark, embeddings_tiny, tmp_path_factory):
+    from vectordb_etl_spark.operators.ann import recall_at_k  # noqa: F401
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    path = str(tmp_path_factory.mktemp("gann") / "graph")
+    return GraphANNIndex(spark, path).build(
+        embeddings_tiny, num_shards=4, m=8, ef_construction=50,
+        passthrough=["label"],
+    )
+
+
+def test_graph_exact_edge_matches_bruteforce(embeddings_tiny, graph_idx, query_vec):
+    # ef >= shard size: beam search visits the whole connected shard graph,
+    # so the merged result must equal brute-force top-k bit-for-bit
+    exact = topk_search(
+        embeddings_tiny, query_vec, k=10, tie_break=["vec_id"],
+        output_cols=["vec_id"],
+    ).collect()
+    got = graph_idx.search(query_vec, k=10, ef=1_000_000, output_cols=["id"]).collect()
+    assert [(r["id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
+def test_graph_design_point_recall(embeddings_tiny, graph_idx, query_vec):
+    from vectordb_etl_spark.operators.ann import recall_at_k
+
+    exact = [
+        r["vec_id"]
+        for r in topk_search(
+            embeddings_tiny, query_vec, k=10, tie_break=["vec_id"],
+            output_cols=["vec_id"],
+        ).collect()
+    ]
+    approx = [
+        r["id"] for r in graph_idx.search(query_vec, k=10, ef=40, output_cols=["id"]).collect()
+    ]
+    assert recall_at_k(exact, approx) >= 0.8
+
+
+def test_graph_adjacency_bidirectional_and_connected():
+    import numpy as np
+
+    from vectordb_etl_spark.operators.graph_ann import _normalize_rows, build_nsw
+
+    rng = np.random.RandomState(3)
+    mat = _normalize_rows(rng.standard_normal((120, 16)))
+    adj = build_nsw(mat, m=4, ef_construction=20)
+    for i, nbrs in enumerate(adj):
+        for j in nbrs:
+            assert i in adj[j]
+    seen, stack = {0}, [0]
+    while stack:
+        for j in adj[stack.pop()]:
+            if j not in seen:
+                seen.add(j)
+                stack.append(j)
+    assert len(seen) == len(adj)  # insert rule links every node ⇒ connected

@@ -25,3 +25,31 @@ def test_each_query_returns_dataframe(spark):
     for name in ("clean_text", "vector_topk", "pricing_summary"):
         df = qs[name](spark, sf)
         assert df.count() > 0, name
+
+
+def test_chunk_pipeline_golden_corpus_hash(spark):
+    # chunk_pipeline has no SQL oracle (recursive splitter); this pins the
+    # corpus-level result at sf0.001 — order-insensitive value hash over all
+    # rows, same canonicalization as the driver gate — so any drift in the
+    # C1-C5 splitter/merge/metadata path is a hard failure, not just a row
+    # count change. Regenerate the constant ONLY for a deliberate semantics
+    # change (tools/check_oracle.frame_hash over the collected frame).
+    import hashlib
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        return str(v)
+
+    df = entrymod.queries()["chunk_pipeline"](spark, "/root/testdata/sf0.001")
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(canon(tuple(r)[i]) for i in order) for r in df.collect()
+    )
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x02")
+    assert len(lines) == 546
+    assert h.hexdigest() == "a1e86137feaff448906cb25e419b1729"

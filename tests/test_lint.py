@@ -31,7 +31,6 @@ def test_no_collect_outside_sanctioned_files():
         "collections.py",   # per-collection count dicts (reference API shape)
         "ann.py",           # bounded centroid sample (size-independent)
         "quality.py",       # scalar report values (single-row aggregates)
-        "graph_ann.py",     # bounded entry-point sample (size-independent)
     }
     offenders = []
     for path in PKG.rglob("*.py"):

@@ -1,0 +1,205 @@
+"""Graph ANN — per-shard navigable-small-world index (operator X2-analog).
+
+The reference's non-default index is Milvus HNSW with M=16,
+efConstruction=200, ef_search=100 (modules/milvus_store.py:115-124, params
+modules/config.py:26-27). Spark has no native graph-ANN, so the idiomatic
+mapping is the standard SHARDED graph index:
+
+- **build**: rows are hashed into shards (``num_shards`` ≈ executor
+  parallelism); one ``applyInPandas`` group per shard builds an in-memory
+  NSW graph (greedy insert: each node links to its M nearest among already-
+  inserted nodes, links are bidirectional) and emits the adjacency as a
+  plain ``array<int>`` column. The index IS a parquet table partitioned by
+  ``shard`` — same "index as data layout" stance as IVFIndex.
+- **search**: every shard runs best-first beam search (result heap of
+  ``ef``, expand the closest unexpanded candidate's neighbors, stop when
+  the closest candidate is worse than the worst of a full heap) over its
+  local graph — one ``applyInPandas`` over the index table, no shuffle of
+  vectors — and emits its local top-k; a global ``orderBy().limit(k)``
+  (TakeOrderedAndProject over shards×k tiny rows) merges.
+
+Scale shape: sharded HNSW searches ALL shards (no cross-shard routing —
+exactly how Milvus distributes HNSW across segments); the win over brute
+force is WITHIN each shard: beam search evaluates ~ef·M vectors instead of
+n/num_shards. Build is one shuffle (hash into shards) + embarrassingly
+parallel in-memory graph construction; shard size is bounded by
+num_shards, which the caller scales with the data (n/num_shards must fit
+one task's memory — the same contract any HNSW segment has).
+
+Exactness edge for the oracle: the insert rule links every new node into
+the existing component, so the graph is CONNECTED; with ``ef >= shard
+size`` the termination test can never prune (the result heap only fills
+when every node has been visited), so beam search degenerates to an exact
+scan of the shard and the merged result equals brute-force top-k. The
+driver's ``graph_topk`` query runs that edge; recall at the design point
+(ef=100) is covered by tests/test_ann.py.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.maximum(norms, 1e-12)
+
+
+def build_nsw(mat: np.ndarray, m: int = 16, ef_construction: int = 200) -> list[list[int]]:
+    """Greedy NSW construction over unit vectors (cosine ≡ dot): insert
+    nodes one by one, linking each to its ``m`` nearest among the already-
+    inserted set found via beam search (ef_construction beam), links made
+    bidirectional. Pure numpy — runs inside one Spark task per shard."""
+    n = mat.shape[0]
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        if i <= m:
+            nearest = list(range(i))
+        else:
+            cand = beam_search(mat, adj, mat[i], ef=max(ef_construction, m), n_nodes=i)
+            nearest = [node for _, node in cand[:m]]
+        for j in nearest:
+            adj[i].append(j)
+            adj[j].append(i)
+    return adj
+
+
+def beam_search(
+    mat: np.ndarray,
+    adj: list[list[int]],
+    query: np.ndarray,
+    ef: int,
+    n_nodes: int | None = None,
+    entry: int = 0,
+) -> list[tuple[float, int]]:
+    """Best-first search: returns up to ``ef`` (score, node) pairs sorted by
+    descending dot score. Visits only reachable nodes; with ``ef >= n`` it
+    visits the entire connected component (exactness edge)."""
+    n = n_nodes if n_nodes is not None else mat.shape[0]
+    if n == 0:
+        return []
+    start = min(entry, n - 1)
+    s0 = float(mat[start] @ query)
+    visited = {start}
+    # candidates: max-heap by score (python heapq is min-heap → negate)
+    candidates = [(-s0, start)]
+    # results: min-heap of (score, node), size-capped at ef
+    results = [(s0, start)]
+    while candidates:
+        neg_s, node = heapq.heappop(candidates)
+        if len(results) >= ef and -neg_s < results[0][0]:
+            break  # closest candidate can't improve a full result heap
+        for nb in adj[node]:
+            if nb >= n or nb in visited:
+                continue
+            visited.add(nb)
+            s = float(mat[nb] @ query)
+            if len(results) < ef:
+                heapq.heappush(results, (s, nb))
+                heapq.heappush(candidates, (-s, nb))
+            elif s > results[0][0]:
+                heapq.heapreplace(results, (s, nb))
+                heapq.heappush(candidates, (-s, nb))
+    # score desc, node ASC on ties (nodes are id-ordered positions, so this
+    # matches the oracle's `ORDER BY score DESC, vec_id ASC` tie rule)
+    return sorted(results, key=lambda t: (-t[0], t[1]))
+
+
+class GraphANNIndex:
+    """Sharded NSW index as partitioned parquet:
+    ``<path>/shard=<i>/...`` rows ``(id, <passthrough...>, embedding,
+    neighbors array<int>)`` — neighbors are LOCAL row positions within the
+    shard (stable because search reloads the shard in one group)."""
+
+    def __init__(self, spark: SparkSession, path: str, metric: str = "COSINE"):
+        if metric.upper() != "COSINE":
+            raise ValueError("graph ANN tier implements the COSINE contract")
+        self.spark = spark
+        self.path = path
+
+    def build(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        num_shards: int = 8,
+        m: int = 16,
+        ef_construction: int = 200,
+        passthrough: list[str] | None = None,
+    ) -> "GraphANNIndex":
+        passthrough = passthrough or []
+        tagged = df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in passthrough],
+            F.col(emb_col).cast("array<double>").alias("embedding"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(num_shards)).alias("shard"),
+        )
+        pass_fields = ", ".join(
+            f"`{c}` {tagged.schema[c].dataType.simpleString()}" for c in passthrough
+        )
+        out_schema = (
+            "shard int, id long, "
+            + (pass_fields + ", " if pass_fields else "")
+            + "pos int, embedding array<double>, neighbors array<int>"
+        )
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("id").reset_index(drop=True)
+            mat = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
+            adj = build_nsw(mat, m=m, ef_construction=ef_construction)
+            out = {
+                "shard": pdf["shard"],
+                "id": pdf["id"],
+                **{c: pdf[c] for c in passthrough},
+                "pos": np.arange(len(pdf), dtype=np.int32),
+                "embedding": list(mat),
+                "neighbors": [np.asarray(a, dtype=np.int32) for a in adj],
+            }
+            return pd.DataFrame(out)
+
+        tagged.groupBy("shard").applyInPandas(_build, out_schema).write.mode(
+            "overwrite"
+        ).partitionBy("shard").parquet(self.path)
+        return self
+
+    def search(
+        self,
+        query: list[float],
+        k: int = 3,
+        ef: int = 100,
+        output_cols: list[str] | None = None,
+        score_name: str = "score",
+        round_dp: int = 6,
+    ) -> DataFrame:
+        q = np.asarray(query, dtype=np.float64)
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        out_cols = output_cols or ["id"]
+        idx = self.spark.read.parquet(self.path)
+        pass_fields = ", ".join(
+            f"`{c}` {idx.schema[c].dataType.simpleString()}" for c in out_cols
+        )
+        out_schema = f"{pass_fields}, {score_name} double"
+        k_, ef_ = k, ef
+
+        def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("pos").reset_index(drop=True)
+            mat = np.stack(pdf["embedding"].to_numpy())
+            adj = [list(a) for a in pdf["neighbors"]]
+            hits = beam_search(mat, adj, q, ef=max(ef_, k_))[:k_]
+            rows = [pdf.iloc[node] for _, node in hits]
+            return pd.DataFrame(
+                {
+                    **{c: [r[c] for r in rows] for c in out_cols},
+                    score_name: [round(s, round_dp) for s, _ in hits],
+                }
+            )
+
+        local = idx.groupBy("shard").applyInPandas(_search, out_schema)
+        return local.orderBy(
+            F.desc(score_name), *[F.asc(c) for c in out_cols]
+        ).limit(k)
