@@ -637,6 +637,25 @@ _register(
 )
 
 
+def _dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup clustering: LSH candidate pairs → connected
+    components (hash-min label propagation) → (doc_id, component). The
+    grouping step a real dedup pipeline needs because similarity is not
+    transitive; oracle = DuckDB recursive reachability closure."""
+    docs = _docs(spark, sf)
+    pairs = D.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    return D.connected_components(docs, pairs)
+
+
+_register(
+    "dedup_components",
+    _dedup_components,
+    D.connected_components_sql(
+        "documents", D.lsh_candidate_pairs_sql("documents", num_hashes=8, bands=4)
+    ),
+)
+
+
 # -- temporal joins (beyond-reference; operators/temporal.py) ---------------
 
 

@@ -147,3 +147,29 @@ def test_ngram_jaccard_cap_noop_when_above_all_freqs(near_dup_docs):
         ).collect()
     }
     assert capped == uncapped
+
+
+def test_connected_components_chain_transitive(spark):
+    # chain 1-2-3-4 plus isolated 5: hash-min must propagate min id across
+    # the whole chain (diameter 3 > 1 iteration), singletons self-label
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(nodes, pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
+
+
+def test_dedup_by_components_keeps_one_per_cluster(spark):
+    nodes = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"])
+    comps = D.connected_components(nodes, pairs)
+    kept = sorted(
+        r["doc_id"] for r in D.dedup_by_components(nodes, comps).collect()
+    )
+    assert kept == [1, 4]  # min id per component survives

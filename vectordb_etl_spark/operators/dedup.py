@@ -262,9 +262,9 @@ def lsh_candidate_pairs_sql(
         for b in range(bands)
     )
     return f"""
-WITH sig AS (
+WITH sig AS MATERIALIZED (
   SELECT {id_col} AS id, {sig} AS sig FROM {table}
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT id, unnest([{band_exprs}]) AS band_key
   FROM sig WHERE sig[1] IS NOT NULL
 )
@@ -352,7 +352,7 @@ def ngram_jaccard_pairs_sql(
         else "), sh AS (\n  SELECT * FROM sh0"
     )
     return f"""
-WITH sh0 AS (
+WITH sh0 AS MATERIALIZED (
   SELECT {id_col} AS id, unnest({shingles}) AS s FROM {table}
 {cap}
 ), sizes AS (
@@ -543,7 +543,7 @@ def simhash_near_dup_pairs_sql(
     )
     return f"""
 SELECT * FROM (
-  WITH fp AS (SELECT {id_col} AS id, {fp} AS fp FROM {table})
+  WITH fp AS MATERIALIZED (SELECT {id_col} AS id, {fp} AS fp FROM {table})
   SELECT a.id AS id_a, b.id AS id_b, {ham} AS hamming
   FROM fp a JOIN fp b ON a.id < b.id
 ) WHERE hamming <= {max_hamming}
@@ -654,3 +654,111 @@ def embedding_topk_pairs_sql(
         f"FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col} "
         f"ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT {k}"
     )
+
+
+# --------------------------------------------------------------------------
+# transitive near-dup clustering (connected components)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair relation:
+    ``(id, component)`` where component = min id reachable through pairs
+    (singletons are their own component).
+
+    Near-dup PAIRS are not a dedup policy by themselves: similarity is not
+    transitive, so the greedy per-pair drop (:func:`near_dup_dedup`) can
+    keep two docs that are both near-dups of a third. The standard
+    training-data pipeline groups pairs into components and keeps one
+    representative per component — this operator computes the grouping.
+
+    Implementation: hash-min label propagation in pure DataFrame ops. Each
+    iteration joins labels to the (symmetrized) edge list, takes the min
+    label over each node's neighborhood, and stops when no label changed.
+    Iterations = graph diameter, which for near-dup clusters (dense blobs
+    of mutually-similar docs) is tiny; for adversarially long chains the
+    alternating large-star/small-star variant gives O(log n) rounds — at
+    that point swap the loop body, the driver loop shape stays. Per
+    iteration: one join shuffle + one aggregate, lineage truncated with
+    ``localCheckpoint`` so the plan does not grow with iterations (on a
+    cluster, set a reliable checkpoint dir and use ``checkpoint`` instead).
+    The convergence probe is ``isEmpty`` on an anti-semi condition — a
+    driver-side loop is inherent to iterative fixpoints (same shape as
+    GraphFrames'/Pregel's superstep loop), not a collect of data rows.
+    """
+    # materialize the edge list ONCE: every iteration joins against it, and
+    # pair generators (MinHash folds, shingle joins) are far too expensive
+    # to re-evaluate per superstep
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.alias("n").join(
+            labels.alias("o"), F.col("n.id") == F.col("o.id")
+        ).filter(F.col("n.comp") < F.col("o.comp"))
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
+def connected_components_sql(
+    nodes_table: str,
+    pairs_sql: str,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle: recursive reachability closure, then min per node.
+    ``pairs_sql`` must yield (id_a, id_b). The pair/edge CTEs are
+    MATERIALIZED — the recursive term joins ``edges`` every iteration, and
+    an inlined CTE would re-run the whole pair generator each time."""
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, m) AS (
+  SELECT {id_col}, {id_col} FROM {nodes_table}
+  UNION
+  SELECT e.dst, reach.m FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS {id_col}, min(m) AS component FROM reach GROUP BY id
+"""
+
+
+def dedup_by_components(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup component — the
+    TRANSITIVE version of the reference's first-wins rule (chunker.py:192-201
+    keeps the first exact-dup; here the 'first' of each similarity cluster).
+    """
+    keep = components.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
