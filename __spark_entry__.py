@@ -1059,6 +1059,96 @@ _register(
 )
 
 
+def _returned_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 shape — EXISTS decorrelated to a LEFT SEMI join: orders in a date
+    band with at least one returned lineitem, counted by priority. The semi
+    join never materializes match multiplicity (first match
+    short-circuits), so the shuffle carries orders × {0,1}, not orders ×
+    matching items."""
+    orders = _table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    returned = _table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_register(
+    "returned_orders",
+    _returned_orders,
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_returnflag = 'R') GROUP BY o_orderpriority",
+)
+
+
+def _customers_without_big_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Q22 shape — NOT EXISTS decorrelated to a LEFT ANTI join: customers
+    with no order above the price threshold, rolled up by segment."""
+    cust = _table(spark, sf, "customer")
+    big = _table(spark, sf, "orders").filter(F.col("o_totalprice") > 300000).select(
+        "o_custkey"
+    )
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("total_acctbal"),
+        )
+    )
+
+
+_register(
+    "customers_without_big_orders",
+    _customers_without_big_orders,
+    "SELECT c_mktsegment, count(*) AS n_customers, "
+    "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal "
+    "FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) "
+    "GROUP BY c_mktsegment",
+)
+
+
+def _small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q17 shape — correlated scalar aggregate decorrelated by hand: the
+    per-part avg quantity is a pre-aggregated (tiny: one row per part)
+    side that joins back to lineitem on partkey. At 100 TB the aggregate
+    side is |parts| rows — orders of magnitude under lineitem — and AQE
+    picks broadcast vs shuffle by its actual size; the correlated-subquery
+    formulation would otherwise re-scan lineitem per row."""
+    li = _table(spark, sf, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.p_key)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(
+                (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7).cast(
+                    "double"
+                ),
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_register(
+    "small_quantity_revenue",
+    _small_quantity_revenue,
+    "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7 AS DOUBLE), 6) "
+    "AS avg_yearly FROM lineitem l WHERE l_quantity < "
+    "(SELECT 0.5 * avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey)",
+)
+
+
 # -- Structured Streaming, driver-checkable (§2.10) ---------------------------------
 #
 # The watermarked tumbling-window aggregate runs as an actual stream (file

@@ -109,6 +109,10 @@ def main() -> None:
         "simhash_near_dups",
         "embedding_topk_pairs",
         "range_join_purchase_followups",
+        "returned_orders",
+        "customers_without_big_orders",
+        "small_quantity_revenue",
+        "dedup_components",
         "shipping_priority",
         "priority_shipments",
         "brand_revenue",

@@ -201,3 +201,15 @@ def test_embedding_topk_pairs_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_shapes(spark):
+    # EXISTS/NOT EXISTS run as LeftSemi/LeftAnti hash joins (match
+    # multiplicity never materialized), not as inner joins + dedup
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    semi_plan = qs["returned_orders"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    anti_plan = qs["customers_without_big_orders"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in semi_plan
+    assert "LeftAnti" in anti_plan

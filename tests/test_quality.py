@@ -87,3 +87,20 @@ def test_token_report(chunks):
     assert row["n_docs"] == chunks.count()
     assert row["total_ws_tokens"] > 0
     assert row["total_bpeish_tokens"] >= row["total_ws_tokens"]
+
+
+def test_plot_distribution_renders_buckets(spark, tmp_path):
+    from vectordb_etl_spark.quality import plot_distribution
+
+    df = spark.createDataFrame(
+        [(i % 97 + 10, i % 53 + 5) for i in range(300)],
+        ["chunk_size_chars", "chunk_size_tokens"],
+    )
+    path = plot_distribution(df, str(tmp_path / "dist"))
+    assert path.endswith((".png", ".txt"))
+    import os
+
+    assert os.path.getsize(path) > 0
+    if path.endswith(".txt"):
+        text = open(path).read()
+        assert "chunk size (chars)" in text and "#" in text

@@ -235,3 +235,24 @@ def test_load_hwp_documents(spark, doc_tree):
     x = rows["doc2.hwpx"]
     assert x["title"] == "T2" and x["author"] == "A2"
     assert x["folder_name"] == "root" and x["file_type"] == "hwpx"
+
+
+def test_hwp_per_file_failure_is_recorded_not_fatal(spark):
+    # corrupt/unknown blobs must yield a tagged error row (auditable at
+    # scale), never a task failure; good rows in the same batch still parse
+    from vectordb_etl_spark.sources.hwp import extract_hwp_udf
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, b"garbage not a container"),
+        (2, b""),
+        (3, b"PK\x03\x04 corrupt zip tail"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary").select(
+        "id", extract_hwp_udf(F.col("content")).alias("p")
+    )
+    got = {r["id"]: (r["p"]["text"], r["p"]["error"]) for r in df.collect()}
+    assert got[1] == ("", "unknown_format")
+    assert got[2] == ("", "empty")
+    assert got[3][0] == "" and got[3][1].startswith("parse_error:")

@@ -89,6 +89,59 @@ def size_histogram(
     )
 
 
+def plot_distribution(
+    chunks: DataFrame,
+    out_path: str,
+    char_col: str = "chunk_size_chars",
+    token_col: str = "chunk_size_tokens",
+    bins: int = 30,
+) -> str:
+    """A2 rendering tier (reference quality_monitor.py:49-77 draws a
+    matplotlib PNG of the char/token histograms). The DISTRIBUTED work is
+    :func:`size_histogram` — rendering consumes the ≤2·bins bucket rows on
+    the driver. With matplotlib importable this writes the PNG the
+    reference writes; otherwise (this runtime has no plotting libs) it
+    writes a text rendering of the same buckets, so the operator is always
+    exercisable and the png path stays a thin env-gated shell. Returns the
+    path written."""
+    panels = [
+        ("chunk size (chars)", size_histogram(chunks, char_col, bins).collect()),
+        ("chunk size (tokens)", size_histogram(chunks, token_col, bins).collect()),
+    ]
+    try:
+        import matplotlib  # noqa: F401
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(12, 4))
+        for ax, (title, rows) in zip(axes, panels):
+            ax.bar(
+                [r["lo"] for r in rows],
+                [r["n"] for r in rows],
+                width=[max(r["hi"] - r["lo"], 1e-9) for r in rows],
+                align="edge",
+            )
+            ax.set_title(title)
+        path = out_path if out_path.endswith(".png") else out_path + ".png"
+        fig.savefig(path)
+        plt.close(fig)
+        return path
+    except ImportError:
+        path = out_path if out_path.endswith(".txt") else out_path + ".txt"
+        lines = []
+        for title, rows in panels:
+            lines.append(title)
+            peak = max((r["n"] for r in rows), default=1)
+            for r in rows:
+                bar = "#" * max(1, round(40 * r["n"] / peak))
+                lines.append(f"[{r['lo']:>10.1f}, {r['hi']:>10.1f}) {r['n']:>8d} {bar}")
+            lines.append("")
+        with open(path, "w") as f:
+            f.write("\n".join(lines))
+        return path
+
+
 # --------------------------------------------------------------------------
 # A3 — language distribution with share % (quality_monitor.py:86-90)
 # --------------------------------------------------------------------------

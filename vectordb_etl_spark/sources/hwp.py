@@ -268,19 +268,35 @@ HWP_STRUCT = StructType(
         StructField("title", StringType()),
         StructField("author", StringType()),
         StructField("n_sections", IntegerType()),
+        StructField("error", StringType()),
     ]
 )
 
+# Per-file failure contract: the reference tries hwp5txt-subprocess →
+# pyhwpx → olefile (modules/hwp_loader.py:48-87) and a file that defeats
+# the pure-Python scan would fall through to the subprocess tiers. Those
+# tiers are deliberately NOT replicated (a per-row subprocess with a 60 s
+# timeout, hwp_loader.py:67, is not distributable); instead a failure is
+# RECORDED per row — empty text plus an ``error`` tag
+# ('parse_error:<ExcName>' / 'unknown_format' / 'empty') — so a 100 TB run
+# can audit exactly which files would have needed the fallback
+# (``df.filter(col('parsed.error').isNotNull())``) instead of silently
+# dropping them at the min-viability filter. One bad file fails its row,
+# never the task.
+
 
 def _extract_any(data: bytes) -> dict:
+    ok = {"error": None}
     try:
         if data[:8] == CFB_MAGIC:
-            return extract_hwp(data)
+            return {**extract_hwp(data), **ok}
         if data[:2] == b"PK":
-            return extract_hwpx(data)
-    except Exception:
-        pass
-    return {"text": "", "title": None, "author": None, "n_sections": 0}
+            return {**extract_hwpx(data), **ok}
+        err = "empty" if not data else "unknown_format"
+    except Exception as e:  # corrupt stream/zip: record, don't fail the task
+        err = f"parse_error:{type(e).__name__}"
+    return {"text": "", "title": None, "author": None, "n_sections": 0,
+            "error": err}
 
 
 @F.pandas_udf(HWP_STRUCT)
