@@ -922,6 +922,51 @@ def _graph_topk(spark: SparkSession, sf: str) -> DataFrame:
 _register("graph_topk", _graph_topk, _ANN_ORACLE)
 
 
+def _sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantized-storage tier (Milvus SQ8 analog): embeddings stored as
+    per-vector min/max int8 codes (1 byte/dim — 4× smaller than float32,
+    8× smaller than the double math width), dequantized and exactly
+    re-scored at query time. Both steps are deterministic column
+    expressions, so the full quantize→dequantize→top-k path is
+    oracle-checked; quality (recall vs unquantized) is covered in tests."""
+    from vectordb_etl_spark.functions.vector import (
+        sq8_dequantize_col,
+        sq8_quantize_col,
+    )
+    from vectordb_etl_spark.operators.topk import topk_search
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    stored = emb.select(
+        "vec_id", "label", sq8_quantize_col("embedding").alias("q8")
+    )
+    deq = stored.withColumn("embedding8", sq8_dequantize_col("q8"))
+    return topk_search(
+        deq, list(q), k=10, emb_col="embedding8", tie_break=["vec_id"],
+        output_cols=["vec_id", "label"],
+    )
+
+
+_register(
+    "sq8_topk",
+    _sq8_topk,
+    # lo/step hoisted into a subquery: a lambda referencing the aggregate
+    # expressions inline would re-evaluate list_aggregate per ELEMENT
+    "WITH prep AS MATERIALIZED ("
+    "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e, "
+    "list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS lo, "
+    "(list_aggregate(CAST(embedding AS DOUBLE[]), 'max') "
+    "- list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) / 255.0 AS step "
+    "FROM embeddings), "
+    "deq AS (SELECT vec_id, label, list_transform(e, x -> "
+    "lo + (CAST(CAST(round(CASE WHEN step = 0 THEN 0.0 ELSE (x - lo) / step END) "
+    "AS INTEGER) - 128 AS DOUBLE) + 128.0) * step) AS d FROM prep) "
+    "SELECT vec_id, label, round(list_cosine_similarity(d, "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) "
+    "AS score FROM deq ORDER BY score DESC, vec_id ASC LIMIT 10",
+)
+
+
 # -- multi-way star joins (TPC-H Q3/Q12 shapes; broadcast-dim strategy) -----------
 
 

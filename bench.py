@@ -113,6 +113,7 @@ def main() -> None:
         "customers_without_big_orders",
         "small_quantity_revenue",
         "dedup_components",
+        "sq8_topk",
         "shipping_priority",
         "priority_shipments",
         "brand_revenue",

@@ -94,3 +94,58 @@ def dot_sql(a: str, b: str) -> str:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+# ---- SQ8 scalar quantization (Milvus SQ8 analog; storage tier) -----------
+#
+# Per-vector min/max int8 quantization: 1 byte per dimension instead of 8
+# (array<tinyint> in parquet), dequantize + exact re-score at query time.
+# Pure column expressions — deterministic, so the whole
+# quantize→dequantize→score path is oracle-checkable in DuckDB with the
+# same arithmetic (unlike model-based compression). Max reconstruction
+# error per element is step/2 = (max-min)/510.
+
+
+def sq8_quantize_col(a: Column | str) -> Column:
+    """struct(codes array<tinyint>, lo double, step double). Codes are
+    shifted by -128 so they store as real 1-byte TINYINTs. Constant vectors
+    (step=0) encode as all-zero codes and dequantize to lo."""
+    arr = _as_double_array(a)
+    lo = F.array_min(arr)
+    step = (F.array_max(arr) - lo) / F.lit(255.0)
+    codes = F.transform(
+        arr,
+        lambda x: (
+            F.when(step == 0, F.lit(0.0)).otherwise(F.round((x - lo) / step))
+        ).cast("int")
+        - 128,
+    )
+    return F.struct(
+        codes.cast("array<tinyint>").alias("codes"),
+        lo.alias("lo"),
+        step.alias("step"),
+    )
+
+
+def sq8_dequantize_col(q: Column | str) -> Column:
+    """Inverse: lo + (code+128)*step, as array<double>."""
+    c = _as_col(q)
+    return F.transform(
+        c["codes"], lambda v: c["lo"] + (v.cast("double") + 128.0) * c["step"]
+    )
+
+
+def sq8_roundtrip_sql(expr: str) -> str:
+    """DuckDB rendering of dequantize(quantize(expr)) — identical
+    arithmetic (round() is half-away-from-zero in both engines for the
+    non-negative operands here)."""
+    e = f"CAST({expr} AS DOUBLE[])"
+    lo = f"list_aggregate({e}, 'min')"
+    step = f"((list_aggregate({e}, 'max') - {lo}) / 255.0)"
+    code = (
+        f"(CAST(round(CASE WHEN {step} = 0 THEN 0.0 ELSE (x - {lo}) / {step} END) "
+        f"AS INTEGER) - 128)"
+    )
+    return (
+        f"list_transform({e}, x -> {lo} + (CAST({code} AS DOUBLE) + 128.0) * {step})"
+    )
