@@ -637,6 +637,84 @@ _register(
 )
 
 
+# -- curation tier: PII redaction, deterministic sampling, contamination ----
+
+from vectordb_etl_spark.functions import curation  # noqa: E402
+
+
+def _pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub audit. The synthetic corpus carries no PII, so each row is
+    salted with deterministic doc_id-derived PII (email/phone/IP/RRN) —
+    stated identically in the oracle SQL — and the redactor must strip all
+    of it; n_hits counts matches pre-redaction."""
+    docs = _docs(spark, sf)
+    did = F.col("doc_id")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.lit(" tel 010-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit("-1234 ip 10.0."), (did % 256).cast("string"),
+        F.lit(".7 rrn 900101-"), F.lpad((did % 1000000).cast("string"), 7, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        curation.pii_hit_counts_col(salted).alias("n_hits"),
+        curation.redact_pii_col(salted).alias("redacted"),
+    )
+
+
+_PII_SALTED_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' tel 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || '-1234 ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 rrn 900101-' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 7, '0')"
+)
+
+_register(
+    "pii_redaction",
+    _pii_redaction,
+    f"SELECT doc_id, {curation.pii_hit_counts_sql(_PII_SALTED_SQL)} AS n_hits, "
+    f"{curation.redact_pii_sql(_PII_SALTED_SQL)} AS redacted FROM documents",
+)
+
+_STRATA = {"en": 0.25, "zh": 0.75}
+
+_register(
+    "stratified_sample",
+    lambda spark, sf: curation.stratified_sample(
+        _docs(spark, sf).select("doc_id", "lang", "n_chars"),
+        id_col="doc_id", strata_col="lang", fractions=_STRATA,
+        default_fraction=0.5,
+    ),
+    curation.stratified_sample_sql(
+        "(SELECT doc_id, lang, n_chars FROM documents) t",
+        "doc_id", "lang", _STRATA, default_fraction=0.5,
+    ),
+)
+
+
+def _contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus docs sharing ≥5 shingles with a
+    20-doc probe set (broadcast side). Probes are corpus docs, so each
+    probe at minimum flags itself — a built-in sanity floor."""
+    docs = _docs(spark, sf)
+    probes = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return D.shingle_contamination(docs, probes, min_overlap=5)
+
+
+_register(
+    "contamination_check",
+    _contamination_check,
+    D.shingle_contamination_sql(
+        "documents",
+        "SELECT doc_id AS probe_id, text FROM documents WHERE doc_id < 20",
+        min_overlap=5,
+    ),
+)
+
+
 def _dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive near-dup clustering: LSH candidate pairs → connected
     components (hash-min label propagation) → (doc_id, component). The

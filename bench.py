@@ -123,6 +123,8 @@ def main() -> None:
         "streaming_windowed_counts",
     ]
     noop_queries = [
+        "pii_redaction",
+        "contamination_check",
         "clean_text",
         "exact_dedup",
         "token_counts",

@@ -1,0 +1,81 @@
+"""Curation tier: PII redaction, deterministic sampling, contamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.functions import curation
+from vectordb_etl_spark.operators import dedup as D
+
+
+def test_redact_pii_strips_known_shapes(spark):
+    text = (
+        "mail a.b+c@test.co.kr phone 010-1234-5678 intl +82-10-9999-0000 "
+        "ip 192.168.0.1 card 1234-5678-9012-3456 rrn 900101-1234567 done"
+    )
+    row = spark.createDataFrame([(text,)], ["t"]).select(
+        curation.redact_pii_col("t").alias("r"),
+        curation.pii_hit_counts_col("t").alias("n"),
+    ).first()
+    r = row["r"]
+    assert "<EMAIL>" in r and "<PHONE>" in r and "<IP>" in r
+    assert "<CARD>" in r and "<RRN>" in r
+    for leaked in ("test.co.kr", "1234-5678", "192.168", "900101"):
+        assert leaked not in r
+    assert row["n"] == 6
+
+
+def test_redact_pii_leaves_clean_text_alone(spark):
+    text = "version 1.2.3 released on 2024-01-01 at cost 1,000 won"
+    row = spark.createDataFrame([(text,)], ["t"]).select(
+        curation.redact_pii_col("t").alias("r")
+    ).first()
+    assert row["r"] == text
+
+
+def test_deterministic_sample_is_stable_and_calibrated(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in curation.deterministic_sample(df, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in curation.deterministic_sample(df, "doc_id", 0.3).collect()}
+    assert a == b  # same rows every run — md5 threshold, not rand()
+    assert abs(len(a) / 20000 - 0.3) < 0.02
+    # nested property: a smaller fraction is a subset of a larger one
+    c = {r["doc_id"] for r in curation.deterministic_sample(df, "doc_id", 0.1).collect()}
+    assert c <= a
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 2 else "rare") for i in range(20000)],
+        ["doc_id", "domain"],
+    )
+    out = curation.stratified_sample(
+        df, "doc_id", "domain", {"hot": 0.1, "rare": 1.0}
+    )
+    rates = {
+        r["domain"]: r["n"] / 10000
+        for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert rates["rare"] == 1.0
+    assert abs(rates["hot"] - 0.1) < 0.02
+
+
+def test_contamination_finds_planted_copy_and_broadcasts(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog in the park today"),
+            (2, "completely unrelated text about spark physical plans and shuffles"),
+            (3, "benchmark question the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["probe_id", "text"],
+    )
+    out = D.shingle_contamination(corpus, probes, min_overlap=5)
+    hits = {(r["doc_id"], r["probe_id"]) for r in out.collect()}
+    assert (1, 100) in hits and (3, 100) in hits and (2, 100) not in hits
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # probe side broadcast, corpus streams

@@ -1,0 +1,150 @@
+"""Training-data curation functions — PII redaction and deterministic
+sampling (beyond-reference tier; the reference has no curation surface).
+
+Same design stance as functions/cleaning.py: one shared pattern/formula
+table renders BOTH the PySpark Column chain (JVM-side, whole-stage codegen)
+and the DuckDB oracle SQL, so every operator here is hash-checkable.
+
+**PII redaction** — the pre-training scrub pass: emails, phone numbers
+(international + Korean formats), IPv4 addresses, 13–16-digit card-like
+runs, and Korean resident-registration-number shapes are replaced with
+typed tags (``<EMAIL>``…). Patterns are lookaround-free so Java regex and
+RE2 execute them identically; order matters (RRN before generic digit runs
+would double-match otherwise — more specific first).
+
+**Deterministic sampling** — ``md5``-bucket thresholding instead of
+``rand()``: the same row is always in or out of the sample regardless of
+partitioning, retries, or engine (rand()-based sampling is neither
+reproducible across runs nor oracle-checkable). This is how a 100 TB
+pipeline pins its eval/holdout splits: the split is a pure function of the
+row id. Stratified variant applies a per-stratum fraction — the
+downsample-overrepresented-domains step of corpus mixing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# (pattern, replacement) — identical in Java regex and RE2 (no lookaround,
+# no backrefs). Order is specificity-first.
+PII_STEPS: list[tuple[str, str]] = [
+    # email
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # Korean RRN shape: YYMMDD-NNNNNNN
+    (r"\b\d{6}-\d{7}\b", "<RRN>"),
+    # card-like: 4 groups of 4 digits with separators
+    (r"\b\d{4}[ \-]\d{4}[ \-]\d{4}[ \-]\d{4}\b", "<CARD>"),
+    # IPv4
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # phone: international (+82-10-1234-5678) and local (010-1234-5678,
+    # 02-123-4567) forms
+    (r"\+\d{1,3}[ \-]\d{1,3}[ \-]\d{3,4}[ \-]\d{4}\b", "<PHONE>"),
+    (r"\b0\d{1,2}[ \-]\d{3,4}[ \-]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii_col(col: Column | str) -> Column:
+    """Chained ``regexp_replace`` over :data:`PII_STEPS` — JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, repl in PII_STEPS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB rendering of the same chain (RE2 'g' flag for replace-all,
+    matching Spark's regexp_replace semantics)."""
+    out = expr
+    for pattern, repl in PII_STEPS:
+        p = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out
+
+
+def pii_hit_counts_col(col: Column | str) -> Column:
+    """Count of PII matches per row (audit metric: how dirty is the
+    corpus) — sum of per-pattern regexp_count, one pass per pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for pattern, _ in PII_STEPS:
+        total = total + F.regexp_count(c, F.lit(pattern))
+    return total
+
+
+def pii_hit_counts_sql(expr: str) -> str:
+    parts = []
+    for pattern, _ in PII_STEPS:
+        p = pattern.replace("'", "''")
+        parts.append(f"len(regexp_extract_all({expr}, '{p}'))")
+    return " + ".join(parts)
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling
+# --------------------------------------------------------------------------
+
+_SAMPLE_BUCKETS = 1_000_000
+
+
+def sample_bucket_col(id_col: Column | str) -> Column:
+    """Stable bucket in [0, 1e6): first 8 md5 hex digits of the stringified
+    id, mod 1e6. Engine-portable (md5 and hex parse agree bit-for-bit)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % _SAMPLE_BUCKETS
+
+
+def sample_bucket_sql(id_expr: str) -> str:
+    return (
+        f"(('0x' || substring(md5(CAST({id_expr} AS VARCHAR)), 1, 8))::BIGINT "
+        f"% {_SAMPLE_BUCKETS})"
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per row by its id hash — stable
+    across runs/partitionings/engines, unlike ``df.sample``."""
+    return df.filter(sample_bucket_col(id_col) < int(fraction * _SAMPLE_BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the downsampling step of corpus
+    mixing (e.g. keep 10% of boilerplate-heavy domains, 100% of rare
+    languages). Thresholds compile to one CASE chain: no join, no shuffle,
+    fully pushdown-eligible."""
+    thr: Column = F.lit(int(default_fraction * _SAMPLE_BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * _SAMPLE_BUCKETS))
+        ).otherwise(thr)
+    return df.filter(sample_bucket_col(id_col) < thr)
+
+
+def stratified_sample_sql(
+    table: str,
+    id_expr: str,
+    strata_expr: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+) -> str:
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{v}' THEN {int(f * _SAMPLE_BUCKETS)}"
+        for v, f in sorted(fractions.items())
+    )
+    thr = f"CASE {cases} ELSE {int(default_fraction * _SAMPLE_BUCKETS)} END"
+    return (
+        f"SELECT * FROM {table} WHERE {sample_bucket_sql(id_expr)} < {thr}"
+    )

@@ -762,3 +762,75 @@ def dedup_by_components(
     """
     keep = components.filter(F.col(id_col) == F.col("component")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# benchmark contamination check
+# --------------------------------------------------------------------------
+
+
+def shingle_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    doc_id_col: str = "doc_id",
+    probe_id_col: str = "probe_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination scan: which corpus docs share ≥
+    ``min_overlap`` word n-gram shingles with any probe (eval/benchmark)
+    document. Returns (doc_id, probe_id, overlap) — the pre-training audit
+    that keeps eval data out of the training set.
+
+    Scale shape: the PROBE side is the benchmark suite — thousands of
+    rows, not corpus-sized — so its exploded shingle set is BROADCAST and
+    the corpus side streams map-side through the hash join: no shuffle of
+    the 100 TB side at all, one scan. (If the probe set ever outgrows
+    broadcast, drop the hint and the same plan degrades to a shuffle
+    equi-join on the shingle key.)"""
+    d = docs.select(
+        F.col(doc_id_col).alias("__did"),
+        F.explode(word_shingles_col(text_col, shingle_n)).alias("s"),
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("__pid"),
+        F.explode(word_shingles_col(text_col, shingle_n)).alias("s"),
+    )
+    return (
+        d.join(F.broadcast(p), "s")
+        .groupBy("__did", "__pid")
+        .agg(F.count("*").alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+        .select(
+            F.col("__did").alias(doc_id_col),
+            F.col("__pid").alias(probe_id_col),
+            "overlap",
+        )
+    )
+
+
+def shingle_contamination_sql(
+    docs_table: str,
+    probes_sql: str,
+    doc_id_col: str = "doc_id",
+    probe_id_col: str = "probe_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_overlap: int = 5,
+) -> str:
+    """Oracle: same explode-join-count. ``probes_sql`` yields
+    (probe_id, text)."""
+    shingles = word_shingles_sql(text_col, shingle_n)
+    p_shingles = word_shingles_sql("p.text", shingle_n)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT {doc_id_col} AS did, unnest({shingles}) AS s FROM {docs_table}
+), p AS MATERIALIZED (
+  SELECT p.{probe_id_col} AS pid, unnest({p_shingles}) AS s
+  FROM ({probes_sql}) p
+)
+SELECT d.did AS {doc_id_col}, p.pid AS {probe_id_col}, count(*) AS overlap
+FROM d JOIN p ON d.s = p.s
+GROUP BY 1, 2 HAVING count(*) >= {min_overlap}
+"""
