@@ -80,10 +80,13 @@ def train_centroids(
     a full pass + job-scheduling round trip per iteration for a model that
     trains on the same number of points."""
     target = 256 * nlist
-    n = df.count()
-    sample = df.select(emb_col)
-    if n > target:
-        sample = sample.sample(fraction=min(1.0, 1.25 * target / n), seed=seed).limit(target)
+    # One scan, no df.count() pre-pass: order by a hash of the vector and
+    # take the first `target` — TakeOrderedAndProject keeps a size-`target`
+    # heap per partition, so driver transfer stays bounded and the hash
+    # order is position-independent pseudo-random (a bare limit() would
+    # take the FIRST rows, badly biased on clustered/sorted layouts; the
+    # old sample(fraction) needed a full count() scan to size the fraction)
+    sample = df.select(emb_col).orderBy(F.xxhash64(F.col(emb_col), F.lit(seed))).limit(target)
     mat = np.stack(sample.toPandas()[emb_col].to_numpy()).astype(np.float64)
     k = min(nlist, max(2, mat.shape[0]))
     up = metric.upper()
