@@ -1325,6 +1325,60 @@ _register(
 )
 
 
+def _streaming_enriched_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static broadcast enrichment (events stream ⋈ customer dim on
+    user_id → segment) feeding a watermarked tumbling-window aggregate.
+    Same availableNow/memory-sink lifecycle as streaming_windowed_counts,
+    so the finalized result equals the batch join+aggregate the oracle
+    states."""
+    import tempfile
+
+    from vectordb_etl_spark.streaming.ingest import (
+        enrich_stream,
+        windowed_event_counts,
+    )
+
+    ev = _events(spark, sf).select("user_id", "ts", F.col("value").cast("decimal(18,6)").alias("value"))
+    dim = _table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    name = f"stream_en_{next(_STREAM_SEQ)}"
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(f"{tmp}/landing")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/landing")
+        enriched = enrich_stream(stream, dim, "user_id")
+        counts = windowed_event_counts(
+            enriched, window="1 hour", watermark="2 hours", group_col="segment"
+        )
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).select(
+            "window_start",
+            "segment",
+            "n",
+            F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink
+    return out
+
+
+_register(
+    "streaming_enriched_counts",
+    _streaming_enriched_counts,
+    "SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment AS segment, "
+    "count(*) AS n, "
+    "round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1, 2",
+)
+
+
 # -- multimodal tier, driver-checkable ----------------------------------------------
 #
 # The container-header parsers are real (stdlib struct over public formats);

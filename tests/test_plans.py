@@ -213,3 +213,28 @@ def test_semi_anti_join_shapes(spark):
     anti_plan = qs["customers_without_big_orders"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in semi_plan
     assert "LeftAnti" in anti_plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # two tables bucketed on the same key/count: the join must reuse the
+    # write-time partitioning — zero Exchange nodes in the physical plan
+    from vectordb_etl_spark.store.layout import write_bucketed
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bkt_a", str(tmp_path / "a"), "k", num_buckets=8, sort_col="k")
+    write_bucketed(b, "bkt_b", str(tmp_path / "b"), "k", num_buckets=8, sort_col="k")
+    # disable auto-broadcast: at real scale neither side broadcasts, and a
+    # broadcast join would bypass (and hide) the bucketed layout under test
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

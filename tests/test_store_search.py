@@ -121,3 +121,17 @@ def test_ddl_is_uri_scheme_agnostic(spark, tmp_path):
     assert store.list_collections() == ["html_f2"]
     assert store.reset(confirm=True) == 1
     assert store.list_collections() == []
+
+
+def test_compact_collection_reduces_files_keeps_rows(spark, tmp_path):
+    from vectordb_etl_spark.store.layout import compact_collection
+
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(tmp_path / "w")))
+    df = spark.createDataFrame(
+        [(i, "s", "f1", f"text {i}", "english", 0) for i in range(200)],
+        ["doc_id", "source", "folder_name", "text", "language", "chunk_index"],
+    ).repartition(16)  # force many small files
+    store.insert_documents(df, embedding_config=EMB)
+    before, after = compact_collection(store, "html_f1", target_partitions=2)
+    assert before >= 16 and after == 2
+    assert store.read("html_f1").count() == 200

@@ -132,3 +132,17 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path_factory):
     assert s["user_id"] == 7 and s["n_events"] == 2
     assert str(s["session_start"]) == "2024-01-01 09:00:00"
     assert str(s["session_end"]) == "2024-01-01 09:10:00"
+
+
+def test_enrich_stream_broadcasts_static_side(spark):
+    # stateless stream-static enrichment must broadcast the dim: a shuffle
+    # would re-partition the stream every micro-batch. Verified on the
+    # batch twin of the plan (same join node either way).
+    from vectordb_etl_spark.streaming.ingest import enrich_stream
+
+    ev = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["user_id", "value"])
+    dim = spark.createDataFrame([(1, "A"), (2, "B")], ["user_id", "segment"])
+    out = enrich_stream(ev, dim, "user_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert {r["segment"] for r in out.collect()} == {"A", "B"}

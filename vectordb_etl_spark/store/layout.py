@@ -1,0 +1,86 @@
+"""Physical-layout utilities — bucketing for co-located joins, compaction
+for small-file hygiene (beyond-reference tier; the reference delegates all
+layout to Milvus).
+
+**Bucketing** (:func:`write_bucketed`): pre-shuffles a table ONCE at write
+time into N hash buckets on the join key. Every later join/aggregate on
+that key skips its exchange — Catalyst sees the bucketing output
+partitioning and plans SortMergeJoin with NO Exchange on the bucketed
+side(s). At 100 TB this converts the recurring per-query shuffle of a hot
+join key (chunk md5, vec_id, user_id) into a one-time write cost. The
+catalog table is external (explicit ``path``), so the data stays plain
+parquet readable by anything; only the bucketing metadata lives in the
+metastore.
+
+**Compaction** (:func:`compact_collection`): streaming/append ingest
+(S8 under foreachBatch) accumulates many small files per collection
+partition; scan cost then scales with file COUNT, not bytes. Compaction
+rewrites one collection's directory at a target partition count and swaps
+it in with a filesystem rename — same Hadoop FileSystem plumbing as the
+store DDL, so it works on any warehouse scheme. The swap is
+rename-then-delete: readers either see the old file set or the new one,
+never a mix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vectordb_etl_spark.store.collections import CollectionStore
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_col: str,
+    num_buckets: int = 64,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as an external bucketed parquet table. Joins between
+    tables bucketed on the same key with the same bucket count run with no
+    exchange on either side (assert via tests/test_plans.py)."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def compact_collection(
+    store: CollectionStore,
+    collection: str,
+    target_partitions: int,
+) -> tuple[int, int]:
+    """Rewrite one collection's partition directory with
+    ``target_partitions`` output files. Returns (files_before,
+    files_after). Atomicity: the new file set is written to a sibling
+    directory and swapped in via FS rename (delete-then-rename pair); a
+    reader mid-swap sees a complete old or complete new listing."""
+    spark: SparkSession = store.spark
+    part_dir = f"{store._data_dir}/collection={collection}"
+    tmp_dir = f"{store._data_dir}/.compact-collection={collection}"
+    fs = store._fs(part_dir)
+
+    def _n_files(uri: str) -> int:
+        p = store._jpath(uri)
+        if not fs.exists(p):
+            return 0
+        return sum(
+            1
+            for st in fs.listStatus(p)
+            if not st.getPath().getName().startswith(("_", "."))
+        )
+
+    before = _n_files(part_dir)
+    df = spark.read.parquet(part_dir)
+    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp_dir)
+    fs.delete(store._jpath(part_dir), True)
+    fs.rename(store._jpath(tmp_dir), store._jpath(part_dir))
+    after = _n_files(part_dir)
+    return before, after

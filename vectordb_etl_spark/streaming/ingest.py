@@ -128,6 +128,21 @@ def write_collection_stream(
     return writer.start()
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join. The static side is re-resolved per
+    micro-batch (so a dim table updated between triggers is picked up) and
+    explicitly broadcast: a stream-side shuffle would re-partition every
+    micro-batch, while the broadcast keeps the stream map-side — the only
+    sane shape when the stream is the 100 TB/day side and the dim is
+    bounded. No watermark interaction: stateless, append-safe."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
