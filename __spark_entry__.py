@@ -1325,6 +1325,75 @@ _register(
 )
 
 
+def _events_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE rollup over (event_type, day-bucket): all four grouping
+    combinations in ONE pass via Catalyst's Expand node — the same
+    physical shape as the multi-grain time rollup, driven by the built-in
+    cube() instead of a hand-built explode. grouping_id() disambiguates
+    aggregation levels (NULL event_type from the rollup vs a genuine NULL
+    key)."""
+    ev = _events(spark, sf).withColumn("day", F.date_trunc("day", "ts"))
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_value"),
+            F.grouping_id("event_type", "day").alias("gid"),
+        )
+    )
+
+
+_register(
+    "events_cube",
+    _events_cube,
+    # CAST to TIMESTAMP: DuckDB's date_trunc('day') yields DATE while
+    # Spark's yields timestamp
+    "SELECT event_type, day, count(*) AS n, "
+    "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value, "
+    "GROUPING(event_type, day) AS gid FROM ("
+    "SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value "
+    "FROM events) GROUP BY CUBE (event_type, day)",
+)
+
+
+def _user_event_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-function battery over one shuffle: lag-delta, running sum,
+    quartile bucket, percent rank — all four share the same
+    (user_id, ts, event_id) window ordering, so Catalyst evaluates them in
+    ONE Window node (single sort, single shuffle)."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val6 = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.round(F.sum(val6).over(wall).cast("double"), 6).alias("running_value"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+_register(
+    "user_event_windows",
+    _user_event_windows,
+    "SELECT user_id, event_id, "
+    "epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us, "
+    "round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) "
+    "AS running_value, "
+    "ntile(4) OVER w AS quartile, "
+    "round(percent_rank() OVER w, 6) AS pct_rank "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+)
+
+
 def _streaming_enriched_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-static broadcast enrichment (events stream ⋈ customer dim on
     user_id → segment) feeding a watermarked tumbling-window aggregate.

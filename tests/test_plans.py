@@ -238,3 +238,18 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_cube_single_pass_and_window_battery_single_sort(spark):
+    # cube(): all 4 grouping combos via ONE Expand + one aggregation
+    # (never one scan per grouping set); the 4-function window query must
+    # collapse into a single Window node (one shuffle+sort)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    cube_plan = qs["events_cube"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert cube_plan.count("Expand") >= 1
+    assert "Union" not in cube_plan
+    win_plan = qs["user_event_windows"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert win_plan.count("Window") <= 2  # lag/sum/ntile/pct_rank share frames
+    assert win_plan.count("Exchange") == 1
