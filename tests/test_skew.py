@@ -91,3 +91,33 @@ def test_salted_count_distinct_keeps_all_null_groups(spark):
 def test_salted_agg_rejects_non_decomposable(skewed):
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_agg(skewed, ["k"], {"m": ("v", "median")})
+
+
+def test_approx_distinct_within_rsd(spark):
+    from vectordb_etl_spark.operators.skew import approx_distinct
+
+    df = spark.range(0, 60000).selectExpr(
+        "CAST(id % 3 AS STRING) AS k", "CAST(id AS STRING) AS v"
+    )
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    approx = {
+        r["k"]: r["a"]
+        for r in approx_distinct(df, ["k"], "v", rsd=0.05, out_name="a").collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.15  # 3x the 5% rsd, generous
+
+
+def test_approx_percentile_close_to_exact(spark):
+    # the approximate twin of the A1 median (quality.py uses
+    # percentile_approx already — this pins its error against the exact
+    # percentile on a known distribution)
+    df = spark.range(0, 50000).selectExpr("CAST(id AS DOUBLE) AS x")
+    row = df.agg(
+        F.percentile_approx("x", 0.5).alias("ap"),
+        F.expr("percentile(x, 0.5)").alias("ex"),
+    ).first()
+    assert abs(row["ap"] - row["ex"]) / row["ex"] < 0.01

@@ -71,6 +71,33 @@ def salted_count_distinct(
     return per_bucket.groupBy(*keys).agg(F.sum("__bucket_distinct").alias(out))
 
 
+def approx_distinct(
+    df: DataFrame,
+    keys: Iterable[str],
+    value_col: str,
+    *,
+    rsd: float = 0.05,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Approximate per-key distinct count (HyperLogLog++) — the other end
+    of the exactness/cost trade from :func:`salted_count_distinct`.
+
+    Where the salted-exact form pays two shuffles and per-bucket distinct
+    state, HLL state is a FIXED-size sketch (~1.5/rsd² bytes) per key that
+    merges associatively — map-side partials shrink the shuffle to
+    num_tasks × num_keys sketches regardless of value cardinality, and a
+    hot key costs the same as a cold one (skew-immune by construction).
+    At 100 TB: use exact when the count feeds billing/dedup decisions,
+    HLL when it feeds dashboards/monitoring (A-tier stats). Not
+    oracle-checkable (sketch internals are engine-specific) — verified by
+    the rsd error-bound test instead."""
+    keys = list(keys)
+    out = out_name or f"approx_distinct_{value_col}"
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(value_col, rsd=rsd).alias(out)
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: Iterable[str],
