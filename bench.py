@@ -67,14 +67,29 @@ def main() -> None:
         except Exception:
             pass
 
-    def run(name: str, fn, collect: bool = False) -> None:
+    bench_t0 = time.time()
+    # Second-pass budget: this host runs other tenants, and single-shot
+    # timings swing 3-7x under their load spikes (observed: the same query
+    # 3.8 s and 26.6 s in back-to-back suite runs). Each query is measured
+    # once in pass 1 and re-measured in pass 2 (cheapest-first) while the
+    # suite is under budget; the recorded number is the MIN — the
+    # steady-state cost the plan actually has, which is what a regression
+    # bar can meaningfully compare.
+    SECOND_PASS_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    _runners: dict[str, tuple] = {}
+
+    def _measure(fn, collect: bool) -> float:
         t0 = time.time()
         df = fn()
         if collect:
             df.collect()
         else:
             df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        return round(time.time() - t0, 3)
+
+    def run(name: str, fn, collect: bool = False) -> None:
+        _runners[name] = (fn, collect)
+        timings[name] = _measure(fn, collect)
 
     # flagship ETL: clean → chunk → dedup → hash-embed (the write path minus IO)
     from vectordb_etl_spark.session import ensure_min_partitions
@@ -151,18 +166,20 @@ def main() -> None:
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.filter(_F.col("vec_id") == 0).select("embedding").head()[0]
-    with tempfile.TemporaryDirectory() as tmp:
+    # tempdirs are created INSIDE each closure: the min-of-two pass re-runs
+    # these after any with-block would have cleaned up
+    _bench_tmp = tempfile.mkdtemp(prefix="bench_ann_")
 
-        def ivf():
-            idx = IVFIndex(spark, f"{tmp}/ivf").build(
-                emb, nlist=16, seed=42, max_iter=4
-            )
-            return idx.search(
-                list(q), k=10, nprobe=4, tie_break=["vec_id"],
-                output_cols=["vec_id", "label"],
-            )
+    def ivf():
+        idx = IVFIndex(spark, f"{_bench_tmp}/ivf").build(
+            emb, nlist=16, seed=42, max_iter=4
+        )
+        return idx.search(
+            list(q), k=10, nprobe=4, tie_break=["vec_id"],
+            output_cols=["vec_id", "label"],
+        )
 
-        run("ivf_topk", ivf, collect=True)
+    run("ivf_topk", ivf, collect=True)
     run(
         "lsh_topk",
         lambda: lsh_topk_search(
@@ -173,17 +190,25 @@ def main() -> None:
     )
     from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
 
-    with tempfile.TemporaryDirectory() as tmp:
+    def graph():
+        idx = GraphANNIndex(spark, f"{_bench_tmp}/graph").build(
+            emb, num_shards=8, m=16, ef_construction=64,
+            passthrough=["label"],
+        )
+        return idx.search(list(q), k=10, ef=100, output_cols=["id", "label"])
 
-        def graph():
-            idx = GraphANNIndex(spark, f"{tmp}/graph").build(
-                emb, num_shards=8, m=16, ef_construction=64,
-                passthrough=["label"],
-            )
-            return idx.search(list(q), k=10, ef=100, output_cols=["id", "label"])
+    run("graph_topk", graph, collect=True)
 
-        run("graph_topk", graph, collect=True)
+    # pass 2: re-measure cheapest-first while under budget, keep the min
+    for name in sorted(timings, key=timings.get):
+        if time.time() - bench_t0 > SECOND_PASS_BUDGET_S:
+            break
+        fn, collect = _runners[name]
+        timings[name] = min(timings[name], _measure(fn, collect))
 
+    import shutil
+
+    shutil.rmtree(_bench_tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
