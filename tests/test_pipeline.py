@@ -106,3 +106,26 @@ def test_cli_config_plumbing():
     assert cfg.store.collection_prefix == "hwp"
     assert cfg.store.warehouse_dir == "/tmp/w"
     assert cfg.embedding.dimension == 64
+
+
+def test_curate_stage_and_load_prefers_curated(runner):
+    # runs after the full-stage test: transform checkpoint exists. The
+    # fixture corpus is template-generated, so near-identical paragraphs
+    # across docs are true near-dups the transitive pass must collapse;
+    # load must then pick up curated.parquet instead of raw chunks.
+    tr_rows = runner.spark.read.parquet(runner.chunks_path).count()
+    cur = runner.curate(sample_fractions=None)
+    assert cur.rows < tr_rows
+    assert cur.extra["removed_rows"] == tr_rows - cur.rows
+    ld = runner.load()
+    assert sum(ld.extra["collections"].values()) == cur.rows
+
+
+def test_cli_curate_stage_parses():
+    args = build_parser().parse_args(
+        ["--stage", "curate", "--sample-fractions", '{"english": 0.5}']
+    )
+    assert args.stage == "curate"
+    import json as _json
+
+    assert _json.loads(args.sample_fractions) == {"english": 0.5}

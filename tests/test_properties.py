@@ -121,3 +121,47 @@ def test_hwp_utf16_scan_total_and_whitelisted(data):
             c == 0x0A or 0x20 <= c <= 0x7E or 0xAC00 <= c <= 0xD7A3
             or 0x4E00 <= c <= 0x9FFF
         )
+
+
+@given(
+    st.integers(min_value=2, max_value=60),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_nsw_full_beam_is_exact(n, m, seed):
+    # with ef >= n, beam search over the (connected-by-construction) NSW
+    # graph must return exactly the brute-force top-ef by dot score
+    import numpy as np
+
+    from vectordb_etl_spark.operators.graph_ann import (
+        _normalize_rows,
+        beam_search,
+        build_nsw,
+    )
+
+    rng = np.random.RandomState(seed)
+    mat = _normalize_rows(rng.standard_normal((n, 8)))
+    adj = build_nsw(mat, m=m, ef_construction=4 * m)
+    q = rng.standard_normal(8)
+    q = q / np.linalg.norm(q)
+    got = [node for _, node in beam_search(mat, adj, q, ef=n)]
+    scores = mat @ q
+    want = sorted(range(n), key=lambda i: (-scores[i], i))
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200, unique=True))
+@settings(max_examples=25, deadline=None)
+def test_sample_bucket_nesting_pure(ids):
+    # smaller fractions are strict subsets of larger ones — the md5 bucket
+    # is a fixed per-id number, thresholds only move the cut line
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+
+    for frac_lo, frac_hi in ((0.1, 0.3), (0.3, 0.9)):
+        lo = {i for i in ids if bucket(i) < frac_lo * 1_000_000}
+        hi = {i for i in ids if bucket(i) < frac_hi * 1_000_000}
+        assert lo <= hi

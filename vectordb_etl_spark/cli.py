@@ -43,8 +43,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--stage",
-        choices=["extract", "transform", "load", "validate", "search", "reset", "all"],
+        choices=[
+            "extract", "transform", "curate", "load", "validate", "search",
+            "reset", "all",
+        ],
         required=True,
+    )
+    p.add_argument(
+        "--sample-fractions",
+        default=None,
+        help='curate: JSON dict of stratum->fraction, e.g. {"english": 0.5}',
     )
     p.add_argument("--kind", choices=["html", "hwp"], default="html")
     p.add_argument("--input-dir", default="data/input")
@@ -96,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
         results = [runner.extract(args.input_dir, args.kind)]
     elif args.stage == "transform":
         results = [runner.transform()]
+    elif args.stage == "curate":
+        fractions = (
+            json.loads(args.sample_fractions) if args.sample_fractions else None
+        )
+        results = [runner.curate(sample_fractions=fractions)]
     elif args.stage == "load":
         results = [runner.load()]
     else:  # validate

@@ -103,10 +103,56 @@ class PipelineRunner:
         n = self.spark.read.parquet(self.chunks_path).count()
         return StageResult("transform", n, time.time() - t0, self.chunks_path)
 
+    # -- curate (beyond-reference; functions/curation.py, operators/dedup.py) --
+    @property
+    def curated_path(self) -> str:
+        return self._ckpt("curated.parquet")
+
+    def curate(
+        self,
+        near_dup: bool = True,
+        redact_pii: bool = True,
+        sample_fractions: dict[str, float] | None = None,
+        strata_col: str = "language",
+        text_col: str = "text",
+    ) -> StageResult:
+        """Optional curation stage between transform and load — the
+        training-data pass the reference lacks: transitive near-dup removal
+        (LSH candidates → connected components → keep min-id
+        representative), PII redaction, and deterministic per-stratum
+        downsampling. Writes ``curated.parquet``; ``load`` prefers it over
+        the raw chunks checkpoint when present."""
+        from vectordb_etl_spark.functions import curation
+        from vectordb_etl_spark.operators import dedup as D
+
+        t0 = time.time()
+        chunks = self.spark.read.parquet(self.chunks_path)
+        extra: dict = {"input_rows": chunks.count()}
+        if near_dup:
+            pairs = D.lsh_candidate_pairs(chunks, id_col="chunk_id", text_col=text_col)
+            comps = D.connected_components(chunks, pairs, id_col="chunk_id")
+            chunks = D.dedup_by_components(chunks, comps, id_col="chunk_id")
+        if redact_pii:
+            chunks = chunks.withColumn(text_col, curation.redact_pii_col(text_col))
+        if sample_fractions:
+            chunks = curation.stratified_sample(
+                chunks, id_col="chunk_id", strata_col=strata_col,
+                fractions=sample_fractions,
+            )
+        chunks.write.mode("overwrite").parquet(self.curated_path)
+        n = self.spark.read.parquet(self.curated_path).count()
+        extra["removed_rows"] = extra["input_rows"] - n
+        return StageResult("curate", n, time.time() - t0, self.curated_path, extra)
+
     # -- load (main.py:139-168) ----------------------------------------------
     def load(self, drop_existing: bool = True, split_by_folder: bool = True) -> StageResult:
         t0 = time.time()
-        chunks = self.spark.read.parquet(self.chunks_path)
+        src = (
+            self.curated_path
+            if Path(self.curated_path).exists()
+            else self.chunks_path
+        )
+        chunks = self.spark.read.parquet(src)
         if drop_existing:
             for name in self.store.list_collections():
                 self.store.drop_collection(name)
