@@ -715,6 +715,41 @@ _register(
 )
 
 
+def _corpus_health(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass corpus-health scalars — the pre-training dashboard row:
+    exact-dup rate (distinct normalized-md5 vs rows), PII incidence, token
+    budget. Single fused aggregate: every metric is decomposable or
+    distinct-rewritten by Catalyst, so one scan feeds them all."""
+    from vectordb_etl_spark.functions.text import token_count_cols
+    from vectordb_etl_spark.operators.chunker import normalized_hash_col
+
+    docs = _docs(spark, sf)
+    tokens = token_count_cols("text")["ws_tokens"]
+    pii = curation.pii_hit_counts_col("text")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(normalized_hash_col("text")).alias("distinct_texts"),
+        F.sum(F.when(pii > 0, 1).otherwise(0)).alias("docs_with_pii"),
+        F.sum(pii).cast("long").alias("total_pii_hits"),
+        F.sum(tokens).alias("total_ws_tokens"),
+        F.round(F.avg(tokens), 6).alias("avg_ws_tokens"),
+    )
+
+
+_register(
+    "corpus_health",
+    _corpus_health,
+    "SELECT count(*) AS n_docs, "
+    f"count(DISTINCT {chunker.normalized_hash_sql('text')}) AS distinct_texts, "
+    f"CAST(sum(CASE WHEN {curation.pii_hit_counts_sql('text')} > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS docs_with_pii, "
+    f"CAST(sum({curation.pii_hit_counts_sql('text')}) AS BIGINT) AS total_pii_hits, "
+    "CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_ws_tokens, "
+    "round(avg(len(string_split_regex(trim(text), '\\s+'))), 6) AS avg_ws_tokens "
+    "FROM documents",
+)
+
+
 def _dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive near-dup clustering: LSH candidate pairs → connected
     components (hash-min label propagation) → (doc_id, component). The
@@ -1322,6 +1357,37 @@ _register(
     "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, "
     "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value "
     "FROM events GROUP BY 1, 2",
+)
+
+
+def _order_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per segment (Spark `percentile` ≡
+    DuckDB `quantile_cont`, both linear interpolation). Exact per-group
+    percentiles are the canonical NON-decomposable aggregate — each group's
+    full value set must co-locate (contrast percentile_approx, whose
+    t-digest sketches merge map-side); the skew module documents when to
+    salt or sketch instead."""
+    orders = _table(spark, sf, "orders")
+    cust = _table(spark, sf, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_register(
+    "order_value_percentiles",
+    _order_value_percentiles,
+    "SELECT c_mktsegment, "
+    "round(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
+    "round(quantile_cont(o_totalprice, 0.95), 4) AS p95, "
+    "count(*) AS n_orders "
+    "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
 )
 
 
