@@ -58,7 +58,7 @@ def test_ivf_partial_probe_recall_and_monotonicity(embeddings_tiny, ivf, query_v
 def test_ivf_probe_prunes_partitions(spark, ivf, query_vec):
     probes = ivf.probe_ids(query_vec, nprobe=2)
     assert len(probes) == 2
-    df = spark.read.parquet(str(ivf.path / "data")).filter(
+    df = spark.read.parquet(f"{ivf.path}/data").filter(
         F.col("centroid_id").isin(probes)
     )
     plan = df._jdf.queryExecution().executedPlan().toString()

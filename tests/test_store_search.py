@@ -135,3 +135,33 @@ def test_compact_collection_reduces_files_keeps_rows(spark, tmp_path):
     before, after = compact_collection(store, "html_f1", target_partitions=2)
     assert before >= 16 and after == 2
     assert store.read("html_f1").count() == 200
+
+
+def test_store_index_lifecycle_ivf_and_graph(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(tmp_path / "w")))
+    df = spark.createDataFrame(
+        [(i, "s", "f1", f"text about topic {i} with words", "english", 0)
+         for i in range(60)],
+        ["doc_id", "source", "folder_name", "text", "language", "chunk_index"],
+    )
+    store.insert_documents(df, embedding_config=EMB)
+    chunks = store.read("html_f1")
+    q = chunks.filter(F.col("doc_id") == 0).select("embedding").head()[0]
+
+    ivf = store.build_index("html_f1", kind="ivf", nlist=4, max_iter=3)
+    hits = ivf.search(list(q), k=3, nprobe=4, tie_break=["doc_id"],
+                      output_cols=["doc_id"]).collect()
+    assert len(hits) == 3 and hits[0]["score"] == 1.0  # self-hit tops
+
+    g = store.build_index("html_f1", kind="graph", id_col="doc_id",
+                          num_shards=2, m=4, ef_construction=20)
+    ghits = g.search(list(q), k=3, ef=10000, output_cols=["id"]).collect()
+    assert len(ghits) == 3 and ghits[0]["score"] == 1.0
+
+    # reopen from the persisted artifact, no rebuild
+    again = store.open_index("html_f1", kind="ivf")
+    hits2 = again.search(list(q), k=3, nprobe=4, tie_break=["doc_id"],
+                         output_cols=["doc_id"]).collect()
+    assert [h["doc_id"] for h in hits2] == [h["doc_id"] for h in hits]

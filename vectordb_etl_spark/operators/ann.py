@@ -22,9 +22,6 @@ per-element JVM expressions.
 
 from __future__ import annotations
 
-import json
-from pathlib import Path
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -131,12 +128,16 @@ class IVFIndex:
     """IVF_FLAT as partitioned-parquet layout + driver-side centroid probe.
 
     build() writes:   <path>/data/centroid_id=<i>/...parquet
-                      <path>/centroids.json
-    search() reads only the probed partitions (partition pruning)."""
+                      <path>/centroids/...parquet  (nlist tiny rows)
+    search() reads only the probed partitions (partition pruning).
+
+    Everything — data AND the centroid artifact — is parquet written
+    through Spark, so the index works on any warehouse URI (s3a/hdfs/
+    file) with no local-filesystem side channel."""
 
     def __init__(self, spark: SparkSession, path: str, metric: str = "COSINE"):
         self.spark = spark
-        self.path = Path(path)
+        self.path = str(path)
         self.metric = metric
         self._centroids: np.ndarray | None = None
 
@@ -156,18 +157,25 @@ class IVFIndex:
         # shuffle bucket (≈nlist files total), not input-tasks × nlist
         assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
             "centroid_id"
-        ).parquet(str(self.path / "data"))
-        self.path.mkdir(parents=True, exist_ok=True)
-        with open(self.path / "centroids.json", "w") as f:
-            json.dump({"metric": self.metric, "centroids": cents.tolist()}, f)
+        ).parquet(f"{self.path}/data")
+        rows = [
+            (int(i), [float(x) for x in cents[i]]) for i in range(cents.shape[0])
+        ]
+        self.spark.createDataFrame(
+            rows, "centroid_id int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
         self._centroids = cents
         return self
 
     @property
     def centroids(self) -> np.ndarray:
         if self._centroids is None:
-            with open(self.path / "centroids.json") as f:
-                self._centroids = np.array(json.load(f)["centroids"])
+            rows = (
+                self.spark.read.parquet(f"{self.path}/centroids")
+                .orderBy("centroid_id")
+                .collect()
+            )
+            self._centroids = np.array([r["centroid"] for r in rows])
         return self._centroids
 
     def probe_ids(self, query: list[float], nprobe: int = 16) -> list[int]:
@@ -196,7 +204,7 @@ class IVFIndex:
         ~nprobe/nlist of the data is read (verify via explain:
         PartitionFilters)."""
         probes = self.probe_ids(query, nprobe)
-        df = self.spark.read.parquet(str(self.path / "data")).filter(
+        df = self.spark.read.parquet(f"{self.path}/data").filter(
             F.col("centroid_id").isin(probes)
         )
         return topk_search(

@@ -149,6 +149,63 @@ class CollectionStore:
         """X3 — memory residency ≅ cache() (milvus_store.py:72-76)."""
         return self.read(collection).cache()
 
+    # -- X1/X2: index lifecycle (milvus_store.py:110-136) ---------------------
+
+    def _index_path(self, collection: str | None, kind: str) -> str:
+        return f"{self._root}/indexes/{collection or '_all'}/{kind}"
+
+    def build_index(
+        self,
+        collection: str | None = None,
+        kind: str | None = None,
+        **params,
+    ):
+        """Build the configured ANN index over one collection (or the whole
+        warehouse): ``kind`` ∈ {'ivf', 'graph'} (defaults from
+        ``StoreConfig.index_type`` — IVF_FLAT like the reference default,
+        milvus_store.py:125-131; 'graph' is the HNSW-contract NSW shards).
+        The index is itself parquet under ``<warehouse>/indexes/...`` — no
+        local-filesystem side channel, same URI scheme as the data."""
+        kind = kind or (
+            "graph" if self.config.index_type.upper() == "HNSW" else "ivf"
+        )
+        df = self.read(collection)
+        path = self._index_path(collection, kind)
+        if kind == "ivf":
+            from vectordb_etl_spark.operators.ann import IVFIndex
+
+            params.setdefault("nlist", self.config.nlist)
+            return IVFIndex(self.spark, path, metric=self.config.metric_type).build(
+                df, **params
+            )
+        if kind == "graph":
+            from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+            passthrough = params.pop(
+                "passthrough",
+                [c for c in ("text", "language", "collection") if c in df.columns],
+            )
+            return GraphANNIndex(self.spark, path).build(
+                df, id_col=params.pop("id_col", "chunk_id"),
+                passthrough=passthrough, **params,
+            )
+        raise ValueError(f"unknown index kind {kind!r}")
+
+    def open_index(self, collection: str | None = None, kind: str = "ivf"):
+        """Reopen a previously built index (artifact is self-describing)."""
+        if kind == "ivf":
+            from vectordb_etl_spark.operators.ann import IVFIndex
+
+            return IVFIndex(
+                self.spark, self._index_path(collection, kind),
+                metric=self.config.metric_type,
+            )
+        if kind == "graph":
+            from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+            return GraphANNIndex(self.spark, self._index_path(collection, kind))
+        raise ValueError(f"unknown index kind {kind!r}")
+
     # -- A11: stats ------------------------------------------------------------
 
     def collection_stats(self, collection: str | None = None) -> dict[str, int]:
