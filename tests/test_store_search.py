@@ -165,3 +165,15 @@ def test_store_index_lifecycle_ivf_and_graph(spark, tmp_path):
     hits2 = again.search(list(q), k=3, nprobe=4, tie_break=["doc_id"],
                          output_cols=["doc_id"]).collect()
     assert [h["doc_id"] for h in hits2] == [h["doc_id"] for h in hits]
+
+
+def test_sql_surface_over_collections(spark, store):
+    views = store.create_views()
+    assert "collections" in views
+    n_all = spark.sql("SELECT count(*) AS n FROM collections").first()["n"]
+    assert n_all == store.read().count() > 0
+    one = views[1]
+    rows = spark.sql(
+        f"SELECT language, count(*) AS n FROM {one} GROUP BY language"
+    ).collect()
+    assert rows and all(r["n"] > 0 for r in rows)

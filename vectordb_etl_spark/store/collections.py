@@ -149,6 +149,23 @@ class CollectionStore:
         """X3 — memory residency ≅ cache() (milvus_store.py:72-76)."""
         return self.read(collection).cache()
 
+    # -- SQL surface ----------------------------------------------------------
+
+    def create_views(self, prefix: str = "") -> list[str]:
+        """Register the warehouse for ``spark.sql``: one ``collections``
+        view over the whole partitioned dataset (partition pruning applies
+        when a query filters on the ``collection`` column) plus one view
+        per collection. Returns the view names. This is the SQL face of
+        the store — ``SELECT ... FROM html_docs WHERE language='korean'``
+        gets the same pushdown/pruning as the DataFrame facade."""
+        names = []
+        self.read().createOrReplaceTempView(f"{prefix}collections")
+        names.append(f"{prefix}collections")
+        for n in self.list_collections():
+            self.read(n).createOrReplaceTempView(f"{prefix}{n}")
+            names.append(f"{prefix}{n}")
+        return names
+
     # -- X1/X2: index lifecycle (milvus_store.py:110-136) ---------------------
 
     def _index_path(self, collection: str | None, kind: str) -> str:
