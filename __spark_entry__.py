@@ -914,6 +914,37 @@ _register(
 )
 
 
+def _salted_join_enrichment(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted fact⋈dim join (operators/skew.py): hot fact keys spread over
+    num_salts reducers, dim exploded ×salts — results provably identical
+    to the plain join, which is exactly what the oracle states."""
+    from vectordb_etl_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf).select("user_id", "event_id", "value")
+    dim = _table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        salted_join(ev, dim, "user_id", num_salts=8, salt_source="event_id")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+    )
+
+
+_register(
+    "salted_join_enrichment",
+    _salted_join_enrichment,
+    "SELECT c_mktsegment AS segment, count(*) AS n, "
+    "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value "
+    "FROM events JOIN customer ON user_id = c_custkey GROUP BY 1",
+)
+
+
 def _vocab_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: tokenize → explode → count → top 20.
     The explode is map-local; the groupBy gets map-side partial aggregation

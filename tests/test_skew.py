@@ -121,3 +121,39 @@ def test_approx_percentile_close_to_exact(spark):
         F.expr("percentile(x, 0.5)").alias("ex"),
     ).first()
     assert abs(row["ap"] - row["ex"]) / row["ex"] < 0.01
+
+
+def test_salted_join_matches_plain_join(spark):
+    from vectordb_etl_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(7 if i % 10 else i % 5, i) for i in range(5000)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(10)], ["k", "w"])
+    plain = {(r["k"], r["v"], r["w"]) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(fact, dim, "k", num_salts=8).collect()
+    }
+    assert salted == plain
+    # left join keeps unmatched fact rows exactly once
+    dim_partial = dim.filter(F.col("k") < 3)
+    plain_l = sorted(
+        (r["k"], r["v"], r["w"]) for r in fact.join(dim_partial, "k", "left").collect()
+    )
+    salted_l = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(fact, dim_partial, "k", num_salts=8, how="left").collect()
+    )
+    assert salted_l == plain_l
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from vectordb_etl_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(7, i) for i in range(1000)], ["k", "v"])
+    dim = spark.createDataFrame([(7, "hot")], ["k", "w"])
+    out = salted_join(fact, dim, "k", num_salts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # the shuffle key includes the salt
+    assert out.count() == 1000

@@ -144,3 +144,44 @@ def salted_agg(
     salt = (F.rand(seed=0) * num_salts).cast("int")
     phase1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partials)
     return phase1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    num_salts: int = 16,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant fact⋈dim equi-join: identical results to
+    ``fact.join(dim, on, how)`` with the hot key's rows spread over
+    ``num_salts`` reducers.
+
+    The fact side gets a salt derived from ``salt_source`` (any
+    fact-side column that varies within a key — defaults to the first
+    non-key column), the dim side is EXPLODED ×num_salts (every dim row
+    exists under every salt), and the join key becomes (key, salt). A hot
+    fact key now lands on num_salts partitions instead of one; the dim
+    inflation is num_salts×|dim| — cheap when dim is the small side, which
+    is the only case where this beats just broadcasting dim (do THAT when
+    dim fits in memory; salt when dim is too big to broadcast but still
+    much smaller than fact). AQE's skew-join split handles the same
+    problem adaptively at runtime; this operator is the deterministic,
+    plan-stable form for known-hot keys.
+
+    Supports how ∈ {'inner', 'left'} (semantics preserved: dim replication
+    never duplicates matches because each fact row carries exactly one
+    salt)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    src = salt_source or next(c for c in fact.columns if c != on)
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.hash(F.col(src)), F.lit(num_salts))
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    out = salted_fact.join(salted_dim, [on, "__salt"], how)
+    return out.drop("__salt")
