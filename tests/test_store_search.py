@@ -177,3 +177,32 @@ def test_sql_surface_over_collections(spark, store):
         f"SELECT language, count(*) AS n FROM {one} GROUP BY language"
     ).collect()
     assert rows and all(r["n"] > 0 for r in rows)
+
+
+def test_upsert_merges_by_key_and_leaves_other_collections(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(tmp_path / "w")))
+    cols = ["doc_id", "source", "folder_name", "text", "language", "chunk_index",
+            "chunk_id"]
+    base = spark.createDataFrame(
+        [(i, "s", "f1" if i < 5 else "f2", f"old text {i}", "english", 0, f"c{i}")
+         for i in range(10)],
+        cols,
+    )
+    store.insert_documents(base, embedding_config=EMB)
+    before_f2 = {r["chunk_id"]: r["text"] for r in store.read("html_f2").collect()}
+
+    # upsert: replace c1, add c100 — only f1 touched
+    delta = spark.createDataFrame(
+        [(1, "s", "f1", "NEW text 1", "english", 0, "c1"),
+         (100, "s", "f1", "brand new", "english", 0, "c100")],
+        cols,
+    )
+    counts = store.upsert_documents(delta, embedding_config=EMB)
+    assert counts == {"html_f1": 6}  # 5 old - 1 replaced + 1 replaced + 1 new
+    f1 = {r["chunk_id"]: r["text"] for r in store.read("html_f1").collect()}
+    assert f1["c1"] == "NEW text 1" and f1["c100"] == "brand new"
+    assert f1["c0"] == "old text 0"  # untouched key survives
+    after_f2 = {r["chunk_id"]: r["text"] for r in store.read("html_f2").collect()}
+    assert after_f2 == before_f2  # other collection byte-identical

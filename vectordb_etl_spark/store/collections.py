@@ -136,6 +136,71 @@ class CollectionStore:
         )
         return {r["collection"]: r["count"] for r in counts}
 
+    def upsert_documents(
+        self,
+        chunks: DataFrame,
+        key_col: str = "chunk_id",
+        split_by_folder: bool = True,
+        folder_col: str = "folder_name",
+        embed: bool = True,
+        embedding_config: EmbeddingConfig | None = None,
+    ) -> dict[str, int]:
+        """Incremental merge: new rows replace existing rows with the same
+        ``key_col`` within their collection; unrelated collections are
+        untouched. Parquet has no MERGE, so the affected collections are
+        rewritten as (existing ANTI-JOIN new) ∪ new into a staging
+        directory and swapped in with an FS rename — readers see complete
+        old or complete new, never a mix. Cost scales with the AFFECTED
+        collections only (partition pruning on the read), not the
+        warehouse; at 100 TB keep collections sized so a rewrite is an
+        acceptable unit of work (this is the classic copy-on-write merge,
+        the same trade Hive-style COW tables make).
+        Returns per-affected-collection row counts."""
+        cfg = self.config
+        if split_by_folder and folder_col in chunks.columns:
+            collection = F.concat_ws(
+                "_", F.lit(cfg.collection_prefix), F.col(folder_col)
+            )
+        else:
+            collection = F.lit(f"{cfg.collection_prefix}_documents")
+        incoming = chunks.withColumn("collection", collection)
+        for name, col in truncate_cols(
+            cfg.text_max_len, cfg.source_max_len, cfg.filename_max_len,
+            cfg.language_max_len,
+        ).items():
+            if name in incoming.columns:
+                incoming = incoming.withColumn(name, col)
+        if embed and "embedding" not in incoming.columns:
+            incoming = with_embeddings(incoming, config=embedding_config)
+
+        affected = [
+            r["collection"]
+            for r in incoming.select("collection").distinct().collect()
+        ]
+        existing_names = set(self.list_collections())
+        counts: dict[str, int] = {}
+        fs = self._fs(self._data_dir)
+        for name in affected:
+            part_dir = f"{self._data_dir}/collection={name}"
+            new_part = incoming.filter(F.col("collection") == name).drop(
+                "collection"
+            )
+            if name in existing_names:
+                old = self.spark.read.parquet(part_dir)
+                keep = old.join(
+                    new_part.select(key_col), key_col, "left_anti"
+                )
+                merged = keep.unionByName(new_part, allowMissingColumns=True)
+            else:
+                merged = new_part
+            staging = f"{self._data_dir}/.upsert-collection={name}"
+            merged.write.mode("overwrite").parquet(staging)
+            if fs.exists(self._jpath(part_dir)):
+                fs.delete(self._jpath(part_dir), True)
+            fs.rename(self._jpath(staging), self._jpath(part_dir))
+            counts[name] = self.spark.read.parquet(part_dir).count()
+        return counts
+
     # -- scans ---------------------------------------------------------------
 
     def read(self, collection: str | None = None) -> DataFrame:
