@@ -129,6 +129,12 @@ def main() -> None:
         "small_quantity_revenue",
         "dedup_components",
         "sq8_topk",
+        "events_cube",
+        "user_event_windows",
+        "order_value_percentiles",
+        "salted_join_enrichment",
+        "stratified_sample",
+        "corpus_health",
         "shipping_priority",
         "priority_shipments",
         "brand_revenue",
