@@ -1629,6 +1629,136 @@ _register(
 )
 
 
+# -- parser tiers, driver-checkable via synthesized inputs --------------------
+#
+# Same pattern as the multimodal round-trips: each document synthesizes an
+# input (HTML string / HWPX zip / frame container) whose structural fields
+# are arithmetic in doc_id; the REAL parser must recover them, and the
+# oracle states the same arithmetic directly. This turns the S2/S3/S5 UDF
+# tier and the frame fan-out from pytest-only into hash-checked rows.
+
+
+def _html_parse_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from vectordb_etl_spark.sources.html import parse_html_udf
+
+    did = F.col("doc_id")
+    n_p = (did % 5 + 1).cast("int")
+    n_li = (did % 3 + 2).cast("int")
+    # title + one h1 + h2s + n_p paragraphs + a list with n_li items + a table
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did.cast("string"),
+        F.lit("</title><style>p{color:red}</style></head><body>"),
+        F.lit("<h1>Doc "), did.cast("string"), F.lit("</h1>"),
+        F.repeat(F.lit("<h2>s</h2>"), (did % 4).cast("int")),
+        F.repeat(F.lit("<p>para</p>"), n_p),
+        F.lit("<ul>"), F.repeat(F.lit("<li>x</li>"), n_li), F.lit("</ul>"),
+        F.lit("<table><tr><td>1</td></tr></table>"),
+        F.lit("<script>var a=1;</script></body></html>"),
+    )
+    parsed = _docs(spark, sf).select(
+        "doc_id", parse_html_udf(html).alias("p")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.title").alias("title"),
+        F.col("p.heading_count").alias("heading_count"),
+        F.col("p.paragraph_count").alias("paragraph_count"),
+        F.col("p.table_count").alias("table_count"),
+        F.col("p.list_count").alias("list_count"),
+        # boilerplate (<style>/<script>) must NOT leak into the text
+        F.col("p.text").contains("var a=1").alias("script_leaked"),
+        F.col("p.text").contains("color:red").alias("style_leaked"),
+    )
+
+
+_register(
+    "html_parse_roundtrip",
+    _html_parse_roundtrip,
+    "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
+    "CAST(1 + doc_id % 4 AS INT) AS heading_count, "
+    "CAST(doc_id % 5 + 1 AS INT) AS paragraph_count, "
+    "CAST(1 AS INT) AS table_count, CAST(1 AS INT) AS list_count, "
+    "false AS script_leaked, false AS style_leaked FROM documents",
+)
+
+
+def _hwpx_extract_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import io
+    import zipfile
+
+    from pyspark.sql.types import BinaryType
+
+    from vectordb_etl_spark.sources.hwp import extract_hwp_udf
+
+    @F.pandas_udf(BinaryType())
+    def synth_hwpx(doc_id):
+        def mk(i):
+            i = int(i)
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as z:
+                z.writestr(
+                    "META-INF/metadata.xml",
+                    "<meta><title>HWPX %d</title><creator>author %d</creator></meta>"
+                    % (i, i % 7),
+                )
+                for s in range(i % 3 + 1):
+                    z.writestr(
+                        f"Contents/section{s}.xml",
+                        "<sec><p>line %d of doc %d</p></sec>" % (s, i),
+                    )
+            return buf.getvalue()
+
+        return doc_id.map(mk)
+
+    docs = _docs(spark, sf).select("doc_id", synth_hwpx("doc_id").alias("blob"))
+    parsed = docs.select("doc_id", extract_hwp_udf(F.col("blob")).alias("p"))
+    return parsed.select(
+        "doc_id",
+        F.col("p.title").alias("title"),
+        F.col("p.author").alias("author"),
+        F.col("p.n_sections").alias("n_sections"),
+        F.col("p.error").alias("error"),
+        F.col("p.text").contains(F.concat(F.lit("of doc "), F.col("doc_id").cast("string")))
+        .alias("text_ok"),
+    )
+
+
+_register(
+    "hwpx_extract_roundtrip",
+    _hwpx_extract_roundtrip,
+    "SELECT doc_id, 'HWPX ' || CAST(doc_id AS VARCHAR) AS title, "
+    "'author ' || CAST(doc_id % 7 AS VARCHAR) AS author, "
+    "CAST(doc_id % 3 + 1 AS INT) AS n_sections, "
+    "CAST(NULL AS VARCHAR) AS error, true AS text_ok FROM documents",
+)
+
+
+def _video_frame_fanout(spark: SparkSession, sf: str) -> DataFrame:
+    from vectordb_etl_spark.multimodal import sample_frames
+
+    did = F.col("doc_id")
+    # blob of (doc_id % 5 + 1) * 64 bytes → frame count arithmetic in doc_id
+    blob = F.repeat(F.lit("ab"), ((did % 5 + 1) * 32).cast("int")).cast("binary")
+    media = _docs(spark, sf).select(
+        F.col("doc_id").alias("media_id"), blob.alias("content")
+    )
+    frames = sample_frames(media, every_n_bytes=64, max_frames=8)
+    return frames.groupBy(F.col("media_id").alias("doc_id")).agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_offset_bytes").alias("last_offset"),
+        F.sum(F.length("frame")).alias("total_frame_bytes"),
+    )
+
+
+_register(
+    "video_frame_fanout",
+    _video_frame_fanout,
+    "SELECT doc_id, CAST(doc_id % 5 + 1 AS BIGINT) AS n_frames, "
+    "CAST((doc_id % 5) * 64 AS BIGINT) AS last_offset, "
+    "CAST((doc_id % 5 + 1) * 64 AS BIGINT) AS total_frame_bytes FROM documents",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
