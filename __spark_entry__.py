@@ -1733,6 +1733,50 @@ _register(
 )
 
 
+def _hwp_cfb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S4 — binary HWP: synthesize a real [MS-CFB] container per document
+    (compound-file writer in sources/cfb_fixtures.py — the write side of
+    the spec whose read side is the production extractor), with zlib-raw
+    section bytes on even doc_ids and uncompressed on odd; the extractor
+    must recover the paragraph text through the UTF-16 whitelist scan."""
+    from pyspark.sql.types import BinaryType
+
+    from vectordb_etl_spark.sources.cfb_fixtures import make_hwp
+    from vectordb_etl_spark.sources.hwp import extract_hwp_udf
+
+    @F.pandas_udf(BinaryType())
+    def synth_hwp(doc_id):
+        return doc_id.map(
+            lambda i: make_hwp(
+                [f"para {j} of doc {int(i)}" for j in range(int(i) % 3 + 1)],
+                compress=(int(i) % 2 == 0),
+            )
+        )
+
+    docs = _docs(spark, sf).select("doc_id", synth_hwp("doc_id").alias("blob"))
+    parsed = docs.select("doc_id", extract_hwp_udf(F.col("blob")).alias("p"))
+    return parsed.select(
+        "doc_id",
+        F.col("p.n_sections").alias("n_sections"),
+        F.col("p.error").alias("error"),
+        F.col("p.text").contains(
+            F.concat(F.lit("of doc "), F.col("doc_id").cast("string"))
+        ).alias("text_ok"),
+        # last paragraph index must appear — the whole section decoded
+        F.col("p.text").contains(
+            F.concat(F.lit("para "), (F.col("doc_id") % 3).cast("string"))
+        ).alias("last_para_ok"),
+    )
+
+
+_register(
+    "hwp_cfb_roundtrip",
+    _hwp_cfb_roundtrip,
+    "SELECT doc_id, CAST(1 AS INT) AS n_sections, CAST(NULL AS VARCHAR) AS error, "
+    "true AS text_ok, true AS last_para_ok FROM documents",
+)
+
+
 def _video_frame_fanout(spark: SparkSession, sf: str) -> DataFrame:
     from vectordb_etl_spark.multimodal import sample_frames
 
