@@ -602,6 +602,25 @@ _register(
     D.lsh_candidate_pairs_sql("documents", num_hashes=8, bands=4),
 )
 
+
+def _lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup screen: docs 0-49 are the 'daily batch', the rest
+    the persisted corpus band table — banding cost ∝ batch, join is
+    batch-bands × corpus-bands, never corpus × corpus."""
+    docs = _docs(spark, sf)
+    new = docs.filter(F.col("doc_id") < 50)
+    corpus_bands = D.lsh_band_table(docs.filter(F.col("doc_id") >= 50))
+    return D.lsh_incremental_candidates(new, corpus_bands)
+
+
+_register(
+    "lsh_incremental_candidates",
+    _lsh_incremental,
+    D.lsh_incremental_candidates_sql(
+        "documents", new_pred="id < 50", corpus_pred="id >= 50"
+    ),
+)
+
 # max_shingle_freq=5 actually triggers at sf0.01 (max observed doc-freq is
 # 7), so the driver check exercises the skew guard, not just the happy path
 _register(
