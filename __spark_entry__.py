@@ -734,6 +734,20 @@ _register(
 )
 
 
+_register(
+    "fuzzy_prefix_pairs",
+    lambda spark, sf: D.edit_distance_pairs(
+        _docs(spark, sf).select(
+            "doc_id", F.substring("text", 1, 40).alias("prefix")
+        ),
+        str_col="prefix", max_dist=3,
+    ),
+    D.edit_distance_pairs_sql(
+        "documents", str_expr="substring(text, 1, 40)", max_dist=3
+    ),
+)
+
+
 def _corpus_health(spark: SparkSession, sf: str) -> DataFrame:
     """One-pass corpus-health scalars — the pre-training dashboard row:
     exact-dup rate (distinct normalized-md5 vs rows), PII incidence, token

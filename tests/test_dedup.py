@@ -173,3 +173,35 @@ def test_dedup_by_components_keeps_one_per_cluster(spark):
         r["doc_id"] for r in D.dedup_by_components(nodes, comps).collect()
     )
     assert kept == [1, 4]  # min id per component survives
+
+
+def test_edit_distance_pairs_blocking_exact_and_no_cartesian(spark):
+    rows = [
+        (1, "hello world"),
+        (2, "hello warld"),      # dist 1 from 1
+        (3, "hallo w0rld!"),     # dist 3 from 1 (len differs by 1)
+        (4, "completely different string here"),
+        (5, "hi"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    out = D.edit_distance_pairs(df, str_col="s", max_dist=3)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    # brute force oracle in python
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (a, b): lev(sa, sb)
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if lev(sa, sb) <= 3
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

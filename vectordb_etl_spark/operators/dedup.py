@@ -906,3 +906,63 @@ SELECT d.did AS {doc_id_col}, p.pid AS {probe_id_col}, count(*) AS overlap
 FROM d JOIN p ON d.s = p.s
 GROUP BY 1, 2 HAVING count(*) >= {min_overlap}
 """
+
+
+# --------------------------------------------------------------------------
+# edit-distance similarity join (fuzzy match)
+# --------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "text",
+    max_dist: int = 3,
+) -> DataFrame:
+    """Pairs with ``levenshtein(a, b) <= max_dist`` — the fuzzy-match join
+    (titles, filenames, keys with typos) — via LENGTH-BAND blocking:
+    edit distance d implies |len(a)-len(b)| <= d, so with bucket width
+    ``max_dist+1`` a true pair's buckets differ by at most 1. One side
+    explodes into {bucket-1, bucket, bucket+1}, the other keeps its
+    bucket, and the match becomes an equi-join + exact levenshtein filter
+    (JVM built-in) — never the O(n²) cross join Spark would otherwise plan
+    for a bare distance predicate. Same composition pattern as the
+    temporal range join: bucket to equi-join, exact-filter inside."""
+    width = max_dist + 1
+    bucket = F.floor(F.length(F.col(str_col)) / width)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(str_col).alias("sa"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("__bkt"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(str_col).alias("sb"),
+        bucket.alias("__bkt"),
+    )
+    return (
+        a.join(b, ["__bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("sa", "sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+        .distinct()
+    )
+
+
+def edit_distance_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    str_expr: str = "text",
+    max_dist: int = 3,
+) -> str:
+    """Oracle: brute-force O(n²) with the same distance filter (identical
+    result set — blocking is exact for this metric)."""
+    return f"""
+WITH s AS MATERIALIZED (SELECT {id_col} AS id, {str_expr} AS st FROM {table})
+SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.st, b.st) AS dist
+FROM s a JOIN s b ON a.id < b.id
+WHERE levenshtein(a.st, b.st) <= {max_dist}
+"""
