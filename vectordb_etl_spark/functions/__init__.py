@@ -28,14 +28,36 @@ from vectordb_etl_spark.functions.text import (
     quality_score_cols,
     truncate_cols,
 )
+from vectordb_etl_spark.functions.curation import (
+    deterministic_sample,
+    pii_hit_counts_col,
+    pii_hit_counts_sql,
+    redact_pii_col,
+    redact_pii_sql,
+    sample_bucket_col,
+    sample_bucket_sql,
+    stratified_sample,
+)
 from vectordb_etl_spark.functions.vector import (
     cosine_col,
     dot_col,
     l2_normalize_col,
     norm_col,
+    sq8_dequantize_col,
+    sq8_quantize_col,
 )
 
 __all__ = [
+    "redact_pii_col",
+    "redact_pii_sql",
+    "pii_hit_counts_col",
+    "pii_hit_counts_sql",
+    "deterministic_sample",
+    "stratified_sample",
+    "sample_bucket_col",
+    "sample_bucket_sql",
+    "sq8_quantize_col",
+    "sq8_dequantize_col",
     "clean_text_col",
     "clean_text_sql",
     "clean_hwp_text_col",

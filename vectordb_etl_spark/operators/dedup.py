@@ -30,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vectordb_etl_spark.functions.vector import cosine_col
 
 # --------------------------------------------------------------------------
 # shingles
