@@ -734,6 +734,47 @@ _register(
 )
 
 
+_HYBRID_TERMS = ["spark", "shuffle", "window"]
+
+
+def _hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: keyword rank ⊕ vector rank via Reciprocal Rank
+    Fusion over documents ⋈ embeddings (doc_id = vec_id)."""
+    from vectordb_etl_spark.operators.topk import hybrid_rrf_search
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    emb = _table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    q = emb.filter(F.col("doc_id") == 0).select("embedding").head()[0]
+    return hybrid_rrf_search(
+        docs.join(emb, "doc_id"), _HYBRID_TERMS, list(q), k=10
+    )
+
+
+_register(
+    "hybrid_rrf_search",
+    _hybrid_search,
+    "WITH scored AS MATERIALIZED ("
+    "SELECT d.doc_id, "
+    + " + ".join(
+        f"len(regexp_extract_all(lower(d.text), '\\b{t}\\b'))" for t in _HYBRID_TERMS
+    )
+    + " AS kw_score, "
+    "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) "
+    "AS vec_score "
+    "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), "
+    "ranked AS (SELECT doc_id, "
+    "row_number() OVER (ORDER BY kw_score DESC, doc_id ASC) AS kw_rank, "
+    "row_number() OVER (ORDER BY vec_score DESC, doc_id ASC) AS vec_rank "
+    "FROM scored) "
+    "SELECT doc_id, kw_rank, vec_rank, "
+    "round(1.0/(60 + kw_rank) + 1.0/(60 + vec_rank), 8) AS rrf "
+    "FROM ranked ORDER BY rrf DESC, doc_id ASC LIMIT 10",
+)
+
+
 _register(
     "fuzzy_prefix_pairs",
     lambda spark, sf: D.edit_distance_pairs(

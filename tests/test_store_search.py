@@ -206,3 +206,39 @@ def test_upsert_merges_by_key_and_leaves_other_collections(spark, tmp_path):
     assert f1["c0"] == "old text 0"  # untouched key survives
     after_f2 = {r["chunk_id"]: r["text"] for r in store.read("html_f2").collect()}
     assert after_f2 == before_f2  # other collection byte-identical
+
+
+def test_hybrid_rrf_fuses_keyword_and_vector(spark):
+    import pyspark.sql.functions as F
+
+    from vectordb_etl_spark.operators.topk import hybrid_rrf_search
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, "spark shuffle window spark", [0.0, 1.0, 0.0, 0.0]),  # keyword hit
+        (2, "nothing relevant here at all", [1.0, 0.0, 0.0, 0.0]),  # vector hit
+        (3, "spark appears once", [0.9, 0.1, 0.0, 0.0]),  # both
+        (4, "unrelated text", [0.0, 0.0, 1.0, 0.0]),  # neither
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, embedding array<double>")
+    out = hybrid_rrf_search(df, ["spark", "shuffle", "window"], q, k=4).collect()
+    order = [r["doc_id"] for r in out]
+    # docs with at least one strong rank beat the doc strong on neither
+    assert set(order[:3]) == {1, 2, 3} and order[-1] == 4
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["kw_rank"] == 1 and by_id[2]["vec_rank"] == 1
+    rrfs = [r["rrf"] for r in out]
+    assert rrfs == sorted(rrfs, reverse=True)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from vectordb_etl_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], ["id_a", "id_b"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain, max_iter=2)  # diameter 6 > 2

@@ -774,6 +774,7 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -793,7 +794,15 @@ def connected_components(
         ).filter(F.col("n.comp") < F.col("o.comp"))
         labels = new_labels
         if changed.isEmpty():
+            converged = True
             break
+    if not converged:
+        # partial labels are WRONG answers for a dedup decision — fail loud
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} supersteps "
+            "(graph diameter exceeds max_iter); raise max_iter or switch the "
+            "loop body to large-star/small-star for O(log n) rounds"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 

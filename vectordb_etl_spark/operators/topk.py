@@ -111,3 +111,57 @@ def search_per_group_topk(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def hybrid_rrf_search(
+    df: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    emb_col: str = "embedding",
+    id_col: str = "doc_id",
+    output_cols: list[str] | None = None,
+) -> DataFrame:
+    """Hybrid retrieval — keyword rank ⊕ vector rank fused with Reciprocal
+    Rank Fusion: rrf = Σ 1/(rrf_k + rank_i). The standard fusion for
+    vector databases that serve both lexical and semantic recall (RRF is
+    rank-only, so the two score scales never need calibration).
+
+    Shapes: both scores are one codegen projection over the same scan
+    (term hits via regexp_count on word boundaries; cosine as the usual
+    fold); the two ranks share ONE global sort each (window over an empty
+    partition — acceptable for ranking a FILTERED candidate pool; at
+    100 TB run it after a predicate/ANN cut, not over the raw corpus, or
+    swap rank() for a per-partition approximation). Final top-k is
+    TakeOrderedAndProject. Deterministic ties: (score, id) ordering on
+    both ranks and (rrf, id) on the fusion."""
+    from pyspark.sql.window import Window
+
+    kw = sum(
+        (F.regexp_count(F.lower(F.col(text_col)), F.lit(r"\b" + t.lower() + r"\b"))
+         for t in query_terms),
+        F.lit(0),
+    )
+    scored = df.withColumn("kw_score", kw).withColumn(
+        "vec_score", F.round(score_col(emb_col, query_vec, "COSINE"), 6)
+    )
+    w_kw = Window.orderBy(F.desc("kw_score"), F.asc(id_col))
+    w_vec = Window.orderBy(F.desc("vec_score"), F.asc(id_col))
+    fused = scored.withColumn("kw_rank", F.row_number().over(w_kw)).withColumn(
+        "vec_rank", F.row_number().over(w_vec)
+    ).withColumn(
+        "rrf",
+        F.round(
+            1.0 / (F.lit(rrf_k) + F.col("kw_rank"))
+            + 1.0 / (F.lit(rrf_k) + F.col("vec_rank")),
+            8,
+        ),
+    )
+    out_cols = output_cols or [id_col]
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+        .select(*out_cols, "kw_rank", "vec_rank", "rrf")
+    )
