@@ -135,6 +135,9 @@ def main() -> None:
         "salted_join_enrichment",
         "stratified_sample",
         "corpus_health",
+        "hybrid_rrf_search",
+        "lsh_incremental_candidates",
+        "fuzzy_prefix_pairs",
         "shipping_priority",
         "priority_shipments",
         "brand_revenue",
@@ -146,6 +149,8 @@ def main() -> None:
     noop_queries = [
         "pii_redaction",
         "contamination_check",
+        "html_parse_roundtrip",
+        "hwp_cfb_roundtrip",
         "clean_text",
         "exact_dedup",
         "token_counts",
