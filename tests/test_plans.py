@@ -240,6 +240,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
+def test_hybrid_rrf_bounded_pools_no_global_window(spark):
+    # each retrieval branch must cut to a bounded pool via
+    # TakeOrderedAndProject (per-partition heap, no global sort), and every
+    # Window in the plan must carry a partition key (branch) — an
+    # empty-partition Window would be a single-reducer sort of the whole
+    # input, the 100 TB killer flagged in round 2
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["hybrid_rrf_search"](spark, SF)
+    plan = plan_of(df)
+    # two branch cuts (limit=200) + the final fused top-10
+    assert plan.count("TakeOrderedAndProject") == 3
+    # partition-local sorts (Window ordering) are fine; global sorts are not
+    assert not re.search(r"Sort \[[^\]]*\], true", plan)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.startswith("branch"), f"unpartitioned window: {spec}"
+
+
 def test_cube_single_pass_and_window_battery_single_sort(spark):
     # cube(): all 4 grouping combos via ONE Expand + one aggregation
     # (never one scan per grouping set); the 4-function window query must

@@ -119,49 +119,72 @@ def hybrid_rrf_search(
     query_vec: list[float],
     k: int = 10,
     rrf_k: int = 60,
+    pool_factor: int = 20,
     text_col: str = "text",
     emb_col: str = "embedding",
     id_col: str = "doc_id",
-    output_cols: list[str] | None = None,
 ) -> DataFrame:
     """Hybrid retrieval — keyword rank ⊕ vector rank fused with Reciprocal
-    Rank Fusion: rrf = Σ 1/(rrf_k + rank_i). The standard fusion for
-    vector databases that serve both lexical and semantic recall (RRF is
-    rank-only, so the two score scales never need calibration).
+    Rank Fusion: rrf = Σ 1/(rrf_k + rank_i) over the branches where the
+    document appears. The standard fusion for vector databases that serve
+    both lexical and semantic recall (RRF is rank-only, so the two score
+    scales never need calibration).
 
-    Shapes: both scores are one codegen projection over the same scan
-    (term hits via regexp_count on word boundaries; cosine as the usual
-    fold); the two ranks share ONE global sort each (window over an empty
-    partition — acceptable for ranking a FILTERED candidate pool; at
-    100 TB run it after a predicate/ANN cut, not over the raw corpus, or
-    swap rank() for a per-partition approximation). Final top-k is
-    TakeOrderedAndProject. Deterministic ties: (score, id) ordering on
-    both ranks and (rrf, id) on the fusion."""
+    Scale shape: each branch is first CUT to a bounded candidate pool of
+    ``k * pool_factor`` rows via orderBy().limit() — TakeOrderedAndProject,
+    a per-partition heap top-N with a driver merge, never a global sort.
+    Within-pool row_number equals the branch's global rank for every pool
+    member (the pool IS the global top-N in rank order), so the fusion is
+    exact over the pooled candidates; documents outside a branch's pool
+    carry a NULL rank there and contribute nothing for that branch — the
+    standard candidate-list RRF semantics. Ranking runs over the unioned
+    pools with a window PARTITIONED BY branch (never an empty partition
+    spec), and its input is ≤ 2·k·pool_factor rows regardless of corpus
+    size. Deterministic ties: (score, id) within branches, (rrf, id) on
+    the fused output."""
+    import re
+
     from pyspark.sql.window import Window
 
     kw = sum(
-        (F.regexp_count(F.lower(F.col(text_col)), F.lit(r"\b" + t.lower() + r"\b"))
-         for t in query_terms),
+        (
+            F.regexp_count(
+                F.lower(F.col(text_col)),
+                # re.escape: terms like "c++" or "a.b" must match literally
+                # (backslash-escaped punctuation is Java-regex compatible)
+                F.lit(r"\b" + re.escape(t.lower()) + r"\b"),
+            )
+            for t in query_terms
+        ),
         F.lit(0),
     )
     scored = df.withColumn("kw_score", kw).withColumn(
         "vec_score", F.round(score_col(emb_col, query_vec, "COSINE"), 6)
     )
-    w_kw = Window.orderBy(F.desc("kw_score"), F.asc(id_col))
-    w_vec = Window.orderBy(F.desc("vec_score"), F.asc(id_col))
-    fused = scored.withColumn("kw_rank", F.row_number().over(w_kw)).withColumn(
-        "vec_rank", F.row_number().over(w_vec)
-    ).withColumn(
-        "rrf",
-        F.round(
-            1.0 / (F.lit(rrf_k) + F.col("kw_rank"))
-            + 1.0 / (F.lit(rrf_k) + F.col("vec_rank")),
-            8,
-        ),
+    pool_n = k * pool_factor
+    kw_pool = (
+        scored.orderBy(F.desc("kw_score"), F.asc(id_col))
+        .limit(pool_n)
+        .select(id_col, F.lit("kw").alias("branch"),
+                F.col("kw_score").cast("double").alias("bscore"))
     )
-    out_cols = output_cols or [id_col]
+    vec_pool = (
+        scored.orderBy(F.desc("vec_score"), F.asc(id_col))
+        .limit(pool_n)
+        .select(id_col, F.lit("vec").alias("branch"),
+                F.col("vec_score").cast("double").alias("bscore"))
+    )
+    w = Window.partitionBy("branch").orderBy(F.desc("bscore"), F.asc(id_col))
+    ranked = kw_pool.unionByName(vec_pool).withColumn(
+        "rank", F.row_number().over(w)
+    )
+    fused = ranked.groupBy(id_col).agg(
+        F.max(F.when(F.col("branch") == "kw", F.col("rank"))).alias("kw_rank"),
+        F.max(F.when(F.col("branch") == "vec", F.col("rank"))).alias("vec_rank"),
+        F.round(F.sum(1.0 / (F.lit(rrf_k) + F.col("rank"))), 8).alias("rrf"),
+    )
     return (
         fused.orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
-        .select(*out_cols, "kw_rank", "vec_rank", "rrf")
+        .select(id_col, "kw_rank", "vec_rank", "rrf")
     )
