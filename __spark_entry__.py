@@ -1110,6 +1110,68 @@ def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 _register("ivf_topk", _ivf_topk, _ANN_ORACLE)
 
 
+def _ivf_topk_nprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """X1 at the DESIGN POINT: nprobe=4 of nlist=16 — a true 25% scan
+    fraction, partition-pruned. Oracle-checkable because the centroids are
+    adopted verbatim (medoid-style: centroid j := embedding of vec_id j),
+    and assignment + probe ranking round scores to 6 dp with a
+    lowest-centroid tie-break — semantics a DuckDB oracle states exactly.
+    The trained-KMeans path stays covered by ivf_topk (probe-all edge) and
+    the recall tests."""
+    import tempfile
+
+    import numpy as np
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    )
+    cents = np.array(
+        [r["embedding"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IVFIndex(spark, f"{tmp}/ivf").build(
+            emb, centroids=cents, assign_round_dp=6
+        )
+        out = idx.search(
+            list(q), k=10, nprobe=4, probe_round_dp=6, tie_break=["vec_id"],
+            output_cols=["vec_id", "label"],
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+    return out
+
+
+_register(
+    "ivf_topk_nprobe",
+    _ivf_topk_nprobe,
+    # medoid centroids (vec_id < 16); assignment = argmax of 6dp-rounded
+    # cosine with lowest-cid tie-break; probe = top-4 centroids by the same
+    # rule against the query; result = exact top-10 within probed cells
+    "WITH cents AS MATERIALIZED ("
+    "SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c "
+    "FROM embeddings WHERE vec_id < 16), "
+    "qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0), "
+    "assigned AS ("
+    "SELECT vec_id, label, emb, cid FROM ("
+    "SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS emb, c.cid, "
+    "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+    "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c), 6) DESC, "
+    "c.cid ASC) AS rn FROM embeddings e CROSS JOIN cents c) WHERE rn = 1), "
+    "probes AS (SELECT cid FROM ("
+    "SELECT c.cid, row_number() OVER (ORDER BY "
+    "round(list_cosine_similarity(c.c, (SELECT v FROM qv)), 6) DESC, c.cid ASC) "
+    "AS pr FROM cents c) WHERE pr <= 4) "
+    "SELECT vec_id, label, "
+    "round(list_cosine_similarity(emb, (SELECT v FROM qv)), 6) AS score "
+    "FROM assigned WHERE cid IN (SELECT cid FROM probes) "
+    "ORDER BY score DESC, vec_id ASC LIMIT 10",
+)
+
+
 def _lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN (hyperplane signs); hamming radius = num_planes ⇒
     every bucket probed ⇒ exact."""

@@ -145,6 +145,7 @@ def main() -> None:
         "salted_distinct_users_by_type",
         "vocab_top_terms",
         "streaming_windowed_counts",
+        "ivf_topk_nprobe",
     ]
     noop_queries = [
         "pii_redaction",

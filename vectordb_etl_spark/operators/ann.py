@@ -32,9 +32,17 @@ from vectordb_etl_spark.functions.vector import metric_ascending
 from vectordb_etl_spark.operators.topk import topk_search
 
 
-def assign_centroids_udf(centroids: np.ndarray, metric: str = "COSINE"):
+def assign_centroids_udf(
+    centroids: np.ndarray, metric: str = "COSINE", round_dp: int | None = None
+):
     """Vectorized nearest-centroid assignment. ``centroids`` is broadcast in
-    the UDF closure (nlist × dim — a few KB; fine in task binaries)."""
+    the UDF closure (nlist × dim — a few KB; fine in task binaries).
+
+    ``round_dp`` rounds scores before the argmax so the assignment is
+    reproducible across engines (numpy BLAS vs a SQL oracle may differ in
+    the last ulp; rounding + first-max tie-break pins the choice). argmax
+    returns the FIRST maximal index — i.e. ties break to the lowest
+    centroid id, matching ``ORDER BY score DESC, cid ASC``."""
     cents = np.asarray(centroids, dtype=np.float64)
     if metric.upper() in ("COSINE",):
         norms = np.linalg.norm(cents, axis=1, keepdims=True)
@@ -47,12 +55,17 @@ def assign_centroids_udf(centroids: np.ndarray, metric: str = "COSINE"):
         if metric.upper() == "L2":
             # argmin of squared distance
             d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            if round_dp is not None:
+                d = np.round(d, round_dp)
             return pd.Series(d.argmin(axis=1).astype(np.int32))
         if metric.upper() == "COSINE":
             row_norms = np.linalg.norm(mat, axis=1, keepdims=True)
             row_norms[row_norms == 0] = 1.0
             mat = mat / row_norms
-        return pd.Series((mat @ cents.T).argmax(axis=1).astype(np.int32))
+        sims = mat @ cents.T
+        if round_dp is not None:
+            sims = np.round(sims, round_dp)
+        return pd.Series(sims.argmax(axis=1).astype(np.int32))
 
     return _assign
 
@@ -148,10 +161,22 @@ class IVFIndex:
         nlist: int = 128,
         seed: int = 42,
         max_iter: int = 20,
+        centroids: np.ndarray | None = None,
+        assign_round_dp: int | None = None,
     ) -> "IVFIndex":
-        cents = train_centroids(df, emb_col, nlist, self.metric, seed, max_iter)
+        """Train (sampled Lloyd's) or adopt ``centroids`` verbatim — the
+        pre-trained/medoid path (e.g. centroid j := a designated vector),
+        which also makes the full assign→prune→probe pipeline expressible
+        by a SQL oracle when paired with ``assign_round_dp``."""
+        if centroids is not None:
+            cents = np.asarray(centroids, dtype=np.float64)
+        else:
+            cents = train_centroids(df, emb_col, nlist, self.metric, seed, max_iter)
         assigned = df.withColumn(
-            "centroid_id", assign_centroids_udf(cents, self.metric)(F.col(emb_col))
+            "centroid_id",
+            assign_centroids_udf(cents, self.metric, round_dp=assign_round_dp)(
+                F.col(emb_col)
+            ),
         )
         # repartition by the layout key first: one file per centroid per
         # shuffle bucket (≈nlist files total), not input-tasks × nlist
@@ -178,8 +203,12 @@ class IVFIndex:
             self._centroids = np.array([r["centroid"] for r in rows])
         return self._centroids
 
-    def probe_ids(self, query: list[float], nprobe: int = 16) -> list[int]:
-        """Rank centroids on the driver (tiny matrix — no Spark job)."""
+    def probe_ids(
+        self, query: list[float], nprobe: int = 16, round_dp: int | None = None
+    ) -> list[int]:
+        """Rank centroids on the driver (tiny matrix — no Spark job).
+        ``round_dp`` + stable sort ties to the lowest centroid id, matching
+        ``ORDER BY score DESC, cid ASC`` in a SQL oracle."""
         cents = self.centroids
         q = np.asarray(query, dtype=np.float64)
         if self.metric.upper() == "L2":
@@ -188,7 +217,9 @@ class IVFIndex:
             cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
             qn = q / max(np.linalg.norm(q), 1e-12)
             scores = cn @ qn
-        order = np.argsort(-scores)
+        if round_dp is not None:
+            scores = np.round(scores, round_dp)
+        order = np.argsort(-scores, kind="stable")
         return [int(i) for i in order[:nprobe]]
 
     def search(
@@ -197,13 +228,14 @@ class IVFIndex:
         k: int = 3,
         nprobe: int = 16,
         predicate: Column | None = None,
+        probe_round_dp: int | None = None,
         **topk_kwargs,
     ) -> DataFrame:
         """Probe top-nprobe clusters, exact top-k inside them. The
         ``centroid_id IN (...)`` filter is a partition filter — only
         ~nprobe/nlist of the data is read (verify via explain:
         PartitionFilters)."""
-        probes = self.probe_ids(query, nprobe)
+        probes = self.probe_ids(query, nprobe, round_dp=probe_round_dp)
         df = self.spark.read.parquet(f"{self.path}/data").filter(
             F.col("centroid_id").isin(probes)
         )
