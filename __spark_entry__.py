@@ -36,8 +36,27 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _norm_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The testdata's timestamp columns are tz-less parquet TIMESTAMP(MICROS),
+    which Spark 4 reads as TIMESTAMP_NTZ by default — a type ``unix_micros``
+    (and any epoch arithmetic) rejects. Pin the session to UTC and cast NTZ →
+    instant, which interprets the naive values as UTC: exactly DuckDB's
+    ``epoch_us`` semantics on naive timestamps, independent of whatever
+    session/timezone configs the calling driver uses."""
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() == "timestamp_ntz"
+    ]
+    if ntz:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for c in ntz:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _norm_ts(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     if name == "embeddings":
         # vector scoring / pair joins are map-heavy too (see _docs)
         from vectordb_etl_spark.session import ensure_min_partitions
@@ -47,14 +66,15 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read nanos as long and truncate to micros (exactly what DuckDB's
-    reader does), using integer division to avoid double rounding."""
+    """events.parquet has carried TIMESTAMP(NANOS) in some generations (which
+    Spark's parquet reader rejects — read nanos as long, truncate to micros
+    exactly like DuckDB's reader) and tz-less TIMESTAMP(MICROS) in others
+    (normalized by ``_norm_ts``); handle both."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return _norm_ts(spark, df)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,129 @@
+"""Milvus-style filter-expression string facade (reference
+modules/search_utils.py:56,90; test/find_curriculum.py:19-24)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.functions.filter_expr import (
+    FilterExprError,
+    parse_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (0, "korean", "a.html", 3, 0.5),
+            (1, "english", "b.html", 1, 1.5),
+            (2, "korean", "c.jsp", 7, 2.5),
+            (3, "vietnamese", "d.html", 2, 3.5),
+        ],
+        "id long, language string, filename string, n int, score double",
+    )
+
+
+def _ids(df, expr):
+    return sorted(
+        r["id"] for r in df.filter(parse_filter(expr)).select("id").collect()
+    )
+
+
+def test_reference_forms(df):
+    # the two forms the reference actually issues
+    assert _ids(df, 'language == "korean"') == [0, 2]
+    assert _ids(df, 'filename == "b.html"') == [1]
+
+
+def test_operators_and_literals(df):
+    assert _ids(df, "n != 1") == [0, 2, 3]
+    assert _ids(df, "n >= 3") == [0, 2]
+    assert _ids(df, "score < 2.0") == [0, 1]
+    assert _ids(df, "language == 'korean'") == [0, 2]  # single quotes too
+
+
+def test_boolean_combinators(df):
+    assert _ids(df, 'language == "korean" and n > 3') == [2]
+    assert _ids(df, 'language == "english" or n == 2') == [1, 3]
+    assert _ids(df, 'not language == "korean"') == [1, 3]
+    assert _ids(df, '(language == "korean" or n == 1) and score > 1.0') == [1, 2]
+    assert _ids(df, 'language == "korean" && n > 3') == [2]
+    assert _ids(df, 'n == 1 || n == 2') == [1, 3]
+
+
+def test_in_and_like(df):
+    assert _ids(df, 'language in ["korean", "vietnamese"]') == [0, 2, 3]
+    assert _ids(df, 'language not in ["korean"]') == [1, 3]
+    assert _ids(df, 'n in [1, 2]') == [1, 3]
+    assert _ids(df, 'filename like "%.html"') == [0, 1, 3]
+
+
+def test_passthrough_and_empty():
+    assert parse_filter(None) is None
+    assert parse_filter("") is None
+    assert parse_filter("   ") is None
+    col = F.col("x") == 1
+    assert parse_filter(col) is col
+
+
+def test_errors():
+    for bad in [
+        'language ==',  # missing literal
+        '== "x"',  # missing field
+        'language == "korean" extra',  # trailing input
+        'language in korean',  # in needs a bracketed list
+        'language ~ "x"',  # unknown char
+    ]:
+        with pytest.raises(FilterExprError):
+            parse_filter(bad)
+
+
+def test_predicate_pushdown_into_scan(spark, df, tmp_path):
+    # string filters must reach the parquet scan like native Column filters
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    plan = (
+        spark.read.parquet(p)
+        .filter(parse_filter('language == "korean" and n >= 3'))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(language,korean)" in plan
+
+
+def test_search_facade_accepts_filter_string(spark, tmp_path):
+    from vectordb_etl_spark.config import EmbeddingConfig, StoreConfig
+    from vectordb_etl_spark.embeddings import with_embeddings
+    from vectordb_etl_spark.search import search_with_scores
+    from vectordb_etl_spark.store.collections import CollectionStore
+
+    cfg = EmbeddingConfig(dimension=16)
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "wh"))
+    )
+    chunks = spark.createDataFrame(
+        [
+            ("c1", "seoul office address details", "korean", "hr"),
+            ("c2", "office building directions", "english", "hr"),
+            ("c3", "vacation policy", "english", "eng"),
+        ],
+        "chunk_id string, text string, language string, folder_name string",
+    )
+    store.insert_documents(
+        with_embeddings(chunks, config=cfg), embed=False
+    )
+    hits = search_with_scores(
+        store,
+        "office",
+        k=2,
+        search_all_collections=True,
+        filter='language == "english"',
+        embedding_config=cfg,
+    )
+    assert hits and all(h.metadata["language"] == "english" for h in hits)

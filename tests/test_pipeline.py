@@ -121,6 +121,26 @@ def test_curate_stage_and_load_prefers_curated(runner):
     assert sum(ld.extra["collections"].values()) == cur.rows
 
 
+def test_load_skips_stale_curated(runner):
+    # re-running transform AFTER curate makes curated.parquet stale; load
+    # must warn and fall back to the fresh chunks checkpoint (the run_all
+    # extract→transform→load path would otherwise resurrect old data).
+    import time as _time
+
+    _time.sleep(1.1)  # ensure a strictly newer mtime on the chunks commit
+    tr = runner.transform()
+    assert runner._ckpt_mtime(runner.chunks_path) > runner._ckpt_mtime(
+        runner.curated_path
+    )
+    with pytest.warns(UserWarning, match="predates"):
+        ld = runner.load()
+    assert sum(ld.extra["collections"].values()) == tr.rows
+    # explicit override still loads curated
+    ld2 = runner.load(use_curated=True)
+    cur_rows = runner.spark.read.parquet(runner.curated_path).count()
+    assert sum(ld2.extra["collections"].values()) == cur_rows
+
+
 def test_cli_curate_stage_parses():
     args = build_parser().parse_args(
         ["--stage", "curate", "--sample-fractions", '{"english": 0.5}']

@@ -38,6 +38,10 @@ from vectordb_etl_spark.functions.curation import (
     sample_bucket_sql,
     stratified_sample,
 )
+from vectordb_etl_spark.functions.filter_expr import (
+    FilterExprError,
+    parse_filter,
+)
 from vectordb_etl_spark.functions.vector import (
     cosine_col,
     dot_col,
@@ -48,6 +52,8 @@ from vectordb_etl_spark.functions.vector import (
 )
 
 __all__ = [
+    "parse_filter",
+    "FilterExprError",
     "redact_pii_col",
     "redact_pii_sql",
     "pii_hit_counts_col",

@@ -1,0 +1,214 @@
+"""Milvus-style boolean filter-expression strings → Spark Column predicates.
+
+The reference's entire query surface is filter strings handed to Milvus:
+``language == "korean"`` (modules/search_utils.py:56,90;
+modules/quality_monitor.py:134) and ``filename == "x.html"``
+(test/find_curriculum.py:19-24). This facade makes those strings drop-in:
+``search(..., filter='language == "korean"')`` parses to
+``F.col("language") == F.lit("korean")`` and from there Catalyst pushes the
+predicate into the parquet scan exactly like a native Column filter —
+string-vs-Column is purely an API-surface difference, with zero plan cost.
+
+Grammar (covers Milvus boolean expressions over scalar fields):
+
+    expr     := or_expr
+    or_expr  := and_expr ( 'or' | '||' and_expr )*
+    and_expr := not_expr ( 'and' | '&&' not_expr )*
+    not_expr := 'not' not_expr | '(' expr ')' | comparison
+    comparison := ident (('==','!=','>=','<=','>','<') literal
+                  | 'like' string
+                  | ['not'] 'in' '[' literal (',' literal)* ']')
+    literal  := string ('"..."' or "'...'") | int | float | 'true' | 'false'
+
+``like`` translates Milvus ``%`` wildcards to Spark's ``like`` (same
+semantics). Identifiers may be dotted (``meta.lang`` reaches into structs).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+      | (?P<number>-?\d+\.\d+|-?\d+)
+      | (?P<op>==|!=|>=|<=|>|<|&&|\|\||\(|\)|\[|\]|,)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"and", "or", "not", "in", "like", "true", "false"}
+
+
+class FilterExprError(ValueError):
+    pass
+
+
+def _tokenize(text: str) -> list[tuple[str, object]]:
+    tokens: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            if text[pos:].strip():
+                raise FilterExprError(
+                    f"unexpected character {text[pos]!r} at offset {pos} "
+                    f"in filter {text!r}"
+                )
+            break
+        pos = m.end()
+        if m.lastgroup == "string":
+            raw = m.group("string")
+            tokens.append(("lit", re.sub(r"\\(.)", r"\1", raw[1:-1])))
+        elif m.lastgroup == "number":
+            raw = m.group("number")
+            tokens.append(("lit", float(raw) if "." in raw else int(raw)))
+        elif m.lastgroup == "op":
+            tokens.append(("op", m.group("op")))
+        else:
+            word = m.group("word")
+            lower = word.lower()
+            if lower in ("true", "false"):
+                tokens.append(("lit", lower == "true"))
+            elif lower in _KEYWORDS:
+                tokens.append(("kw", lower))
+            else:
+                tokens.append(("ident", word))
+    return tokens
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, object]], text: str):
+        self.tokens = tokens
+        self.i = 0
+        self.text = text
+
+    def _peek(self) -> tuple[str, object] | None:
+        return self.tokens[self.i] if self.i < len(self.tokens) else None
+
+    def _next(self) -> tuple[str, object]:
+        tok = self._peek()
+        if tok is None:
+            raise FilterExprError(f"unexpected end of filter {self.text!r}")
+        self.i += 1
+        return tok
+
+    def _expect(self, kind: str, value: object | None = None) -> object:
+        tok = self._next()
+        if tok[0] != kind or (value is not None and tok[1] != value):
+            raise FilterExprError(
+                f"expected {value or kind}, got {tok[1]!r} in {self.text!r}"
+            )
+        return tok[1]
+
+    def parse(self) -> Column:
+        col = self._or_expr()
+        if self._peek() is not None:
+            raise FilterExprError(
+                f"trailing input from {self.tokens[self.i][1]!r} "
+                f"in {self.text!r}"
+            )
+        return col
+
+    def _or_expr(self) -> Column:
+        left = self._and_expr()
+        while True:
+            tok = self._peek()
+            if tok in (("kw", "or"), ("op", "||")):
+                self._next()
+                left = left | self._and_expr()
+            else:
+                return left
+
+    def _and_expr(self) -> Column:
+        left = self._not_expr()
+        while True:
+            tok = self._peek()
+            if tok in (("kw", "and"), ("op", "&&")):
+                self._next()
+                left = left & self._not_expr()
+            else:
+                return left
+
+    def _not_expr(self) -> Column:
+        tok = self._peek()
+        if tok == ("kw", "not"):
+            self._next()
+            return ~self._not_expr()
+        if tok == ("op", "("):
+            self._next()
+            inner = self._or_expr()
+            self._expect("op", ")")
+            return inner
+        return self._comparison()
+
+    def _comparison(self) -> Column:
+        kind, name = self._next()
+        if kind != "ident":
+            raise FilterExprError(
+                f"expected a field name, got {name!r} in {self.text!r}"
+            )
+        col = F.col(str(name))
+        kind, op = self._next()
+        if kind == "op":
+            rhs = self._literal()
+            if op == "==":
+                return col == rhs
+            if op == "!=":
+                return col != rhs
+            if op == ">":
+                return col > rhs
+            if op == ">=":
+                return col >= rhs
+            if op == "<":
+                return col < rhs
+            if op == "<=":
+                return col <= rhs
+            raise FilterExprError(f"bad operator {op!r} in {self.text!r}")
+        if kind == "kw" and op == "like":
+            pat = self._next()
+            if pat[0] != "lit" or not isinstance(pat[1], str):
+                raise FilterExprError(
+                    f"like needs a string pattern in {self.text!r}"
+                )
+            return col.like(pat[1])
+        negate = False
+        if kind == "kw" and op == "not":
+            negate = True
+            kind, op = self._next()
+        if kind == "kw" and op == "in":
+            self._expect("op", "[")
+            values = [self._literal()]
+            while self._peek() == ("op", ","):
+                self._next()
+                values.append(self._literal())
+            self._expect("op", "]")
+            pred = col.isin(values)
+            return ~pred if negate else pred
+        raise FilterExprError(
+            f"expected a comparison after field, got {op!r} in {self.text!r}"
+        )
+
+    def _literal(self):
+        tok = self._next()
+        if tok[0] != "lit":
+            raise FilterExprError(
+                f"expected a literal, got {tok[1]!r} in {self.text!r}"
+            )
+        return tok[1]
+
+
+def parse_filter(expr: str | Column | None) -> Column | None:
+    """Parse a Milvus-style filter string into a Spark Column predicate.
+
+    Column and None pass through, so call sites accept either surface."""
+    if expr is None or isinstance(expr, Column):
+        return expr
+    tokens = _tokenize(expr)
+    if not tokens:
+        return None
+    return _Parser(tokens, expr).parse()

@@ -684,7 +684,8 @@ def embedding_topk_pairs(
         ),
     )
 
-    out_schema = "id_a long, id_b long, cosine double"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
     def _local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         ti, tj = (int(x) for x in pdf["t"].iloc[0].split("_"))
@@ -697,16 +698,21 @@ def embedding_topk_pairs(
         own = (ids[:, None] < ids[None, :]) & (lo == ti) & (hi == tj)
         ai, bi = np.nonzero(own)
         if ai.size == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=pdf["id"].dtype),
+                    "id_b": pd.Series([], dtype=pdf["id"].dtype),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
             )
-        vals = sims[ai, bi]
+        # round BEFORE the cut so the local keep-set agrees with the global
+        # (cosine desc, id_a, id_b) order — with >k ties at the kth rounded
+        # value, argpartition on raw floats would keep an arbitrary subset
+        vals = np.round(sims[ai, bi], 6)
         if ai.size > k:
-            keep = np.argpartition(-vals, k - 1)[:k]
+            keep = np.lexsort((ids[bi], ids[ai], -vals))[:k]
             ai, bi, vals = ai[keep], bi[keep], vals[keep]
-        return pd.DataFrame(
-            {"id_a": ids[ai], "id_b": ids[bi], "cosine": np.round(vals, 6)}
-        )
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi], "cosine": vals})
 
     local = replicated.groupBy("t").applyInPandas(_local_topk, out_schema)
     return local.select("id_a", "id_b", "cosine").orderBy(

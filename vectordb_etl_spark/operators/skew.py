@@ -173,10 +173,27 @@ def salted_join(
 
     Supports how ∈ {'inner', 'left'} (semantics preserved: dim replication
     never duplicates matches because each fact row carries exactly one
-    salt)."""
+    salt).
+
+    ``salt_source`` must VARY within a join key: a column that is constant
+    per key hashes every row of that key to the same salt, silently
+    defeating the mitigation (results stay correct — it degrades to the
+    plain join's distribution). Row-unique columns (an id, a timestamp)
+    are ideal; pass one explicitly when the first non-key column is not."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left'")
-    src = salt_source or next(c for c in fact.columns if c != on)
+    if salt_source is None:
+        candidates = [c for c in fact.columns if c != on]
+        if not candidates:
+            raise ValueError(
+                "salted_join: fact side has only the join column, so no "
+                "salt can be derived — pass salt_source= a column that "
+                "varies within a key, or add one (e.g. "
+                "F.monotonically_increasing_id())"
+            )
+        src = candidates[0]
+    else:
+        src = salt_source
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.hash(F.col(src)), F.lit(num_salts))
     )

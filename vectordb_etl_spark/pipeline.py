@@ -144,14 +144,51 @@ class PipelineRunner:
         extra["removed_rows"] = extra["input_rows"] - n
         return StageResult("curate", n, time.time() - t0, self.curated_path, extra)
 
+    @staticmethod
+    def _ckpt_mtime(path: str) -> float:
+        """Commit time of a parquet checkpoint: the ``_SUCCESS`` marker's
+        mtime (written at job commit), falling back to the directory's."""
+        p = Path(path)
+        marker = p / "_SUCCESS"
+        if marker.exists():
+            return marker.stat().st_mtime
+        return p.stat().st_mtime if p.exists() else 0.0
+
     # -- load (main.py:139-168) ----------------------------------------------
-    def load(self, drop_existing: bool = True, split_by_folder: bool = True) -> StageResult:
+    def load(
+        self,
+        drop_existing: bool = True,
+        split_by_folder: bool = True,
+        use_curated: bool | None = None,
+    ) -> StageResult:
+        """Load the freshest checkpoint into the collection store.
+
+        ``use_curated=None`` (default) picks ``curated.parquet`` only when it
+        is at least as new as ``chunks.parquet`` — a curate run from a
+        *previous* pipeline pass must not shadow freshly transformed chunks
+        (``run_all`` never curates, so a stale curated checkpoint would
+        otherwise be loaded silently forever). Pass ``True``/``False`` to
+        force either side.
+        """
         t0 = time.time()
-        src = (
-            self.curated_path
-            if Path(self.curated_path).exists()
-            else self.chunks_path
-        )
+        if use_curated is None:
+            curated_ok = (
+                Path(self.curated_path).exists()
+                and self._ckpt_mtime(self.curated_path)
+                >= self._ckpt_mtime(self.chunks_path)
+            )
+            if Path(self.curated_path).exists() and not curated_ok:
+                import warnings
+
+                warnings.warn(
+                    "curated.parquet predates chunks.parquet — loading the "
+                    "fresh chunks checkpoint instead (re-run curate() or pass "
+                    "use_curated=True to override)",
+                    stacklevel=2,
+                )
+        else:
+            curated_ok = use_curated
+        src = self.curated_path if curated_ok else self.chunks_path
         chunks = self.spark.read.parquet(src)
         if drop_existing:
             for name in self.store.list_collections():

@@ -8,10 +8,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from vectordb_etl_spark.config import EmbeddingConfig, SearchConfig
 from vectordb_etl_spark.embeddings import query_vector
+from vectordb_etl_spark.functions.filter_expr import parse_filter
 from vectordb_etl_spark.functions.language import detect_language_query
 from vectordb_etl_spark.operators.topk import topk_search
 from vectordb_etl_spark.store.collections import CollectionStore
@@ -36,17 +38,28 @@ def search_with_scores(
     search_all_collections: bool = False,
     metric: str = "COSINE",
     embedding_config: EmbeddingConfig | None = None,
+    filter: "str | Column | None" = None,
 ) -> list[SearchHit]:
     """Q4 — language-filtered search facade
     (reference: modules/search_utils.py:70-98).
 
     Auto-detects the query language with the P4 detector when no filter is
-    given (search_utils.py:84-87) and embeds the query ONCE on the driver."""
-    if auto_detect_language and filter_language is None:
-        filter_language = detect_language_query(query)
-    predicate = (
-        F.col("language") == filter_language if filter_language else None
-    )
+    given (search_utils.py:84-87) and embeds the query ONCE on the driver.
+
+    ``filter`` takes either a Spark Column or a Milvus-style expression
+    string (``language == "korean"``, ``filename == "x.html" and
+    chunk_index < 3`` — the reference's query surface, search_utils.py:56,90)
+    parsed by functions/filter_expr.py. When given, it replaces the
+    language auto-detection entirely, mirroring the reference's
+    filter-string precedence."""
+    if filter is not None:
+        predicate = parse_filter(filter)
+    else:
+        if auto_detect_language and filter_language is None:
+            filter_language = detect_language_query(query)
+        predicate = (
+            F.col("language") == filter_language if filter_language else None
+        )
     df = store.read(None if search_all_collections else collection_name)
     vec = query_vector(query, embedding_config)
     rows = topk_search(

@@ -28,6 +28,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # tz-less parquet TIMESTAMP reads as an instant (naive = UTC), not
+        # TIMESTAMP_NTZ — epoch arithmetic (unix_micros) needs instants, and
+        # this matches DuckDB's naive-as-UTC epoch_us semantics
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -149,8 +149,13 @@ class CollectionStore:
         ``key_col`` within their collection; unrelated collections are
         untouched. Parquet has no MERGE, so the affected collections are
         rewritten as (existing ANTI-JOIN new) ∪ new into a staging
-        directory and swapped in with an FS rename — readers see complete
-        old or complete new, never a mix. Cost scales with the AFFECTED
+        directory and swapped in rename-aside → rename-in → delete-aside,
+        so the destination is never absent. On HDFS-like filesystems each
+        rename is atomic, so a reader sees a complete old or complete new
+        listing; on object stores (s3a) "rename" is a non-atomic
+        copy+delete, so a concurrent reader can still observe a partial
+        swap — use a table format (Iceberg/Delta) there for true snapshot
+        isolation. Cost scales with the AFFECTED
         collections only (partition pruning on the read), not the
         warehouse; at 100 TB keep collections sized so a rewrite is an
         acceptable unit of work (this is the classic copy-on-write merge,
@@ -194,10 +199,14 @@ class CollectionStore:
             else:
                 merged = new_part
             staging = f"{self._data_dir}/.upsert-collection={name}"
+            aside = f"{self._data_dir}/.old-collection={name}"
             merged.write.mode("overwrite").parquet(staging)
+            if fs.exists(self._jpath(aside)):
+                fs.delete(self._jpath(aside), True)
             if fs.exists(self._jpath(part_dir)):
-                fs.delete(self._jpath(part_dir), True)
+                fs.rename(self._jpath(part_dir), self._jpath(aside))
             fs.rename(self._jpath(staging), self._jpath(part_dir))
+            fs.delete(self._jpath(aside), True)
             counts[name] = self.spark.read.parquet(part_dir).count()
         return counts
 

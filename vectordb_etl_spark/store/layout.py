@@ -59,9 +59,13 @@ def compact_collection(
 ) -> tuple[int, int]:
     """Rewrite one collection's partition directory with
     ``target_partitions`` output files. Returns (files_before,
-    files_after). Atomicity: the new file set is written to a sibling
-    directory and swapped in via FS rename (delete-then-rename pair); a
-    reader mid-swap sees a complete old or complete new listing."""
+    files_after). Swap discipline: the new file set is written to a
+    sibling directory, the old directory renamed aside, the new renamed
+    in, then the aside deleted — the destination path is never absent.
+    On HDFS-like filesystems each rename is atomic so a reader mid-swap
+    sees a complete old or complete new listing; on object stores (s3a)
+    rename is a non-atomic copy+delete and a concurrent reader can still
+    observe a partial swap — use a table format (Iceberg/Delta) there."""
     spark: SparkSession = store.spark
     part_dir = f"{store._data_dir}/collection={collection}"
     tmp_dir = f"{store._data_dir}/.compact-collection={collection}"
@@ -80,7 +84,11 @@ def compact_collection(
     before = _n_files(part_dir)
     df = spark.read.parquet(part_dir)
     df.repartition(target_partitions).write.mode("overwrite").parquet(tmp_dir)
-    fs.delete(store._jpath(part_dir), True)
+    aside = f"{store._data_dir}/.precompact-collection={collection}"
+    if fs.exists(store._jpath(aside)):
+        fs.delete(store._jpath(aside), True)
+    fs.rename(store._jpath(part_dir), store._jpath(aside))
     fs.rename(store._jpath(tmp_dir), store._jpath(part_dir))
+    fs.delete(store._jpath(aside), True)
     after = _n_files(part_dir)
     return before, after
