@@ -163,6 +163,72 @@ def test_connected_components_chain_transitive(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
 
 
+def test_star_contraction_matches_hashmin_on_random_graphs(spark):
+    # property: both algorithm bodies label identically on assorted shapes —
+    # chains, triangles+bridge, star, two blobs, self-contained singletons
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 30
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        m = rng.randint(5, 40)
+        pair_rows = list(
+            {
+                (a, b)
+                for a, b in (
+                    sorted((rng.randrange(n), rng.randrange(n)))
+                    for _ in range(m)
+                )
+                if a != b
+            }
+        )
+        pairs = spark.createDataFrame(pair_rows, ["id_a", "id_b"])
+        hm = {
+            r["doc_id"]: r["component"]
+            for r in D.connected_components(nodes, pairs).collect()
+        }
+        st = {
+            r["doc_id"]: r["component"]
+            for r in D.connected_components(
+                nodes, pairs, algorithm="star"
+            ).collect()
+        }
+        assert hm == st, f"trial {trial}: {pair_rows}"
+
+
+def test_star_contraction_long_chain_beats_diameter_bound(spark):
+    # a 60-node chain has diameter 59: hash-min with max_iter=10 must fail
+    # loud, star must converge inside the same budget (O(log n) rounds)
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(nodes, pairs, max_iter=10)
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(
+            nodes, pairs, max_iter=10, algorithm="star"
+        ).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+
+
+def test_star_contraction_string_ids(spark):
+    # min-id determinism must hold for lexicographic string ids too
+    nodes = spark.createDataFrame(
+        [("d1",), ("d2",), ("d3",), ("d9",)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame([("d2", "d3"), ("d3", "d1")], ["id_a", "id_b"])
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(nodes, pairs, algorithm="star").collect()
+    }
+    assert comp == {"d1": "d1", "d2": "d1", "d3": "d1", "d9": "d9"}
+
+
 def test_dedup_by_components_keeps_one_per_cluster(spark):
     nodes = spark.createDataFrame(
         [(i, f"text {i}") for i in range(1, 6)], ["doc_id", "text"]

@@ -1,0 +1,91 @@
+"""DAG-parity orchestration: the staged CLI sequence runs end-to-end as
+separate processes with a path-only contract between stages (reference
+dags/vectordb_etl_dag.py:265-318 — one process per task, paths via XCom)."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+from airflow_dags import run_staged_pipeline, staged_invocations  # noqa: E402
+
+PAGE = """<html><head><title>{t}</title></head><body><h1>{t}</h1>{p}</body></html>"""
+
+
+@pytest.fixture(scope="module")
+def html_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dag_input")
+    for folder in ("hr", "eng"):
+        d = root / folder
+        d.mkdir()
+        for i in range(2):
+            paras = "".join(
+                f"<p>Handbook section {folder}-{i} paragraph {j}. "
+                f"{'Policy details and procedures. ' * 6}</p>"
+                for j in range(3)
+            )
+            (d / f"doc{i}.html").write_text(
+                PAGE.format(t=f"{folder} {i}", p=paras), encoding="utf-8"
+            )
+    return root
+
+
+def test_staged_cli_pipeline_path_contract(html_tree, tmp_path_factory):
+    work = tmp_path_factory.mktemp("dag_work")
+    report = str(work / "report.json")
+    invs = run_staged_pipeline(
+        input_dir=str(html_tree),
+        checkpoint_dir=str(work / "ckpt"),
+        warehouse=str(work / "warehouse"),
+        dimension=32,
+        report_path=report,
+    )
+    assert [i.stage for i in invs] == [
+        "extract", "transform", "load", "validate",
+    ]
+    ex, tr, ld, va = invs
+    # XCom payloads: every stage pushed rows + its checkpoint path
+    assert ex.xcom["rows"] == 4
+    assert Path(ex.xcom["path"]).is_dir()  # documents.parquet
+    assert tr.xcom["rows"] > 0
+    assert Path(tr.xcom["path"]).is_dir()  # chunks.parquet
+    # load saw the transform output (separate process — disk contract only)
+    assert sum(ld.xcom["collections"].values()) == tr.xcom["rows"]
+    assert set(ld.xcom["collections"]) == {"html_hr", "html_eng"}
+    assert va.xcom["rows"] == tr.xcom["rows"]
+    # the notify-stage aggregate: validate wrote the report JSON
+    rep = json.loads(Path(report).read_text())
+    assert rep["total_chunks"] == tr.xcom["rows"]
+
+
+def test_staged_invocations_shape():
+    invs = staged_invocations(
+        input_dir="/in", checkpoint_dir="/ck", warehouse="/wh",
+        kind="hwp", report_path="/r.json",
+    )
+    assert [i.stage for i in invs] == [
+        "extract", "transform", "load", "validate",
+    ]
+    for inv in invs:
+        assert inv.argv[0] == sys.executable
+        assert "--kind" in inv.argv and "hwp" in inv.argv
+    assert "--report" in invs[-1].argv
+
+
+def test_airflow_builders_gated():
+    # without airflow the builders must fail with ImportError and nothing
+    # else (the plain-subprocess path above is the sandbox contract)
+    pytest.importorskip("airflow", reason="airflow not installed")
+    from airflow_dags import build_vectordb_etl_dag
+
+    dag = build_vectordb_etl_dag(
+        input_dir="/in", checkpoint_dir="/ck", warehouse="/wh"
+    )
+    assert [t.task_id for t in dag.tasks] == [
+        "extract", "transform", "load", "validate",
+    ]

@@ -1,0 +1,74 @@
+"""Env-gated real-model smoke (E1/E2/C2 with the actual BGE-M3 backend).
+
+Skipped cleanly wherever sentence-transformers (or the model download) is
+unavailable — which includes this sandbox; the hash embedder covers all
+other tests. Run on a machine with the model cached:
+
+    pytest tests/test_real_model.py -q
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+try:
+    import sentence_transformers  # noqa: F401
+
+    HAVE_ST = True
+except Exception:
+    HAVE_ST = False
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_ST, reason="sentence-transformers not installed"
+)
+
+FIXTURES = [
+    "서울 사무실 주소는 어디인가요?",
+    "The Seoul office address is on the third floor.",
+    "Một đoạn văn tiếng Việt để kiểm tra mô hình.",
+]
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    from vectordb_etl_spark.config import EmbeddingConfig
+    from vectordb_etl_spark.embeddings import SentenceTransformerEmbedder
+
+    try:
+        emb = SentenceTransformerEmbedder(
+            EmbeddingConfig(backend="sentence-transformer")
+        )
+        emb.embed_query("warmup")  # triggers model load / download
+    except Exception as e:  # offline, no cache, OOM — skip, don't fail
+        pytest.skip(f"BGE-M3 model unavailable: {e}")
+    return emb
+
+
+def test_bge_m3_dim_and_normalization(embedder):
+    vecs = np.asarray(embedder.embed_documents(FIXTURES))
+    assert vecs.shape == (3, embedder.dimension) == (3, 1024)
+    norms = np.linalg.norm(vecs, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-3)  # E3: L2-normalized
+    # same-language pair must out-score the cross-language-topic-mismatch pair
+    assert float(vecs[0] @ vecs[1]) > float(vecs[0] @ vecs[2])
+
+
+def test_query_embedding_matches_document_embedding(embedder):
+    q = np.asarray(embedder.embed_query(FIXTURES[0]))
+    d = np.asarray(embedder.embed_documents([FIXTURES[0]])[0])
+    assert np.allclose(q, d, atol=1e-5)
+
+
+def test_semantic_split_with_real_embedder(embedder):
+    from vectordb_etl_spark.operators.chunker import semantic_split
+
+    text = (
+        "The quarterly revenue grew by ten percent. Operating margins also "
+        "improved across regions. Cash flow remains strong this quarter. "
+        "Meanwhile, the new cafeteria menu features Korean dishes. Employees "
+        "praised the bibimbap and the bulgogi. Lunch hours are now busier."
+    )
+    parts = semantic_split(text, embedder)
+    assert len(parts) >= 2  # topic shift produces a breakpoint
+    assert "".join(parts).replace(" ", "") == text.replace(" ", "")

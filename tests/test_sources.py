@@ -100,6 +100,113 @@ def test_extract_hwpx():
     assert out["n_sections"] == 1
 
 
+def test_cfb_general_writer_boundaries_and_nesting():
+    # mini-cutoff (4096) and mini-sector (64) boundary sizes, nested
+    # storages, a multi-sector FAT chain, and an empty stream — every size
+    # class the reader's mini/FAT dispatch can hit
+    from vectordb_etl_spark.sources.cfb_fixtures import write_cfb
+
+    streams = {
+        "FileHeader": b"HWP Document File" + b"\x00" * 239,
+        "Mini63": b"a" * 63,
+        "Mini64": b"b" * 64,
+        "Mini65": b"c" * 65,
+        "Cut4095": b"d" * 4095,  # last mini-stream resident
+        "Cut4096": b"e" * 4096,  # first FAT-chained
+        "Cut4097": b"f" * 4097,
+        "Big": b"g" * 100_000,  # multi-sector chain, multi-FAT-entry
+        "Empty": b"",
+        "Nest/Sub/Deep": b"deep stream",
+        "Nest/Sib": b"sibling",
+    }
+    cf = CompoundFile(write_cfb(streams))
+    assert set(cf.list_streams()) == set(streams)
+    for name, payload in streams.items():
+        assert cf.read_stream(name) == payload, name
+
+
+def test_extract_hwp_many_sections_numeric_order():
+    # Section10 must sort AFTER Section2 (numeric, not lexicographic), and a
+    # big section crossing the mini cutoff must still extract via FAT chains
+    from vectordb_etl_spark.sources.cfb_fixtures import write_cfb
+
+    streams = {"FileHeader": b"HWP Document File" + b"\x00" * 239}
+    for i in (0, 1, 2, 10):
+        streams[f"BodyText/Section{i}"] = _hwp_section_bytes([f"part {i}"])
+    streams["BodyText/Section3"] = _hwp_section_bytes(
+        ["big " + "x" * 4000]
+    )  # > mini cutoff once UTF-16-encoded
+    out = extract_hwp(write_cfb(streams))
+    assert out["n_sections"] == 5
+    assert out["text"].split("\n") == [
+        "part 0", "part 1", "part 2", "big " + "x" * 4000, "part 10",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# hwp5txt subprocess tier (S4 tier a, env-gated)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def fake_hwp5txt(tmp_path):
+    bin_path = tmp_path / "hwp5txt"
+    bin_path.write_text(
+        "#!/bin/sh\necho 'converted by hwp5txt'\necho '  spaced line  '\n"
+    )
+    bin_path.chmod(0o755)
+    return str(bin_path)
+
+
+def test_subprocess_tier_preferred_when_gated(fake_hwp5txt, monkeypatch):
+    from vectordb_etl_spark.sources.hwp import (
+        _extract_any,
+        extract_hwp_subprocess,
+        hwp5txt_binary,
+    )
+
+    data = make_hwp(["cfb tier text"])
+    out = extract_hwp_subprocess(data, fake_hwp5txt)
+    assert out["text"] == "converted by hwp5txt\nspaced line"
+
+    monkeypatch.setenv("HWP5TXT_BIN", fake_hwp5txt)
+    assert hwp5txt_binary() == fake_hwp5txt
+    got = _extract_any(data, hwp5txt_binary())
+    assert got["text"] == "converted by hwp5txt\nspaced line"
+    assert got["error"] is None
+
+
+def test_subprocess_tier_falls_back_to_cfb_on_failure(tmp_path):
+    from vectordb_etl_spark.sources.hwp import _extract_any
+
+    bad = tmp_path / "hwp5txt"
+    bad.write_text("#!/bin/sh\nexit 3\n")
+    bad.chmod(0o755)
+    out = _extract_any(make_hwp(["cfb tier text"]), str(bad))
+    assert out["text"] == "cfb tier text"  # tier cascade landed on CFB
+    assert out["error"] is None
+
+
+def test_hwp5txt_binary_ungated(monkeypatch):
+    from vectordb_etl_spark.sources.hwp import hwp5txt_binary
+
+    monkeypatch.setenv("HWP5TXT_BIN", "/nonexistent/hwp5txt")
+    assert hwp5txt_binary() is None  # explicit-but-missing never resolves
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("hwp5txt") is None,
+    reason="real hwp5txt converter not installed",
+)
+def test_real_hwp5txt_smoke():
+    from shutil import which
+
+    from vectordb_etl_spark.sources.hwp import extract_hwp_subprocess
+
+    out = extract_hwp_subprocess(make_hwp(["real converter"]), which("hwp5txt"))
+    assert isinstance(out["text"], str)
+
+
 # ---------------------------------------------------------------------------
 # full scan pipelines on a temp directory tree (S1+S6+P8)
 # ---------------------------------------------------------------------------

@@ -115,7 +115,12 @@ def main(argv: list[str] | None = None) -> int:
         results = [runner.validate(report_path=args.report)]
 
     for r in results:
+        # one JSON line per stage; "path" is the checkpoint directory — the
+        # value an orchestrator passes to the next task (the reference DAGs'
+        # XCom carries exactly this, dags/vectordb_etl_dag.py:80-81)
         line = {"stage": r.stage, "rows": r.rows, "seconds": round(r.seconds, 2)}
+        if r.path:
+            line["path"] = r.path
         if r.extra:
             line.update(r.extra)
         print(json.dumps(line, ensure_ascii=False, default=str))

@@ -738,11 +738,76 @@ def embedding_topk_pairs_sql(
 # --------------------------------------------------------------------------
 
 
+def _edges_equal(a: DataFrame, b: DataFrame) -> bool:
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def _star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm). Converges in O(log n) rounds regardless of graph DIAMETER,
+    where hash-min label propagation needs diameter-many rounds — the
+    difference between 2 and 10,000 supersteps on an adversarial chain.
+
+    large-star: every node u links its strictly-larger neighbors to
+    m = min(N(u) ∪ {u}). small-star: edges directed high→low, every node
+    links its smaller-or-equal neighborhood (and itself) to its minimum.
+    At fixpoint the edge set is a star forest (child → component-min root).
+    Per round: two groupBy shuffles + two joins over the current edge set —
+    same shuffle count as one hash-min superstep, exponentially fewer
+    rounds on high-diameter graphs.
+
+    ``edges``: distinct (u, v) with u ≠ v. Returns (u=child, v=root)."""
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        directed = (
+            large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+        new_edges = (
+            directed.join(mins2, "u")
+            .select(F.col("v").alias("node"), "m")
+            .union(mins2.select(F.col("u").alias("node"), "m"))
+            .filter(F.col("node") != F.col("m"))
+            .distinct()
+            .select(F.col("node").alias("u"), F.col("m").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        if _edges_equal(new_edges, edges):
+            return new_edges
+        edges = new_edges
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iter} rounds — "
+        "pathological for O(log n) convergence; check for id-type "
+        "comparison anomalies"
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """Connected components over a near-dup pair relation:
     ``(id, component)`` where component = min id reachable through pairs
@@ -754,20 +819,41 @@ def connected_components(
     training-data pipeline groups pairs into components and keeps one
     representative per component — this operator computes the grouping.
 
-    Implementation: hash-min label propagation in pure DataFrame ops. Each
-    iteration joins labels to the (symmetrized) edge list, takes the min
-    label over each node's neighborhood, and stops when no label changed.
-    Iterations = graph diameter, which for near-dup clusters (dense blobs
-    of mutually-similar docs) is tiny; for adversarially long chains the
-    alternating large-star/small-star variant gives O(log n) rounds — at
-    that point swap the loop body, the driver loop shape stays. Per
-    iteration: one join shuffle + one aggregate, lineage truncated with
-    ``localCheckpoint`` so the plan does not grow with iterations (on a
-    cluster, set a reliable checkpoint dir and use ``checkpoint`` instead).
-    The convergence probe is ``isEmpty`` on an anti-semi condition — a
+    Two interchangeable ``algorithm`` bodies, identical results:
+
+    - ``"hashmin"`` (default): label propagation — each iteration joins
+      labels to the (symmetrized) edge list, takes the min label over each
+      node's neighborhood, stops when no label changed. Iterations = graph
+      DIAMETER, which for near-dup clusters (dense blobs of mutually-similar
+      docs) is tiny. One join shuffle + one aggregate per iteration.
+    - ``"star"``: alternating large-star/small-star contraction
+      (:func:`_star_contraction`) — O(log n) rounds independent of
+      diameter. Use when components can be long chains (URL redirect
+      graphs, citation chains) rather than similarity blobs.
+
+    Lineage is truncated with ``localCheckpoint`` so the plan does not grow
+    with iterations (on a cluster, set a reliable checkpoint dir and use
+    ``checkpoint`` instead). The convergence probe is ``isEmpty`` — a
     driver-side loop is inherent to iterative fixpoints (same shape as
     GraphFrames'/Pregel's superstep loop), not a collect of data rows.
     """
+    if algorithm == "star":
+        star = _star_contraction(
+            pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct(),
+            max_iter,
+        )
+        return (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(star, F.col("id") == star.u, "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce(star.v, F.col("id")).alias("component"),
+            )
+        )
+    if algorithm != "hashmin":
+        raise ValueError("algorithm must be 'hashmin' or 'star'")
     # materialize the edge list ONCE: every iteration joins against it, and
     # pair generators (MinHash folds, shingle joins) are far too expensive
     # to re-evaluate per superstep
@@ -806,8 +892,8 @@ def connected_components(
         # partial labels are WRONG answers for a dedup decision — fail loud
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} supersteps "
-            "(graph diameter exceeds max_iter); raise max_iter or switch the "
-            "loop body to large-star/small-star for O(log n) rounds"
+            "(graph diameter exceeds max_iter); raise max_iter or pass "
+            "algorithm='star' for O(log n) rounds"
         )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 

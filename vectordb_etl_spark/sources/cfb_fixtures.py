@@ -1,13 +1,18 @@
-"""Minimal [MS-CFB] v3 writer — fixture synthesis for the HWP reader.
+"""[MS-CFB] v3 writer — fixture synthesis for the HWP reader.
 
 This is the WRITE side of the compound-file format whose READ side lives in
-``sources/hwp.py`` (public spec, not reference code): root + FileHeader +
-BodyText/Section0, small streams in the mini-stream, one FAT + one miniFAT
-sector. It exists so the binary-HWP extraction tier can be verified by
-ROUND-TRIP — tests and the driver's ``hwp_cfb_roundtrip`` query synthesize
-containers whose content is arithmetic in ``doc_id`` and assert the real
-reader recovers it. Not a production writer (single-FAT-sector, <4096-byte
-streams only).
+``sources/hwp.py`` (public spec, not reference code). It exists so the
+binary-HWP extraction tier can be verified by ROUND-TRIP — tests and the
+driver's ``hwp_cfb_roundtrip`` query synthesize containers whose content is
+arithmetic in ``doc_id`` and assert the real reader recovers it.
+
+``write_cfb`` is general within v3: arbitrary stream paths with nested
+storages (``A/B/C``), streams on either side of the 4096-byte mini cutoff
+(mini-stream chains below, FAT chains at-or-above), multi-sector FAT /
+miniFAT / directory. ``write_min_cfb`` is the original two-stream facade,
+kept for the existing fixtures. Still not a production writer — no DIFAT
+continuation (≤109 FAT sectors ≈ 27 MB total), no red-black balancing
+(siblings chain through ``right``, which every conforming reader walks).
 """
 
 from __future__ import annotations
@@ -16,6 +21,7 @@ import struct
 import zlib
 
 FREE, ENDCHAIN, FATSECT, NOSTREAM = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD, 0xFFFFFFFF
+_SEC, _MINI, _CUTOFF = 512, 64, 4096
 
 
 def _dir_entry(name, etype, left=NOSTREAM, right=NOSTREAM, child=NOSTREAM,
@@ -30,6 +36,168 @@ def _dir_entry(name, etype, left=NOSTREAM, right=NOSTREAM, child=NOSTREAM,
     struct.pack_into("<I", buf, 116, start)
     struct.pack_into("<Q", buf, 120, size)
     return bytes(buf)
+
+
+def write_cfb(streams: dict[str, bytes]) -> bytes:
+    """General v3 writer: ``{'path': bytes, 'Storage/Sub/Stream': bytes}``.
+
+    Streams < 4096 B go to the mini-stream (miniFAT chains); larger ones get
+    regular FAT chains. Storages are created implicitly from path prefixes.
+    """
+    # ---- directory tree from paths ----------------------------------------
+    tree: dict = {}
+    for path, data in streams.items():
+        node = tree
+        parts = path.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {"__kids__": {}})["__kids__"]
+        node[parts[-1]] = {"__data__": data}
+
+    # flatten to directory entries, DFS; entry 0 = Root
+    entries: list[dict] = [
+        {"name": "Root Entry", "type": 5, "left": NOSTREAM,
+         "right": NOSTREAM, "child": NOSTREAM, "start": 0, "size": 0}
+    ]
+
+    def alloc(node: dict, name: str) -> int:
+        idx = len(entries)
+        if "__data__" in node:
+            entries.append(
+                {"name": name, "type": 2, "left": NOSTREAM,
+                 "right": NOSTREAM, "child": NOSTREAM,
+                 "data": node["__data__"], "start": 0,
+                 "size": len(node["__data__"])}
+            )
+        else:
+            entries.append(
+                {"name": name, "type": 1, "left": NOSTREAM,
+                 "right": NOSTREAM, "child": NOSTREAM, "start": 0, "size": 0}
+            )
+            entries[idx]["child"] = chain_children(node["__kids__"])
+        return idx
+
+    def chain_children(kids: dict) -> int:
+        first = NOSTREAM
+        prev = None
+        for name in kids:  # insertion order; siblings via `right`
+            idx = alloc(kids[name], name)
+            if prev is None:
+                first = idx
+            else:
+                entries[prev]["right"] = idx
+            prev = idx
+        return first
+
+    entries[0]["child"] = chain_children(tree)
+
+    # ---- mini-stream + regular-stream payloads -----------------------------
+    def pad(b: bytes, n: int) -> bytes:
+        return b + b"\x00" * (-len(b) % n)
+
+    mini_parts: list[bytes] = []
+    minifat: list[int] = []
+    regular: list[dict] = []  # entries needing FAT chains, in order
+    for e in entries:
+        if e["type"] != 2:
+            continue
+        data = e.pop("data")
+        if len(data) < _CUTOFF:
+            start = len(minifat)
+            n = max(1, -(-len(data) // _MINI)) if data else 0
+            if n == 0:  # zero-length stream: no chain
+                e["start"], e["size"] = ENDCHAIN, 0
+                continue
+            mini_parts.append(pad(data, _MINI))
+            minifat.extend(
+                [start + i + 1 for i in range(n - 1)] + [ENDCHAIN]
+            )
+            e["start"], e["size"] = start, len(data)
+        else:
+            regular.append({"entry": e, "data": pad(data, _SEC),
+                            "size": len(data)})
+
+    ministream = pad(b"".join(mini_parts), _SEC)
+    entries[0]["size"] = sum(len(p) for p in mini_parts)
+    minifat_sectors = -(-len(minifat) // 128) if minifat else 0
+    minifat += [FREE] * (minifat_sectors * 128 - len(minifat))
+
+    dir_raw = b"".join(
+        _dir_entry(e["name"], e["type"], e["left"], e["right"], e["child"],
+                   e["start"], e["size"])
+        for e in entries
+    )
+    dir_raw = pad(dir_raw, _SEC)
+    dir_sectors = len(dir_raw) // _SEC
+    mini_sectors = len(ministream) // _SEC
+    reg_sectors = sum(len(r["data"]) // _SEC for r in regular)
+
+    # ---- sector layout: [FAT][miniFAT][dir][ministream][regular...] --------
+    # total sectors T = F + rest; F = ceil(T / 128) → fixed point
+    rest = minifat_sectors + dir_sectors + mini_sectors + reg_sectors
+    fat_sectors = 1
+    while -(-(fat_sectors + rest) // 128) != fat_sectors:
+        fat_sectors = -(-(fat_sectors + rest) // 128)
+    if fat_sectors > 109:
+        raise ValueError("fixture writer supports ≤109 FAT sectors")
+
+    first_minifat = fat_sectors
+    first_dir = first_minifat + minifat_sectors
+    first_mini = first_dir + dir_sectors
+    first_reg = first_mini + mini_sectors
+
+    fat = [FATSECT] * fat_sectors
+    fat += _chain_run(first_minifat, minifat_sectors)
+    fat += _chain_run(first_dir, dir_sectors)
+    fat += _chain_run(first_mini, mini_sectors)
+    pos = first_reg
+    for r in regular:
+        n = len(r["data"]) // _SEC
+        r["entry"]["start"] = pos
+        fat += _chain_run(pos, n)
+        pos += n
+    fat += [FREE] * (fat_sectors * 128 - len(fat))
+
+    entries[0]["start"] = first_mini if mini_sectors else ENDCHAIN
+    # regular starts / root start were assigned after dir_raw was built — redo
+    dir_raw = b"".join(
+        _dir_entry(e["name"], e["type"], e["left"], e["right"], e["child"],
+                   e["start"], e["size"])
+        for e in entries
+    )
+    dir_raw = pad(dir_raw, _SEC)
+
+    header = bytearray(_SEC)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 24, 0x3E)
+    struct.pack_into("<H", header, 26, 3)
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 9)
+    struct.pack_into("<H", header, 32, 6)
+    struct.pack_into("<I", header, 44, fat_sectors)
+    struct.pack_into("<I", header, 48, first_dir)
+    struct.pack_into("<I", header, 56, _CUTOFF)
+    struct.pack_into("<I", header, 60,
+                     first_minifat if minifat_sectors else ENDCHAIN)
+    struct.pack_into("<I", header, 64, minifat_sectors)
+    struct.pack_into("<I", header, 68, ENDCHAIN)
+    struct.pack_into("<I", header, 72, 0)
+    for i in range(109):
+        struct.pack_into(
+            "<I", header, 76 + 4 * i,
+            i if i < fat_sectors else FREE,
+        )
+
+    body = struct.pack(f"<{fat_sectors * 128}I", *fat)
+    if minifat_sectors:
+        body += struct.pack(f"<{minifat_sectors * 128}I", *minifat)
+    body += dir_raw + ministream
+    for r in regular:
+        body += r["data"]
+    return bytes(header) + body
+
+
+def _chain_run(start: int, n: int) -> list[int]:
+    return [start + i + 1 for i in range(n - 1)] + ([ENDCHAIN] if n else [])
 
 
 def write_min_cfb(streams: dict[str, bytes]) -> bytes:

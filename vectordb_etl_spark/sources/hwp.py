@@ -11,14 +11,22 @@ mini-stream — in ~120 lines of stdlib ``struct``. HWPX (S5) is plain
 ZIP+XML: concatenate text of ``*section*.xml``, metadata from ``*meta*.xml``
 (hwp_loader.py:417-460).
 
-Both run inside one pandas UDF over ``binaryFile`` rows: pure Python, no
-subprocess tier (the reference's ``hwp5txt`` fallback is env-dependent and
-explicitly not replicated — SURVEY.md S4).
+Both run inside one pandas UDF over ``binaryFile`` rows: pure Python by
+default. The reference's FIRST tier — an ``hwp5txt`` subprocess with a 60 s
+timeout (modules/hwp_loader.py:61-68) — is replicated behind an environment
+gate (``HWP5TXT_BIN``, see :func:`extract_hwp_subprocess`): when the binary
+is present on the executors the UDF prefers it exactly like the reference's
+fallback order (subprocess → pure-Python scan), and when it is not, the
+pure-CFB tier runs alone. Per-row subprocess cost is real — enable it only
+for corpora where the whitelist scan measurably under-extracts.
 """
 
 from __future__ import annotations
 
+import os
 import struct
+import subprocess
+import tempfile
 import zipfile
 import zlib
 from io import BytesIO
@@ -218,6 +226,48 @@ def extract_hwp(data: bytes) -> dict:
     }
 
 
+def hwp5txt_binary() -> str | None:
+    """Resolve the optional ``hwp5txt`` converter: the ``HWP5TXT_BIN`` env
+    var wins; otherwise PATH lookup. None when unavailable (the common
+    case — the pure-CFB tier then runs alone)."""
+    explicit = os.environ.get("HWP5TXT_BIN")
+    if explicit:
+        return explicit if os.path.exists(explicit) else None
+    from shutil import which
+
+    return which("hwp5txt")
+
+
+def extract_hwp_subprocess(
+    data: bytes, binary: str, timeout: int = 60
+) -> dict:
+    """Reference tier (a): ``hwp5txt <file>`` with a 60 s timeout
+    (modules/hwp_loader.py:61-68). The converter is file-based, so the
+    binaryFile bytes are spooled to a temp file per row. Raises on any
+    failure — callers fall back to the pure-CFB tier, mirroring the
+    reference's tier cascade (hwp_loader.py:48-87)."""
+    with tempfile.NamedTemporaryFile(suffix=".hwp", delete=False) as tf:
+        tf.write(data)
+        path = tf.name
+    try:
+        proc = subprocess.run(
+            [binary, path],
+            capture_output=True,
+            timeout=timeout,
+            check=True,
+        )
+        text = proc.stdout.decode("utf-8", "replace")
+        lines = [ln.strip() for ln in text.split("\n")]
+        return {
+            "text": "\n".join(ln for ln in lines if ln),
+            "title": None,
+            "author": None,
+            "n_sections": -1,  # converter does not expose section count
+        }
+    finally:
+        os.unlink(path)
+
+
 # --------------------------------------------------------------------------
 # S5 — HWPX (ZIP/XML) extraction (hwp_loader.py:417-460)
 # --------------------------------------------------------------------------
@@ -285,10 +335,16 @@ HWP_STRUCT = StructType(
 # never the task.
 
 
-def _extract_any(data: bytes) -> dict:
+def _extract_any(data: bytes, hwp5txt: str | None = None) -> dict:
     ok = {"error": None}
     try:
         if data[:8] == CFB_MAGIC:
+            if hwp5txt is not None:
+                # reference tier order: subprocess first, CFB scan on failure
+                try:
+                    return {**extract_hwp_subprocess(data, hwp5txt), **ok}
+                except Exception:
+                    pass
             return {**extract_hwp(data), **ok}
         if data[:2] == b"PK":
             return {**extract_hwpx(data), **ok}
@@ -301,5 +357,9 @@ def _extract_any(data: bytes) -> dict:
 
 @F.pandas_udf(HWP_STRUCT)
 def extract_hwp_udf(content: pd.Series) -> pd.DataFrame:
-    rows = [_extract_any(bytes(b) if b is not None else b"") for b in content]
+    hwp5txt = hwp5txt_binary()  # resolved once per Arrow batch, executor-side
+    rows = [
+        _extract_any(bytes(b) if b is not None else b"", hwp5txt)
+        for b in content
+    ]
     return pd.DataFrame(rows)
