@@ -186,9 +186,14 @@ class IVFIndex:
         rows = [
             (int(i), [float(x) for x in cents[i]]) for i in range(cents.shape[0])
         ]
+        # repartition(1), NOT coalesce(1): a local-rows DataFrame spreads
+        # over defaultParallelism pickled slices, and coalesce(1) evaluates
+        # every slice SERIALLY inside one task (one Python-worker round trip
+        # each — seconds of wall clock for 16 rows); repartition evaluates
+        # them in parallel and shuffles the handful of rows to one writer
         self.spark.createDataFrame(
             rows, "centroid_id int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
+        ).repartition(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
         self._centroids = cents
         return self
 
