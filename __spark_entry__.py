@@ -1972,6 +1972,242 @@ _register(
 # ---------------------------------------------------------------------------
 # registration order for the driver
 # ---------------------------------------------------------------------------
+# -- round-3 widening: filter facade + four TPC-H join shapes + grouped top-k
+
+
+def _filter_expr_search(spark: SparkSession, sf: str) -> DataFrame:
+    """P9/P10 through the Milvus-style filter-STRING facade
+    (functions/filter_expr.py; reference search_utils.py:56,90) — proves the
+    string surface plans identically to native Column predicates (the parse
+    result is a Column, so pushdown/pruning are untouched)."""
+    from vectordb_etl_spark.functions.filter_expr import parse_filter
+
+    docs = _docs(spark, sf)
+    return (
+        docs.filter(
+            parse_filter(
+                'lang in ["en", "fr"] and n_chars >= 300 and not lang == "de"'
+            )
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_register(
+    "filter_expr_search",
+    _filter_expr_search,
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE lang IN ('en', 'fr') AND n_chars >= 300 AND NOT lang = 'de' "
+    "ORDER BY n_chars DESC, doc_id ASC LIMIT 20",
+)
+
+
+def _promo_revenue_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Q14-shape: conditional-aggregate ratio over a fact⋈dim join. part is
+    the small side — Catalyst broadcasts it, so the only shuffle is the
+    final single-group aggregate (partial map-side sums of both the
+    conditional and unconditional terms in one pass)."""
+    li = _table(spark, sf, "lineitem")
+    part = _table(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                    / F.sum(rev)
+                ).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+_register(
+    "promo_revenue_ratio",
+    _promo_revenue_ratio,
+    "SELECT round(CAST(100.0 * "
+    "sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) ELSE 0 END) / "
+    "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_pct "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey",
+)
+
+
+def _large_order_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q18-shape: group-by-HAVING on the fact, then join the qualifying keys
+    back to orders/customer. The HAVING runs as a partial+final agg BEFORE
+    the joins, so only qualifying orderkeys (a tiny set) flow into the join
+    — the decomposed form of the correlated `IN (SELECT ... HAVING)`."""
+    li = _table(spark, sf, "lineitem")
+    orders = _table(spark, sf, "orders")
+    cust = _table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("double"), 4).alias("total_price"),
+            F.round(F.col("sum_qty").cast("double"), 4).alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+_register(
+    "large_order_customers",
+    _large_order_customers,
+    "SELECT c_name, o_orderkey, round(CAST(o_totalprice AS DOUBLE), 4) AS total_price, "
+    "round(CAST(sum_qty AS DOUBLE), 4) AS sum_qty FROM orders "
+    "JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem "
+    "GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big ON o_orderkey = big.l_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "ORDER BY total_price DESC, o_orderkey ASC LIMIT 20",
+)
+
+
+def _disjunctive_predicate_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19-shape: OR-of-ANDs across both join sides. The brand/size arms
+    reference only `part` and the quantity arms only `lineitem`, so Catalyst
+    derives and pushes the per-side implied filters (brand IN (...) to the
+    part scan, quantity range to the lineitem scan) before the broadcast
+    join evaluates the full disjunction."""
+    li = _table(spark, sf, "lineitem")
+    part = _table(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 30) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 50) & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_register(
+    "disjunctive_predicate_revenue",
+    _disjunctive_predicate_revenue,
+    "SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue, "
+    "count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 20) "
+    "OR (p_brand = 'Brand#2' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 35) "
+    "OR (p_brand = 'Brand#3' AND p_size <= 50 AND l_quantity BETWEEN 20 AND 50)",
+)
+
+
+def _bilateral_shipping_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Q7-shape: five-table snowflake with a symmetric two-nation predicate
+    and a year grain from the ship timestamp. nation is broadcast twice
+    under different aliases; the only large shuffle is lineitem⋈orders
+    (both sides hash-partitioned on orderkey — at 100 TB, bucket both on
+    orderkey and this becomes exchange-free, store/layout.py)."""
+    li = _table(spark, sf, "lineitem")
+    orders = _table(spark, sf, "orders")
+    cust = _table(spark, sf, "customer")
+    supp = _table(spark, sf, "supplier")
+    nation = _table(spark, sf, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+_register(
+    "bilateral_shipping_volume",
+    _bilateral_shipping_volume,
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "EXTRACT(year FROM l_shipdate) AS ship_year, "
+    "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') "
+    "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+)
+
+
+def _top_terms_per_language(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped top-k: top-3 terms per language by frequency. The explode
+    stays map-side of the (term, lang) partial agg; the rank is a window
+    over the small aggregated set, not the raw term stream — the standard
+    two-phase shape for per-group leaderboards at scale."""
+    docs = _docs(spark, sf)
+    terms = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: F.length(t) >= 4,
+            )
+        ).alias("term"),
+    )
+    counts = terms.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "term", "n", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+_register(
+    "top_terms_per_language",
+    _top_terms_per_language,
+    "WITH terms AS (SELECT lang, t.term FROM documents, "
+    "UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term) "
+    "WHERE length(t.term) >= 4), "
+    "counts AS (SELECT lang, term, count(*) AS n FROM terms GROUP BY 1, 2), "
+    "ranked AS (SELECT lang, term, n, row_number() OVER "
+    "(PARTITION BY lang ORDER BY n DESC, term ASC) AS rank FROM counts) "
+    "SELECT lang, term, n, rank FROM ranked WHERE rank <= 3 ORDER BY lang, rank",
+)
+
+
 # The driver verifies the FIRST 50 registered queries only (CORRECTNESS_r02
 # covered exactly the first 50 by dict order and silently skipped 21). Queries
 # never yet driver-checked — plus rows that changed this round — are listed
@@ -2002,6 +2238,14 @@ _PRIORITY = [
     "order_value_percentiles",
     # red in r01+r02 on the HUGEINT→float64 dtype artifact; oracle fixed
     "events_sessionize",
+    # registered round 3 — never driver-checked
+    "ivf_topk_nprobe",
+    "filter_expr_search",
+    "promo_revenue_ratio",
+    "large_order_customers",
+    "disjunctive_predicate_revenue",
+    "bilateral_shipping_volume",
+    "top_terms_per_language",
 ]
 
 # Long-proven rows (green in r01 AND r02, trivially stable scalar/agg shapes)

@@ -146,6 +146,12 @@ def main() -> None:
         "vocab_top_terms",
         "streaming_windowed_counts",
         "ivf_topk_nprobe",
+        "filter_expr_search",
+        "promo_revenue_ratio",
+        "large_order_customers",
+        "disjunctive_predicate_revenue",
+        "bilateral_shipping_volume",
+        "top_terms_per_language",
     ]
     noop_queries = [
         "pii_redaction",
