@@ -1711,6 +1711,61 @@ _register(
 )
 
 
+def _streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-STREAM interval join (purchase → follow-up view within 30 min,
+    same user), run as a real two-stream lifecycle: both sides watermarked,
+    event-time band in the join condition (bounded state), append output.
+    All input arrives in one availableNow trigger, so every match emits and
+    the result equals the batch interval join the oracle states."""
+    import tempfile
+
+    from vectordb_etl_spark.streaming.ingest import interval_join_streams
+
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_id2"),
+        F.col("event_id").alias("f_event"),
+        F.col("ts").alias("f_ts"),
+    )
+    name = f"stream_ij_{next(_STREAM_SEQ)}"
+    with tempfile.TemporaryDirectory() as tmp:
+        purchases.write.parquet(f"{tmp}/purchases")
+        views.write.parquet(f"{tmp}/views")
+        ls = spark.readStream.schema(purchases.schema).parquet(f"{tmp}/purchases")
+        rs = spark.readStream.schema(views.schema).parquet(f"{tmp}/views")
+        joined = interval_join_streams(
+            ls, rs, key="user_id", left_ts="p_ts", right_ts="f_ts",
+            max_delay="30 minutes",
+        ).select("user_id", "p_event", "f_event")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink
+    return out
+
+
+_register(
+    "streaming_interval_join",
+    _streaming_interval_join,
+    "SELECT p.user_id, p.event_id AS p_event, f.event_id AS f_event "
+    "FROM events p JOIN events f ON p.user_id = f.user_id "
+    "AND f.ts > p.ts AND f.ts <= p.ts + INTERVAL 30 MINUTE "
+    "WHERE p.event_type = 'purchase' AND f.event_type = 'view'",
+)
+
+
 # -- multimodal tier, driver-checkable ----------------------------------------------
 #
 # The container-header parsers are real (stdlib struct over public formats);
@@ -2246,6 +2301,7 @@ _PRIORITY = [
     "disjunctive_predicate_revenue",
     "bilateral_shipping_volume",
     "top_terms_per_language",
+    "streaming_interval_join",
 ]
 
 # Long-proven rows (green in r01 AND r02, trivially stable scalar/agg shapes)

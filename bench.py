@@ -152,6 +152,7 @@ def main() -> None:
         "disjunctive_predicate_revenue",
         "bilateral_shipping_volume",
         "top_terms_per_language",
+        "streaming_interval_join",
     ]
     noop_queries = [
         "pii_redaction",

@@ -134,6 +134,51 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path_factory):
     assert str(s["session_end"]) == "2024-01-01 09:10:00"
 
 
+def test_interval_join_streams_matches_and_bounds(spark, tmp_path_factory):
+    # purchase→follow-up matches within the band only; strictly-after rule;
+    # per-key isolation. One availableNow trigger → all matches emit.
+    from datetime import datetime
+
+    from vectordb_etl_spark.streaming.ingest import interval_join_streams
+
+    t = lambda m: datetime(2024, 1, 1, 9, m)  # noqa: E731
+    left_rows = [(1, 100, t(0)), (2, 101, t(0))]
+    right_rows = [
+        (1, 200, t(10)),  # match (within 30 min, same user)
+        (1, 201, t(0)),   # NO: not strictly after
+        (1, 202, t(45)),  # NO: beyond the band
+        (2, 203, t(29)),  # match (user 2)
+        (9, 204, t(5)),   # NO: different user
+    ]
+    d = tmp_path_factory.mktemp("ij")
+    spark.createDataFrame(
+        left_rows, "user_id long, p_event long, p_ts timestamp"
+    ).coalesce(1).write.parquet(str(d / "l"))
+    spark.createDataFrame(
+        right_rows, "user_id2 long, f_event long, f_ts timestamp"
+    ).coalesce(1).write.parquet(str(d / "r"))
+    ls = spark.readStream.schema(
+        "user_id long, p_event long, p_ts timestamp"
+    ).parquet(str(d / "l"))
+    rs = spark.readStream.schema(
+        "user_id2 long, f_event long, f_ts timestamp"
+    ).parquet(str(d / "r"))
+    joined = interval_join_streams(ls, rs, max_delay="30 minutes")
+    assert joined.isStreaming
+    q = (
+        joined.select("user_id", "p_event", "f_event")
+        .writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ij_out").collect()}
+    assert got == {(1, 100, 200), (2, 101, 203)}
+
+
 def test_enrich_stream_broadcasts_static_side(spark):
     # stateless stream-static enrichment must broadcast the dim: a shuffle
     # would re-partition the stream every micro-batch. Verified on the

@@ -12,6 +12,7 @@ from vectordb_etl_spark.streaming.ingest import (
     dedup_stream,
     write_collection_stream,
     windowed_event_counts,
+    interval_join_streams,
     sessionize_stream,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "dedup_stream",
     "write_collection_stream",
     "windowed_event_counts",
+    "interval_join_streams",
     "sessionize_stream",
 ]

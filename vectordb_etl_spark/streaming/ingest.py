@@ -169,6 +169,39 @@ def windowed_event_counts(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "p_ts",
+    right_ts: str = "f_ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM interval join: for each left event, right events of the
+    same ``key`` strictly after it and within ``max_delay`` (the
+    purchase → follow-up pattern; streaming twin of the batch banded range
+    join in operators/temporal.py).
+
+    Both sides carry watermarks and the join condition includes the event-
+    time band — the two ingredients Spark's state-cleanup logic needs to
+    EVICT buffered rows: a right row can be dropped once the watermark
+    passes ``right_ts`` (no future left row can reach back further than
+    ``max_delay``), so state is bounded by rate × (watermark + delay), not
+    by stream length. Append output mode; matches emit as both sides
+    arrive. Column names must already be disambiguated (left: ``key``,
+    ``left_ts``; right: ``key2``, ``right_ts``) since stream-stream joins
+    cannot alias through self-join lineage."""
+    cond = F.expr(
+        f"{key} = {key}2 AND {right_ts} > {left_ts} "
+        f"AND {right_ts} <= {left_ts} + INTERVAL {max_delay}"
+    )
+    return (
+        left.withWatermark(left_ts, watermark)
+        .join(right.withWatermark(right_ts, watermark), cond, "inner")
+    )
+
+
 # --------------------------------------------------------------------------
 # custom stateful operator: session windows via applyInPandasWithState
 # --------------------------------------------------------------------------
