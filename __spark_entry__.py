@@ -1722,37 +1722,53 @@ def _streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     from vectordb_etl_spark.streaming.ingest import interval_join_streams
 
     ev = _events(spark, sf)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id"),
-        F.col("event_id").alias("p_event"),
-        F.col("ts").alias("p_ts"),
-    )
-    views = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("user_id2"),
-        F.col("event_id").alias("f_event"),
-        F.col("ts").alias("f_ts"),
-    )
+    landing = ev.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("user_id", "event_id", "ts", "event_type")
     name = f"stream_ij_{next(_STREAM_SEQ)}"
+    # stream-stream join keeps a state store per shuffle partition PER SIDE;
+    # at this data scale 32 partitions is pure state-store overhead — pin the
+    # stream's partitioning low (baked into the checkpoint at creation) and
+    # restore the session default afterwards
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as tmp:
-        purchases.write.parquet(f"{tmp}/purchases")
-        views.write.parquet(f"{tmp}/views")
-        ls = spark.readStream.schema(purchases.schema).parquet(f"{tmp}/purchases")
-        rs = spark.readStream.schema(views.schema).parquet(f"{tmp}/views")
-        joined = interval_join_streams(
-            ls, rs, key="user_id", left_ts="p_ts", right_ts="f_ts",
-            max_delay="30 minutes",
-        ).select("user_id", "p_event", "f_event")
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.table(name)
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            # ONE single-file landing dir read by both streams (the two
+            # sides are map-side filters of the same source): one write job,
+            # and each microbatch schedules one scan task per side instead
+            # of 32
+            landing.repartition(1).write.parquet(f"{tmp}/landing")
+            src = lambda: spark.readStream.schema(landing.schema).parquet(  # noqa: E731
+                f"{tmp}/landing"
+            )
+            ls = src().filter(F.col("event_type") == "purchase").select(
+                F.col("user_id"),
+                F.col("event_id").alias("p_event"),
+                F.col("ts").alias("p_ts"),
+            )
+            rs = src().filter(F.col("event_type") == "view").select(
+                F.col("user_id").alias("user_id2"),
+                F.col("event_id").alias("f_event"),
+                F.col("ts").alias("f_ts"),
+            )
+            joined = interval_join_streams(
+                ls, rs, key="user_id", left_ts="p_ts", right_ts="f_ts",
+                max_delay="30 minutes",
+            ).select("user_id", "p_event", "f_event")
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.table(name)
+            out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 
@@ -2263,6 +2279,151 @@ _register(
 )
 
 
+def _events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap fill (sparse → dense): every (event_type, hour)
+    bucket over each type's observed span, zero-filled where no events
+    landed. The dense axis comes from `sequence()` + explode of ONE ROW PER
+    TYPE (min/max aggregate) — milliseconds of work however large the fact
+    table — then a left join back to the hourly partial aggregate. Never
+    materialize a dense axis per-row; derive it from the tiny per-group
+    bounds."""
+    ev = _events(spark, sf)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    axis = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    return (
+        axis.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_register(
+    "events_gap_fill",
+    _events_gap_fill,
+    "WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n "
+    "FROM events GROUP BY 1, 2), "
+    "spans AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM hourly GROUP BY 1), "
+    "axis AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM spans) "
+    "SELECT a.event_type, a.hour, coalesce(h.n, 0) AS n "
+    "FROM axis a LEFT JOIN hourly h ON a.event_type = h.event_type AND a.hour = h.hour "
+    "ORDER BY a.event_type, a.hour",
+)
+
+
+def _cumulative_unique_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct users per day — the SCALABLE form. A naive
+    `count(DISTINCT) OVER (ORDER BY day)` re-deduplicates the whole prefix
+    per frame (quadratic state, driver-killing at 100 TB). Instead: each
+    user contributes on exactly their FIRST day (one groupBy), daily
+    first-touch counts aggregate (tiny), and a running sum over days gives
+    the cumulative distinct — two shuffles on bounded keys, no per-frame
+    dedup."""
+    ev = _events(spark, sf)
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day")
+    )
+    daily_new = first_day.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_new.withColumn("cum_users", F.sum("new_users").over(w))
+        .select("day", "new_users", "cum_users")
+        .orderBy("day")
+    )
+
+
+_register(
+    "cumulative_unique_users",
+    _cumulative_unique_users,
+    # DuckDB's date_trunc('day', ...) yields DATE; cast to TIMESTAMP to
+    # canonicalize like Spark's timestamp day bucket
+    "WITH fd AS (SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS day "
+    "FROM events GROUP BY 1), "
+    "dn AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1) "
+    "SELECT day, new_users, CAST(sum(new_users) OVER "
+    "(ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users "
+    "FROM dn ORDER BY day",
+)
+
+
+def _purchasers_without_errors(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operators as first-class shapes: EXCEPT and INTERSECT over user
+    sets (purchasers minus error-users; both-kinds users). Spark plans
+    except/intersect as left-anti / left-semi over hash-distinct inputs —
+    one shuffle each on the already-deduped key sets, not on raw events."""
+    ev = _events(spark, sf)
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    clean = purchasers.exceptAll(erroring).select(
+        "user_id", F.lit("purchase_only").alias("cohort")
+    )
+    both = purchasers.intersect(erroring).select(
+        "user_id", F.lit("both").alias("cohort")
+    )
+    return clean.unionByName(both).orderBy("cohort", "user_id")
+
+
+_register(
+    "purchasers_without_errors",
+    _purchasers_without_errors,
+    "WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'), "
+    "e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error') "
+    "SELECT user_id, 'purchase_only' AS cohort FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e) "
+    "UNION ALL "
+    "SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e) "
+    "ORDER BY cohort, user_id",
+)
+
+
+def _event_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: per-user event-type counts as columns. With the pivot values
+    enumerated explicitly, Spark compiles this to ONE partial+final
+    aggregate of conditional counts (no extra shuffle vs a plain groupBy,
+    no two-pass value discovery) — the same conditional-aggregation the
+    oracle states. Output bounded to the top 20 users by total activity."""
+    ev = _events(spark, sf)
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )
+    total = sum(F.col(k) for k in kinds)
+    return (
+        pivoted.withColumn("total", total.cast("bigint"))
+        .orderBy(F.desc("total"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+_register(
+    "event_type_pivot",
+    _event_type_pivot,
+    "SELECT user_id, "
+    "count(*) FILTER (event_type = 'click') AS click, "
+    "count(*) FILTER (event_type = 'view') AS view, "
+    "count(*) FILTER (event_type = 'purchase') AS purchase, "
+    "count(*) FILTER (event_type = 'signup') AS signup, "
+    "count(*) FILTER (event_type = 'error') AS error, "
+    "count(*) AS total FROM events GROUP BY user_id "
+    "ORDER BY total DESC, user_id ASC LIMIT 20",
+)
+
+
 # The driver verifies the FIRST 50 registered queries only (CORRECTNESS_r02
 # covered exactly the first 50 by dict order and silently skipped 21). Queries
 # never yet driver-checked — plus rows that changed this round — are listed
@@ -2302,6 +2463,10 @@ _PRIORITY = [
     "bilateral_shipping_volume",
     "top_terms_per_language",
     "streaming_interval_join",
+    "purchasers_without_errors",
+    "event_type_pivot",
+    "events_gap_fill",
+    "cumulative_unique_users",
 ]
 
 # Long-proven rows (green in r01 AND r02, trivially stable scalar/agg shapes)

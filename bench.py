@@ -153,6 +153,10 @@ def main() -> None:
         "bilateral_shipping_volume",
         "top_terms_per_language",
         "streaming_interval_join",
+        "purchasers_without_errors",
+        "event_type_pivot",
+        "events_gap_fill",
+        "cumulative_unique_users",
     ]
     noop_queries = [
         "pii_redaction",
