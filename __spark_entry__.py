@@ -2367,7 +2367,10 @@ def _purchasers_without_errors(spark: SparkSession, sf: str) -> DataFrame:
     ev = _events(spark, sf)
     purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    clean = purchasers.exceptAll(erroring).select(
+    # subtract = EXCEPT DISTINCT → LeftAnti join (exceptAll would plan the
+    # multiplicity-preserving sum/replicate-rows scheme — pointless overhead
+    # on inputs that are already distinct key sets)
+    clean = purchasers.subtract(erroring).select(
         "user_id", F.lit("purchase_only").alias("cohort")
     )
     both = purchasers.intersect(erroring).select(

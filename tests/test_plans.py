@@ -273,3 +273,54 @@ def test_cube_single_pass_and_window_battery_single_sort(spark):
     win_plan = qs["user_event_windows"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert win_plan.count("Window") <= 2  # lag/sum/ntile/pct_rank share frames
     assert win_plan.count("Exchange") == 1
+
+
+def test_pivot_single_aggregate_no_union(spark):
+    # PIVOT with enumerated values must compile to ONE partial+final
+    # aggregate of conditional counts — never a per-value scan or union
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["event_type_pivot"](spark, SF))
+    assert "Union" not in plan
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read), no extras
+
+
+def test_gap_fill_no_cartesian_and_axis_from_bounds(spark):
+    # the dense hour axis must come from exploding per-group min/max bounds
+    # (a row per TYPE), never a cartesian with a generated range
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["events_gap_fill"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+
+
+def test_set_ops_plan_as_semi_anti(spark):
+    # EXCEPT/INTERSECT over distinct key sets plan as left-anti/left-semi
+    # hash joins — match multiplicity never materializes
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["purchasers_without_errors"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_having_aggregates_before_joins(spark):
+    # the HAVING aggregate must run BEFORE the orders/customer joins so only
+    # qualifying orderkeys flow into them: in the plan tree the lineitem
+    # aggregate appears strictly below (after) the join nodes
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["large_order_customers"](spark, SF))
+    first_join = min(
+        i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                    plan.find("ShuffledHashJoin")) if i >= 0
+    )
+    agg_positions = [
+        i for i in range(len(plan)) if plan.startswith("HashAggregate", i)
+    ]
+    assert any(i > first_join for i in agg_positions), (
+        "no aggregate below the joins — HAVING did not pre-reduce lineitem"
+    )
