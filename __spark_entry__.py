@@ -2279,6 +2279,30 @@ _register(
 )
 
 
+def _gopher_quality_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule quality signals (public thresholds, Rae et al. 2021
+    §A1.1) as pure higher-order column expressions — the standard
+    pre-training repetition/format filter, JVM-side end to end, fully
+    oracle-stated. One projection, no shuffle, no Python."""
+    docs = _docs(spark, sf)
+    sig = T.gopher_signal_cols("text")
+    cols = [F.col("doc_id")] + [v.alias(k) for k, v in sig.items()]
+    return docs.select(
+        *cols, T.gopher_pass_col(sig).alias("keep")
+    ).orderBy("doc_id")
+
+
+_GOPHER_SIG = T.gopher_signal_sql("text")
+_register(
+    "gopher_quality_signals",
+    _gopher_quality_signals,
+    "SELECT doc_id, "
+    + ", ".join(f"{v} AS {k}" for k, v in _GOPHER_SIG.items())
+    + f", {T.gopher_pass_sql(_GOPHER_SIG)} AS keep "
+    "FROM documents ORDER BY doc_id",
+)
+
+
 def _events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series gap fill (sparse → dense): every (event_type, hour)
     bucket over each type's observed span, zero-filled where no events
@@ -2470,6 +2494,7 @@ _PRIORITY = [
     "event_type_pivot",
     "events_gap_fill",
     "cumulative_unique_users",
+    "gopher_quality_signals",
 ]
 
 # Long-proven rows (green in r01 AND r02, trivially stable scalar/agg shapes)
@@ -2503,6 +2528,12 @@ _DEMOTE = [
     "simhash_fingerprints",
     "exact_dedup",
     "vocab_top_terms",
+    # r02-green and untouched in r3 — demoted so the temporal rows (whose
+    # read path changed with the NTZ timestamp normalization) stay checked
+    "pii_redaction",
+    "stratified_sample",
+    "contamination_check",
+    "corpus_health",
 ]
 
 

@@ -157,6 +157,7 @@ def main() -> None:
         "event_type_pivot",
         "events_gap_fill",
         "cumulative_unique_users",
+        "gopher_quality_signals",
     ]
     noop_queries = [
         "pii_redaction",

@@ -58,3 +58,38 @@ def test_clean_text_is_pure_column_expression(spark, docs_tiny):
     explained = docs_tiny.select(clean_text_col("text").alias("c"))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in explained
     assert "ArrowEvalPython" not in explained
+
+
+def test_gopher_signals_crafted_docs(spark):
+    from vectordb_etl_spark.functions.text import (
+        gopher_pass_col,
+        gopher_signal_cols,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean readable prose with several perfectly normal words right here today"),
+            (2, "- one\n- two\n- three\n- four"),        # all bullet lines
+            (3, "same line\nsame line\nsame line\nnew"),  # 2/4 lines dup... trimmed: 3 same + 1
+            (4, "#### #tags #### everywhere # # # yes"),  # symbol-heavy
+            (5, "trailing thought...\nanother one...\nplain line"),
+            (6, "12345 67890 11111 22222 33333"),          # zero alpha words
+        ],
+        "doc_id int, text string",
+    )
+    sig = gopher_signal_cols("text")
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            *[v.alias(k) for k, v in sig.items()],
+            gopher_pass_col(sig).alias("keep"),
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[1]["alpha_word_frac"] == 1.0
+    assert out[2]["bullet_line_frac"] == 1.0 and out[2]["keep"] is False
+    assert out[3]["dup_line_frac"] == 0.5  # 4 lines, 2 distinct
+    assert out[4]["symbol_word_ratio"] > 0.1 and out[4]["keep"] is False
+    assert out[5]["ellipsis_line_frac"] == round(2 / 3, 6)
+    assert out[6]["alpha_word_frac"] == 0.0 and out[6]["keep"] is False

@@ -25,6 +25,10 @@ from vectordb_etl_spark.functions.text import (
     doc_fingerprint_sql,
     estimate_tokens_col,
     estimate_tokens_sql,
+    gopher_pass_col,
+    gopher_pass_sql,
+    gopher_signal_cols,
+    gopher_signal_sql,
     quality_score_cols,
     truncate_cols,
 )

@@ -177,3 +177,128 @@ def token_count_sql(expr: str) -> dict[str, str]:
         "ws_tokens": f"CAST(len(string_split_regex(trim({expr}), '\\s+')) AS INT)",
         "bpeish_tokens": f"CAST(len(regexp_extract_all({expr}, '{_BPEISH_PATTERN}')) AS INT)",
     }
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: Gopher-style document quality signals (public rules from
+# Rae et al., "Scaling Language Models: ... Gopher", 2021, §A1.1 — the
+# standard pre-training repetition/format filters, also used by
+# RefinedWeb/Dolma). Pure higher-order-function column expressions with
+# DuckDB renderings, so the whole filter is oracle-checkable and runs
+# JVM-side at 100 TB (no Python in the path).
+# --------------------------------------------------------------------------
+
+GOPHER_BULLET_PREFIXES = ("-", "*", "•")
+
+
+def gopher_signal_cols(col: Column | str) -> dict[str, Column]:
+    c = _as_col(col)
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != F.lit(""))
+    wc = F.size(words).cast("double")
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != F.lit(""),
+    )
+    nl = F.size(lines).cast("double")
+    hashes = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    ellipses = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\."), 0))
+    bullet_re = "^[-*•]"
+    signals = {
+        "word_count": F.size(words),
+        "mean_word_len": F.round(
+            F.aggregate(
+                words, F.lit(0.0), lambda a, w: a + F.length(w).cast("double")
+            )
+            / F.nullif(wc, F.lit(0.0)),
+            6,
+        ),
+        "symbol_word_ratio": F.round(
+            (hashes + ellipses).cast("double") / F.nullif(wc, F.lit(0.0)), 6
+        ),
+        "alpha_word_frac": F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+            / F.nullif(wc, F.lit(0.0)),
+            6,
+        ),
+        "bullet_line_frac": F.round(
+            F.size(F.filter(lines, lambda ln: ln.rlike(bullet_re))).cast("double")
+            / F.nullif(nl, F.lit(0.0)),
+            6,
+        ),
+        "ellipsis_line_frac": F.round(
+            F.size(F.filter(lines, lambda ln: ln.endswith("..."))).cast("double")
+            / F.nullif(nl, F.lit(0.0)),
+            6,
+        ),
+        "dup_line_frac": F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double")
+            / F.nullif(nl, F.lit(0.0)),
+            6,
+        ),
+    }
+    return signals
+
+
+def gopher_pass_col(signals: dict[str, Column]) -> Column:
+    """The Gopher keep-rule over the signal columns (paper §A1.1 thresholds;
+    word-count band widened to [10, 100000] for chunk-sized docs)."""
+    return (
+        signals["word_count"].between(10, 100_000)
+        & signals["mean_word_len"].between(1.0, 10.0)
+        & (signals["symbol_word_ratio"] <= 0.1)
+        & (signals["alpha_word_frac"] >= 0.6)
+        & (signals["bullet_line_frac"] <= 0.9)
+        & (signals["ellipsis_line_frac"] <= 0.3)
+        & (signals["dup_line_frac"] <= 0.3)
+    )
+
+
+def gopher_signal_sql(expr: str) -> dict[str, str]:
+    words = f"list_filter(string_split_regex(trim({expr}), '\\s+'), w -> w <> '')"
+    wc = f"CAST(len({words}) AS DOUBLE)"
+    lines = (
+        f"list_filter(list_transform(string_split({expr}, chr(10)), "
+        f"ln -> trim(ln)), ln -> ln <> '')"
+    )
+    nl = f"CAST(len({lines}) AS DOUBLE)"
+    hashes = f"(length({expr}) - length(replace({expr}, '#', '')))"
+    ellipses = f"len(regexp_extract_all({expr}, '\\.\\.\\.'))"
+    return {
+        "word_count": f"CAST(len({words}) AS INT)",
+        "mean_word_len": (
+            f"round(list_aggregate(list_transform({words}, "
+            f"w -> CAST(length(w) AS DOUBLE)), 'sum') / nullif({wc}, 0.0), 6)"
+        ),
+        "symbol_word_ratio": (
+            f"round(CAST({hashes} + {ellipses} AS DOUBLE) / nullif({wc}, 0.0), 6)"
+        ),
+        "alpha_word_frac": (
+            f"round(CAST(len(list_filter({words}, w -> regexp_matches(w, '[a-zA-Z]'))) "
+            f"AS DOUBLE) / nullif({wc}, 0.0), 6)"
+        ),
+        "bullet_line_frac": (
+            f"round(CAST(len(list_filter({lines}, ln -> regexp_matches(ln, '^[-*•]'))) "
+            f"AS DOUBLE) / nullif({nl}, 0.0), 6)"
+        ),
+        "ellipsis_line_frac": (
+            f"round(CAST(len(list_filter({lines}, ln -> ln LIKE '%...')) "
+            f"AS DOUBLE) / nullif({nl}, 0.0), 6)"
+        ),
+        "dup_line_frac": (
+            f"round(1.0 - CAST(len(list_distinct({lines})) AS DOUBLE) "
+            f"/ nullif({nl}, 0.0), 6)"
+        ),
+    }
+
+
+def gopher_pass_sql(sig: dict[str, str]) -> str:
+    return (
+        f"({sig['word_count']} BETWEEN 10 AND 100000 "
+        f"AND {sig['mean_word_len']} BETWEEN 1.0 AND 10.0 "
+        f"AND {sig['symbol_word_ratio']} <= 0.1 "
+        f"AND {sig['alpha_word_frac']} >= 0.6 "
+        f"AND {sig['bullet_line_frac']} <= 0.9 "
+        f"AND {sig['ellipsis_line_frac']} <= 0.3 "
+        f"AND {sig['dup_line_frac']} <= 0.3)"
+    )
