@@ -65,6 +65,32 @@ def test_ivf_probe_prunes_partitions(spark, ivf, query_vec):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_ivf_incremental_add(spark, embeddings_tiny, tmp_path_factory):
+    # split the corpus; build on half, add() the rest: search must then see
+    # everything, probe-all stays exact, and the centroid artifact is
+    # untouched (add assigns against the persisted geometry — reloaded from
+    # parquet by a FRESH handle, not the in-memory copy)
+    path = str(tmp_path_factory.mktemp("ivf_inc") / "index")
+    first = embeddings_tiny.filter(F.col("vec_id") % 2 == 0)
+    rest = embeddings_tiny.filter(F.col("vec_id") % 2 == 1)
+    idx = IVFIndex(spark, path).build(first, nlist=8, seed=42)
+    cents_before = idx.centroids.copy()
+
+    reopened = IVFIndex(spark, path)  # no in-memory centroids
+    reopened.add(rest)
+    assert (reopened.centroids == cents_before).all()
+
+    total = spark.read.parquet(f"{path}/data").count()
+    assert total == embeddings_tiny.count()
+    q = list(embeddings_tiny.filter(F.col("vec_id") == 7).head()["embedding"])
+    exact = _exact_ids(embeddings_tiny, q)
+    approx = [
+        r["vec_id"]
+        for r in reopened.search(q, k=10, nprobe=8, tie_break=["vec_id"]).collect()
+    ]
+    assert recall_at_k(exact, approx) == 1.0  # probe-all of 8 ⇒ exact
+
+
 def test_lsh_bucket_deterministic(spark, embeddings_tiny):
     b1 = embeddings_tiny.select(lsh_bucket_col("embedding", 64).alias("b")).collect()
     b2 = embeddings_tiny.select(lsh_bucket_col("embedding", 64).alias("b")).collect()

@@ -197,6 +197,32 @@ class IVFIndex:
         self._centroids = cents
         return self
 
+    def add(
+        self,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        assign_round_dp: int | None = None,
+    ) -> "IVFIndex":
+        """Incremental maintenance: assign a NEW batch against the EXISTING
+        centroids and append into the partition layout — cost proportional
+        to the batch, never a rebuild. This is how IVF indexes absorb a
+        streaming/daily ingest at 100 TB: the centroid geometry drifts only
+        when the data distribution does, at which point a scheduled build()
+        retrains (same trade Milvus/FAISS make — add() assigns, re-train is
+        an explicit operation). Readers pick up new files on their next
+        partition listing; a search mid-append sees complete old files."""
+        cents = self.centroids  # loads the persisted artifact if needed
+        assigned = df.withColumn(
+            "centroid_id",
+            assign_centroids_udf(cents, self.metric, round_dp=assign_round_dp)(
+                F.col(emb_col)
+            ),
+        )
+        assigned.repartition("centroid_id").write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(f"{self.path}/data")
+        return self
+
     @property
     def centroids(self) -> np.ndarray:
         if self._centroids is None:
