@@ -191,3 +191,43 @@ def test_enrich_stream_broadcasts_static_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert {r["segment"] for r in out.collect()} == {"A", "B"}
+
+
+def test_upsert_collection_stream_idempotent_rekey(spark, tmp_path_factory):
+    # CDC shape: a later file re-delivers chunk c1 with NEW text; the
+    # streaming upsert sink must replace, not duplicate — and unrelated
+    # keys survive untouched
+    from vectordb_etl_spark.embeddings import with_embeddings
+    from vectordb_etl_spark.streaming.ingest import upsert_collection_stream
+
+    work = tmp_path_factory.mktemp("upsert_stream")
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(work / "wh")))
+    schema = "chunk_id string, text string, folder_name string"
+    emb_cfg = EmbeddingConfig(dimension=8)
+
+    def land(rows):
+        # append into ONE flat dir: the file stream source lists the top
+        # level only (no recursion), so nested per-batch subdirs are invisible
+        with_embeddings(
+            spark.createDataFrame(rows, schema), config=emb_cfg
+        ).repartition(1).write.mode("append").parquet(str(work / "landing"))
+
+    land([("c1", "version one", "hr"), ("c2", "other doc", "hr")])
+    emb_schema = spark.read.parquet(str(work / "landing")).schema
+
+    def run_once():
+        stream = spark.readStream.schema(emb_schema).parquet(
+            str(work / "landing")
+        )
+        q = upsert_collection_stream(
+            stream, store, str(work / "ckpt"), trigger_available_now=True
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert store.read().count() == 2
+
+    land([("c1", "version two", "hr")])  # re-delivery with new text
+    run_once()
+    out = {r["chunk_id"]: r["text"] for r in store.read().collect()}
+    assert out == {"c1": "version two", "c2": "other doc"}

@@ -14,9 +14,11 @@ from vectordb_etl_spark.streaming.ingest import (
     windowed_event_counts,
     interval_join_streams,
     sessionize_stream,
+    upsert_collection_stream,
 )
 
 __all__ = [
+    "upsert_collection_stream",
     "read_document_stream",
     "transform_stream",
     "dedup_stream",

@@ -128,6 +128,46 @@ def write_collection_stream(
     return writer.start()
 
 
+def upsert_collection_stream(
+    chunks: DataFrame,
+    store,
+    checkpoint_dir: str,
+    key_col: str = "chunk_id",
+    split_by_folder: bool = True,
+    trigger_available_now: bool = False,
+):
+    """Streaming UPSERT sink: foreachBatch routes each micro-batch through
+    the store's copy-on-write merge, so a re-ingested document REPLACES its
+    previous chunks instead of duplicating them — the exactly-once-per-key
+    contract a CDC-style feed needs. foreachBatch is the right tool because
+    the merge is a multi-job batch operation (anti-join + partition
+    rewrite), not a row-append; Spark guarantees at-least-once batch
+    delivery and the key-merge makes redelivery idempotent — together:
+    effectively exactly-once. Cost per batch scales with the AFFECTED
+    collections, so partition the landing data so a batch touches few.
+    NOTE: the file stream source lists the landing dir's top level only —
+    land batches as sibling FILES (append), not nested subdirectories."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.upsert_documents(
+            batch_df.drop("ingest_ts", "text_hash"),
+            key_col=key_col,
+            split_by_folder=split_by_folder,
+            embed=False,
+        )
+
+    writer = (
+        chunks.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,
