@@ -2440,13 +2440,17 @@ def _event_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "event_type_pivot",
     _event_type_pivot,
+    # total = sum of the ENUMERATED kinds (not count(*)) so Spark and the
+    # oracle stay aligned by construction even if a future testdata
+    # generation adds a sixth event_type
     "SELECT user_id, "
     "count(*) FILTER (event_type = 'click') AS click, "
     "count(*) FILTER (event_type = 'view') AS view, "
     "count(*) FILTER (event_type = 'purchase') AS purchase, "
     "count(*) FILTER (event_type = 'signup') AS signup, "
     "count(*) FILTER (event_type = 'error') AS error, "
-    "count(*) AS total FROM events GROUP BY user_id "
+    "count(*) FILTER (event_type IN ('click','view','purchase','signup','error')) AS total "
+    "FROM events GROUP BY user_id "
     "ORDER BY total DESC, user_id ASC LIMIT 20",
 )
 

@@ -62,6 +62,21 @@ def test_in_and_like(df):
     assert _ids(df, 'filename like "%.html"') == [0, 1, 3]
 
 
+def test_like_underscore_is_literal(spark):
+    # Milvus `like` has only the % wildcard — _ and . must match literally
+    # (Spark's native like would wildcard _, and a naive regex would
+    # wildcard .)
+    df = spark.createDataFrame(
+        [(0, "my_doc1.html"), (1, "myXdoc1.html"), (2, "my_doc1xhtml")],
+        "id long, fn string",
+    )
+    got = sorted(
+        r["id"]
+        for r in df.filter(parse_filter('fn like "my_doc%.html"')).collect()
+    )
+    assert got == [0]
+
+
 def test_passthrough_and_empty():
     assert parse_filter(None) is None
     assert parse_filter("") is None

@@ -126,6 +126,16 @@ def test_load_skips_stale_curated(runner):
     # must warn and fall back to the fresh chunks checkpoint (the run_all
     # extract→transform→load path would otherwise resurrect old data).
     import time as _time
+    from pathlib import Path
+
+    # self-contained setup (no dependence on earlier tests in this module):
+    # ensure documents/chunks checkpoints and a curated.parquet exist
+    if not Path(runner.documents_path).exists():
+        runner.extract()
+    if not Path(runner.chunks_path).exists():
+        runner.transform()
+    if not Path(runner.curated_path).exists():
+        runner.curate(sample_fractions=None)
 
     _time.sleep(1.1)  # ensure a strictly newer mtime on the chunks commit
     tr = runner.transform()

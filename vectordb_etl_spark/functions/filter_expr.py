@@ -175,7 +175,12 @@ class _Parser:
                 raise FilterExprError(
                     f"like needs a string pattern in {self.text!r}"
                 )
-            return col.like(pat[1])
+            # Milvus `like` has ONE wildcard: % (underscore is a literal).
+            # Spark's Column.like would treat _ as a one-char wildcard, so
+            # translate to an anchored regex instead: escape everything,
+            # then turn % into .*
+            regex = "^" + re.escape(pat[1]).replace("%", ".*") + "$"
+            return col.rlike(regex)
         negate = False
         if kind == "kw" and op == "not":
             negate = True

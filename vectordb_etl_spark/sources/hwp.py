@@ -246,12 +246,12 @@ def extract_hwp_subprocess(
     binaryFile bytes are spooled to a temp file per row. Raises on any
     failure — callers fall back to the pure-CFB tier, mirroring the
     reference's tier cascade (hwp_loader.py:48-87)."""
-    with tempfile.NamedTemporaryFile(suffix=".hwp", delete=False) as tf:
-        tf.write(data)
-        path = tf.name
-    try:
+    tf = tempfile.NamedTemporaryFile(suffix=".hwp", delete=False)
+    try:  # covers the spool write too — a failed write must not leak the file
+        with tf:
+            tf.write(data)
         proc = subprocess.run(
-            [binary, path],
+            [binary, tf.name],
             capture_output=True,
             timeout=timeout,
             check=True,
@@ -265,7 +265,10 @@ def extract_hwp_subprocess(
             "n_sections": -1,  # converter does not expose section count
         }
     finally:
-        os.unlink(path)
+        try:
+            os.unlink(tf.name)
+        except OSError:
+            pass
 
 
 # --------------------------------------------------------------------------

@@ -30,6 +30,22 @@ from vectordb_etl_spark.embeddings import with_embeddings
 from vectordb_etl_spark.functions.text import truncate_cols
 
 
+def checked_rename(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` reports failure by RETURNING FALSE, not
+    by raising — an unchecked call can silently skip a swap step and leave
+    the layout corrupted (e.g. staging renamed INSIDE a still-present dest).
+    Raise instead, so a failed swap aborts loudly mid-discipline."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def checked_delete(fs, path, recursive: bool = True) -> None:
+    """delete() also returns False on failure (except when the path is
+    already absent, which is fine for our aside-cleanup semantics)."""
+    if fs.exists(path) and not fs.delete(path, recursive):
+        raise IOError(f"delete failed: {path}")
+
+
 class CollectionStore:
     def __init__(self, spark: SparkSession, config: StoreConfig | None = None):
         self.spark = spark
@@ -201,12 +217,11 @@ class CollectionStore:
             staging = f"{self._data_dir}/.upsert-collection={name}"
             aside = f"{self._data_dir}/.old-collection={name}"
             merged.write.mode("overwrite").parquet(staging)
-            if fs.exists(self._jpath(aside)):
-                fs.delete(self._jpath(aside), True)
+            checked_delete(fs, self._jpath(aside))
             if fs.exists(self._jpath(part_dir)):
-                fs.rename(self._jpath(part_dir), self._jpath(aside))
-            fs.rename(self._jpath(staging), self._jpath(part_dir))
-            fs.delete(self._jpath(aside), True)
+                checked_rename(fs, self._jpath(part_dir), self._jpath(aside))
+            checked_rename(fs, self._jpath(staging), self._jpath(part_dir))
+            checked_delete(fs, self._jpath(aside))
             counts[name] = self.spark.read.parquet(part_dir).count()
         return counts
 

@@ -84,11 +84,15 @@ def compact_collection(
     before = _n_files(part_dir)
     df = spark.read.parquet(part_dir)
     df.repartition(target_partitions).write.mode("overwrite").parquet(tmp_dir)
+    from vectordb_etl_spark.store.collections import (
+        checked_delete,
+        checked_rename,
+    )
+
     aside = f"{store._data_dir}/.precompact-collection={collection}"
-    if fs.exists(store._jpath(aside)):
-        fs.delete(store._jpath(aside), True)
-    fs.rename(store._jpath(part_dir), store._jpath(aside))
-    fs.rename(store._jpath(tmp_dir), store._jpath(part_dir))
-    fs.delete(store._jpath(aside), True)
+    checked_delete(fs, store._jpath(aside))
+    checked_rename(fs, store._jpath(part_dir), store._jpath(aside))
+    checked_rename(fs, store._jpath(tmp_dir), store._jpath(part_dir))
+    checked_delete(fs, store._jpath(aside))
     after = _n_files(part_dir)
     return before, after

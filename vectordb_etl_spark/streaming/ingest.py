@@ -217,6 +217,7 @@ def interval_join_streams(
     right_ts: str = "f_ts",
     max_delay: str = "30 minutes",
     watermark: str = "2 hours",
+    right_key: str | None = None,
 ) -> DataFrame:
     """Stream-STREAM interval join: for each left event, right events of the
     same ``key`` strictly after it and within ``max_delay`` (the
@@ -229,11 +230,20 @@ def interval_join_streams(
     passes ``right_ts`` (no future left row can reach back further than
     ``max_delay``), so state is bounded by rate × (watermark + delay), not
     by stream length. Append output mode; matches emit as both sides
-    arrive. Column names must already be disambiguated (left: ``key``,
-    ``left_ts``; right: ``key2``, ``right_ts``) since stream-stream joins
-    cannot alias through self-join lineage."""
+    arrive. Column names must already be disambiguated across the two
+    streams (stream-stream joins cannot alias through self-join lineage):
+    the right stream's key column is ``right_key``, defaulting to
+    ``f"{key}2"``; a ValueError names the expected column when absent."""
+    rk = right_key or f"{key}2"
+    for df, c, side in ((left, key, "left"), (right, rk, "right")):
+        if c not in df.columns:
+            raise ValueError(
+                f"interval_join_streams: {side} stream is missing key "
+                f"column {c!r} (have {df.columns}); rename or pass "
+                "right_key= explicitly"
+            )
     cond = F.expr(
-        f"{key} = {key}2 AND {right_ts} > {left_ts} "
+        f"{key} = {rk} AND {right_ts} > {left_ts} "
         f"AND {right_ts} <= {left_ts} + INTERVAL {max_delay}"
     )
     return (
