@@ -159,3 +159,23 @@ def test_cli_curate_stage_parses():
     import json as _json
 
     assert _json.loads(args.sample_fractions) == {"english": 0.5}
+
+
+def test_search_with_filter_string(runner):
+    from pathlib import Path
+
+    if not Path(runner.chunks_path).exists():
+        runner.extract()
+        runner.transform()
+        runner.load()
+    hits = runner.search(
+        "handbook", k=2, filter='language == "english" and chunk_index >= 0'
+    )
+    assert hits and all(h.metadata["language"] == "english" for h in hits)
+
+
+def test_cli_filter_arg_parses():
+    args = build_parser().parse_args(
+        ["--stage", "search", "--query", "x", "--filter", 'language == "korean"']
+    )
+    assert args.filter == 'language == "korean"'

@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=3)
     p.add_argument("--collection", default=None)
     p.add_argument("--language", default=None, help="search filter language")
+    p.add_argument(
+        "--filter",
+        default=None,
+        help="search: Milvus-style filter expression, e.g. "
+        "'language == \"korean\" and chunk_index < 3'",
+    )
     p.add_argument("--chunk-size", type=int, default=300)
     p.add_argument("--chunk-overlap", type=int, default=60)
     p.add_argument("--dimension", type=int, default=1024)
@@ -88,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
 
         hits = runner.search(
             args.query, k=args.k, collection=args.collection,
-            filter_language=args.language,
+            filter_language=args.language, filter=args.filter,
         )
         print(format_search_results(hits))
         return 0

@@ -225,6 +225,7 @@ class PipelineRunner:
         k: int = 3,
         collection: str | None = None,
         filter_language: str | None = None,
+        filter: str | None = None,
     ):
         from vectordb_etl_spark.search import search_with_scores
 
@@ -236,6 +237,7 @@ class PipelineRunner:
             search_all_collections=collection is None,
             filter_language=filter_language,
             embedding_config=self.config.embedding,
+            filter=filter,
         )
 
     # -- reset (main.py:243-277) ---------------------------------------------
