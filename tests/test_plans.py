@@ -324,3 +324,40 @@ def test_q18_having_aggregates_before_joins(spark):
     assert any(i > first_join for i in agg_positions), (
         "no aggregate below the joins — HAVING did not pre-reduce lineitem"
     )
+
+
+def test_clustered_write_enables_zone_map_skipping(spark, tmp_path):
+    # after a range-clustered write, files are near-disjoint in the cluster
+    # key and every row group's min-max is tight — verified on the actual
+    # parquet footers — so a pushed range predicate can skip whole groups
+    import pyarrow.parquet as pq
+
+    from vectordb_etl_spark.store.layout import write_clustered
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = str(tmp_path / "events_by_user")
+    write_clustered(ev, p, ["user_id"], num_files=8)
+
+    import glob
+
+    spans = []
+    for f in sorted(glob.glob(f"{p}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "user_id"
+            )
+            spans.append((col.statistics.min, col.statistics.max))
+    spans.sort()
+    # row groups must be non-overlapping in the cluster key (boundary
+    # values may be shared across adjacent groups)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping zone maps: {(lo1, hi1)} vs {(lo2, hi2)}"
+    # and the pushed range predicate appears on the scan
+    scan = spark.read.parquet(p).filter(
+        (F.col("user_id") >= 10) & (F.col("user_id") <= 20)
+    )
+    plan = plan_of(scan)
+    assert "GreaterThanOrEqual(user_id,10)" in plan

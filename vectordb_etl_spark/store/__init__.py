@@ -2,6 +2,15 @@
 physical-layout tools (bucketed co-located joins, compaction)."""
 
 from vectordb_etl_spark.store.collections import CollectionStore
-from vectordb_etl_spark.store.layout import compact_collection, write_bucketed
+from vectordb_etl_spark.store.layout import (
+    compact_collection,
+    write_bucketed,
+    write_clustered,
+)
 
-__all__ = ["CollectionStore", "compact_collection", "write_bucketed"]
+__all__ = [
+    "CollectionStore",
+    "compact_collection",
+    "write_bucketed",
+    "write_clustered",
+]

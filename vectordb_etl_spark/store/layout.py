@@ -96,3 +96,31 @@ def compact_collection(
     checked_delete(fs, store._jpath(aside))
     after = _n_files(part_dir)
     return before, after
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster a table on ``cluster_cols`` so parquet zone maps
+    (row-group/file min-max statistics) become SELECTIVE for range
+    predicates — the single-dimension form of data-skipping clustering
+    (what Delta OPTIMIZE ZORDER / Iceberg sort orders do for one key).
+
+    ``repartitionByRange`` makes the files near-disjoint in the cluster
+    key, and ``sortWithinPartitions`` tightens every row group's min-max
+    inside each file; a later ``ts BETWEEN ...`` scan then skips whole row
+    groups via the pushed predicate instead of reading everything. Layout
+    cost is one range shuffle at write time; every later range query pays
+    only for the rows it touches. Best for the dominant filter column of a
+    table (events: ts; chunks: language or chunk-hash prefix)."""
+    cols = [df[c] for c in cluster_cols]
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
