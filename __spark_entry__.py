@@ -1192,6 +1192,48 @@ _register(
 )
 
 
+def _ivf_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched retrieval: 3 queries in ONE job over the probed-partition
+    union (IVFIndex.search_many) — the serving shape that amortizes scan
+    setup across queries. Probe-all edge ⇒ each query's result is its
+    exact top-10, which the oracle states per query via a window."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    emb = _table(spark, sf, "embeddings")
+    qs = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IVFIndex(spark, f"{tmp}/ivf").build(emb, nlist=16, seed=42, max_iter=4)
+        out = idx.search_many(
+            qs, k=10, nprobe=16, tie_break=["vec_id"],
+            output_cols=["vec_id", "label"],
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+    return out
+
+
+_register(
+    "ivf_topk_batch",
+    _ivf_topk_batch,
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings WHERE vec_id < 3), "
+    "scored AS (SELECT q.query_id, e.vec_id, e.label, "
+    "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v), 6) AS score "
+    "FROM embeddings e CROSS JOIN q), "
+    "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY score DESC, vec_id ASC) AS rn FROM scored) "
+    "SELECT CAST(query_id AS INT) AS query_id, vec_id, label, score "
+    "FROM ranked WHERE rn <= 10 ORDER BY query_id, score DESC, vec_id",
+)
+
+
 def _lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN (hyperplane signs); hamming radius = num_planes ⇒
     every bucket probed ⇒ exact."""
@@ -2499,6 +2541,15 @@ _PRIORITY = [
     "events_gap_fill",
     "cumulative_unique_users",
     "gopher_quality_signals",
+    "ivf_topk_batch",
+    # NTZ-affected read paths (see _norm_ts) — keep driver-checked
+    "events_moving_avg",
+    "asof_join_events_orders",
+    "range_join_purchase_followups",
+    "events_multi_grain_rollup",
+    # operators/dedup.py changed this round (star CC, tie-break fix) —
+    # keep its component query driver-checked
+    "dedup_components",
 ]
 
 # Long-proven rows (green in r01 AND r02, trivially stable scalar/agg shapes)
@@ -2538,6 +2589,14 @@ _DEMOTE = [
     "stratified_sample",
     "contamination_check",
     "corpus_health",
+    "salted_distinct_users_by_type",
+    "salted_join_enrichment",
+    # rows-only check (no oracle) — the corpus-level golden hash in
+    # tests/test_entry.py is the real gate for this one
+    "chunk_pipeline",
+    # r02-green probe-all edge; the in-cap nprobe + batch variants exercise
+    # the same build/assign/probe path more strictly
+    "ivf_topk",
 ]
 
 

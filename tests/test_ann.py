@@ -91,6 +91,33 @@ def test_ivf_incremental_add(spark, embeddings_tiny, tmp_path_factory):
     assert recall_at_k(exact, approx) == 1.0  # probe-all of 8 ⇒ exact
 
 
+def test_ivf_search_many_matches_per_query(spark, embeddings_tiny, ivf):
+    # the batched job must return exactly what N independent searches
+    # return, for every query — including at a pruning nprobe
+    qs = [
+        list(r["embedding"])
+        for r in embeddings_tiny.filter(F.col("vec_id") < 3)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    for nprobe in (4, 16):
+        batch = ivf.search_many(
+            qs, k=5, nprobe=nprobe, tie_break=["vec_id"],
+            output_cols=["vec_id"],
+        ).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+        for qi, q in enumerate(qs):
+            single = [
+                r["vec_id"]
+                for r in ivf.search(
+                    q, k=5, nprobe=nprobe, tie_break=["vec_id"],
+                    output_cols=["vec_id"],
+                ).collect()
+            ]
+            assert by_q[qi] == single, f"query {qi} nprobe {nprobe}"
+
+
 def test_lsh_bucket_deterministic(spark, embeddings_tiny):
     b1 = embeddings_tiny.select(lsh_bucket_col("embedding", 64).alias("b")).collect()
     b2 = embeddings_tiny.select(lsh_bucket_col("embedding", 64).alias("b")).collect()

@@ -197,6 +197,69 @@ class IVFIndex:
         self._centroids = cents
         return self
 
+    def search_many(
+        self,
+        queries: list[list[float]],
+        k: int = 3,
+        nprobe: int = 16,
+        probe_round_dp: int | None = None,
+        tie_break: list[str] | None = None,
+        output_cols: list[str] | None = None,
+        emb_col: str = "embedding",
+    ) -> DataFrame:
+        """Batched retrieval: N queries answered in ONE job over the union
+        of their probed partitions — the serving shape at scale, where
+        per-query jobs would pay scheduling + scan setup N times. Probe
+        sets are ranked on the driver (tiny centroid matrix), shipped as a
+        broadcast (query_id, centroid_id) pair table that prunes the scan,
+        and each query's exact top-k comes from one rank-over-window on the
+        scored candidates. Returns (query_id, *output_cols, score) rows,
+        k per query."""
+        pairs = [
+            (qi, cid)
+            for qi, q in enumerate(queries)
+            for cid in self.probe_ids(q, nprobe, round_dp=probe_round_dp)
+        ]
+        probes_df = self.spark.createDataFrame(
+            pairs, "query_id int, centroid_id int"
+        )
+        qdf = self.spark.createDataFrame(
+            [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
+            "query_id int, qvec array<double>",
+        )
+        from pyspark.sql.window import Window
+
+        from vectordb_etl_spark.functions.vector import cosine_col, dot_col
+
+        data = self.spark.read.parquet(f"{self.path}/data")
+        cand = data.join(F.broadcast(probes_df), "centroid_id").join(
+            F.broadcast(qdf), "query_id"
+        )
+        up = self.metric.upper()
+        if up == "COSINE":
+            score = cosine_col(emb_col, F.col("qvec"))
+        elif up == "IP":
+            score = dot_col(emb_col, F.col("qvec"))
+        else:  # L2: smaller distance = better, negate for a desc rank
+            diff = F.zip_with(
+                F.col(emb_col).cast("array<double>"),
+                F.col("qvec"),
+                lambda x, y: (x - y) * (x - y),
+            )
+            score = -F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+        scored = cand.withColumn("score", F.round(score, 6))
+        order = [F.desc("score")] + [F.asc(c) for c in (tie_break or [])]
+        w = Window.partitionBy("query_id").orderBy(*order)
+        out_cols = output_cols or [
+            c for c in data.columns if c not in ("centroid_id", emb_col)
+        ]
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", *out_cols, "score")
+            .orderBy("query_id", F.desc("score"), *[F.asc(c) for c in (tie_break or [])])
+        )
+
     def add(
         self,
         df: DataFrame,
