@@ -242,3 +242,76 @@ def test_connected_components_raises_on_non_convergence(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, chain, max_iter=2)  # diameter 6 > 2
+
+
+def test_hybrid_rrf_punctuation_edged_terms_match(spark):
+    # "c++" has no word-char trailing edge, so a blind \b suffix anchor
+    # could never match; the pattern builder must drop anchors at
+    # non-word edges while keeping them at word edges
+    from vectordb_etl_spark.operators.topk import hybrid_rrf_search
+
+    q = [1.0, 0.0]
+    rows = [
+        (1, "we use c++ daily for systems work", [0.0, 1.0]),
+        (2, "we use crystal daily for gems", [0.0, 1.0]),   # no c++ hit
+        (3, "speaks of cc and c only", [0.0, 1.0]),          # substring guard
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, embedding array<double>")
+    out = {r["doc_id"]: r for r in hybrid_rrf_search(df, ["c++"], q, k=3).collect()}
+    assert out[1]["kw_rank"] == 1          # c++ matched
+    assert out[2]["kw_rank"] > 1 or out[2]["kw_rank"] is None
+    # leading \b still applies: "c" inside "crystal"/"cc" must not count
+    assert out[3]["kw_rank"] != 1
+
+
+def test_search_blank_filter_string_falls_back_to_autodetect(spark, tmp_path):
+    from vectordb_etl_spark.config import EmbeddingConfig, StoreConfig
+    from vectordb_etl_spark.embeddings import with_embeddings
+    from vectordb_etl_spark.search import search_with_scores
+    from vectordb_etl_spark.store.collections import CollectionStore
+
+    cfg = EmbeddingConfig(dimension=8)
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(tmp_path / "wh")))
+    chunks = spark.createDataFrame(
+        [("c1", "english office text", "english", "f"),
+         ("c2", "한국어 사무실 문서", "korean", "f")],
+        "chunk_id string, text string, language string, folder_name string",
+    )
+    store.insert_documents(with_embeddings(chunks, config=cfg), embed=False)
+    # blank filter ≡ no filter: the English query auto-detects to english
+    hits = search_with_scores(
+        store, "office", k=2, search_all_collections=True,
+        filter="   ", embedding_config=cfg,
+    )
+    assert hits and all(h.metadata["language"] == "english" for h in hits)
+
+
+def test_upsert_recovers_from_crash_mid_swap(spark, tmp_path):
+    # simulate a crash between rename-aside and rename-in: the partition
+    # dir is ABSENT and the only copy of the old rows lives in the aside.
+    # A retried upsert must restore the aside first — not treat the
+    # collection as new and then delete the backup (silent total loss).
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(tmp_path / "w")))
+    cols = ["doc_id", "source", "folder_name", "text", "language",
+            "chunk_index", "chunk_id"]
+    base = spark.createDataFrame(
+        [(i, "s", "f1", f"old text {i}", "english", 0, f"c{i}")
+         for i in range(5)],
+        cols,
+    )
+    store.insert_documents(base, embedding_config=EMB)
+
+    part = f"{store._data_dir}/collection=html_f1"
+    aside = f"{store._data_dir}/.old-collection=html_f1"
+    fs = store._fs(part)
+    assert fs.rename(store._jpath(part), store._jpath(aside))  # crash state
+
+    delta = spark.createDataFrame(
+        [(1, "s", "f1", "NEW text 1", "english", 0, "c1")], cols
+    )
+    counts = store.upsert_documents(delta, embedding_config=EMB)
+    assert counts == {"html_f1": 5}  # 4 surviving old + 1 replaced
+    f1 = {r["chunk_id"]: r["text"] for r in store.read("html_f1").collect()}
+    assert f1["c1"] == "NEW text 1"
+    assert f1["c0"] == "old text 0"  # old rows restored from the aside
+    assert not fs.exists(store._jpath(aside))

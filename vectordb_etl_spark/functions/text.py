@@ -189,6 +189,9 @@ def token_count_sql(expr: str) -> dict[str, str]:
 # --------------------------------------------------------------------------
 
 GOPHER_BULLET_PREFIXES = ("-", "*", "•")
+# one regex class, derived once, consumed by BOTH renderings (Column and
+# DuckDB SQL) so the bullet set cannot drift between engines
+_BULLET_CLASS = "^[" + "".join(GOPHER_BULLET_PREFIXES) + "]"
 
 
 def gopher_signal_cols(col: Column | str) -> dict[str, Column]:
@@ -202,7 +205,7 @@ def gopher_signal_cols(col: Column | str) -> dict[str, Column]:
     nl = F.size(lines).cast("double")
     hashes = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
     ellipses = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\."), 0))
-    bullet_re = "^[-*•]"
+    bullet_re = _BULLET_CLASS
     signals = {
         "word_count": F.size(words),
         "mean_word_len": F.round(
@@ -241,13 +244,18 @@ def gopher_signal_cols(col: Column | str) -> dict[str, Column]:
 
 
 def gopher_pass_col(signals: dict[str, Column]) -> Column:
-    """The Gopher keep-rule over the signal columns (paper §A1.1 thresholds;
-    word-count band widened to [10, 100000] for chunk-sized docs)."""
+    """The Gopher keep-rule over the signal columns — paper §A1.1
+    thresholds (mean word length in [3,10], ≥80% alphabetic words, symbol
+    ratio ≤0.1, ≤90% bullet lines, ≤30% ellipsis lines, ≤30% duplicate
+    lines), with ONE disclosed deviation: the word-count band is widened
+    from the paper's [50, 100k] to [10, 100k] because this engine filters
+    chunk-sized units (300-char chunks ≈ 40-60 words) as well as whole
+    documents."""
     return (
         signals["word_count"].between(10, 100_000)
-        & signals["mean_word_len"].between(1.0, 10.0)
+        & signals["mean_word_len"].between(3.0, 10.0)
         & (signals["symbol_word_ratio"] <= 0.1)
-        & (signals["alpha_word_frac"] >= 0.6)
+        & (signals["alpha_word_frac"] >= 0.8)
         & (signals["bullet_line_frac"] <= 0.9)
         & (signals["ellipsis_line_frac"] <= 0.3)
         & (signals["dup_line_frac"] <= 0.3)
@@ -278,7 +286,7 @@ def gopher_signal_sql(expr: str) -> dict[str, str]:
             f"AS DOUBLE) / nullif({wc}, 0.0), 6)"
         ),
         "bullet_line_frac": (
-            f"round(CAST(len(list_filter({lines}, ln -> regexp_matches(ln, '^[-*•]'))) "
+            f"round(CAST(len(list_filter({lines}, ln -> regexp_matches(ln, '{_BULLET_CLASS}'))) "
             f"AS DOUBLE) / nullif({nl}, 0.0), 6)"
         ),
         "ellipsis_line_frac": (
@@ -295,9 +303,9 @@ def gopher_signal_sql(expr: str) -> dict[str, str]:
 def gopher_pass_sql(sig: dict[str, str]) -> str:
     return (
         f"({sig['word_count']} BETWEEN 10 AND 100000 "
-        f"AND {sig['mean_word_len']} BETWEEN 1.0 AND 10.0 "
+        f"AND {sig['mean_word_len']} BETWEEN 3.0 AND 10.0 "
         f"AND {sig['symbol_word_ratio']} <= 0.1 "
-        f"AND {sig['alpha_word_frac']} >= 0.6 "
+        f"AND {sig['alpha_word_frac']} >= 0.8 "
         f"AND {sig['bullet_line_frac']} <= 0.9 "
         f"AND {sig['ellipsis_line_frac']} <= 0.3 "
         f"AND {sig['dup_line_frac']} <= 0.3)"

@@ -235,20 +235,21 @@ class IVFIndex:
         cand = data.join(F.broadcast(probes_df), "centroid_id").join(
             F.broadcast(qdf), "query_id"
         )
+        # same score definition AND sort direction as single-query search
+        # (topk_search/score_col): COSINE/IP rank descending, L2 reports the
+        # positive sqrt distance and ranks ASCENDING — so batch results are
+        # bitwise-comparable with N independent searches under any metric
         up = self.metric.upper()
         if up == "COSINE":
-            score = cosine_col(emb_col, F.col("qvec"))
+            score, direction = cosine_col(emb_col, F.col("qvec")), F.desc
         elif up == "IP":
-            score = dot_col(emb_col, F.col("qvec"))
-        else:  # L2: smaller distance = better, negate for a desc rank
-            diff = F.zip_with(
-                F.col(emb_col).cast("array<double>"),
-                F.col("qvec"),
-                lambda x, y: (x - y) * (x - y),
-            )
-            score = -F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+            score, direction = dot_col(emb_col, F.col("qvec")), F.desc
+        else:  # L2
+            from vectordb_etl_spark.functions.vector import l2_distance_col
+
+            score, direction = l2_distance_col(emb_col, F.col("qvec")), F.asc
         scored = cand.withColumn("score", F.round(score, 6))
-        order = [F.desc("score")] + [F.asc(c) for c in (tie_break or [])]
+        order = [direction("score")] + [F.asc(c) for c in (tie_break or [])]
         w = Window.partitionBy("query_id").orderBy(*order)
         out_cols = output_cols or [
             c for c in data.columns if c not in ("centroid_id", emb_col)
@@ -257,7 +258,7 @@ class IVFIndex:
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("query_id", *out_cols, "score")
-            .orderBy("query_id", F.desc("score"), *[F.asc(c) for c in (tie_break or [])])
+            .orderBy("query_id", *order)
         )
 
     def add(

@@ -739,7 +739,13 @@ def embedding_topk_pairs_sql(
 
 
 def _edges_equal(a: DataFrame, b: DataFrame) -> bool:
-    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    """Multiset equality probe for the contraction loop. Both inputs are
+    materialized (localCheckpoint), so count() is cheap; with equal counts
+    a single one-directional exceptAll-empty already implies equality —
+    half the shuffle cost of probing both directions every round."""
+    if a.count() != b.count():
+        return False
+    return a.exceptAll(b).isEmpty()
 
 
 def _star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:

@@ -146,13 +146,20 @@ def hybrid_rrf_search(
 
     from pyspark.sql.window import Window
 
+    def _term_pattern(term: str) -> str:
+        # re.escape: terms like "c++" or "a.b" must match literally
+        # (backslash-escaped punctuation is Java-regex compatible). A \b
+        # anchor is only valid against a WORD-character edge — "\bc\+\+\b"
+        # can never match because no boundary exists between '+' and a
+        # space — so emit each anchor only when that edge is a word char.
+        lead = r"\b" if re.match(r"\w", term) else ""
+        trail = r"\b" if re.search(r"\w$", term) else ""
+        return lead + re.escape(term) + trail
+
     kw = sum(
         (
             F.regexp_count(
-                F.lower(F.col(text_col)),
-                # re.escape: terms like "c++" or "a.b" must match literally
-                # (backslash-escaped punctuation is Java-regex compatible)
-                F.lit(r"\b" + re.escape(t.lower()) + r"\b"),
+                F.lower(F.col(text_col)), F.lit(_term_pattern(t.lower()))
             )
             for t in query_terms
         ),

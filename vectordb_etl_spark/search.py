@@ -52,9 +52,10 @@ def search_with_scores(
     parsed by functions/filter_expr.py. When given, it replaces the
     language auto-detection entirely, mirroring the reference's
     filter-string precedence."""
-    if filter is not None:
-        predicate = parse_filter(filter)
-    else:
+    # a blank filter string parses to None and must behave like "no filter
+    # given" (auto-detect still applies), not like "filter everything off"
+    predicate = parse_filter(filter) if filter is not None else None
+    if predicate is None:
         if auto_detect_language and filter_language is None:
             filter_language = detect_language_query(query)
         predicate = (

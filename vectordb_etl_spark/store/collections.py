@@ -198,15 +198,24 @@ class CollectionStore:
             r["collection"]
             for r in incoming.select("collection").distinct().collect()
         ]
-        existing_names = set(self.list_collections())
         counts: dict[str, int] = {}
         fs = self._fs(self._data_dir)
         for name in affected:
             part_dir = f"{self._data_dir}/collection={name}"
+            aside = f"{self._data_dir}/.old-collection={name}"
+            # crash recovery BEFORE anything else: if a previous upsert died
+            # between rename-aside and rename-in, the only copy of the old
+            # rows lives in the aside — restore it, or the merge below would
+            # treat the collection as new and the aside cleanup would
+            # permanently destroy the backup
+            if fs.exists(self._jpath(aside)) and not fs.exists(
+                self._jpath(part_dir)
+            ):
+                checked_rename(fs, self._jpath(aside), self._jpath(part_dir))
             new_part = incoming.filter(F.col("collection") == name).drop(
                 "collection"
             )
-            if name in existing_names:
+            if fs.exists(self._jpath(part_dir)):
                 old = self.spark.read.parquet(part_dir)
                 keep = old.join(
                     new_part.select(key_col), key_col, "left_anti"
@@ -215,7 +224,6 @@ class CollectionStore:
             else:
                 merged = new_part
             staging = f"{self._data_dir}/.upsert-collection={name}"
-            aside = f"{self._data_dir}/.old-collection={name}"
             merged.write.mode("overwrite").parquet(staging)
             checked_delete(fs, self._jpath(aside))
             if fs.exists(self._jpath(part_dir)):

@@ -81,15 +81,22 @@ def compact_collection(
             if not st.getPath().getName().startswith(("_", "."))
         )
 
-    before = _n_files(part_dir)
-    df = spark.read.parquet(part_dir)
-    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp_dir)
     from vectordb_etl_spark.store.collections import (
         checked_delete,
         checked_rename,
     )
 
     aside = f"{store._data_dir}/.precompact-collection={collection}"
+    # crash recovery FIRST: a previous compaction that died between
+    # rename-aside and rename-in left the only data copy in the aside —
+    # restore it before reading (the read below would otherwise fail, and
+    # a blind aside-delete would destroy the sole backup)
+    if fs.exists(store._jpath(aside)) and not fs.exists(store._jpath(part_dir)):
+        checked_rename(fs, store._jpath(aside), store._jpath(part_dir))
+
+    before = _n_files(part_dir)
+    df = spark.read.parquet(part_dir)
+    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp_dir)
     checked_delete(fs, store._jpath(aside))
     checked_rename(fs, store._jpath(part_dir), store._jpath(aside))
     checked_rename(fs, store._jpath(tmp_dir), store._jpath(part_dir))

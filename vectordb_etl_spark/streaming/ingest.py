@@ -151,6 +151,22 @@ def upsert_collection_stream(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # one winner per key WITHIN the batch too: a single trigger can
+        # pick up several landing files carrying successive versions of the
+        # same key, and the store merge unions all new rows after its
+        # anti-join — last-writer-wins by ingest_ts when present, else an
+        # arbitrary-but-single representative
+        from pyspark.sql.window import Window
+
+        if "ingest_ts" in batch_df.columns:
+            w = Window.partitionBy(key_col).orderBy(F.desc("ingest_ts"))
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates([key_col])
         store.upsert_documents(
             batch_df.drop("ingest_ts", "text_hash"),
             key_col=key_col,
