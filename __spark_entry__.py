@@ -2345,6 +2345,29 @@ _register(
 )
 
 
+def _gopher_pass_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level keep-rate of the Gopher filter — the number a data
+    curator actually watches (one fused aggregate over the signal
+    projection; signals never materialize)."""
+    docs = _docs(spark, sf)
+    sig = T.gopher_signal_cols("text")
+    return docs.select(T.gopher_pass_col(sig).alias("keep")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.round(F.avg(F.col("keep").cast("double")) * 100, 6).alias("keep_pct"),
+    )
+
+
+_register(
+    "gopher_pass_rate",
+    _gopher_pass_rate,
+    "SELECT count(*) AS n_docs, "
+    f"sum(CAST({T.gopher_pass_sql(_GOPHER_SIG)} AS INT)) AS n_keep, "
+    f"round(avg(CAST({T.gopher_pass_sql(_GOPHER_SIG)} AS DOUBLE)) * 100, 6) AS keep_pct "
+    "FROM documents",
+)
+
+
 def _events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series gap fill (sparse → dense): every (event_type, hour)
     bucket over each type's observed span, zero-filled where no events
@@ -2541,6 +2564,7 @@ _PRIORITY = [
     "events_gap_fill",
     "cumulative_unique_users",
     "gopher_quality_signals",
+    "gopher_pass_rate",
     "ivf_topk_batch",
     # NTZ-affected read paths (see _norm_ts) — keep driver-checked
     "events_moving_avg",
@@ -2597,6 +2621,8 @@ _DEMOTE = [
     # r02-green probe-all edge; the in-cap nprobe + batch variants exercise
     # the same build/assign/probe path more strictly
     "ivf_topk",
+    # r02-green, function untouched this round
+    "ngram_jaccard_pairs",
 ]
 
 

@@ -158,6 +158,7 @@ def main() -> None:
         "events_gap_fill",
         "cumulative_unique_users",
         "gopher_quality_signals",
+        "gopher_pass_rate",
         "ivf_topk_batch",
     ]
     noop_queries = [
