@@ -142,3 +142,66 @@ def test_search_facade_accepts_filter_string(spark, tmp_path):
         embedding_config=cfg,
     )
     assert hits and all(h.metadata["language"] == "english" for h in hits)
+
+
+# --------------------------------------------------------------------------
+# property tests: well-formed expressions always parse; junk either parses
+# or raises the TYPED error, never an unhandled exception. (Column
+# construction needs an active SparkContext, hence the spark fixture.)
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+IDENT = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s.lower() not in ("and", "or", "not", "in", "like", "true", "false")
+)
+STR_LIT = st.text(
+    alphabet=st.characters(codec="utf-8", categories=("L", "N", "Z")),
+    max_size=12,
+).filter(lambda s: '"' not in s and "\\" not in s)
+NUM_LIT = st.one_of(
+    st.integers(-10**6, 10**6),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+)
+OP = st.sampled_from(["==", "!=", ">", ">=", "<", "<="])
+
+
+@st.composite
+def comparison(draw):
+    name = draw(IDENT)
+    op = draw(OP)
+    lit = draw(st.one_of(STR_LIT.map(lambda s: f'"{s}"'), NUM_LIT.map(str)))
+    return f"{name} {op} {lit}"
+
+
+@st.composite
+def boolean_expr(draw, depth=2):
+    if depth == 0 or draw(st.booleans()):
+        return draw(comparison())
+    left = draw(boolean_expr(depth=depth - 1))
+    right = draw(boolean_expr(depth=depth - 1))
+    conj = draw(st.sampled_from(["and", "or"]))
+    neg = "not " if draw(st.booleans()) else ""
+    return f"{neg}({left} {conj} {right})"
+
+
+@given(boolean_expr())
+@settings(
+    max_examples=100, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filter_parser_accepts_well_formed(spark, expr):
+    assert parse_filter(expr) is not None
+
+
+@given(st.text(max_size=40))
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filter_parser_never_crashes_unexpectedly(spark, junk):
+    try:
+        parse_filter(junk)
+    except FilterExprError:
+        pass

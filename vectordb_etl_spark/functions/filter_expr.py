@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-      | (?P<number>-?\d+\.\d+|-?\d+)
+      | (?P<number>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+(?:[eE][+-]?\d+)?)
       | (?P<op>==|!=|>=|<=|>|<|&&|\|\||\(|\)|\[|\]|,)
       | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
     )""",
@@ -66,7 +66,8 @@ def _tokenize(text: str) -> list[tuple[str, object]]:
             tokens.append(("lit", re.sub(r"\\(.)", r"\1", raw[1:-1])))
         elif m.lastgroup == "number":
             raw = m.group("number")
-            tokens.append(("lit", float(raw) if "." in raw else int(raw)))
+            is_float = "." in raw or "e" in raw or "E" in raw
+            tokens.append(("lit", float(raw) if is_float else int(raw)))
         elif m.lastgroup == "op":
             tokens.append(("op", m.group("op")))
         else:
