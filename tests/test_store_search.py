@@ -315,3 +315,32 @@ def test_upsert_recovers_from_crash_mid_swap(spark, tmp_path):
     assert f1["c1"] == "NEW text 1"
     assert f1["c0"] == "old text 0"  # old rows restored from the aside
     assert not fs.exists(store._jpath(aside))
+
+
+def test_vacuum_removes_orphans_but_preserves_sole_backups(spark, tmp_path):
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(tmp_path / "w")))
+    cols = ["doc_id", "source", "folder_name", "text", "language",
+            "chunk_index", "chunk_id"]
+    base = spark.createDataFrame(
+        [(i, "s", "f1", f"t {i}", "english", 0, f"c{i}") for i in range(3)],
+        cols,
+    )
+    store.insert_documents(base, embedding_config=EMB)
+    fs = store._fs(store._data_dir)
+
+    # orphan staging dir (crash before swap) + stale aside NEXT TO a live
+    # destination: both garbage
+    fs.mkdirs(store._jpath(f"{store._data_dir}/.upsert-collection=html_f1"))
+    fs.mkdirs(store._jpath(f"{store._data_dir}/.old-collection=html_f1"))
+    # an aside whose destination is ABSENT: the sole backup — must survive
+    fs.mkdirs(store._jpath(f"{store._data_dir}/.old-collection=html_gone"))
+
+    removed = sorted(store.vacuum())
+    assert removed == [
+        ".old-collection=html_f1", ".upsert-collection=html_f1",
+    ]
+    assert fs.exists(
+        store._jpath(f"{store._data_dir}/.old-collection=html_gone")
+    )
+    # live data untouched
+    assert store.read("html_f1").count() == 3

@@ -99,6 +99,37 @@ class CollectionStore:
         if fs.exists(p):
             fs.delete(p, True)
 
+    def vacuum(self) -> list[str]:
+        """Delete orphaned work directories (.upsert-/.old-/.compact-/
+        .precompact-) left by upserts or compactions that crashed before
+        cleanup. Safe because readers never see dot-prefixed children and
+        every crash state that still NEEDS an aside (destination absent) is
+        repaired by the recovery step at the start of the next
+        upsert/compaction — anything remaining alongside a live destination
+        is garbage by construction. Returns the deleted paths."""
+        prefixes = (".upsert-", ".old-", ".compact-", ".precompact-")
+        fs = self._fs(self._data_dir)
+        root = self._jpath(self._data_dir)
+        if not fs.exists(root):
+            return []
+        removed = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith(prefixes):
+                continue
+            # the recovery precondition: only delete when the matching live
+            # destination exists (otherwise leave it for recovery to restore)
+            live = name.split("-", 1)[1] if name.startswith(".old-") else (
+                name.split("-", 1)[1] if name.startswith(".precompact-") else None
+            )
+            if live is not None and not fs.exists(
+                self._jpath(f"{self._data_dir}/{live}")
+            ):
+                continue  # sole surviving copy — recovery will restore it
+            checked_delete(fs, st.getPath())
+            removed.append(name)
+        return removed
+
     def reset(self, confirm: bool = False) -> int:
         """S10 — drop everything (reference: main.py:243-277, --confirm gate)."""
         if not confirm:
