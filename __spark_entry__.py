@@ -2361,8 +2361,10 @@ def _gopher_pass_rate(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "gopher_pass_rate",
     _gopher_pass_rate,
+    # CAST the sum to BIGINT: DuckDB integer sum() yields HUGEINT, which the
+    # pandas bridge canonicalizes as float64 (the events_sessionize artifact)
     "SELECT count(*) AS n_docs, "
-    f"sum(CAST({T.gopher_pass_sql(_GOPHER_SIG)} AS INT)) AS n_keep, "
+    f"CAST(sum(CAST({T.gopher_pass_sql(_GOPHER_SIG)} AS INT)) AS BIGINT) AS n_keep, "
     f"round(avg(CAST({T.gopher_pass_sql(_GOPHER_SIG)} AS DOUBLE)) * 100, 6) AS keep_pct "
     "FROM documents",
 )

@@ -344,3 +344,55 @@ def test_vacuum_removes_orphans_but_preserves_sole_backups(spark, tmp_path):
     )
     # live data untouched
     assert store.read("html_f1").count() == 3
+
+
+def test_upsert_recovers_from_crashed_compaction_aside(spark, tmp_path):
+    # CROSS-mechanism recovery: a compaction crash leaves a .precompact-
+    # aside; a later UPSERT must restore it (not recreate the collection
+    # with delta-only rows and let vacuum destroy the backup)
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(tmp_path / "w")))
+    cols = ["doc_id", "source", "folder_name", "text", "language",
+            "chunk_index", "chunk_id"]
+    base = spark.createDataFrame(
+        [(i, "s", "f1", f"old text {i}", "english", 0, f"c{i}")
+         for i in range(4)],
+        cols,
+    )
+    store.insert_documents(base, embedding_config=EMB)
+    part = f"{store._data_dir}/collection=html_f1"
+    aside = f"{store._data_dir}/.precompact-collection=html_f1"
+    fs = store._fs(part)
+    assert fs.rename(store._jpath(part), store._jpath(aside))  # crash state
+
+    delta = spark.createDataFrame(
+        [(9, "s", "f1", "brand new", "english", 0, "c9")], cols
+    )
+    counts = store.upsert_documents(delta, embedding_config=EMB)
+    assert counts == {"html_f1": 5}  # 4 restored + 1 new
+    f1 = {r["chunk_id"] for r in store.read("html_f1").collect()}
+    assert f1 == {"c0", "c1", "c2", "c3", "c9"}
+
+
+def test_drop_collection_removes_asides(spark, tmp_path):
+    # dropping a collection must also clear its swap work dirs, or the next
+    # upsert's crash recovery would resurrect the dropped rows
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(tmp_path / "w")))
+    cols = ["doc_id", "source", "folder_name", "text", "language",
+            "chunk_index", "chunk_id"]
+    base = spark.createDataFrame(
+        [(0, "s", "f1", "dropped text", "english", 0, "c0")], cols
+    )
+    store.insert_documents(base, embedding_config=EMB)
+    part = f"{store._data_dir}/collection=html_f1"
+    aside = f"{store._data_dir}/.old-collection=html_f1"
+    fs = store._fs(part)
+    assert fs.rename(store._jpath(part), store._jpath(aside))  # crash state
+
+    store.drop_collection("html_f1")
+    assert not fs.exists(store._jpath(aside))
+
+    delta = spark.createDataFrame(
+        [(1, "s", "f1", "fresh", "english", 0, "c1")], cols
+    )
+    counts = store.upsert_documents(delta, embedding_config=EMB)
+    assert counts == {"html_f1": 1}  # dropped rows did NOT come back

@@ -202,7 +202,7 @@ def test_upsert_collection_stream_idempotent_rekey(spark, tmp_path_factory):
 
     work = tmp_path_factory.mktemp("upsert_stream")
     store = CollectionStore(spark, StoreConfig(warehouse_dir=str(work / "wh")))
-    schema = "chunk_id string, text string, folder_name string"
+    schema = "chunk_id string, text string, folder_name string, v long"
     emb_cfg = EmbeddingConfig(dimension=8)
 
     def land(rows):
@@ -212,7 +212,7 @@ def test_upsert_collection_stream_idempotent_rekey(spark, tmp_path_factory):
             spark.createDataFrame(rows, schema), config=emb_cfg
         ).repartition(1).write.mode("append").parquet(str(work / "landing"))
 
-    land([("c1", "version one", "hr"), ("c2", "other doc", "hr")])
+    land([("c1", "version one", "hr", 1), ("c2", "other doc", "hr", 1)])
     emb_schema = spark.read.parquet(str(work / "landing")).schema
 
     def run_once():
@@ -220,14 +220,18 @@ def test_upsert_collection_stream_idempotent_rekey(spark, tmp_path_factory):
             str(work / "landing")
         )
         q = upsert_collection_stream(
-            stream, store, str(work / "ckpt"), trigger_available_now=True
+            stream, store, str(work / "ckpt"), trigger_available_now=True,
+            version_col="v",
         )
         q.awaitTermination(120)
 
     run_once()
     assert store.read().count() == 2
 
-    land([("c1", "version two", "hr")])  # re-delivery with new text
+    # TWO files land before the next trigger, both carrying c1 — one batch
+    # must pick the HIGHEST version, not an arbitrary row
+    land([("c1", "version two", "hr", 2)])
+    land([("c1", "version three", "hr", 3)])
     run_once()
     out = {r["chunk_id"]: r["text"] for r in store.read().collect()}
-    assert out == {"c1": "version two", "c2": "other doc"}
+    assert out == {"c1": "version three", "c2": "other doc"}

@@ -67,7 +67,15 @@ def _tokenize(text: str) -> list[tuple[str, object]]:
         elif m.lastgroup == "number":
             raw = m.group("number")
             is_float = "." in raw or "e" in raw or "E" in raw
-            tokens.append(("lit", float(raw) if is_float else int(raw)))
+            value = float(raw) if is_float else int(raw)
+            if not is_float and not (-(2**63) <= value < 2**63):
+                # beyond int64: a bare Column comparison would die inside
+                # py4j with an untyped error; fail the parse contractually
+                raise FilterExprError(
+                    f"integer literal {raw} exceeds int64 range "
+                    f"in filter {text!r}"
+                )
+            tokens.append(("lit", value))
         elif m.lastgroup == "op":
             tokens.append(("op", m.group("op")))
         else:

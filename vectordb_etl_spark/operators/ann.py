@@ -237,17 +237,18 @@ class IVFIndex:
         )
         # same score definition AND sort direction as single-query search
         # (topk_search/score_col): COSINE/IP rank descending, L2 reports the
-        # positive sqrt distance and ranks ASCENDING — so batch results are
-        # bitwise-comparable with N independent searches under any metric
+        # positive sqrt distance and ranks ASCENDING — direction comes from
+        # the shared metric_ascending so the two paths cannot drift
         up = self.metric.upper()
         if up == "COSINE":
-            score, direction = cosine_col(emb_col, F.col("qvec")), F.desc
+            score = cosine_col(emb_col, F.col("qvec"))
         elif up == "IP":
-            score, direction = dot_col(emb_col, F.col("qvec")), F.desc
+            score = dot_col(emb_col, F.col("qvec"))
         else:  # L2
             from vectordb_etl_spark.functions.vector import l2_distance_col
 
-            score, direction = l2_distance_col(emb_col, F.col("qvec")), F.asc
+            score = l2_distance_col(emb_col, F.col("qvec"))
+        direction = F.asc if metric_ascending(self.metric) else F.desc
         scored = cand.withColumn("score", F.round(score, 6))
         order = [direction("score")] + [F.asc(c) for c in (tie_break or [])]
         w = Window.partitionBy("query_id").orderBy(*order)

@@ -151,9 +151,14 @@ def hybrid_rrf_search(
         # (backslash-escaped punctuation is Java-regex compatible). A \b
         # anchor is only valid against a WORD-character edge — "\bc\+\+\b"
         # can never match because no boundary exists between '+' and a
-        # space — so emit each anchor only when that edge is a word char.
-        lead = r"\b" if re.match(r"\w", term) else ""
-        trail = r"\b" if re.search(r"\w$", term) else ""
+        # space — AND the edge test must use JAVA's word-char set
+        # ([A-Za-z0-9_], ASCII-only by default), not Python's Unicode \w:
+        # a Hangul/CJK term edge is a non-word char to java.util.regex, so
+        # anchoring it would make the term unmatchable; unanchored
+        # substring match is the correct semantic there (no space-delimited
+        # words in CJK text anyway).
+        lead = r"\b" if re.match(r"[A-Za-z0-9_]", term) else ""
+        trail = r"\b" if re.search(r"[A-Za-z0-9_]$", term) else ""
         return lead + re.escape(term) + trail
 
     kw = sum(

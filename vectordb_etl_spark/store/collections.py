@@ -90,14 +90,38 @@ class CollectionStore:
         """Reference: milvus_store.py:68-70."""
         return name in self.list_collections()
 
+    # work-directory naming shared by upsert/compaction swaps; order matters
+    # for recovery (restore the freshest-semantics aside first)
+    _ASIDE_PREFIXES = (".old-collection=", ".precompact-collection=")
+    _WORK_PREFIXES = _ASIDE_PREFIXES + (
+        ".upsert-collection=", ".compact-collection=",
+    )
+
+    def _restore_if_crashed(self, fs, name: str) -> None:
+        """Cross-mechanism crash recovery: if ANY aside (upsert's .old- or
+        compaction's .precompact-) holds the only copy of a collection
+        whose destination is absent, restore it — regardless of which
+        operation crashed and which is retrying. Without this, an upsert
+        after a crashed compaction would recreate the destination with
+        delta-only rows and vacuum() would then delete the sole backup."""
+        part = self._jpath(f"{self._data_dir}/collection={name}")
+        for prefix in self._ASIDE_PREFIXES:
+            aside = self._jpath(f"{self._data_dir}/{prefix}{name}")
+            if fs.exists(aside) and not fs.exists(part):
+                checked_rename(fs, aside, part)
+
     def drop_collection(self, name: str) -> None:
         """Reference: milvus_store.py:408-414. Partition-directory drop
-        (recursive delete via the warehouse's own filesystem)."""
-        target = f"{self._data_dir}/collection={name}"
-        fs = self._fs(target)
-        p = self._jpath(target)
-        if fs.exists(p):
-            fs.delete(p, True)
+        (recursive delete via the warehouse's own filesystem). Also removes
+        any swap work directories for the name — a leftover aside would
+        otherwise be 'restored' by the next upsert's crash recovery,
+        resurrecting explicitly-dropped data."""
+        fs = self._fs(self._data_dir)
+        targets = [f"{self._data_dir}/collection={name}"] + [
+            f"{self._data_dir}/{prefix}{name}" for prefix in self._WORK_PREFIXES
+        ]
+        for t in targets:
+            checked_delete(fs, self._jpath(t))
 
     def vacuum(self) -> list[str]:
         """Delete orphaned work directories (.upsert-/.old-/.compact-/
@@ -107,7 +131,6 @@ class CollectionStore:
         repaired by the recovery step at the start of the next
         upsert/compaction — anything remaining alongside a live destination
         is garbage by construction. Returns the deleted paths."""
-        prefixes = (".upsert-", ".old-", ".compact-", ".precompact-")
         fs = self._fs(self._data_dir)
         root = self._jpath(self._data_dir)
         if not fs.exists(root):
@@ -115,17 +138,16 @@ class CollectionStore:
         removed = []
         for st in fs.listStatus(root):
             name = st.getPath().getName()
-            if not name.startswith(prefixes):
+            if not name.startswith(self._WORK_PREFIXES):
                 continue
-            # the recovery precondition: only delete when the matching live
-            # destination exists (otherwise leave it for recovery to restore)
-            live = name.split("-", 1)[1] if name.startswith(".old-") else (
-                name.split("-", 1)[1] if name.startswith(".precompact-") else None
-            )
-            if live is not None and not fs.exists(
-                self._jpath(f"{self._data_dir}/{live}")
-            ):
-                continue  # sole surviving copy — recovery will restore it
+            # the recovery precondition: an ASIDE may only be deleted when
+            # its live destination exists (else it is the sole surviving
+            # copy, left for recovery to restore); staging dirs are always
+            # re-creatable
+            if name.startswith(self._ASIDE_PREFIXES):
+                live = "collection=" + name.split("=", 1)[1]
+                if not fs.exists(self._jpath(f"{self._data_dir}/{live}")):
+                    continue
             checked_delete(fs, st.getPath())
             removed.append(name)
         return removed
@@ -234,15 +256,12 @@ class CollectionStore:
         for name in affected:
             part_dir = f"{self._data_dir}/collection={name}"
             aside = f"{self._data_dir}/.old-collection={name}"
-            # crash recovery BEFORE anything else: if a previous upsert died
-            # between rename-aside and rename-in, the only copy of the old
-            # rows lives in the aside — restore it, or the merge below would
-            # treat the collection as new and the aside cleanup would
-            # permanently destroy the backup
-            if fs.exists(self._jpath(aside)) and not fs.exists(
-                self._jpath(part_dir)
-            ):
-                checked_rename(fs, self._jpath(aside), self._jpath(part_dir))
+            # crash recovery BEFORE anything else: a previous upsert OR
+            # compaction that died mid-swap left the only copy of the old
+            # rows in an aside — restore it, or the merge below would treat
+            # the collection as new and the aside cleanup would permanently
+            # destroy the backup
+            self._restore_if_crashed(fs, name)
             new_part = incoming.filter(F.col("collection") == name).drop(
                 "collection"
             )

@@ -87,12 +87,12 @@ def compact_collection(
     )
 
     aside = f"{store._data_dir}/.precompact-collection={collection}"
-    # crash recovery FIRST: a previous compaction that died between
-    # rename-aside and rename-in left the only data copy in the aside —
-    # restore it before reading (the read below would otherwise fail, and
-    # a blind aside-delete would destroy the sole backup)
-    if fs.exists(store._jpath(aside)) and not fs.exists(store._jpath(part_dir)):
-        checked_rename(fs, store._jpath(aside), store._jpath(part_dir))
+    # crash recovery FIRST (cross-mechanism: covers a crashed upsert's
+    # .old- aside too): a swap that died between rename-aside and rename-in
+    # left the only data copy in an aside — restore it before reading (the
+    # read below would otherwise fail, and a blind aside-delete would
+    # destroy the sole backup)
+    store._restore_if_crashed(fs, collection)
 
     before = _n_files(part_dir)
     df = spark.read.parquet(part_dir)

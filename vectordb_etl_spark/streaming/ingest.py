@@ -135,6 +135,7 @@ def upsert_collection_stream(
     key_col: str = "chunk_id",
     split_by_folder: bool = True,
     trigger_available_now: bool = False,
+    version_col: str | None = None,
 ):
     """Streaming UPSERT sink: foreachBatch routes each micro-batch through
     the store's copy-on-write merge, so a re-ingested document REPLACES its
@@ -154,12 +155,17 @@ def upsert_collection_stream(
         # one winner per key WITHIN the batch too: a single trigger can
         # pick up several landing files carrying successive versions of the
         # same key, and the store merge unions all new rows after its
-        # anti-join — last-writer-wins by ingest_ts when present, else an
-        # arbitrary-but-single representative
+        # anti-join. Last-writer-wins needs a REAL version column
+        # (``version_col``: a CDC sequence number, source file mtime, …) —
+        # ``ingest_ts = current_timestamp()`` is deliberately NOT used
+        # because Structured Streaming evaluates it per BATCH, so every row
+        # of a trigger ties and the "latest" pick would be arbitrary.
+        # Without a version column the winner is an arbitrary-but-single
+        # representative (dropDuplicates).
         from pyspark.sql.window import Window
 
-        if "ingest_ts" in batch_df.columns:
-            w = Window.partitionBy(key_col).orderBy(F.desc("ingest_ts"))
+        if version_col is not None and version_col in batch_df.columns:
+            w = Window.partitionBy(key_col).orderBy(F.desc(version_col))
             batch_df = (
                 batch_df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
