@@ -2370,6 +2370,38 @@ _register(
 )
 
 
+def _sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy token-budget sequence packing (operators/packing.py): docs
+    fold into fixed-capacity training sequences per md5 bucket — the LLM
+    batch-prep step that drives padding to ~0. One shuffle on the portable
+    bucket key; the sequential fold runs per bucket in applyInPandas; the
+    oracle walks the identical fold as a recursive CTE."""
+    from vectordb_etl_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf).select(
+        "doc_id", T.estimate_tokens_col("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, id_col="doc_id", token_col="n_tokens", budget=512, buckets=8
+    )
+
+
+from vectordb_etl_spark.operators.packing import pack_sequences_sql  # noqa: E402
+
+_register(
+    "sequence_packing",
+    _sequence_packing,
+    pack_sequences_sql(
+        "documents",
+        id_expr="doc_id",
+        token_expr=T.estimate_tokens_sql("text"),
+        budget=512,
+        buckets=8,
+        out_id="doc_id",
+    ),
+)
+
+
 def _events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series gap fill (sparse → dense): every (event_type, hour)
     bucket over each type's observed span, zero-filled where no events
@@ -2567,6 +2599,7 @@ _PRIORITY = [
     "cumulative_unique_users",
     "gopher_quality_signals",
     "gopher_pass_rate",
+    "sequence_packing",
     "ivf_topk_batch",
     # NTZ-affected read paths (see _norm_ts) — keep driver-checked
     "events_moving_avg",
@@ -2623,8 +2656,9 @@ _DEMOTE = [
     # r02-green probe-all edge; the in-cap nprobe + batch variants exercise
     # the same build/assign/probe path more strictly
     "ivf_topk",
-    # r02-green, function untouched this round
+    # r02-green, functions untouched this round
     "ngram_jaccard_pairs",
+    "simhash_near_dups",
 ]
 
 

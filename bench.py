@@ -159,6 +159,7 @@ def main() -> None:
         "cumulative_unique_users",
         "gopher_quality_signals",
         "gopher_pass_rate",
+        "sequence_packing",
         "ivf_topk_batch",
     ]
     noop_queries = [
