@@ -2370,6 +2370,69 @@ _register(
 )
 
 
+_MIX_TARGETS = {"en": 0.30, "zh": 0.20, "fr": 0.20, "de": 0.15, "es": 0.15}
+_MIX_BUDGET = 10_000  # tokens
+
+
+def _token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain mixing to a token budget: target shares → per-stratum keep
+    fractions (min(1, share·budget/available)) → deterministic md5
+    stratified sample → kept-token accounting. One aggregate to size the
+    strata (a handful of driver rows at any scale), one scan+filter to
+    apply — the corpus-mixing pass of a pre-training pipeline."""
+    from vectordb_etl_spark.functions.curation import (
+        mix_fractions,
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf).select(
+        "doc_id", "lang", T.estimate_tokens_col("text").alias("tok")
+    )
+    fracs = mix_fractions(
+        docs, "lang", "tok", _MIX_TARGETS, total_tokens=_MIX_BUDGET
+    )
+    kept = stratified_sample(
+        docs, id_col="doc_id", strata_col="lang", fractions=fracs,
+        default_fraction=0.0,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("long").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _mix_case_sql() -> str:
+    # CAST every share to DOUBLE: DuckDB parses bare 0.3 as DECIMAL, whose
+    # exact arithmetic would diverge from Python's IEEE float threshold
+    whens = " ".join(
+        f"WHEN '{s}' THEN CAST({share} AS DOUBLE)"
+        for s, share in sorted(_MIX_TARGETS.items())
+    )
+    return f"CASE lang {whens} ELSE CAST(0 AS DOUBLE) END"
+
+
+_register(
+    "token_budget_mix",
+    _token_budget_mix,
+    # threshold arithmetic mirrors mix_fractions + stratified_sample
+    # EXACTLY (same IEEE op order; FLOOR = Python int() for positives)
+    f"WITH toks AS (SELECT doc_id, lang, {T.estimate_tokens_sql('text')} AS tok "
+    "FROM documents), "
+    "avail AS (SELECT lang, sum(tok) AS a FROM toks GROUP BY 1), "
+    f"thr AS (SELECT lang, CAST(FLOOR(LEAST(CAST(1 AS DOUBLE), "
+    f"({_mix_case_sql()} * CAST({_MIX_BUDGET} AS DOUBLE)) / CAST(a AS DOUBLE)) "
+    "* 1000000) AS BIGINT) AS t FROM avail) "
+    "SELECT k.lang, count(*) AS n_docs, CAST(sum(k.tok) AS BIGINT) AS kept_tokens "
+    "FROM toks k JOIN thr ON k.lang = thr.lang "
+    f"WHERE (('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000) < thr.t "
+    "GROUP BY 1 ORDER BY 1",
+)
+
+
 def _sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy token-budget sequence packing (operators/packing.py): docs
     fold into fixed-capacity training sequences per md5 bucket — the LLM
@@ -2600,6 +2663,7 @@ _PRIORITY = [
     "gopher_quality_signals",
     "gopher_pass_rate",
     "sequence_packing",
+    "token_budget_mix",
     "ivf_topk_batch",
     # NTZ-affected read paths (see _norm_ts) — keep driver-checked
     "events_moving_avg",
@@ -2659,6 +2723,7 @@ _DEMOTE = [
     # r02-green, functions untouched this round
     "ngram_jaccard_pairs",
     "simhash_near_dups",
+    "lsh_incremental_candidates",
 ]
 
 

@@ -160,6 +160,7 @@ def main() -> None:
         "gopher_quality_signals",
         "gopher_pass_rate",
         "sequence_packing",
+        "token_budget_mix",
         "ivf_topk_batch",
     ]
     noop_queries = [

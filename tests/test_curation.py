@@ -79,3 +79,25 @@ def test_contamination_finds_planted_copy_and_broadcasts(spark):
     assert (1, 100) in hits and (3, 100) in hits and (2, 100) not in hits
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # probe side broadcast, corpus streams
+
+
+def test_mix_fractions_budget_math(spark):
+    from vectordb_etl_spark.functions.curation import mix_fractions
+
+    rows = [
+        (i, "big", 100) for i in range(100)      # 10,000 tokens available
+    ] + [
+        (i + 100, "small", 100) for i in range(10)  # 1,000 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, tok long")
+    fr = mix_fractions(
+        df, "domain", "tok", {"big": 0.5, "small": 0.5}, total_tokens=2000
+    )
+    # big: wants 1000 of 10000 → 0.1; small: wants 1000 of 1000 → capped 1.0
+    assert fr["big"] == pytest.approx(0.1)
+    assert fr["small"] == 1.0
+    # absent stratum in targets is simply not emitted
+    fr2 = mix_fractions(
+        df, "domain", "tok", {"big": 1.0, "missing": 0.5}, total_tokens=500
+    )
+    assert set(fr2) == {"big"}

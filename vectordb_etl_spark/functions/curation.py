@@ -148,3 +148,35 @@ def stratified_sample_sql(
     return (
         f"SELECT * FROM {table} WHERE {sample_bucket_sql(id_expr)} < {thr}"
     )
+
+
+def mix_fractions(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    targets: dict[str, float],
+    total_tokens: int,
+) -> dict[str, float]:
+    """Token-budget domain mixing: turn a TARGET mixture (stratum → share
+    of a token budget) into per-stratum keep fractions, given what each
+    stratum actually has. fraction_s = min(1, share_s·budget / available_s)
+    — an over-represented domain is downsampled to its share, an
+    under-represented one is kept whole (shares are targets, not promises;
+    upsampling/repetition is a separate training-loop concern).
+
+    One aggregate job (per-stratum token sums collect to the driver — a
+    handful of rows at any corpus size); the returned dict feeds
+    :func:`stratified_sample`, whose md5 thresholds compile to a CASE
+    chain — the end-to-end mixing pass is one scan + one filter."""
+    avail = {
+        r[strata_col]: int(r["__tok"])
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(token_col).alias("__tok"))
+        .collect()
+    }
+    out = {}
+    for stratum, share in targets.items():
+        if stratum not in avail or avail[stratum] <= 0:
+            continue
+        out[stratum] = min(1.0, (share * total_tokens) / avail[stratum])
+    return out
