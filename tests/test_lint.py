@@ -31,6 +31,8 @@ def test_no_collect_outside_sanctioned_files():
         "collections.py",   # per-collection count dicts (reference API shape)
         "ann.py",           # bounded centroid sample (size-independent)
         "quality.py",       # scalar report values (single-row aggregates)
+        "curation.py",      # mix_fractions: per-stratum token sums (rows =
+                            # number of strata, size-independent of corpus)
     }
     offenders = []
     for path in PKG.rglob("*.py"):
