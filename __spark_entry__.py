@@ -2380,18 +2380,13 @@ def _token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
     stratified sample → kept-token accounting. One aggregate to size the
     strata (a handful of driver rows at any scale), one scan+filter to
     apply — the corpus-mixing pass of a pre-training pipeline."""
-    from vectordb_etl_spark.functions.curation import (
-        mix_fractions,
-        stratified_sample,
-    )
-
     docs = _docs(spark, sf).select(
         "doc_id", "lang", T.estimate_tokens_col("text").alias("tok")
     )
-    fracs = mix_fractions(
+    fracs = curation.mix_fractions(
         docs, "lang", "tok", _MIX_TARGETS, total_tokens=_MIX_BUDGET
     )
-    kept = stratified_sample(
+    kept = curation.stratified_sample(
         docs, id_col="doc_id", strata_col="lang", fractions=fracs,
         default_fraction=0.0,
     )
@@ -2422,13 +2417,15 @@ _register(
     # EXACTLY (same IEEE op order; FLOOR = Python int() for positives)
     f"WITH toks AS (SELECT doc_id, lang, {T.estimate_tokens_sql('text')} AS tok "
     "FROM documents), "
+    # WHERE a > 0 mirrors mix_fractions skipping empty/NULL-sum strata
+    # (share*budget/0 would otherwise cap at 1.0 and keep everything)
     "avail AS (SELECT lang, sum(tok) AS a FROM toks GROUP BY 1), "
     f"thr AS (SELECT lang, CAST(FLOOR(LEAST(CAST(1 AS DOUBLE), "
     f"({_mix_case_sql()} * CAST({_MIX_BUDGET} AS DOUBLE)) / CAST(a AS DOUBLE)) "
-    "* 1000000) AS BIGINT) AS t FROM avail) "
+    f"* {curation._SAMPLE_BUCKETS}) AS BIGINT) AS t FROM avail WHERE a > 0) "
     "SELECT k.lang, count(*) AS n_docs, CAST(sum(k.tok) AS BIGINT) AS kept_tokens "
     "FROM toks k JOIN thr ON k.lang = thr.lang "
-    f"WHERE (('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000) < thr.t "
+    f"WHERE {curation.sample_bucket_sql('k.doc_id')} < thr.t "
     "GROUP BY 1 ORDER BY 1",
 )
 

@@ -169,7 +169,7 @@ def mix_fractions(
     :func:`stratified_sample`, whose md5 thresholds compile to a CASE
     chain — the end-to-end mixing pass is one scan + one filter."""
     avail = {
-        r[strata_col]: int(r["__tok"])
+        r[strata_col]: int(r["__tok"] or 0)  # all-NULL stratum sums to NULL
         for r in df.groupBy(strata_col)
         .agg(F.sum(token_col).alias("__tok"))
         .collect()
