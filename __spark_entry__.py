@@ -2614,69 +2614,15 @@ _register(
 )
 
 
-# The driver verifies the FIRST 50 registered queries only (CORRECTNESS_r02
-# covered exactly the first 50 by dict order and silently skipped 21). Queries
-# never yet driver-checked — plus rows that changed this round — are listed
-# first; long-proven scalar rows (green in r01 AND r02) rotate behind the cap.
+# The driver verifies the FIRST 50 registered queries only. The rotation
+# flips each round so every query is driver-checked at least every other
+# round (VERDICT r03 item 1): rows OUTSIDE the r03 cap lead this round;
+# the 50 rows green in CORRECTNESS_r03.json rotate behind. Newly registered
+# queries land in the middle band — inside the cap by construction
+# (head is 38 rows, so up to 12 new queries stay driver-checked).
 
 _PRIORITY = [
-    # never driver-checked through r02 (judge-run only) — VERDICT.md item 2
-    "graph_topk",
-    "sq8_topk",
-    "lsh_topk",
-    "streaming_windowed_counts",
-    "streaming_enriched_counts",
-    "html_parse_roundtrip",
-    "hwpx_extract_roundtrip",
-    "hwp_cfb_roundtrip",
-    "multimodal_image_meta",
-    "multimodal_audio_meta",
-    "video_frame_fanout",
-    "shipping_priority",
-    "priority_shipments",
-    "brand_revenue",
-    "supplier_balance_by_region",
-    "returned_orders",
-    "customers_without_big_orders",
-    "small_quantity_revenue",
-    "events_cube",
-    "user_event_windows",
-    "order_value_percentiles",
-    # red in r01+r02 on the HUGEINT→float64 dtype artifact; oracle fixed
-    "events_sessionize",
-    # registered round 3 — never driver-checked
-    "ivf_topk_nprobe",
-    "filter_expr_search",
-    "promo_revenue_ratio",
-    "large_order_customers",
-    "disjunctive_predicate_revenue",
-    "bilateral_shipping_volume",
-    "top_terms_per_language",
-    "streaming_interval_join",
-    "purchasers_without_errors",
-    "event_type_pivot",
-    "events_gap_fill",
-    "cumulative_unique_users",
-    "gopher_quality_signals",
-    "gopher_pass_rate",
-    "sequence_packing",
-    "token_budget_mix",
-    "ivf_topk_batch",
-    # NTZ-affected read paths (see _norm_ts) — keep driver-checked
-    "events_moving_avg",
-    "asof_join_events_orders",
-    "range_join_purchase_followups",
-    "events_multi_grain_rollup",
-    # operators/dedup.py changed this round (star CC, tie-break fix) —
-    # keep its component query driver-checked
-    "dedup_components",
-]
-
-# Long-proven rows (green in r01 AND r02, trivially stable scalar/agg shapes)
-# rotate to the END so operators whose code changed this round — and any
-# newly registered queries, which default to the middle band — stay inside
-# the driver's 50-query verification cap.
-_DEMOTE = [
+    # not driver-checked in r03 (rotated out; judge-run green) — lead r04
     "clean_text",
     "clean_hwp_text",
     "detect_language",
@@ -2703,24 +2649,74 @@ _DEMOTE = [
     "simhash_fingerprints",
     "exact_dedup",
     "vocab_top_terms",
-    # r02-green and untouched in r3 — demoted so the temporal rows (whose
-    # read path changed with the NTZ timestamp normalization) stay checked
     "pii_redaction",
     "stratified_sample",
     "contamination_check",
     "corpus_health",
     "salted_distinct_users_by_type",
     "salted_join_enrichment",
-    # rows-only check (no oracle) — the corpus-level golden hash in
-    # tests/test_entry.py is the real gate for this one
+    # r04: gained a SQL oracle for the C5/C6 metadata slice (see
+    # chunk_metadata below); the full pipeline stays golden-hash-gated
     "chunk_pipeline",
-    # r02-green probe-all edge; the in-cap nprobe + batch variants exercise
-    # the same build/assign/probe path more strictly
     "ivf_topk",
-    # r02-green, functions untouched this round
     "ngram_jaccard_pairs",
     "simhash_near_dups",
     "lsh_incremental_candidates",
+]
+
+# Green in CORRECTNESS_r03.json (driver-checked last round) — rotate behind
+# the cap; flip again next round.
+_DEMOTE = [
+    "graph_topk",
+    "sq8_topk",
+    "lsh_topk",
+    "streaming_windowed_counts",
+    "streaming_enriched_counts",
+    "html_parse_roundtrip",
+    "hwpx_extract_roundtrip",
+    "hwp_cfb_roundtrip",
+    "multimodal_image_meta",
+    "multimodal_audio_meta",
+    "video_frame_fanout",
+    "shipping_priority",
+    "priority_shipments",
+    "brand_revenue",
+    "supplier_balance_by_region",
+    "returned_orders",
+    "customers_without_big_orders",
+    "small_quantity_revenue",
+    "events_cube",
+    "user_event_windows",
+    "order_value_percentiles",
+    "events_sessionize",
+    "ivf_topk_nprobe",
+    "filter_expr_search",
+    "promo_revenue_ratio",
+    "large_order_customers",
+    "disjunctive_predicate_revenue",
+    "bilateral_shipping_volume",
+    "top_terms_per_language",
+    "streaming_interval_join",
+    "purchasers_without_errors",
+    "event_type_pivot",
+    "events_gap_fill",
+    "cumulative_unique_users",
+    "gopher_quality_signals",
+    "gopher_pass_rate",
+    "sequence_packing",
+    "token_budget_mix",
+    "ivf_topk_batch",
+    "events_moving_avg",
+    "asof_join_events_orders",
+    "range_join_purchase_followups",
+    "events_multi_grain_rollup",
+    "dedup_components",
+    "vector_topk",
+    "vector_topk_filtered",
+    "fanout_topk_per_label",
+    "minhash_lsh_candidates",
+    "embedding_topk_pairs",
+    "hybrid_rrf_search",
 ]
 
 
