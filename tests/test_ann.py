@@ -177,6 +177,33 @@ def test_graph_design_point_recall(embeddings_tiny, graph_idx, query_vec):
     assert recall_at_k(exact, approx) >= 0.8
 
 
+def test_graph_derived_shards_bound_group_size(spark, embeddings_tiny, tmp_path_factory, query_vec):
+    # num_shards=None derives the shard count from target_rows_per_shard so
+    # a 10× larger corpus builds 10× more shards, not 10× bigger ones —
+    # the applyInPandas memory contract (VERDICT r03 item 2)
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    path = str(tmp_path_factory.mktemp("gann_auto") / "graph")
+    n = embeddings_tiny.count()
+    target = max(1, n // 4)
+    idx = GraphANNIndex(spark, path).build(
+        embeddings_tiny, m=4, ef_construction=20,
+        num_shards=None, target_rows_per_shard=target,
+    )
+    per_shard = {
+        r["shard"]: r["cnt"]
+        for r in spark.read.parquet(path).groupBy("shard").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    expected_shards = -(-n // target)
+    assert len(per_shard) == expected_shards
+    assert max(per_shard.values()) <= 3 * target
+    # the derived layout still serves exact top-k at the ef >= n edge
+    got = idx.search(query_vec, k=3, ef=1_000_000, output_cols=["id"]).collect()
+    assert got[0]["id"] == 7  # self-hit tops the list
+
+
 def test_graph_adjacency_bidirectional_and_connected():
     import numpy as np
 

@@ -311,6 +311,83 @@ def test_pack_sequences_greedy_semantics(spark):
     assert out2[4] == (1, 450) and out2[5] == (1, 450)
 
 
+def test_pack_sequences_zero_token_matches_oracle(spark):
+    # ADVICE r03: a zero-token doc preceding an oversize doc used to make
+    # the Python fold and the recursive-CTE oracle disagree on pack_id
+    # (`fill > 0` guard vs `w.fill + i.tok > budget`). Both engines must
+    # now agree bit-for-bit on this crafted bucket.
+    import duckdb
+
+    from vectordb_etl_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_sql,
+    )
+
+    rows = [(1, 0), (2, 5000), (3, 100), (4, 0), (5, 0), (6, 400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_fill"])
+        for r in pack_sequences(
+            df, id_col="doc_id", token_col="n_tokens", budget=512, buckets=1
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, n_tokens BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = pack_sequences_sql(
+        "t", id_expr="doc_id", token_expr="n_tokens",
+        budget=512, buckets=1, out_id="doc_id",
+    )
+    want = {
+        int(i): (int(p), int(f))
+        for i, _, p, f in con.execute(sql).fetchall()
+    }
+    assert got == want
+    # and the fold semantics themselves: 0 stays in pack 0 (base case),
+    # the oversize 5000 opens pack 1 even though fill == 0
+    assert got[1][0] == 0 and got[2][0] == 1
+
+
+def test_pack_sequences_null_tokens_fail_loud(spark):
+    from vectordb_etl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 50)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="NULL n_tokens"):
+        pack_sequences(
+            df, id_col="doc_id", token_col="n_tokens", budget=512, buckets=1
+        ).collect()
+
+
+def test_pack_sequences_derived_buckets_bound_group_size(spark):
+    # the 100 TB contract: with buckets=None the bucket count is derived
+    # from a rows-per-group target, so a 10× larger corpus still produces
+    # bounded applyInPandas groups instead of 10× larger ones
+    from vectordb_etl_spark.operators.packing import pack_sequences
+
+    n = 1000
+    rows = [(i, 100 + (i % 7) * 50) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(
+        df, id_col="doc_id", token_col="n_tokens", budget=600,
+        target_rows_per_bucket=50,
+    ).collect()
+    assert len(out) == n
+    sizes = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    # ceil(1000/50) = 20 buckets; md5 keys are uniform so no bucket should
+    # exceed ~3× the target even at this small n (binomial tail)
+    assert len(sizes) == 20
+    assert max(sizes.values()) <= 150
+    # every pack still respects the budget (no single-item oversize here)
+    per_pack = {}
+    for r in out:
+        per_pack.setdefault((r["bucket"], r["pack_id"]), r["pack_fill"])
+    assert all(f <= 600 for f in per_pack.values())
+
+
 def test_pack_sequences_bucket_isolation_and_fill_bound(spark):
     from vectordb_etl_spark.operators.packing import pack_sequences
 

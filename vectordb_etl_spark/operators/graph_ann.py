@@ -127,12 +127,26 @@ class GraphANNIndex:
         df: DataFrame,
         id_col: str = "vec_id",
         emb_col: str = "embedding",
-        num_shards: int = 8,
+        num_shards: int | None = None,
         m: int = 16,
         ef_construction: int = 200,
         passthrough: list[str] | None = None,
+        target_rows_per_shard: int = 100_000,
     ) -> "GraphANNIndex":
+        """Memory contract: each shard is materialized as ONE pandas
+        DataFrame (vectors + adjacency) inside ``applyInPandas`` and the
+        NSW build is O(shard_rows · ef_construction) dot products — the
+        shard's ROW COUNT is the knob that must fit a task. When
+        ``num_shards`` is None (default) it is derived from a cheap
+        ``df.count()`` so no shard expects more than
+        ``target_rows_per_shard`` rows (hash sharding is uniform in
+        ``id_col``, so shard sizes concentrate tightly around
+        n/num_shards). Pass explicit ``num_shards`` to skip the count job
+        or to pin the layout for an external oracle."""
         passthrough = passthrough or []
+        if num_shards is None:
+            n = df.select(id_col).count()
+            num_shards = max(1, -(-n // target_rows_per_shard))
         tagged = df.select(
             F.col(id_col).alias("id"),
             *[F.col(c) for c in passthrough],

@@ -36,16 +36,33 @@ def pack_sequences(
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     budget: int = 2048,
-    buckets: int = 16,
+    buckets: int | None = None,
+    target_rows_per_bucket: int = 1_000_000,
 ) -> DataFrame:
     """Assign every row to a (bucket, pack_id) training sequence.
 
     Greedy first-fit-in-order: walk the bucket's rows by ``id_col``; when
     the running fill would exceed ``budget``, close the pack and start the
-    next. An item larger than the whole budget gets a pack of its own
-    (callers should pre-split oversize docs — the chunker's job).
-    Returns (id_col, bucket, pack_id, pack_fill) where ``pack_fill`` is the
-    pack's total token count after its final member."""
+    next (the first row of a bucket always opens pack 0 — identical to the
+    oracle CTE's base case, including zero-token rows). An item larger than
+    the whole budget gets a pack of its own (callers should pre-split
+    oversize docs — the chunker's job). Returns (id_col, bucket, pack_id,
+    pack_fill) where ``pack_fill`` is the pack's total token count after
+    its final member.
+
+    Memory contract: each md5 bucket is materialized as ONE pandas
+    DataFrame of (id, token) pairs inside ``applyInPandas`` — the bucket's
+    row count, not its text size, is what must fit a task. When ``buckets``
+    is None (default) the count is derived from a cheap ``df.count()`` so
+    no bucket expects more than ``target_rows_per_bucket`` rows (md5 keys
+    are uniform, so bucket sizes concentrate tightly around n/buckets).
+    Pass an explicit ``buckets`` to skip the count job — required when an
+    external oracle (``pack_sequences_sql``) must state the identical
+    bucket assignment. NULL token counts fail loudly with the offending
+    ids rather than crashing inside ``astype``."""
+    if buckets is None:
+        n = df.select(id_col).count()
+        buckets = max(1, -(-n // target_rows_per_bucket))
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
         f"{id_col} {id_type}, bucket int, pack_id int, pack_fill long"
@@ -53,13 +70,25 @@ def pack_sequences(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        toks = pdf[token_col]
+        if toks.isna().any():
+            bad = pdf.loc[toks.isna(), id_col].head(5).tolist()
+            raise ValueError(
+                f"pack_sequences: NULL {token_col} for ids {bad} — "
+                "token counts must be non-null (filter or fill upstream)"
+            )
         pack_ids, fills = [], []
         pack, fill = 0, 0
-        for tok in pdf[token_col].astype("int64"):
-            if fill > 0 and fill + tok > budget:
+        for i, tok in enumerate(toks.astype("int64")):
+            tok = int(tok)
+            # matches the oracle CTE exactly: the base row (i == 0) always
+            # stays in pack 0; later rows open a new pack whenever the
+            # running fill would exceed budget — even when fill == 0
+            # (zero-token run), so Spark and DuckDB agree bit-for-bit
+            if i > 0 and fill + tok > budget:
                 pack += 1
                 fill = 0
-            fill += int(tok)
+            fill += tok
             pack_ids.append(pack)
             fills.append(fill)
         out = pdf[[id_col, "bucket"]].copy()
