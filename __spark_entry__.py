@@ -1908,6 +1908,105 @@ _register(
 )
 
 
+def _multimodal_decoded_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL pixel/sample decode (multimodal.py decode_bmp_pixels /
+    decode_wav_samples — pure-stdlib readers, no codec libs): each document
+    synthesizes a genuine 24-bpp BMP and a 16-bit PCM WAV whose pixel and
+    sample values are arithmetic in doc_id; image_pixel_stats /
+    audio_sample_stats must DECODE the bytes (headers, row padding, BGR
+    order, RIFF chunk walk) to recover exact integer channel sums and
+    sample extrema, and the oracle states the same arithmetic over
+    generate_series. Unlike the *_meta round-trips this exercises the pixel
+    ARRAY, not just the header."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from vectordb_etl_spark.multimodal import (
+        audio_sample_stats,
+        encode_bmp,
+        encode_wav,
+        image_pixel_stats,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def synth_bmp_px(doc_id):
+        def mk(i):
+            i = int(i)
+            w, h = i % 8 + 2, i % 6 + 2
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            r = (i + xx + yy) % 256
+            g = (i + 2 * xx) % 256
+            b = (i + 3 * yy) % 256
+            return encode_bmp(np.stack([r, g, b], axis=-1).astype(np.uint8))
+
+        return doc_id.map(mk)
+
+    @F.pandas_udf(BinaryType())
+    def synth_wav_pcm(doc_id):
+        def mk(i):
+            i = int(i)
+            k = np.arange(i % 50 + 10)
+            samples = ((i * 7 + k * 13) % 65536 - 32768).astype(np.int16)
+            return encode_wav(samples.reshape(-1, 1), 8000 + (i % 4) * 4000)
+
+        return doc_id.map(mk)
+
+    docs = _docs(spark, sf)
+    img = image_pixel_stats(
+        docs.select(F.col("doc_id"), synth_bmp_px("doc_id").alias("content")),
+        id_col="doc_id",
+    ).withColumnRenamed("media_id", "doc_id")
+    aud = audio_sample_stats(
+        docs.select(F.col("doc_id"), synth_wav_pcm("doc_id").alias("content")),
+        id_col="doc_id",
+    ).withColumnRenamed("media_id", "doc_id")
+    return img.join(aud, "doc_id").select(
+        "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+        "sample_rate", "n_frames", "sample_sum", "sample_min", "sample_max",
+    )
+
+
+_register(
+    "multimodal_decoded_features",
+    _multimodal_decoded_features,
+    # the same pixel/sample arithmetic, stated directly over generate_series
+    # (nested unnest: DuckDB's generate_series table function is not
+    # lateral-correlatable)
+    "WITH xs AS ("
+    "  SELECT doc_id, unnest(generate_series(0, doc_id % 8 + 1)) AS x"
+    "  FROM documents"
+    "), px AS ("
+    "  SELECT doc_id, x, unnest(generate_series(0, doc_id % 6 + 1)) AS y"
+    "  FROM xs"
+    "), img AS ("
+    "  SELECT doc_id,"
+    "         CAST(max(x) + 1 AS INT) AS width,"
+    "         CAST(max(y) + 1 AS INT) AS height,"
+    "         CAST(SUM((doc_id + x + y) % 256) AS BIGINT) AS r_sum,"
+    "         CAST(SUM((doc_id + 2 * x) % 256) AS BIGINT) AS g_sum,"
+    "         CAST(SUM((doc_id + 3 * y) % 256) AS BIGINT) AS b_sum"
+    "  FROM px GROUP BY doc_id"
+    "), ks AS ("
+    "  SELECT doc_id, unnest(generate_series(0, doc_id % 50 + 9)) AS k"
+    "  FROM documents"
+    "), aud AS ("
+    "  SELECT doc_id,"
+    "         CAST(COUNT(*) AS BIGINT) AS n_frames,"
+    "         CAST(SUM((doc_id * 7 + k * 13) % 65536 - 32768) AS BIGINT)"
+    "           AS sample_sum,"
+    "         CAST(MIN((doc_id * 7 + k * 13) % 65536 - 32768) AS INT)"
+    "           AS sample_min,"
+    "         CAST(MAX((doc_id * 7 + k * 13) % 65536 - 32768) AS INT)"
+    "           AS sample_max"
+    "  FROM ks GROUP BY doc_id"
+    ") "
+    "SELECT i.doc_id, i.width, i.height, i.r_sum, i.g_sum, i.b_sum, "
+    "CAST(8000 + (i.doc_id % 4) * 4000 AS INT) AS sample_rate, "
+    "a.n_frames, a.sample_sum, a.sample_min, a.sample_max "
+    "FROM img i JOIN aud a USING (doc_id)",
+)
+
+
 # -- parser tiers, driver-checkable via synthesized inputs --------------------
 #
 # Same pattern as the multimodal round-trips: each document synthesizes an

@@ -1,19 +1,31 @@
 """Multimodal tier: real header parsing (PNG/GIF/JPEG/BMP/WAV built in-test
-from specs), stubbed decode determinism, mapInPandas batch plumbing."""
+from specs), REAL BMP/WAV pixel-sample codecs (encode↔decode round-trip),
+decode determinism, mapInPandas batch plumbing."""
 
 from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pytest
 
 from vectordb_etl_spark.multimodal import (
+    audio_feature_vector,
     audio_features,
+    audio_sample_stats,
+    decode_bmp_pixels,
+    decode_pixels,
+    decode_wav_samples,
+    encode_bmp,
+    encode_wav,
     fake_decode_features,
+    image_feature_vector,
     image_features,
+    image_pixel_stats,
     media_table,
     parse_audio_meta,
     parse_image_meta,
+    pixel_features,
     sample_frames,
 )
 
@@ -70,6 +82,110 @@ def test_fake_decode_deterministic_and_normalized():
     assert a == b and len(a) == 16
     assert sum(x * x for x in a) == pytest.approx(1.0, abs=1e-5)
     assert fake_decode_features(b"other") != a
+
+
+# -- REAL BMP/WAV codecs ------------------------------------------------------
+
+
+def test_bmp_encode_decode_roundtrip():
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (3, 5), (7, 2), (16, 16)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        data = encode_bmp(px)
+        meta = parse_image_meta(data)
+        assert (meta["format"], meta["width"], meta["height"]) == ("bmp", w, h)
+        assert (decode_bmp_pixels(data) == px).all()
+
+
+def test_bmp_top_down_rows():
+    rng = np.random.RandomState(8)
+    px = rng.randint(0, 256, (4, 3, 3), dtype=np.uint8)
+    d = bytearray(encode_bmp(px))
+    d[22:26] = struct.pack("<i", -4)  # negative height = top-down storage
+    assert (decode_bmp_pixels(bytes(d)) == px[::-1]).all()
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp_pixels(b"PNG junk")
+    d = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    d[28:30] = struct.pack("<H", 8)  # 8-bpp paletted
+    with pytest.raises(ValueError, match="24-bpp"):
+        decode_bmp_pixels(bytes(d))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_pixels(bytes(encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))[:60]))
+
+
+def test_wav_encode_decode_roundtrip():
+    rng = np.random.RandomState(9)
+    for ch in (1, 2):
+        s = rng.randint(-32768, 32768, (37, ch)).astype(np.int16)
+        back, rate = decode_wav_samples(encode_wav(s, 22050))
+        assert rate == 22050 and (back == s).all()
+
+
+def test_wav_chunk_walk_and_8bit():
+    # a LIST chunk between fmt and data must be skipped, not break parsing
+    s = np.arange(10, dtype=np.int16).reshape(-1, 1)
+    data = encode_wav(s, 44100)
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    data2 = data[:36] + lst + data[36:]
+    data2 = data2[:4] + struct.pack("<I", len(data2) - 8) + data2[8:]
+    back, _ = decode_wav_samples(data2)
+    assert (back.ravel() == np.arange(10)).all()
+    # 8-bit PCM widens to centered int16
+    hdr = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 4) + bytes([0, 128, 255, 64])
+    )
+    back, _ = decode_wav_samples(hdr)
+    assert list(back.ravel()) == [(-128) << 8, 0, 127 << 8, (-64) << 8]
+
+
+def test_decode_pixels_routes_bmp_without_pil():
+    px = np.full((2, 2, 3), 9, dtype=np.uint8)
+    assert (decode_pixels(encode_bmp(px)) == px).all()
+
+
+def test_real_feature_vectors():
+    rng = np.random.RandomState(10)
+    px = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    fv = image_feature_vector(encode_bmp(px))
+    assert len(fv) == 16
+    assert sum(x * x for x in fv) == pytest.approx(1.0, abs=1e-6)
+    # features derive from REAL pixels: same pixels → same features,
+    # different pixels → different features, and they equal pixel_features
+    assert fv == pixel_features(px)
+    px2 = px.copy(); px2[0, 0] = [0, 0, 0]
+    assert image_feature_vector(encode_bmp(px2)) != fv
+    # audio: constant signal → zero std, rms == |mean|
+    fa = audio_feature_vector(encode_wav(np.full((64, 1), 1000, np.int16), 8000))
+    assert len(fa) == 16 and fa[1] == pytest.approx(0.0, abs=1e-9)
+    # undecodable codec falls back to the deterministic fake
+    assert image_feature_vector(b"\xff\xd8 junk") == fake_decode_features(b"\xff\xd8 junk")
+
+
+def test_pixel_audio_stats_operators(spark):
+    rng = np.random.RandomState(11)
+    px1 = rng.randint(0, 256, (3, 4, 3), dtype=np.uint8)
+    px2 = rng.randint(0, 256, (2, 2, 3), dtype=np.uint8)
+    s1 = rng.randint(-32768, 32768, (20, 2)).astype(np.int16)
+    df_img = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(px1))), (2, bytearray(encode_bmp(px2)))],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r for r in image_pixel_stats(df_img).collect()}
+    assert got[1]["width"] == 4 and got[1]["height"] == 3
+    exp = px1.reshape(-1, 3).sum(axis=0)
+    assert (got[1]["r_sum"], got[1]["g_sum"], got[1]["b_sum"]) == tuple(int(x) for x in exp)
+    df_aud = spark.createDataFrame(
+        [(7, bytearray(encode_wav(s1, 16000)))], "media_id long, content binary"
+    )
+    a = audio_sample_stats(df_aud).collect()[0]
+    assert a["sample_rate"] == 16000 and a["n_frames"] == 20
+    assert a["sample_sum"] == int(s1.sum())
+    assert a["sample_min"] == int(s1.min()) and a["sample_max"] == int(s1.max())
 
 
 @pytest.fixture(scope="module")

@@ -6,11 +6,14 @@ Design (per the 100 TB pipeline brief):
   interprets pixels — partitioning, shuffling, and storage treat it as bytes.
 - container METADATA (dimensions, codec, sample rate) is parsed from file
   headers with stdlib ``struct`` — real, tested code (PNG/GIF/JPEG/BMP/WAV).
-- pixel/sample DECODE needs image/audio libs absent from this runtime; the
-  decode step is stubbed: ``decode_pixels`` raises ``NotImplementedError``
-  unless PIL is importable, and ``fake_decode_features`` is the clearly
-  marked deterministic stand-in that keeps every Spark-side contract (schema,
-  UDF signature, Arrow batch shape, 1→N frame fan-out) real and testable.
+- pixel/sample DECODE is REAL for the public uncompressed formats: 24-bpp
+  BMP (``decode_bmp_pixels``) and PCM WAV (``decode_wav_samples``) are
+  pure-stdlib ``struct``/numpy readers implemented from the public
+  [MS-WMF]/RIFF specs — same stance as the CFB reader in sources/hwp.py.
+  ``decode_pixels`` routes BMP to the stdlib decoder and other formats to
+  PIL when importable; compressed formats without PIL raise
+  ``NotImplementedError``. ``fake_decode_features`` remains the clearly
+  marked deterministic stand-in for formats whose codecs are absent.
 - all media UDFs are ``mapInPandas`` — streaming Arrow batches, never
   one-row-at-a-time, and never materializing more than
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` blobs at once. At scale,
@@ -93,14 +96,90 @@ def parse_audio_meta(data: bytes) -> dict:
 
 
 # --------------------------------------------------------------------------
-# decode stubs (gated: real lib if present, deterministic fake for tests)
+# pixel/sample decode (REAL for uncompressed public formats; PIL-gated
+# fallback for compressed ones)
 # --------------------------------------------------------------------------
 
 
+def decode_bmp_pixels(data: bytes) -> "np.ndarray":
+    """REAL 24-bpp uncompressed BMP decode, pure stdlib+numpy — implemented
+    from the public BITMAPFILEHEADER/BITMAPINFOHEADER layout (no reference
+    counterpart; gudwls215/vectordb-etl is text-only). Returns the (H, W, 3)
+    uint8 RGB contract every downstream feature step consumes. Handles
+    bottom-up (positive height) and top-down (negative height) row order
+    and 4-byte row padding; rejects compressed or non-24-bpp files."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pix_off = _struct.unpack("<I", data[10:14])[0]
+    w, h = _struct.unpack("<ii", data[18:26])
+    bpp = _struct.unpack("<H", data[28:30])[0]
+    compression = _struct.unpack("<I", data[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bpp uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) & ~3
+    need = pix_off + stride * h
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: {len(data)} bytes, need {need}")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    # stored order is BGR → return RGB
+    return rows[:, :, ::-1].copy()
+
+
+def decode_wav_samples(data: bytes) -> tuple["np.ndarray", int]:
+    """REAL PCM WAV decode, pure stdlib+numpy: walks RIFF chunks (not a
+    fixed 44-byte assumption — handles LIST/fact chunks before data),
+    supports 8- and 16-bit integer PCM. Returns ``(samples, sample_rate)``
+    where samples is (n_frames, channels) int16 (8-bit input is widened to
+    centered int16: (v-128)<<8)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, payload = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = _struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt = _struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"only 8/16-bit integer PCM supported (format={audio_format}, "
+            f"bits={bits})"
+        )
+    if bits == 16:
+        flat = np.frombuffer(
+            payload, dtype="<i2", count=len(payload) // 2
+        ).astype(np.int16)
+    else:
+        flat = (
+            (np.frombuffer(payload, dtype=np.uint8).astype(np.int16) - 128)
+            << 8
+        )
+    n = (len(flat) // channels) * channels
+    return flat[:n].reshape(-1, channels), rate
+
+
 def decode_pixels(data: bytes) -> "np.ndarray":
-    """REAL pixel decode — requires PIL, which is not in this runtime.
-    Kept as the explicit extension point; everything downstream consumes the
-    (H, W, 3) uint8 contract this returns."""
+    """Pixel decode front door: uncompressed BMP decodes via the pure-stdlib
+    reader above (always available); other formats route to PIL when
+    importable. Everything downstream consumes the (H, W, 3) uint8 RGB
+    contract this returns."""
+    if data[:2] == b"BM":
+        return decode_bmp_pixels(data)
     try:
         from PIL import Image  # noqa: F401
         from io import BytesIO
@@ -108,19 +187,108 @@ def decode_pixels(data: bytes) -> "np.ndarray":
         return np.asarray(Image.open(BytesIO(data)).convert("RGB"))
     except ImportError as e:
         raise NotImplementedError(
-            "pixel decode requires PIL (not installed in this runtime); "
-            "use fake_decode_features for deterministic tests"
+            "decoding compressed formats requires PIL (not installed in "
+            "this runtime); BMP decodes without it — or use "
+            "fake_decode_features for deterministic tests"
         ) from e
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Write (H, W, 3) uint8 RGB as a 24-bpp bottom-up BMP — the encode
+    twin of ``decode_bmp_pixels`` (used by tests and the driver's synthetic
+    round-trip query; also handy for emitting debug tiles at scale)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    stride = (3 * w + 3) & ~3
+    pad = stride - 3 * w
+    # RGB → BGR, top row last (bottom-up)
+    bgr = arr[::-1, :, ::-1]
+    body = b"".join(
+        bgr[r].tobytes() + b"\x00" * pad for r in range(h)
+    )
+    info = _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+    )
+    header = _struct.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54)
+    return header + info + body
+
+
+def encode_wav(samples: "np.ndarray", rate: int) -> bytes:
+    """Write (n_frames, channels) int16 PCM as a canonical RIFF/WAVE file —
+    the encode twin of ``decode_wav_samples``."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    payload = arr.tobytes()
+    byte_rate = rate * channels * 2
+    hdr = (
+        b"RIFF" + _struct.pack("<I", 36 + len(payload)) + b"WAVEfmt "
+        + _struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, byte_rate, channels * 2, 16
+        )
+        + b"data" + _struct.pack("<I", len(payload))
+    )
+    return hdr + payload
 
 
 def fake_decode_features(data: bytes, dim: int = 16) -> list[float]:
     """DETERMINISTIC FAKE decode→feature step (clearly marked): seeded by the
     content hash, L2-normalized, same signature/shape as a real embedding.
-    Lets the full pipeline (schema, partitioning, batching) run without
-    image libs."""
+    The stand-in for formats whose codecs are absent (JPEG/PNG without PIL);
+    BMP/WAV get REAL features via ``pixel_features``/``decode_pixels``."""
     seed = int.from_bytes(hashlib.md5(data or b"").digest()[:8], "big") % (2**31)
     v = np.random.RandomState(seed).standard_normal(dim)
     v = v / max(np.linalg.norm(v), 1e-12)
+    return [float(x) for x in v]
+
+
+def pixel_features(px: "np.ndarray", dim: int = 16) -> list[float]:
+    """REAL image features from decoded (H, W, 3) uint8 pixels: per-channel
+    means and stds plus a (dim-6)-bin luminance histogram, L2-normalized —
+    the classic pre-embedding visual signature, computed entirely from
+    decoded values."""
+    flat = px.reshape(-1, 3).astype(np.float64)
+    means = flat.mean(axis=0) / 255.0
+    stds = flat.std(axis=0) / 255.0
+    lum = flat @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(lum, bins=max(dim - 6, 1), range=(0.0, 255.0))
+    hist = hist / max(hist.sum(), 1)
+    v = np.concatenate([means, stds, hist])[:dim]
+    if v.size < dim:
+        v = np.pad(v, (0, dim - v.size))
+    v = v / max(np.linalg.norm(v), 1e-12)
+    return [float(x) for x in v]
+
+
+def image_feature_vector(data: bytes, dim: int = 16) -> list[float]:
+    """Decode→feature front door used by ``image_features``: REAL decoded
+    features when the format is decodable in this runtime (always true for
+    BMP), the clearly-marked deterministic fake otherwise."""
+    try:
+        return pixel_features(decode_pixels(data), dim)
+    except (NotImplementedError, ValueError):
+        return fake_decode_features(data, dim)
+
+
+def audio_feature_vector(data: bytes, dim: int = 16) -> list[float]:
+    """REAL audio features from decoded PCM when the clip is PCM WAV —
+    global mean/std plus per-segment RMS energy over (dim-2) equal time
+    slices, L2-normalized; the deterministic fake for undecodable codecs."""
+    try:
+        samples, _ = decode_wav_samples(data)
+    except ValueError:
+        return fake_decode_features(data, dim)
+    if samples.size == 0:
+        return [0.0] * dim
+    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    segs = np.array_split(mono, max(dim - 2, 1))
+    rms = [float(np.sqrt(np.mean(s * s))) if s.size else 0.0 for s in segs]
+    v = np.array([float(mono.mean()), float(mono.std())] + rms)[:dim]
+    if v.size < dim:
+        v = np.pad(v, (0, dim - v.size))
+    norm = np.linalg.norm(v)
+    v = v / norm if norm > 1e-12 else v
     return [float(x) for x in v]
 
 
@@ -157,7 +325,7 @@ def image_features(
                     "height": [m["height"] for m in metas],
                     "n_bytes": [len(bytes(b or b"")) for b in pdf[content_col]],
                     "features": [
-                        fake_decode_features(bytes(b or b""), dim)
+                        image_feature_vector(bytes(b or b""), dim)
                         for b in pdf[content_col]
                     ],
                 }
@@ -194,7 +362,7 @@ def audio_features(
                     "sample_rate": [m["sample_rate"] for m in metas],
                     "duration_ms": [m["duration_ms"] for m in metas],
                     "features": [
-                        fake_decode_features(bytes(b or b""), dim)
+                        audio_feature_vector(bytes(b or b""), dim)
                         for b in pdf[content_col]
                     ],
                 }
@@ -245,6 +413,91 @@ def sample_frames(
             )
 
     return df.mapInPandas(_gen, FRAME_SCHEMA)
+
+
+IMAGE_PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+    ]
+)
+
+
+def image_pixel_stats(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Per-image channel statistics from REAL decoded pixels
+    (``decode_pixels`` — stdlib BMP path needs no external libs). Integer
+    channel sums are exact, so the result is hash-comparable against a SQL
+    oracle that states the same pixel arithmetic. mapInPandas streams Arrow
+    batches; memory ∝ batch size × image size."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, rs, gs, bs = [], [], [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                px = decode_pixels(bytes(blob or b""))
+                h, w = px.shape[:2]
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                rs.append(int(sums[0]))
+                gs.append(int(sums[1]))
+                bs.append(int(sums[2]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids, "width": ws, "height": hs,
+                    "r_sum": rs, "g_sum": gs, "b_sum": bs,
+                }
+            )
+
+    return df.mapInPandas(_gen, IMAGE_PIXEL_STATS_SCHEMA)
+
+
+AUDIO_SAMPLE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_min", IntegerType()),
+        StructField("sample_max", IntegerType()),
+    ]
+)
+
+
+def audio_sample_stats(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Per-clip statistics from REAL decoded PCM samples
+    (``decode_wav_samples``); exact integer sums/extrema for oracle
+    hashing. Same Arrow-batched contract as ``image_pixel_stats``."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, sums, mins, maxs = [], [], [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                samples, rate = decode_wav_samples(bytes(blob or b""))
+                ids.append(mid)
+                rates.append(rate)
+                ns.append(int(samples.shape[0]))
+                sums.append(int(samples.sum(dtype=np.int64)))
+                mins.append(int(samples.min()) if samples.size else 0)
+                maxs.append(int(samples.max()) if samples.size else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids, "sample_rate": rates, "n_frames": ns,
+                    "sample_sum": sums, "sample_min": mins,
+                    "sample_max": maxs,
+                }
+            )
+
+    return df.mapInPandas(_gen, AUDIO_SAMPLE_STATS_SCHEMA)
 
 
 def media_table(
