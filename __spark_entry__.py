@@ -1096,6 +1096,66 @@ def _chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 _register("chunk_pipeline", _chunk_pipeline, None)
 
 
+def _chunk_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """C5/C6 metadata layer with a hash-checked oracle (VERDICT r03 item 4):
+    feed the REAL attach_chunk_metadata + remove_duplicate_chunks operators
+    a PRE-CHUNKED fixture — fixed-width 200-char substring slices, which
+    unlike the C1-C4 recursive splitter ARE SQL-expressible — so the
+    chunk_index/total_chunks/sizes/chunk_id/first-wins-dedup arithmetic
+    gets a DuckDB rendering. The splitter itself stays gated by the corpus
+    golden hash in tests/test_entry.py."""
+    docs = _docs(spark, sf).select("doc_id", "source", "text")
+    pre = docs.withColumn(
+        "__chunks",
+        F.expr(
+            "transform(sequence(0, greatest(cast(ceil(length(text) / 200.0)"
+            " as int), 1) - 1), i -> substring(text, i * 200 + 1, 200))"
+        ),
+    )
+    meta = chunker.attach_chunk_metadata(
+        pre, chunks_col="__chunks", text_col="text", source_col="source"
+    )
+    return chunker.remove_duplicate_chunks(meta).select(
+        "doc_id", "chunk_id", "chunk_index", "total_chunks",
+        "chunk_size_chars", "chunk_size_tokens",
+    )
+
+
+_CHUNK_META_SQL = (
+    # the same fixed-width slicing + metadata arithmetic + first-wins dedup,
+    # stated directly: generate_series per doc, substring slices, md5 chunk
+    # id, dedup over the normalized-text hash ordered by (doc_id, idx)
+    "WITH sliced AS ("
+    "  SELECT doc_id, source,"
+    "         greatest(CAST(ceil(length(text) / 200.0) AS INT), 1)"
+    "           AS total_chunks,"
+    "         unnest(generate_series(0,"
+    "           greatest(CAST(ceil(length(text) / 200.0) AS INT), 1) - 1))"
+    "           AS chunk_index,"
+    "         text AS full_text"
+    "  FROM documents"
+    "), chunks AS ("
+    "  SELECT doc_id, source, total_chunks, chunk_index,"
+    "         substring(full_text, chunk_index * 200 + 1, 200) AS ctext"
+    "  FROM sliced"
+    "), dedup AS ("
+    "  SELECT *, row_number() OVER ("
+    "    PARTITION BY {nhash} ORDER BY doc_id, chunk_index) AS rn"
+    "  FROM chunks"
+    ") "
+    "SELECT doc_id, {cid} AS chunk_id, chunk_index, total_chunks, "
+    "CAST(length(ctext) AS INT) AS chunk_size_chars, "
+    "{toks} AS chunk_size_tokens "
+    "FROM dedup WHERE rn = 1"
+).format(
+    nhash=chunker.normalized_hash_sql("ctext"),
+    cid=T.chunk_id_sql("source", "chunk_index", "ctext"),
+    toks=T.estimate_tokens_sql("ctext"),
+)
+
+_register("chunk_metadata", _chunk_metadata, _CHUNK_META_SQL)
+
+
 # ANN queries run at the PROBE-ALL edge (nprobe=nlist / hamming radius =
 # num_planes), where the approximate machinery provably returns the exact
 # top-k — so the full build+assign+probe+rank path is oracle-checkable

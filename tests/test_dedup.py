@@ -229,6 +229,34 @@ def test_star_contraction_string_ids(spark):
     assert comp == {"d1": "d1", "d2": "d1", "d3": "d1", "d9": "d9"}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    # cluster contract (VERDICT r03 item 5): with checkpoint_dir set, the
+    # fixpoint truncates lineage via RELIABLE checkpoint() — executor loss
+    # recovers from the checkpoint files, unlike localCheckpoint blocks.
+    # Both algorithm bodies must run the loop and write checkpoint data.
+    ckpt = str(tmp_path / "cc_ckpt")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(
+            nodes, pairs, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
+    st = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(
+            nodes, pairs, algorithm="star", checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert st == comp
+    import os
+
+    found = any(files for _, _, files in os.walk(ckpt))
+    assert found, "reliable checkpoint directory should contain RDD blocks"
+
+
 def test_dedup_by_components_keeps_one_per_cluster(spark):
     nodes = spark.createDataFrame(
         [(i, f"text {i}") for i in range(1, 6)], ["doc_id", "text"]

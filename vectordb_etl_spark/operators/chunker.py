@@ -249,14 +249,34 @@ def chunk_documents(
             embedder = get_embedder(emb_cfg)
         return texts.map(lambda t: chunk_text(t or "", config, embedder))
 
-    passthrough = [c for c in df.columns if c != text_col]
-    exploded = (
-        df.withColumn("__chunks", chunk_udf(F.col(text_col)))
-        .select(
-            *passthrough,
-            F.size("__chunks").alias("total_chunks"),
-            F.posexplode("__chunks").alias("chunk_index", text_col),
-        )
+    return attach_chunk_metadata(
+        df.withColumn("__chunks", chunk_udf(F.col(text_col))),
+        chunks_col="__chunks",
+        text_col=text_col,
+        source_col=source_col,
+    )
+
+
+def attach_chunk_metadata(
+    df: DataFrame,
+    chunks_col: str = "__chunks",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """C5 metadata layer over a PRE-CHUNKED array column: posexplode +
+    chunk_index / total_chunks / sizes / chunk_id (reference:
+    modules/chunker.py:162-171). Split out of :func:`chunk_documents` so the
+    metadata arithmetic — which is pure column expressions, unlike the
+    recursive splitter — can be exercised and oracle-checked on any
+    SQL-expressible chunking (the driver's ``chunk_metadata`` query feeds it
+    fixed-width substring slices). ``total_chunks`` comes from
+    ``size(chunks)`` computed BEFORE the explode — no window, no extra
+    shuffle; the whole operator is map-side."""
+    passthrough = [c for c in df.columns if c not in (chunks_col, text_col)]
+    exploded = df.select(
+        *passthrough,
+        F.size(chunks_col).alias("total_chunks"),
+        F.posexplode(chunks_col).alias("chunk_index", text_col),
     )
     return exploded.select(
         *passthrough,

@@ -748,7 +748,9 @@ def _edges_equal(a: DataFrame, b: DataFrame) -> bool:
     return a.exceptAll(b).isEmpty()
 
 
-def _star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
+def _star_contraction(
+    edges: DataFrame, max_iter: int, truncate=None
+) -> DataFrame:
     """Alternating large-star/small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14 — public
     algorithm). Converges in O(log n) rounds regardless of graph DIAMETER,
@@ -763,8 +765,13 @@ def _star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
     same shuffle count as one hash-min superstep, exponentially fewer
     rounds on high-diameter graphs.
 
-    ``edges``: distinct (u, v) with u ≠ v. Returns (u=child, v=root)."""
-    edges = edges.localCheckpoint(eager=True)
+    ``edges``: distinct (u, v) with u ≠ v. Returns (u=child, v=root).
+    ``truncate`` is the lineage-truncation hook from
+    :func:`connected_components` (reliable checkpoint vs localCheckpoint)."""
+    if truncate is None:
+        def truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+    edges = truncate(edges)
     for _ in range(max_iter):
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -796,8 +803,8 @@ def _star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
             .filter(F.col("node") != F.col("m"))
             .distinct()
             .select(F.col("node").alias("u"), F.col("m").alias("v"))
-            .localCheckpoint(eager=True)
         )
+        new_edges = truncate(new_edges)
         if _edges_equal(new_edges, edges):
             return new_edges
         edges = new_edges
@@ -814,6 +821,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 25,
     algorithm: str = "hashmin",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair relation:
     ``(id, component)`` where component = min id reachable through pairs
@@ -837,18 +845,35 @@ def connected_components(
       diameter. Use when components can be long chains (URL redirect
       graphs, citation chains) rather than similarity blobs.
 
-    Lineage is truncated with ``localCheckpoint`` so the plan does not grow
-    with iterations (on a cluster, set a reliable checkpoint dir and use
-    ``checkpoint`` instead). The convergence probe is ``isEmpty`` — a
-    driver-side loop is inherent to iterative fixpoints (same shape as
-    GraphFrames'/Pregel's superstep loop), not a collect of data rows.
+    Lineage is truncated each superstep so the plan does not grow with
+    iterations. With ``checkpoint_dir`` set, truncation uses RELIABLE
+    ``checkpoint()`` to that directory (set via
+    ``SparkContext.setCheckpointDir``) — executor loss mid-fixpoint
+    recovers from the checkpointed blocks, which a real cluster run needs.
+    Without it, ``localCheckpoint`` (executor-local blocks, fine for
+    single-node/local mode but lost with the executor) is used. The
+    convergence probe is ``isEmpty`` — a driver-side loop is inherent to
+    iterative fixpoints (same shape as GraphFrames'/Pregel's superstep
+    loop), not a collect of data rows.
     """
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     if algorithm == "star":
         star = _star_contraction(
             pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct(),
             max_iter,
+            truncate=_truncate,
         )
         return (
             nodes.select(F.col(id_col).alias("id"))
@@ -863,15 +888,14 @@ def connected_components(
     # materialize the edge list ONCE: every iteration joins against it, and
     # pair generators (MinHash folds, shingle joins) are far too expensive
     # to re-evaluate per superstep
-    edges = (
+    edges = _truncate(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
+    labels = _truncate(
+        nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    )
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -879,13 +903,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
+        new_labels = _truncate(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.alias("n").join(
             labels.alias("o"), F.col("n.id") == F.col("o.id")
