@@ -77,10 +77,21 @@ def main() -> None:
     # bar can meaningfully compare.
     SECOND_PASS_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     _runners: dict[str, tuple] = {}
+    # plan-shape fingerprints recorded next to wall-time: wall-clock swings
+    # 3-7x under neighbor load on this host, but {exchange, bhj, python_eval}
+    # counts are deterministic — a scale regression (new shuffle / new python
+    # hop) is visible in the bench JSON even when the timing looks fine.
+    # tests/test_plans.py enforces the same counts against
+    # tools/plan_fingerprints.json.
+    from vectordb_etl_spark.plans.inspect import plan_fingerprint
 
-    def _measure(fn, collect: bool) -> float:
+    plan_fps: dict[str, dict] = {}
+
+    def _measure(fn, collect: bool, fp_name: str | None = None) -> float:
         t0 = time.time()
         df = fn()
+        if fp_name is not None and fp_name not in plan_fps:
+            plan_fps[fp_name] = plan_fingerprint(df)
         if collect:
             df.collect()
         else:
@@ -89,7 +100,7 @@ def main() -> None:
 
     def run(name: str, fn, collect: bool = False) -> None:
         _runners[name] = (fn, collect)
-        timings[name] = _measure(fn, collect)
+        timings[name] = _measure(fn, collect, fp_name=name)
 
     # flagship ETL: clean → chunk → dedup → hash-embed (the write path minus IO)
     from vectordb_etl_spark.session import ensure_min_partitions
@@ -245,6 +256,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plans": plan_fps,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

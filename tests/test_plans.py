@@ -361,3 +361,77 @@ def test_clustered_write_enables_zone_map_skipping(spark, tmp_path):
     )
     plan = plan_of(scan)
     assert "GreaterThanOrEqual(user_id,10)" in plan
+
+
+# -- plan-fingerprint regression guard (VERDICT r03 item 7) ------------------
+#
+# Wall-clock regressions hide in host-load noise; plan-shape regressions
+# don't. Every registered query's {exchange, broadcast_hash_join,
+# python_eval} counts are recorded in tools/plan_fingerprints.json; a query
+# whose plan GAINS an exchange or a python hop fails here even when the
+# benchmark happens to run fast. Regenerate deliberately with
+# `python tools/gen_plan_fingerprints.py` and review the diff.
+
+
+def test_registered_query_fingerprints_no_regression(spark):
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+    from vectordb_etl_spark.plans.inspect import (
+        fingerprint_regressions,
+        plan_fingerprint,
+    )
+
+    baseline = json.loads(
+        (Path(__file__).resolve().parent.parent / "tools" /
+         "plan_fingerprints.json").read_text()
+    )
+    problems = []
+    for name, fn in entry.queries().items():
+        if name not in baseline:
+            problems.append(
+                f"{name}: not in baseline — run tools/gen_plan_fingerprints.py"
+            )
+            continue
+        fp = plan_fingerprint(fn(spark, SF))
+        msgs = fingerprint_regressions(fp, baseline[name])
+        if msgs:
+            problems.append(f"{name}: {'; '.join(msgs)}")
+    assert not problems, "plan regressions:\n" + "\n".join(problems)
+
+
+def test_fingerprint_guard_catches_intentional_regression(spark):
+    from vectordb_etl_spark.plans.inspect import (
+        fingerprint_regressions,
+        plan_fingerprint,
+    )
+
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    base = plan_fingerprint(df)
+    assert base["exchange"] >= 1 and base["python_eval"] == 0
+    # deliberately add a shuffle: the guard must flag the exchange gain
+    worse = plan_fingerprint(df.repartition(8))
+    assert any(
+        "exchange" in m for m in fingerprint_regressions(worse, base)
+    )
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and the local pandas import can't resolve inside pandas_udf inference
+    ident = F.pandas_udf(lambda s: s, "long")
+
+    # deliberately add a python hop: the guard must flag it
+    hopped = plan_fingerprint(df.withColumn("c2", ident(F.col("count"))))
+    assert any(
+        "python_eval" in m for m in fingerprint_regressions(hopped, base)
+    )
+    # unchanged plan stays silent; broadcast_hash_join delta alone is NOT a
+    # regression (join flipping to broadcast is an improvement)
+    assert fingerprint_regressions(base, base) == []
+    assert fingerprint_regressions(
+        {**base, "broadcast_hash_join": base["broadcast_hash_join"] + 1}, base
+    ) == []

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -66,3 +68,57 @@ def uses_python_eval(df: DataFrame) -> bool:
     EvalPython) — i.e., rows leave the JVM. The engine's contract: only the
     sanctioned pandas-UDF operators (parse/chunk/embed) may do this."""
     return "EvalPython" in executed_plan(df)
+
+
+# -- plan fingerprints: the scale-regression guard ---------------------------
+
+# every node class that moves rows out of the JVM into a Python worker
+_PYTHON_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "MapInPandas",
+    "PythonMapInArrow",
+    "MapInArrow",
+    "AggregateInPandas",
+)
+
+_NODE_PREFIX = re.compile(r"^[\s+\-:*()\d]+")
+
+
+def plan_fingerprint(df: DataFrame) -> dict:
+    """Count the scale-critical physical nodes: ``exchange`` (real shuffles
+    — ReusedExchange and broadcast exchanges excluded), ``broadcast_hash_join``,
+    and ``python_eval`` (rows leaving the JVM). Wall-clock is noisy on a
+    shared host; these counts are deterministic, so a registered query
+    GAINING an exchange or a python hop is a regression even when the
+    benchmark happens to run fast (VERDICT r03 item 7)."""
+    names = [
+        _NODE_PREFIX.sub("", ln) for ln in executed_plan(df).splitlines()
+    ]
+
+    def starts(prefix: str) -> int:
+        return sum(1 for n in names if n.startswith(prefix))
+
+    return {
+        "exchange": starts("Exchange hashpartitioning")
+        + starts("Exchange rangepartitioning")
+        + starts("Exchange RoundRobinPartitioning")
+        + starts("Exchange SinglePartition"),
+        "broadcast_hash_join": starts("BroadcastHashJoin"),
+        "python_eval": sum(starts(p) for p in _PYTHON_NODES),
+    }
+
+
+def fingerprint_regressions(current: dict, baseline: dict) -> list[str]:
+    """Which scale-critical counts grew vs the recorded baseline. Only
+    ``exchange`` and ``python_eval`` gains are regressions; a join flipping
+    to broadcast (broadcast_hash_join up, exchange down) is an improvement
+    and stays silent."""
+    msgs = []
+    for key in ("exchange", "python_eval"):
+        cur, base = current.get(key, 0), baseline.get(key, 0)
+        if cur > base:
+            msgs.append(f"{key} grew {base} -> {cur}")
+    return msgs
