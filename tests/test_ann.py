@@ -118,6 +118,24 @@ def test_ivf_search_many_matches_per_query(spark, embeddings_tiny, ivf):
             assert by_q[qi] == single, f"query {qi} nprobe {nprobe}"
 
 
+def test_ivf_search_many_rejects_reserved_column_names(spark, tmp_path):
+    # data carrying an internal working-column name would silently corrupt
+    # the batched join/rank — must fail loud instead (ADVICE r03)
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    rows = [
+        (i, i, [float(i), 1.0, 0.0, 0.0]) for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, query_id long, embedding array<float>"
+    )
+    idx = IVFIndex(spark, str(tmp_path / "ivf_clash")).build(
+        df, nlist=2, seed=1, max_iter=2
+    )
+    with pytest.raises(ValueError, match="reserved column name"):
+        idx.search_many([[1.0, 1.0, 0.0, 0.0]], k=2, nprobe=2)
+
+
 def test_lsh_bucket_deterministic(spark, embeddings_tiny):
     b1 = embeddings_tiny.select(lsh_bucket_col("embedding", 64).alias("b")).collect()
     b2 = embeddings_tiny.select(lsh_bucket_col("embedding", 64).alias("b")).collect()

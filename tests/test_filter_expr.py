@@ -143,6 +143,24 @@ def test_search_facade_accepts_filter_string(spark, tmp_path):
     )
     assert hits and all(h.metadata["language"] == "english" for h in hits)
 
+    # an EXPLICIT filter_language alongside a filter string is ANDed in,
+    # not silently discarded (ADVICE r03: cli --filter + --language)
+    both = search_with_scores(
+        store,
+        "office",
+        k=3,
+        search_all_collections=True,
+        filter='folder_name == "hr"',
+        filter_language="english",
+        embedding_config=cfg,
+    )
+    assert both and all(
+        h.metadata["language"] == "english"
+        and h.metadata["folder_name"] == "hr"
+        for h in both
+    )
+    assert len(both) == 1  # only c2 is both hr and english
+
 
 # --------------------------------------------------------------------------
 # property tests: well-formed expressions always parse; junk either parses

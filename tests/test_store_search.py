@@ -335,7 +335,11 @@ def test_vacuum_removes_orphans_but_preserves_sole_backups(spark, tmp_path):
     # an aside whose destination is ABSENT: the sole backup — must survive
     fs.mkdirs(store._jpath(f"{store._data_dir}/.old-collection=html_gone"))
 
-    removed = sorted(store.vacuum())
+    # default grace window: freshly-written work dirs look like an in-flight
+    # writer's staging area and must be SKIPPED (ADVICE r03 — a concurrent
+    # vacuum must not race an upsert that is about to rename its staging dir)
+    assert store.vacuum() == []
+    removed = sorted(store.vacuum(grace_s=0))
     assert removed == [
         ".old-collection=html_f1", ".upsert-collection=html_f1",
     ]

@@ -232,6 +232,17 @@ class IVFIndex:
         from vectordb_etl_spark.functions.vector import cosine_col, dot_col
 
         data = self.spark.read.parquet(f"{self.path}/data")
+        # the batched path injects working columns into the joined frame; a
+        # data schema that already uses one of these names would silently
+        # resolve joins/ranks against the data column and corrupt results —
+        # fail loud instead (ADVICE r03)
+        clash = {"query_id", "qvec", "rn", "score"} & set(data.columns)
+        if clash:
+            raise ValueError(
+                f"indexed data uses reserved column name(s) {sorted(clash)}; "
+                "rename them before building the IVF index (search_many "
+                "injects query_id/qvec/rn/score internally)"
+            )
         cand = data.join(F.broadcast(probes_df), "centroid_id").join(
             F.broadcast(qdf), "query_id"
         )

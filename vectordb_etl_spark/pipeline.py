@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,7 +52,9 @@ class PipelineRunner:
 
     # -- stage paths (≅ the reference's data/documents.pkl, data/chunks.pkl) --
     def _ckpt(self, name: str) -> str:
-        return str(Path(self.config.checkpoint_dir) / name)
+        # plain string join, not pathlib — checkpoint_dir may be a remote
+        # URI (s3a://, hdfs://) and Path() collapses the double slash
+        return f"{self.config.checkpoint_dir.rstrip('/')}/{name}"
 
     @property
     def documents_path(self) -> str:
@@ -144,15 +145,32 @@ class PipelineRunner:
         extra["removed_rows"] = extra["input_rows"] - n
         return StageResult("curate", n, time.time() - t0, self.curated_path, extra)
 
-    @staticmethod
-    def _ckpt_mtime(path: str) -> float:
+    def _jpath(self, uri: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(uri)
+
+    def _ckpt_exists(self, path: str) -> bool:
+        """Existence probe through the Hadoop FileSystem API — same stance
+        as store/collections.py, so checkpoint_dir may be any supported URI
+        (s3a://, hdfs://, file:). A local ``pathlib`` probe would silently
+        return False on remote URIs and bypass the freshness logic
+        (ADVICE r03)."""
+        p = self._jpath(path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs.exists(p)
+
+    def _ckpt_mtime(self, path: str) -> float:
         """Commit time of a parquet checkpoint: the ``_SUCCESS`` marker's
-        mtime (written at job commit), falling back to the directory's."""
-        p = Path(path)
-        marker = p / "_SUCCESS"
-        if marker.exists():
-            return marker.stat().st_mtime
-        return p.stat().st_mtime if p.exists() else 0.0
+        mtime (written at job commit), falling back to the directory's.
+        Resolved through the Hadoop FileSystem so remote checkpoint URIs
+        behave identically to local paths."""
+        p = self._jpath(path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        marker = self._jpath(f"{path}/_SUCCESS")
+        if fs.exists(marker):
+            return fs.getFileStatus(marker).getModificationTime() / 1000.0
+        if fs.exists(p):
+            return fs.getFileStatus(p).getModificationTime() / 1000.0
+        return 0.0
 
     # -- load (main.py:139-168) ----------------------------------------------
     def load(
@@ -172,12 +190,13 @@ class PipelineRunner:
         """
         t0 = time.time()
         if use_curated is None:
+            curated_exists = self._ckpt_exists(self.curated_path)
             curated_ok = (
-                Path(self.curated_path).exists()
+                curated_exists
                 and self._ckpt_mtime(self.curated_path)
                 >= self._ckpt_mtime(self.chunks_path)
             )
-            if Path(self.curated_path).exists() and not curated_ok:
+            if curated_exists and not curated_ok:
                 import warnings
 
                 warnings.warn(
@@ -242,12 +261,12 @@ class PipelineRunner:
 
     # -- reset (main.py:243-277) ---------------------------------------------
     def reset(self, confirm: bool = False) -> int:
-        import shutil
-
         n = self.store.reset(confirm=confirm)
-        ckpt = Path(self.config.checkpoint_dir)
-        if confirm and ckpt.exists():
-            shutil.rmtree(ckpt)
+        if confirm:
+            p = self._jpath(self.config.checkpoint_dir)
+            fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            if fs.exists(p):
+                fs.delete(p, True)
         return n
 
     # -- all (main.py --stage all) -------------------------------------------

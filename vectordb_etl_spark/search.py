@@ -50,8 +50,10 @@ def search_with_scores(
     string (``language == "korean"``, ``filename == "x.html" and
     chunk_index < 3`` — the reference's query surface, search_utils.py:56,90)
     parsed by functions/filter_expr.py. When given, it replaces the
-    language auto-detection entirely, mirroring the reference's
-    filter-string precedence."""
+    language AUTO-detection entirely, mirroring the reference's
+    filter-string precedence; an EXPLICIT ``filter_language`` passed
+    alongside a filter is ANDed into it — the caller asked for both, and
+    silently discarding one is worse than either precedence."""
     # a blank filter string parses to None and must behave like "no filter
     # given" (auto-detect still applies), not like "filter everything off"
     predicate = parse_filter(filter) if filter is not None else None
@@ -61,6 +63,8 @@ def search_with_scores(
         predicate = (
             F.col("language") == filter_language if filter_language else None
         )
+    elif filter_language:
+        predicate = predicate & (F.col("language") == filter_language)
     df = store.read(None if search_all_collections else collection_name)
     vec = query_vector(query, embedding_config)
     rows = topk_search(

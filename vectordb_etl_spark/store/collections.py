@@ -21,6 +21,7 @@ to absolute local paths, preserving the local behavior.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -123,23 +124,33 @@ class CollectionStore:
         for t in targets:
             checked_delete(fs, self._jpath(t))
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, grace_s: float = 900.0) -> list[str]:
         """Delete orphaned work directories (.upsert-/.old-/.compact-/
         .precompact-) left by upserts or compactions that crashed before
         cleanup. Safe because readers never see dot-prefixed children and
         every crash state that still NEEDS an aside (destination absent) is
         repaired by the recovery step at the start of the next
         upsert/compaction — anything remaining alongside a live destination
-        is garbage by construction. Returns the deleted paths."""
+        is garbage by construction. Returns the deleted paths.
+
+        ``grace_s``: work dirs modified within the last ``grace_s`` seconds
+        are SKIPPED — a concurrent upsert/compaction that just wrote its
+        staging dir and is about to rename it must not lose the batch to a
+        racing vacuum. An orphan from a crash is by definition old, so the
+        grace window costs nothing; pass ``grace_s=0`` only when no writer
+        can be in flight."""
         fs = self._fs(self._data_dir)
         root = self._jpath(self._data_dir)
         if not fs.exists(root):
             return []
         removed = []
+        now_ms = time.time() * 1000.0
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             if not name.startswith(self._WORK_PREFIXES):
                 continue
+            if now_ms - st.getModificationTime() < grace_s * 1000.0:
+                continue  # possibly in flight — leave for the next vacuum
             # the recovery precondition: an ASIDE may only be deleted when
             # its live destination exists (else it is the sole surviving
             # copy, left for recovery to restore); staging dirs are always
