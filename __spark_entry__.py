@@ -1612,8 +1612,10 @@ _register(
 # source → availableNow trigger → memory sink). All input arrives in one
 # trigger, so nothing is late and the finalized result equals the batch
 # tumbling aggregate — which is exactly what the oracle checks. (The
-# stateful sessionizer stays rows-only-checked via tests: its output depends
-# on trigger boundaries by design.)
+# stateful sessionizer is hash-checked too — see streaming_sessionize
+# below: per-user sentinels force the gap rule to close every real
+# session, making the applyInPandasWithState output equal batch
+# sessionization.)
 
 _STREAM_SEQ = iter(range(1, 1 << 20))
 
@@ -1881,6 +1883,78 @@ _register(
     "FROM events p JOIN events f ON p.user_id = f.user_id "
     "AND f.ts > p.ts AND f.ts <= p.ts + INTERVAL 30 MINUTE "
     "WHERE p.event_type = 'purchase' AND f.event_type = 'view'",
+)
+
+
+def _streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState,
+    streaming/ingest.py:sessionize_stream) made hash-checkable: the
+    sessionizer only emits CLOSED sessions, so a per-user SENTINEL event 2h
+    after that user's last real event is unioned in — the 30-min gap rule
+    then provably closes every real session, while the sentinel's own
+    singleton session stays in state and is never emitted. A single-file
+    landing dir gives one availableNow micro-batch, so the per-user fold
+    sees events in timestamp order and the stream's output equals batch
+    sessionization — which is exactly what the oracle states. The fold
+    compares gaps in integer microseconds, same as epoch_us."""
+    import tempfile
+
+    from vectordb_etl_spark.streaming.ingest import sessionize_stream
+
+    ev = _events(spark, sf).select("user_id", "ts")
+    sentinels = ev.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts")
+    )
+    landing = ev.unionByName(sentinels.select("user_id", "ts"))
+    name = f"stream_sess_{next(_STREAM_SEQ)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with tempfile.TemporaryDirectory() as tmp:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            landing.repartition(1).write.parquet(f"{tmp}/landing")
+            stream = spark.readStream.schema(landing.schema).parquet(
+                f"{tmp}/landing"
+            )
+            # idle_timeout=False: a timer-driven stateful query keeps
+            # running empty micro-batches under availableNow until every
+            # processing-time timer fires — NoTimeout terminates as soon as
+            # the data is drained, and the sentinels already guarantee
+            # every REAL session closes inside the data batch.
+            sessions = sessionize_stream(stream, idle_timeout=False)
+            q = (
+                sessions.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.table(name)
+            out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+_register(
+    "streaming_sessionize",
+    _streaming_sessionize,
+    # batch gap-rule sessionization: every real session appears exactly once
+    # (the sentinel closes each user's last session but is itself unemitted)
+    "WITH tagged AS ("
+    "  SELECT user_id, ts,"
+    "    CASE WHEN lag(ts) OVER w IS NULL"
+    "      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000"
+    "    THEN 1 ELSE 0 END AS new_s"
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+    "), sess AS ("
+    "  SELECT user_id, ts,"
+    "    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid"
+    "  FROM tagged"
+    ") "
+    "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+    "CAST(count(*) AS INT) AS n_events FROM sess GROUP BY user_id, sid",
 )
 
 

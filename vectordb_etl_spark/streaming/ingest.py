@@ -295,65 +295,88 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _session_fn(
-    key, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    """30-min-gap sessionizer. State = (start, last, count) per user; emits a
-    session row when the gap rule closes it (or on processing-time timeout)."""
-    gap_ms = 30 * 60 * 1000
-    if state.hasTimedOut:
+def _make_session_fn(set_timeout: bool):
+    """30-min-gap sessionizer body. State = (start, last, count) per user;
+    emits a session row when the gap rule closes it (or on processing-time
+    timeout when ``set_timeout``). Gaps compare in integer MICROSECONDS —
+    the same unit as the batch twin (__spark_entry__._sessionize) and
+    DuckDB's epoch_us, so a millisecond-truncated fold cannot disagree with
+    the batch/oracle rule on sub-ms boundaries."""
+    gap_us = 30 * 60 * 1_000_000
+
+    def _session_fn(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_start": [pd.Timestamp(start_us, unit="us")],
+                        "session_end": [pd.Timestamp(last_us, unit="us")],
+                        "n_events": [n],
+                    }
+                )
+            return
+
+        ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        us = (ts.astype("int64") // 1_000).tolist()
         if state.exists:
-            start_ms, last_ms, n = state.get
-            state.remove()
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = us[0], us[0], 0
+        closed = []
+        for t in us:
+            if t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, n = t, 0
+            last_us = t
+            n += 1
+        state.update((start_us, last_us, n))
+        if set_timeout:
+            state.setTimeoutDuration(gap_us // 1000)
+        if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
-                    "n_events": [n],
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
                 }
             )
-        return
 
-    ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
-    ms = (ts.astype("int64") // 1_000_000).tolist()
-    if state.exists:
-        start_ms, last_ms, n = state.get
-    else:
-        start_ms, last_ms, n = ms[0], ms[0], 0
-    closed = []
-    for t in ms:
-        if t - last_ms > gap_ms:
-            closed.append((start_ms, last_ms, n))
-            start_ms, n = t, 0
-        last_ms = t
-        n += 1
-    state.update((start_ms, last_ms, n))
-    state.setTimeoutDuration(gap_ms)
-    if closed:
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
-                "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
-                "n_events": [c for _, _, c in closed],
-            }
-        )
+    return _session_fn
 
 
-def sessionize_stream(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, ts_col: str = "ts", idle_timeout: bool = True
+) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): emits one
-    row per CLOSED session (30-min gap rule, processing-time timeout flushes
-    idle users). State is per-user and O(1) — scales to any key cardinality
-    the state store can shard."""
+    row per CLOSED session (30-min gap rule). State is per-user and O(1) —
+    scales to any key cardinality the state store can shard.
+
+    ``idle_timeout=True`` (production default) registers a processing-time
+    timeout that flushes idle users' open sessions after the gap interval —
+    note this keeps an availableNow query alive running empty micro-batches
+    until every timer fires. ``idle_timeout=False`` (bounded backfills /
+    oracle runs) uses NoTimeout: open sessions stay in state and the query
+    terminates as soon as the available data is processed; append sentinel
+    events past the gap if every real session must be emitted."""
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.selectExpr("user_id", f"{ts_col} AS ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn,
+            _make_session_fn(idle_timeout),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=conf,
         )
     )
