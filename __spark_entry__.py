@@ -734,6 +734,25 @@ _register(
 )
 
 
+_register(
+    "weighted_sample",
+    # Efraimidis–Spirakis weighted sampling without replacement
+    # (functions/curation.py:weighted_sample): top-50 per language by the
+    # -ln(u)/w exponential race, u a pure md5 function of doc_id — the
+    # quality-weighted corpus-selection step, zero RNG state. One window
+    # exchange on the stratum key.
+    lambda spark, sf: curation.weighted_sample(
+        _docs(spark, sf).select("doc_id", "lang", "n_chars"),
+        k=50, id_col="doc_id", weight_col="n_chars", strata_col="lang",
+    ),
+    curation.weighted_sample_sql(
+        "(SELECT doc_id, lang, n_chars FROM documents) t",
+        k=50, id_expr="doc_id", weight_expr="n_chars", strata_expr="lang",
+        select="doc_id, lang, n_chars",
+    ),
+)
+
+
 def _contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark-contamination scan: corpus docs sharing ≥5 shingles with a
     20-doc probe set (broadcast side). Probes are corpus docs, so each
@@ -753,6 +772,19 @@ _register(
         "SELECT doc_id AS probe_id, text FROM documents WHERE doc_id < 20",
         min_overlap=5,
     ),
+)
+
+
+_register(
+    "boilerplate_fraction",
+    # cross-doc repeated-template screen (operators/dedup.py
+    # boilerplate_fraction): fraction of each doc's word 3-gram shingles
+    # shared by >= 2 docs — the RefinedWeb/CCNet boilerplate signal. One
+    # exchange on the shingle key + one equi-join back; no cross product.
+    lambda spark, sf: D.boilerplate_fraction(
+        _docs(spark, sf).select("doc_id", "text"), min_docs=2
+    ),
+    D.boilerplate_fraction_sql("documents", min_docs=2),
 )
 
 

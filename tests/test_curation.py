@@ -101,3 +101,47 @@ def test_mix_fractions_budget_math(spark):
         df, "domain", "tok", {"big": 1.0, "missing": 0.5}, total_tokens=500
     )
     assert set(fr2) == {"big"}
+
+
+def test_weighted_sample_favors_heavy_weights_and_excludes_zero(spark):
+    from vectordb_etl_spark.functions.curation import weighted_sample
+
+    # 500 light (w=1) vs 500 heavy (w=50) items: E-S first-pick probability
+    # is w/Σw, so a top-100 draw should be dominated by heavy items
+    rows = [(i, 1) for i in range(500)] + [(i + 500, 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(df, k=100, id_col="doc_id", weight_col="w").collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r["doc_id"] >= 500)
+    assert heavy >= 85  # expectation ≈ 98; md5 draw is fixed, not flaky
+    # deterministic: same input → identical selection
+    again = weighted_sample(df, k=100, id_col="doc_id", weight_col="w").collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+
+    # zero/negative weights can never be selected
+    dfz = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10)], "doc_id long, w long"
+    )
+    gotz = weighted_sample(dfz, k=3, id_col="doc_id", weight_col="w").collect()
+    assert [r["doc_id"] for r in gotz] == [3]
+
+    # global top-k plans as TakeOrderedAndProject, never a global sort
+    plan = (
+        weighted_sample(df, k=10, id_col="doc_id", weight_col="w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_stratified_per_group_k(spark):
+    from vectordb_etl_spark.functions.curation import weighted_sample
+
+    rows = [(i, "a" if i % 2 else "b", 1 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, s string, w long")
+    got = weighted_sample(
+        df, k=5, id_col="doc_id", weight_col="w", strata_col="s"
+    ).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["s"], []).append(r["doc_id"])
+    assert sorted(per) == ["a", "b"] and all(len(v) == 5 for v in per.values())

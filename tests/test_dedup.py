@@ -149,6 +149,42 @@ def test_ngram_jaccard_cap_noop_when_above_all_freqs(near_dup_docs):
     assert capped == uncapped
 
 
+def test_boilerplate_detection_planted_template(spark):
+    # three docs share a footer template; one doc is all-unique text.
+    # the shared 3-gram shingles must be flagged and per-doc fractions
+    # must reflect exactly the planted overlap.
+    footer = "copyright acme corp all rights reserved"
+    rows = [
+        (1, "alpha beta gamma delta " + footer),
+        (2, "epsilon zeta eta theta " + footer),
+        (3, "iota kappa lamda mu " + footer),
+        (4, "nu xi omicron pi rho sigma tau"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    boiler = {
+        r["shingle"]: r["n_docs"]
+        for r in D.boilerplate_shingles(df, min_docs=2).collect()
+    }
+    # the footer's interior shingles appear in all 3 docs
+    assert boiler.get("copyright acme corp") == 3
+    assert boiler.get("acme corp all") == 3
+    # no unique-text shingle is flagged
+    assert all("omicron" not in s for s in boiler)
+
+    frac = {
+        r["doc_id"]: r for r in D.boilerplate_fraction(df, min_docs=2).collect()
+    }
+    assert frac[4]["n_boiler"] == 0 and frac[4]["boiler_frac"] == 0.0
+    # doc 1: 10 words -> 8 shingles; the pure-footer shingles (starting at
+    # word 5: 'copyright', 6 words -> 4 shingles) are shared by all docs
+    assert frac[1]["n_shingles"] == 8
+    assert frac[1]["n_boiler"] == 4
+    assert frac[1]["boiler_frac"] == 0.5
+    # no cross product anywhere in the plan
+    plan = D.boilerplate_fraction(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_connected_components_chain_transitive(spark):
     # chain 1-2-3-4 plus isolated 5: hash-min must propagate min id across
     # the whole chain (diameter 3 > 1 iteration), singletons self-label

@@ -150,6 +150,87 @@ def stratified_sample_sql(
     )
 
 
+_WEIGHT_KEY_DENOM = float(1 << 48)
+
+
+def weighted_priority_col(id_col: Column | str, weight_col: Column | str) -> Column:
+    """Efraimidis–Spirakis priority for weighted sampling WITHOUT
+    replacement: ``-ln(u)/w`` with u uniform in (0, 1] — the exponential
+    race: keeping the k smallest priorities selects items with first-pick
+    probability w_i/Σw, exactly the A-Res scheme (Efraimidis & Spirakis
+    2006, public algorithm). u derives from 48 md5 bits of the id (exactly
+    representable in a double, +1 to exclude zero), so the draw is a pure
+    function of the id — stable across runs, partitionings, and engines.
+    NULL for non-positive weights: a zero-weight item must never win."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(_WEIGHT_KEY_DENOM)
+    return F.when(w > 0, -F.log(u) / w.cast("double"))
+
+
+def weighted_priority_sql(id_expr: str, weight_expr: str) -> str:
+    return (
+        f"CASE WHEN {weight_expr} > 0 THEN "
+        f"-ln(CAST(('0x' || substring(md5(CAST({id_expr} AS VARCHAR)), 1, 12))::BIGINT + 1 "
+        f"AS DOUBLE) / {_WEIGHT_KEY_DENOM:.1f}) / CAST({weight_expr} AS DOUBLE) "
+        f"END"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the ``k``
+    smallest exponential-race priorities (per stratum when ``strata_col``
+    given) — quality-weighted corpus selection where high-weight docs win
+    proportionally more often, with zero RNG state.
+
+    Scale shape: stratified selection is one window over the stratum key
+    (single hash-partition exchange); global selection plans as
+    TakeOrderedAndProject (a size-k heap per partition — no global sort).
+    Rows with non-positive weight are excluded by construction."""
+    pri = weighted_priority_col(id_col, weight_col)
+    keyed = df.withColumn("__pri", pri).filter(F.col("__pri").isNotNull())
+    if strata_col is None:
+        out = keyed.orderBy(F.asc("__pri"), F.asc(id_col)).limit(k)
+    else:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(strata_col).orderBy(
+            F.asc("__pri"), F.asc(id_col)
+        )
+        out = (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return out.withColumn("priority", F.round("__pri", 6)).drop("__pri")
+
+
+def weighted_sample_sql(
+    table: str,
+    k: int,
+    id_expr: str = "doc_id",
+    weight_expr: str = "n_tokens",
+    strata_expr: str | None = None,
+    select: str = "*",
+) -> str:
+    """Oracle: identical priority arithmetic + rank rule."""
+    pri = weighted_priority_sql(id_expr, weight_expr)
+    part = f"PARTITION BY {strata_expr} " if strata_expr else ""
+    return (
+        f"SELECT {select}, round(__pri, 6) AS priority FROM ("
+        f"SELECT *, {pri} AS __pri, row_number() OVER ({part}"
+        f"ORDER BY {pri}, {id_expr}) AS __rn FROM {table} "
+        f"WHERE {pri} IS NOT NULL) WHERE __rn <= {k}"
+    )
+
+
 def mix_fractions(
     df: DataFrame,
     strata_col: str,

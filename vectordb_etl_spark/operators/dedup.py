@@ -1038,6 +1038,101 @@ GROUP BY 1, 2 HAVING count(*) >= {min_overlap}
 
 
 # --------------------------------------------------------------------------
+# cross-document repeated n-gram (boilerplate) detection
+# --------------------------------------------------------------------------
+
+
+def boilerplate_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Word n-gram shingles appearing in at least ``min_docs`` DISTINCT
+    documents — the template/boilerplate inventory (headers, footers,
+    navigation chrome, license blurbs) that corpus-prep pipelines strip
+    before training (the RefinedWeb/CCNet repeated-template screen; no
+    reference counterpart — gudwls215/vectordb-etl dedups whole chunks
+    only). Returns (shingle, n_docs).
+
+    Scale shape: per-doc DISTINCT shingles (word_shingles_col already
+    dedups within a doc) explode and aggregate with a map-side partial
+    count — ``count(*)`` IS the distinct-doc count by construction, so no
+    count_distinct shuffle state. One exchange on the shingle key."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(word_shingles_col(text_col, shingle_n)).alias("shingle"),
+    )
+    return (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate signal: the fraction of a doc's shingles
+    that are corpus-boilerplate (shared by >= ``min_docs`` docs). Filter
+    docs above a threshold before training. Returns
+    (id, n_shingles, n_boiler, boiler_frac).
+
+    Scale shape: explode → shingle-count aggregate → one equi-join back on
+    the shingle key (each exploded row matches exactly ONE count row, so a
+    hot stop-shingle inflates a partition but never a cross product — AQE
+    skew-join splits it) → per-doc aggregate. Docs whose text yields no
+    shingles (< n words) drop out, same as the SQL twin."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(word_shingles_col(text_col, shingle_n)).alias("shingle"),
+    )
+    counts = ex.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    return (
+        ex.join(counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("n_docs") >= min_docs).cast("long")).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+def boilerplate_fraction_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_docs: int = 2,
+) -> str:
+    """Oracle: identical shingle arithmetic + count + fraction."""
+    shingles = word_shingles_sql(text_col, shingle_n)
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT {id_col}, unnest({shingles}) AS shingle FROM {table}
+), counts AS (
+  SELECT shingle, count(*) AS n_docs FROM ex GROUP BY shingle
+)
+SELECT e.{id_col}, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN c.n_docs >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_boiler,
+  round(CAST(sum(CASE WHEN c.n_docs >= {min_docs} THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS boiler_frac
+FROM ex e JOIN counts c USING (shingle)
+GROUP BY e.{id_col}
+"""
+
+
+# --------------------------------------------------------------------------
 # edit-distance similarity join (fuzzy match)
 # --------------------------------------------------------------------------
 
