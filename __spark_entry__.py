@@ -1222,6 +1222,49 @@ def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 _register("ivf_topk", _ivf_topk, _ANN_ORACLE)
 
 
+def _ivf_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF_SQ8 (the Milvus index type of the same name): IVF cell layout
+    over int8-quantized storage (operators/ann.py build(storage='sq8') —
+    assignment on raw vectors, 1-byte codes in the partitions, dequantize
+    at probe time). nprobe=nlist probes every partition, so the result
+    provably equals brute-force top-k over the quantize→dequantize round
+    trip — the same arithmetic the sq8_topk oracle states."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IVFIndex(spark, f"{tmp}/ivf_sq8").build(
+            emb, nlist=16, seed=42, max_iter=4, storage="sq8"
+        )
+        out = idx.search(list(q), k=10, nprobe=16, tie_break=["vec_id"],
+                         output_cols=["vec_id", "label"])
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+    return out
+
+
+_register(
+    "ivf_sq8_topk",
+    _ivf_sq8_topk,
+    # identical to the sq8_topk oracle: brute force over the dequantized
+    # codes (probe-all makes the IVF layout transparent to the result)
+    "WITH prep AS MATERIALIZED ("
+    "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e, "
+    "list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS lo, "
+    "(list_aggregate(CAST(embedding AS DOUBLE[]), 'max') "
+    "- list_aggregate(CAST(embedding AS DOUBLE[]), 'min')) / 255.0 AS step "
+    "FROM embeddings), "
+    "deq AS (SELECT vec_id, label, list_transform(e, x -> "
+    "lo + (CAST(CAST(round(CASE WHEN step = 0 THEN 0.0 ELSE (x - lo) / step END) "
+    "AS INTEGER) - 128 AS DOUBLE) + 128.0) * step) AS d FROM prep) "
+    "SELECT vec_id, label, round(list_cosine_similarity(d, "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) "
+    "AS score FROM deq ORDER BY score DESC, vec_id ASC LIMIT 10",
+)
+
+
 def _ivf_topk_nprobe(spark: SparkSession, sf: str) -> DataFrame:
     """X1 at the DESIGN POINT: nprobe=4 of nlist=16 — a true 25% scan
     fraction, partition-pruned. Oracle-checkable because the centroids are

@@ -118,6 +118,59 @@ def test_ivf_search_many_matches_per_query(spark, embeddings_tiny, ivf):
             assert by_q[qi] == single, f"query {qi} nprobe {nprobe}"
 
 
+def test_ivf_sq8_storage_prunes_and_matches_quantized_bruteforce(
+    spark, embeddings_tiny, tmp_path, query_vec
+):
+    from vectordb_etl_spark.functions.vector import sq8_dequantize_col, sq8_quantize_col
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    path = str(tmp_path / "ivf_sq8")
+    idx = IVFIndex(spark, path).build(
+        embeddings_tiny, nlist=4, seed=42, max_iter=4, storage="sq8"
+    )
+    # storage really is int8 codes — no raw embedding column on disk
+    on_disk = spark.read.parquet(f"{path}/data")
+    assert "embedding" not in on_disk.columns and "__sq8" in on_disk.columns
+    assert on_disk.schema["__sq8"].dataType["codes"].dataType.simpleString() == "array<tinyint>"
+
+    # probe-all equals brute force over the quantize→dequantize round trip
+    deq = embeddings_tiny.select(
+        "vec_id",
+        sq8_dequantize_col(sq8_quantize_col("embedding")).alias("d"),
+    )
+    exact = [
+        r["vec_id"]
+        for r in topk_search(
+            deq, query_vec, k=10, emb_col="d", tie_break=["vec_id"],
+            output_cols=["vec_id"],
+        ).collect()
+    ]
+    got = [
+        r["vec_id"]
+        for r in idx.search(
+            query_vec, k=10, nprobe=4, tie_break=["vec_id"],
+            output_cols=["vec_id"],
+        ).collect()
+    ]
+    assert got == exact
+
+    # pruning still reaches the scan through the dequantize projection
+    plan = (
+        idx.search(query_vec, k=3, nprobe=1, output_cols=["vec_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
+
+    # incremental add() quantizes the appended batch to match the tier
+    extra = embeddings_tiny.limit(3).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    idx.add(extra)
+    after = spark.read.parquet(f"{path}/data")
+    assert "embedding" not in after.columns
+    assert after.count() == embeddings_tiny.count() + 3
+
+
 def test_ivf_search_many_rejects_reserved_column_names(spark, tmp_path):
     # data carrying an internal working-column name would silently corrupt
     # the batched join/rank — must fail loud instead (ADVICE r03)

@@ -163,11 +163,23 @@ class IVFIndex:
         max_iter: int = 20,
         centroids: np.ndarray | None = None,
         assign_round_dp: int | None = None,
+        storage: str = "flat",
     ) -> "IVFIndex":
         """Train (sampled Lloyd's) or adopt ``centroids`` verbatim — the
         pre-trained/medoid path (e.g. centroid j := a designated vector),
         which also makes the full assign→prune→probe pipeline expressible
-        by a SQL oracle when paired with ``assign_round_dp``."""
+        by a SQL oracle when paired with ``assign_round_dp``.
+
+        ``storage="sq8"`` is the IVF_SQ8 tier (the Milvus index type of the
+        same name): cell assignment is computed on the RAW vectors, then
+        each vector is stored as per-vector min/max int8 codes (~1 byte/dim
+        — 8× smaller than the double math width) and dequantized at probe
+        time. Probing reads ~nprobe/nlist of a 8×-smaller table; scores are
+        exact over the dequantized values (reconstruction error ≤ step/2
+        per element, functions/vector.py). Searches always expose the
+        dequantized vector under the name ``embedding``."""
+        if storage not in ("flat", "sq8"):
+            raise ValueError("storage must be 'flat' or 'sq8'")
         if centroids is not None:
             cents = np.asarray(centroids, dtype=np.float64)
         else:
@@ -178,6 +190,12 @@ class IVFIndex:
                 F.col(emb_col)
             ),
         )
+        if storage == "sq8":
+            from vectordb_etl_spark.functions.vector import sq8_quantize_col
+
+            assigned = assigned.withColumn(
+                "__sq8", sq8_quantize_col(emb_col)
+            ).drop(emb_col)
         # repartition by the layout key first: one file per centroid per
         # shuffle bucket (≈nlist files total), not input-tasks × nlist
         assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
@@ -231,7 +249,7 @@ class IVFIndex:
 
         from vectordb_etl_spark.functions.vector import cosine_col, dot_col
 
-        data = self.spark.read.parquet(f"{self.path}/data")
+        data = self._read_data()
         # the batched path injects working columns into the joined frame; a
         # data schema that already uses one of these names would silently
         # resolve joins/ranks against the data column and corrupt results —
@@ -294,6 +312,14 @@ class IVFIndex:
                 F.col(emb_col)
             ),
         )
+        # match the existing storage tier (schema sniff = one footer read):
+        # an sq8 index must quantize appended batches the same way build did
+        if "__sq8" in self.spark.read.parquet(f"{self.path}/data").columns:
+            from vectordb_etl_spark.functions.vector import sq8_quantize_col
+
+            assigned = assigned.withColumn(
+                "__sq8", sq8_quantize_col(emb_col)
+            ).drop(emb_col)
         assigned.repartition("centroid_id").write.mode("append").partitionBy(
             "centroid_id"
         ).parquet(f"{self.path}/data")
@@ -329,6 +355,20 @@ class IVFIndex:
         order = np.argsort(-scores, kind="stable")
         return [int(i) for i in order[:nprobe]]
 
+    def _read_data(self) -> DataFrame:
+        """The indexed table with the vector column restored: flat storage
+        reads as written; SQ8 storage dequantizes the int8 codes into
+        ``embedding`` (a pure column expression — the partition filter still
+        prunes the scan underneath the projection)."""
+        df = self.spark.read.parquet(f"{self.path}/data")
+        if "__sq8" in df.columns:
+            from vectordb_etl_spark.functions.vector import sq8_dequantize_col
+
+            df = df.withColumn(
+                "embedding", sq8_dequantize_col("__sq8")
+            ).drop("__sq8")
+        return df
+
     def search(
         self,
         query: list[float],
@@ -343,9 +383,7 @@ class IVFIndex:
         ~nprobe/nlist of the data is read (verify via explain:
         PartitionFilters)."""
         probes = self.probe_ids(query, nprobe, round_dp=probe_round_dp)
-        df = self.spark.read.parquet(f"{self.path}/data").filter(
-            F.col("centroid_id").isin(probes)
-        )
+        df = self._read_data().filter(F.col("centroid_id").isin(probes))
         return topk_search(
             df, query, k=k, metric=self.metric, predicate=predicate, **topk_kwargs
         )
