@@ -173,6 +173,13 @@ def main() -> None:
         "sequence_packing",
         "token_budget_mix",
         "ivf_topk_batch",
+        # round-4 additions
+        "chunk_metadata",
+        "boilerplate_fraction",
+        "weighted_sample",
+        "ivf_sq8_topk",
+        "multimodal_decoded_features",
+        "streaming_sessionize",
     ]
     noop_queries = [
         "pii_redaction",
