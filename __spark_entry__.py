@@ -753,6 +753,34 @@ _register(
 )
 
 
+_register(
+    "length_outlier_screen",
+    # percentile-band outlier screen (functions/curation.py
+    # percentile_screen): keep docs inside the exact [p1, p99] n_chars band
+    # — one aggregate + broadcast bounds, no driver collect.
+    lambda spark, sf: curation.percentile_screen(
+        _docs(spark, sf).select("doc_id", "lang", "n_chars"),
+        value_col="n_chars", lo_p=0.01, hi_p=0.99,
+    ),
+    curation.percentile_screen_sql(
+        "(SELECT doc_id, lang, n_chars FROM documents) t",
+        value_col="n_chars", lo_p=0.01, hi_p=0.99,
+    ),
+)
+
+
+_register(
+    "tfidf_top_terms",
+    # per-doc TF-IDF keyword extraction (functions/text.py
+    # tfidf_top_terms): tf·ln(N/df), top-5 per doc, term-ascending ties.
+    # Three exchanges, broadcast N, no cross product.
+    lambda spark, sf: T.tfidf_top_terms(
+        _docs(spark, sf).select("doc_id", "text"), k=5
+    ),
+    T.tfidf_top_terms_sql("documents", k=5),
+)
+
+
 def _contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark-contamination scan: corpus docs sharing ≥5 shingles with a
     20-doc probe set (broadcast side). Probes are corpus docs, so each

@@ -145,3 +145,21 @@ def test_weighted_sample_stratified_per_group_k(spark):
     for r in got:
         per.setdefault(r["s"], []).append(r["doc_id"])
     assert sorted(per) == ["a", "b"] and all(len(v) == 5 for v in per.values())
+
+
+def test_percentile_screen_bounds_inclusive(spark):
+    from vectordb_etl_spark.functions.curation import percentile_screen
+
+    # 1..100: p10/p90 interpolate to 10.9 and 90.1 — keep 11..90
+    df = spark.createDataFrame([(i, i) for i in range(1, 101)], "doc_id long, n long")
+    kept = sorted(
+        r["doc_id"]
+        for r in percentile_screen(df, "n", lo_p=0.10, hi_p=0.90).collect()
+    )
+    assert kept == list(range(11, 91))
+    # no driver collect: thresholds join in as a broadcast 1-row aggregate
+    plan = (
+        percentile_screen(df, "n", 0.1, 0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

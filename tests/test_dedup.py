@@ -468,3 +468,28 @@ def test_pack_sequences_bucket_isolation_and_fill_bound(spark):
         fill = members[0]["pack_fill"]
         assert all(m["pack_fill"] == fill for m in members)
         assert fill <= 600
+
+
+def test_tfidf_top_terms_planted_keywords(spark):
+    # 'quantum' is unique to doc 1 and repeated: it must top doc 1's list;
+    # 'common' appears in every doc: idf = ln(3/3) = 0 → never ranks above
+    # any unique term
+    from vectordb_etl_spark.functions.text import tfidf_top_terms
+
+    rows = [
+        (1, "common quantum quantum quantum alpha"),
+        (2, "common beta beta gamma"),
+        (3, "common delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_top_terms(df, k=2).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append((r["term"], r["tf"], r["df"], r["tfidf"]))
+    assert per[1][0][0] == "quantum" and per[1][0][1] == 3 and per[1][0][2] == 1
+    assert per[1][0][3] > 0
+    # ubiquitous term scores exactly zero
+    zero = [t for t in per[1] if t[0] == "common"]
+    assert not zero or zero[0][3] == 0.0
+    assert per[2][0][0] == "beta"
+    assert all(len(v) == 2 for v in per.values())

@@ -150,6 +150,51 @@ def stratified_sample_sql(
     )
 
 
+def percentile_screen(
+    df: DataFrame,
+    value_col: str,
+    lo_p: float = 0.01,
+    hi_p: float = 0.99,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies inside the corpus's
+    [``lo_p``, ``hi_p``] exact interpolated percentile band — the standard
+    length-outlier screen (truncated docs at the bottom, concatenation
+    artifacts at the top) corpus prep applies before training.
+
+    Scale shape: one aggregate computes both thresholds (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, both linear interpolation);
+    the 1-row bounds frame broadcasts into the filter — no driver collect,
+    no second scan beyond the filter pass. Exact per-corpus percentiles
+    co-locate the value column once; at extreme scale swap in
+    ``percentile_approx`` and accept sketch error (documented trade,
+    operators/skew.py)."""
+    c = F.col(value_col).cast("double")
+    bounds = df.agg(
+        F.expr(f"percentile({value_col}, {lo_p})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi_p})").alias("__hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .filter((c >= F.col("__lo")) & (c <= F.col("__hi")))
+        .drop("__lo", "__hi")
+    )
+
+
+def percentile_screen_sql(
+    table: str,
+    value_col: str,
+    lo_p: float = 0.01,
+    hi_p: float = 0.99,
+    select: str = "*",
+) -> str:
+    return (
+        f"SELECT {select} FROM {table} WHERE CAST({value_col} AS DOUBLE) >= "
+        f"(SELECT quantile_cont({value_col}, {lo_p}) FROM {table}) "
+        f"AND CAST({value_col} AS DOUBLE) <= "
+        f"(SELECT quantile_cont({value_col}, {hi_p}) FROM {table})"
+    )
+
+
 _WEIGHT_KEY_DENOM = float(1 << 48)
 
 

@@ -310,3 +310,100 @@ def gopher_pass_sql(sig: dict[str, str]) -> str:
         f"AND {sig['ellipsis_line_frac']} <= 0.3 "
         f"AND {sig['dup_line_frac']} <= 0.3)"
     )
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: TF-IDF keyword extraction — per-doc top-k terms by
+# tf·ln(N/df). Classic corpus-prep signal (topic tagging, index keywords)
+# built entirely from JVM-side ops: explode → two aggregates → one join →
+# one window. N ships as a broadcast single-row aggregate, never a
+# driver collect.
+# --------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+):
+    """Top-``k`` terms per document by TF-IDF. idf = ln(N/df) with df the
+    DISTINCT-document frequency; ties rank by term ascending so both
+    engines pick identical sets. Returns
+    (id, term, tf bigint, df bigint, tfidf rounded 6dp).
+
+    Scale shape: term frequencies aggregate map-side before their exchange;
+    df comes from per-doc-distinct terms so ``count(*)`` is the document
+    frequency (no count_distinct state); N joins in as a broadcast 1-row
+    aggregate; the final per-doc top-k is one window over the id key. Three
+    exchanges total, no cross product, nothing on the driver."""
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = (
+        words.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("__n")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "__tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("__n").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round("__tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_top_terms_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> str:
+    """Oracle: identical tokenization, counts, and ln arithmetic."""
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT {id_col}, unnest(regexp_split_to_array(lower({text_col}), '\\s+')) AS term
+  FROM {table}
+), w2 AS (SELECT * FROM words WHERE term <> ''),
+tf AS (SELECT {id_col}, term, count(*) AS tf FROM w2 GROUP BY 1, 2),
+docfreq AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT {id_col}, term FROM w2)
+  GROUP BY term
+),
+n AS (SELECT count(DISTINCT {id_col}) AS nd FROM {table}),
+scored AS (
+  SELECT tf.{id_col}, tf.term, tf.tf, docfreq.df,
+         CAST(tf.tf AS DOUBLE) * ln(CAST(n.nd AS DOUBLE) / CAST(docfreq.df AS DOUBLE)) AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+)
+SELECT {id_col}, term, tf, df, round(tfidf, 6) AS tfidf FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {id_col} ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
