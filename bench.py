@@ -180,6 +180,8 @@ def main() -> None:
         "ivf_sq8_topk",
         "multimodal_decoded_features",
         "streaming_sessionize",
+        "length_outlier_screen",
+        "tfidf_top_terms",
     ]
     noop_queries = [
         "pii_redaction",
