@@ -153,12 +153,41 @@ def test_load_skips_stale_curated(runner):
 
 def test_cli_curate_stage_parses():
     args = build_parser().parse_args(
-        ["--stage", "curate", "--sample-fractions", '{"english": 0.5}']
+        ["--stage", "curate", "--sample-fractions", '{"english": 0.5}',
+         "--length-band", "0.01,0.99", "--boilerplate-max-frac", "0.5"]
     )
     assert args.stage == "curate"
     import json as _json
 
     assert _json.loads(args.sample_fractions) == {"english": 0.5}
+    assert args.length_band == "0.01,0.99"
+    assert args.boilerplate_max_frac == 0.5
+
+
+def test_curate_screens_length_band_and_boilerplate(runner):
+    from pathlib import Path
+
+    if not Path(runner.chunks_path).exists():
+        runner.extract()
+        runner.transform()
+    base = runner.curate(near_dup=False, redact_pii=False)
+    # a tight length band must drop the extreme-length chunks that survive
+    # the no-screen run
+    banded = runner.curate(
+        near_dup=False, redact_pii=False, length_band=(0.10, 0.90)
+    )
+    assert banded.rows < base.rows
+    # the fixture corpus is template-generated, so cross-doc shared shingles
+    # are plentiful: an aggressive boilerplate cap must remove chunks too
+    screened = runner.curate(
+        near_dup=False, redact_pii=False, boilerplate_max_frac=0.2
+    )
+    assert screened.rows < base.rows
+    # a no-op band keeps everything (inclusive bounds at 0/1)
+    noop = runner.curate(
+        near_dup=False, redact_pii=False, length_band=(0.0, 1.0)
+    )
+    assert noop.rows == base.rows
 
 
 def test_search_with_filter_string(runner):

@@ -54,6 +54,19 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help='curate: JSON dict of stratum->fraction, e.g. {"english": 0.5}',
     )
+    p.add_argument(
+        "--length-band",
+        default=None,
+        help="curate: keep chunks inside this percentile band of text "
+        "length, e.g. '0.01,0.99'",
+    )
+    p.add_argument(
+        "--boilerplate-max-frac",
+        type=float,
+        default=None,
+        help="curate: drop chunks whose cross-doc shared-shingle fraction "
+        "exceeds this threshold, e.g. 0.5",
+    )
     p.add_argument("--kind", choices=["html", "hwp"], default="html")
     p.add_argument("--input-dir", default="data/input")
     p.add_argument("--checkpoint-dir", default="data/checkpoints")
@@ -114,7 +127,17 @@ def main(argv: list[str] | None = None) -> int:
         fractions = (
             json.loads(args.sample_fractions) if args.sample_fractions else None
         )
-        results = [runner.curate(sample_fractions=fractions)]
+        band = None
+        if args.length_band:
+            lo_s, hi_s = args.length_band.split(",")
+            band = (float(lo_s), float(hi_s))
+        results = [
+            runner.curate(
+                sample_fractions=fractions,
+                length_band=band,
+                boilerplate_max_frac=args.boilerplate_max_frac,
+            )
+        ]
     elif args.stage == "load":
         results = [runner.load()]
     else:  # validate

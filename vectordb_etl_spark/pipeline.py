@@ -116,19 +116,47 @@ class PipelineRunner:
         sample_fractions: dict[str, float] | None = None,
         strata_col: str = "language",
         text_col: str = "text",
+        length_band: tuple[float, float] | None = None,
+        boilerplate_max_frac: float | None = None,
     ) -> StageResult:
         """Optional curation stage between transform and load — the
-        training-data pass the reference lacks: transitive near-dup removal
-        (LSH candidates → connected components → keep min-id
-        representative), PII redaction, and deterministic per-stratum
-        downsampling. Writes ``curated.parquet``; ``load`` prefers it over
-        the raw chunks checkpoint when present."""
+        training-data pass the reference lacks: length-outlier screening,
+        cross-doc boilerplate filtering, transitive near-dup removal (LSH
+        candidates → connected components → keep min-id representative),
+        PII redaction, and deterministic per-stratum downsampling. Writes
+        ``curated.parquet``; ``load`` prefers it over the raw chunks
+        checkpoint when present.
+
+        ``length_band=(lo_p, hi_p)`` keeps chunks inside the exact
+        percentile band of their text length (percentile_screen);
+        ``boilerplate_max_frac`` drops chunks whose shared-shingle fraction
+        exceeds the threshold (boilerplate_fraction; chunks too short to
+        shingle are kept). Screens run FIRST — they are the cheapest and
+        shrink the input to the similarity passes."""
         from vectordb_etl_spark.functions import curation
         from vectordb_etl_spark.operators import dedup as D
 
         t0 = time.time()
         chunks = self.spark.read.parquet(self.chunks_path)
         extra: dict = {"input_rows": chunks.count()}
+        if length_band is not None:
+            lo_p, hi_p = length_band
+            chunks = curation.percentile_screen(
+                chunks.withColumn("__len", F.length(text_col)),
+                "__len", lo_p=lo_p, hi_p=hi_p,
+            ).drop("__len")
+        if boilerplate_max_frac is not None:
+            frac = D.boilerplate_fraction(
+                chunks, id_col="chunk_id", text_col=text_col
+            ).select("chunk_id", "boiler_frac")
+            chunks = (
+                chunks.join(frac, "chunk_id", "left")
+                .filter(
+                    F.col("boiler_frac").isNull()
+                    | (F.col("boiler_frac") <= boilerplate_max_frac)
+                )
+                .drop("boiler_frac")
+            )
         if near_dup:
             pairs = D.lsh_candidate_pairs(chunks, id_col="chunk_id", text_col=text_col)
             comps = D.connected_components(chunks, pairs, id_col="chunk_id")
