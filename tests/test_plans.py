@@ -435,3 +435,43 @@ def test_fingerprint_guard_catches_intentional_regression(spark):
     assert fingerprint_regressions(
         {**base, "broadcast_hash_join": base["broadcast_hash_join"] + 1}, base
     ) == []
+
+
+def test_training_shards_pack_aligned_and_sorted(spark, tmp_path):
+    # packs must be contiguous within a file, files sorted by (bucket,
+    # pack), and no pack may span two files — the sequential-read contract
+    # a trainer's data loader relies on
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vectordb_etl_spark.operators.packing import pack_sequences
+    from vectordb_etl_spark.store.layout import write_training_shards
+
+    rows = [(i, 100 + (i % 7) * 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(
+        df, id_col="doc_id", token_col="n_tokens", budget=600, buckets=4
+    )
+    p = str(tmp_path / "shards")
+    write_training_shards(packed, p, shards_per_bucket=2)
+
+    # bucket is a directory key
+    bucket_dirs = sorted(glob.glob(f"{p}/bucket=*"))
+    assert len(bucket_dirs) == 4
+
+    pack_locations: dict[tuple, set] = {}
+    for d in bucket_dirs:
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            pdf = pq.read_table(f).to_pandas()
+            if pdf.empty:
+                continue
+            # sorted by pack within the file, packs contiguous
+            packs = pdf["pack_id"].tolist()
+            assert packs == sorted(packs)
+            for pk in set(packs):
+                pack_locations.setdefault((d, pk), set()).add(f)
+    # no (bucket, pack) appears in more than one file
+    assert all(len(files) == 1 for files in pack_locations.values())
+    # every row survived the layout
+    assert spark.read.parquet(p).count() == 400

@@ -165,3 +165,52 @@ def test_sample_bucket_nesting_pure(ids):
         lo = {i for i in ids if bucket(i) < frac_lo * 1_000_000}
         hi = {i for i in ids if bucket(i) < frac_hi * 1_000_000}
         assert lo <= hi
+
+
+# -- pack_sequences fold ≡ DuckDB recursive CTE on arbitrary token lists ------
+#
+# No Spark: the greedy fold is replicated here exactly as the pandas UDF
+# runs it (packing.py:_pack), and compared against the ORACLE SQL evaluated
+# by DuckDB on the same rows — zeros, oversize items, and boundary fills
+# included. Spark-side integration is covered by the driver oracle row.
+
+
+def _python_greedy_fold(toks: list[int], budget: int) -> list[int]:
+    pack_ids = []
+    pack, fill = 0, 0
+    for i, tok in enumerate(toks):
+        if i > 0 and fill + tok > budget:
+            pack += 1
+            fill = 0
+        fill += tok
+        pack_ids.append(pack)
+    return pack_ids
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=700), min_size=1, max_size=40
+    ),
+    st.integers(min_value=1, max_value=600),
+)
+@settings(max_examples=60, deadline=None)
+def test_pack_fold_matches_recursive_cte(toks, budget):
+    import duckdb
+
+    from vectordb_etl_spark.operators.packing import pack_sequences_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, n_tokens BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(toks))
+    )
+    sql = pack_sequences_sql(
+        "t", id_expr="doc_id", token_expr="n_tokens",
+        budget=budget, buckets=1, out_id="doc_id",
+    )
+    oracle = {
+        int(i): int(p) for i, _, p, _ in con.execute(sql).fetchall()
+    }
+    con.close()
+    got = _python_greedy_fold(toks, budget)
+    assert {i: p for i, p in enumerate(got)} == oracle

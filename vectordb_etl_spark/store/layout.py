@@ -131,3 +131,41 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    bucket_col: str = "bucket",
+    pack_col: str = "pack_id",
+    shards_per_bucket: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize packed training sequences (``pack_sequences`` output
+    joined back to its payload) as SHARD files a data loader streams
+    sequentially: rows of one pack are contiguous within one file, packs
+    are in (bucket, pack_id) order, and no pack spans a file — the layout
+    every sequence-packing pipeline needs so a trainer reads shard k
+    start-to-finish with zero shuffling at read time.
+
+    Layout cost is ONE range shuffle plus a cheap distinct-count to size
+    it: ``repartitionByRange`` on (bucket, pack) splits each md5 bucket
+    into ``shards_per_bucket`` near-equal shards with pack-aligned
+    boundaries (range partitioning assigns every row of a pack the same
+    partition, so packs never straddle shards), and
+    ``sortWithinPartitions`` lays packs out contiguously inside each file.
+    ``partitionBy(bucket)`` keeps the bucket a directory key for
+    per-bucket resumption/retry."""
+    from pyspark.sql import functions as F
+
+    n_buckets = df.select(bucket_col).distinct().count()
+    total_shards = max(shards_per_bucket, 1) * max(n_buckets, 1)
+    (
+        df.repartitionByRange(
+            total_shards, F.col(bucket_col), F.col(pack_col)
+        )
+        .sortWithinPartitions(bucket_col, pack_col)
+        .write.mode(mode)
+        .partitionBy(bucket_col)
+        .parquet(path)
+    )
