@@ -84,6 +84,27 @@ HEADLINERS: list[tuple[str, str]] = [
     ("ivf_topk_batch",
      "Batched ANN serving: broadcast (query_id, centroid_id) probe table "
      "prunes the scan once for N queries; per-query rank in one Window."),
+    ("boilerplate_fraction",
+     "Cross-doc repeated-template screen: explode -> map-side partial "
+     "shingle counts -> one equi-join back on the shingle key -> per-doc "
+     "aggregate. No cross product; hot shingles are partition imbalance, "
+     "never a blowup."),
+    ("weighted_sample",
+     "Efraimidis-Spirakis weighted sampling: the -ln(u)/w priority is a "
+     "pure codegen projection; per-stratum top-k is one Window exchange."),
+    ("tfidf_top_terms",
+     "TF-IDF keywords: map-side partial term counts, df from per-doc "
+     "distinct terms, N broadcast as a 1-row aggregate, one Window for the "
+     "per-doc top-k."),
+    ("length_outlier_screen",
+     "Percentile band filter: one aggregate computes both thresholds, the "
+     "1-row bounds broadcast into the filter — no driver collect."),
+    ("chunk_metadata",
+     "C5/C6 metadata over SQL-expressible slices: transform+posexplode are "
+     "map-side; the only exchange is the dedup window's hash partition."),
+    ("ivf_sq8_topk",
+     "IVF_SQ8: partition-pruned scan of int8 codes, dequantize as a "
+     "codegen projection above the scan, TakeOrderedAndProject top-k."),
 ]
 
 
