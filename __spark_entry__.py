@@ -584,6 +584,61 @@ _register(
     "> 1800000000 THEN 1 ELSE 0 END AS new_s FROM events)) GROUP BY user_id",
 )
 
+def _conversion_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel on first occurrences: signup → view →
+    click → purchase, a stage counting only users whose first event of
+    that type happened strictly AFTER their first event of the previous
+    stage. ONE aggregate job: per-user first-occurrence times via
+    conditional min (map-side partial agg), then a single global roll-up —
+    the whole funnel is two exchanges regardless of corpus size, vs the
+    per-stage self-joins naive funnel SQL runs."""
+    ev = _events(spark, sf)
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    viewed = signed & (F.col("t_view") > F.col("t_signup"))
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(signed, 1)).alias("signed_up"),
+        F.count(F.when(viewed, 1)).alias("viewed_after_signup"),
+        F.count(F.when(clicked, 1)).alias("clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("purchased_after_click"),
+    )
+
+
+_register(
+    "conversion_funnel",
+    _conversion_funnel,
+    "WITH per_user AS ("
+    "  SELECT user_id,"
+    "    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,"
+    "    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,"
+    "    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,"
+    "    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase"
+    "  FROM events GROUP BY user_id"
+    ") "
+    "SELECT "
+    "count(*) FILTER (t_signup IS NOT NULL) AS signed_up, "
+    "count(*) FILTER (t_signup IS NOT NULL AND t_view > t_signup) "
+    "AS viewed_after_signup, "
+    "count(*) FILTER (t_signup IS NOT NULL AND t_view > t_signup "
+    "AND t_click > t_view) AS clicked_after_view, "
+    "count(*) FILTER (t_signup IS NOT NULL AND t_view > t_signup "
+    "AND t_click > t_view AND t_purchase > t_click) "
+    "AS purchased_after_click "
+    "FROM per_user",
+)
+
+
 _register(
     "events_hourly",
     lambda spark, sf: _events(spark, sf)

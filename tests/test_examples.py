@@ -89,3 +89,38 @@ def test_airflow_builders_gated():
     assert [t.task_id for t in dag.tasks] == [
         "extract", "transform", "load", "validate",
     ]
+
+
+def test_training_data_prep_composition(spark, docs_tiny, tmp_path):
+    # the full prep chain composes: counts are monotone non-increasing
+    # through the screens, packs respect the budget, shards are written
+    import glob
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from training_data_prep import prepare_training_data
+
+    from vectordb_etl_spark.store.layout import write_training_shards
+
+    packed, stages = prepare_training_data(
+        spark, docs_tiny,
+        mix_targets={"en": 0.6, "zh": 0.4}, budget_tokens=50_000,
+        pack_budget=256,
+    )
+    order = ["input", "length_screened", "boilerplate_screened", "deduped",
+             "quality_gated", "mixed", "packed_rows"]
+    counts = [stages[s] for s in order if s in stages]
+    assert all(a >= b for a, b in zip(counts, counts[1:-1]))
+    assert stages["packed_rows"] == stages[order[-2]]  # packing keeps rows
+    # every pack respects the budget unless it is a single oversize doc
+    per_pack = {}
+    for r in packed.select("bucket", "pack_id", "pack_fill", "n_tokens").collect():
+        per_pack.setdefault((r["bucket"], r["pack_id"]), []).append(r)
+    for members in per_pack.values():
+        fill = members[0]["pack_fill"]
+        assert fill <= 256 or len(members) == 1
+    p = str(tmp_path / "shards")
+    write_training_shards(packed, p)
+    assert glob.glob(f"{p}/bucket=*/part-*.parquet")
+    assert spark.read.parquet(p).count() == stages["packed_rows"]
