@@ -1492,6 +1492,49 @@ def _graph_topk(spark: SparkSession, sf: str) -> DataFrame:
 _register("graph_topk", _graph_topk, _ANN_ORACLE)
 
 
+def _graph_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched graph serving (GraphANNIndex.search_many): 3 queries beam-
+    searched in ONE applyInPandas pass — each shard loads its graph once
+    and answers every query. Full-beam edge ⇒ each query's result is its
+    exact top-10, stated per query by the oracle window."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    emb = _table(spark, sf, "embeddings")
+    qs = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = GraphANNIndex(spark, f"{tmp}/graph").build(
+            emb, num_shards=8, m=16, ef_construction=64, passthrough=["label"]
+        )
+        out = idx.search_many(
+            qs, k=10, ef=1_000_000, output_cols=["id", "label"]
+        ).withColumnRenamed("id", "vec_id")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "graph_topk_batch",
+    _graph_topk_batch,
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings WHERE vec_id < 3), "
+    "scored AS (SELECT q.query_id, e.vec_id, e.label, "
+    "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v), 6) AS score "
+    "FROM embeddings e CROSS JOIN q), "
+    "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY score DESC, vec_id ASC) AS rn FROM scored) "
+    "SELECT CAST(query_id AS INT) AS query_id, vec_id, label, score "
+    "FROM ranked WHERE rn <= 10 ORDER BY query_id, score DESC, vec_id",
+)
+
+
 def _sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Quantized-storage tier (Milvus SQ8 analog): embeddings stored as
     per-vector min/max int8 codes (1 byte/dim — 4× smaller than float32,

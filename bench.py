@@ -182,6 +182,8 @@ def main() -> None:
         "streaming_sessionize",
         "length_outlier_screen",
         "tfidf_top_terms",
+        "conversion_funnel",
+        "graph_topk_batch",
     ]
     noop_queries = [
         "pii_redaction",

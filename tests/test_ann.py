@@ -248,6 +248,27 @@ def test_graph_design_point_recall(embeddings_tiny, graph_idx, query_vec):
     assert recall_at_k(exact, approx) >= 0.8
 
 
+def test_graph_search_many_matches_per_query(spark, embeddings_tiny, graph_idx):
+    # batched beam search must return exactly what N single searches do —
+    # at the exact edge (ef >= shard size) AND at the design point
+    qs = [
+        list(r["embedding"])
+        for r in embeddings_tiny.filter(F.col("vec_id") < 3)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    for ef in (1_000_000, 40):
+        batch = graph_idx.search_many(qs, k=5, ef=ef, output_cols=["id"]).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+        for qi, q in enumerate(qs):
+            single = [
+                (r["id"], r["score"])
+                for r in graph_idx.search(q, k=5, ef=ef, output_cols=["id"]).collect()
+            ]
+            assert by_q[qi] == single, f"query {qi} ef {ef}"
+
+
 def test_graph_derived_shards_bound_group_size(spark, embeddings_tiny, tmp_path_factory, query_vec):
     # num_shards=None derives the shard count from target_rows_per_shard so
     # a 10× larger corpus builds 10× more shards, not 10× bigger ones —

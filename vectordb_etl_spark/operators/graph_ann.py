@@ -217,3 +217,60 @@ class GraphANNIndex:
         return local.orderBy(
             F.desc(score_name), *[F.asc(c) for c in out_cols]
         ).limit(k)
+
+    def search_many(
+        self,
+        queries: list[list[float]],
+        k: int = 3,
+        ef: int = 100,
+        output_cols: list[str] | None = None,
+        score_name: str = "score",
+        round_dp: int = 6,
+    ) -> DataFrame:
+        """Batched serving: N queries beam-searched in ONE job — each shard
+        group loads its graph once and answers every query against it
+        (amortizing the shard load + adjacency rebuild that dominate
+        per-query jobs), then one rank-over-window takes each query's
+        global top-k from the shards×N×k candidate rows. The query matrix
+        ships in the UDF closure — fine for serving-sized batches (cap
+        ~thousands); larger batches should chunk. Returns
+        (query_id, *output_cols, score), k rows per query."""
+        qmat = _normalize_rows(np.asarray(queries, dtype=np.float64))
+        out_cols = output_cols or ["id"]
+        idx = self.spark.read.parquet(self.path)
+        pass_fields = ", ".join(
+            f"`{c}` {idx.schema[c].dataType.simpleString()}" for c in out_cols
+        )
+        out_schema = f"query_id int, {pass_fields}, {score_name} double"
+        k_, ef_ = k, ef
+
+        def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("pos").reset_index(drop=True)
+            mat = np.stack(pdf["embedding"].to_numpy())
+            adj = [list(a) for a in pdf["neighbors"]]
+            frames = []
+            for qi in range(qmat.shape[0]):
+                hits = beam_search(mat, adj, qmat[qi], ef=max(ef_, k_))[:k_]
+                rows = [pdf.iloc[node] for _, node in hits]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": [qi] * len(hits),
+                            **{c: [r[c] for r in rows] for c in out_cols},
+                            score_name: [round(s, round_dp) for s, _ in hits],
+                        }
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        from pyspark.sql.window import Window
+
+        local = idx.groupBy("shard").applyInPandas(_search, out_schema)
+        order = [F.desc(score_name)] + [F.asc(c) for c in out_cols]
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            local.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+            .orderBy("query_id", *order)
+        )
