@@ -789,6 +789,39 @@ _register(
 )
 
 
+def _strip_common_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/dedup.py
+    strip_common_lines — the CCNet/RefinedWeb step that boilerplate_fraction
+    only measures): the corpus text is single-line, so each doc synthesizes
+    a 4-line page — ubiquitous banner + unique id line + body prefix +
+    ubiquitous footer — and the operator must strip exactly the lines
+    shared by more than max_docs docs and reassemble the rest in order."""
+    docs = _docs(spark, sf).withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.lit("COOKIE BANNER ACCEPT ALL"),
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
+            F.substring("text", 1, 80),
+            F.lit("COPYRIGHT FOOTER 2024"),
+        ),
+    ).select("doc_id", "text")
+    return D.strip_common_lines(docs, max_docs=5)
+
+
+_register(
+    "strip_common_lines",
+    _strip_common_lines,
+    D.strip_common_lines_sql(
+        "(SELECT doc_id, 'COOKIE BANNER ACCEPT ALL' || chr(10) || "
+        "'doc ' || CAST(doc_id AS VARCHAR) || chr(10) || "
+        "substring(text, 1, 80) || chr(10) || "
+        "'COPYRIGHT FOOTER 2024' AS text FROM documents) t",
+        max_docs=5,
+    ),
+)
+
+
 _register(
     "weighted_sample",
     # Efraimidis–Spirakis weighted sampling without replacement

@@ -184,6 +184,7 @@ def main() -> None:
         "tfidf_top_terms",
         "conversion_funnel",
         "graph_topk_batch",
+        "strip_common_lines",
     ]
     noop_queries = [
         "pii_redaction",

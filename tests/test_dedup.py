@@ -493,3 +493,36 @@ def test_tfidf_top_terms_planted_keywords(spark):
     assert not zero or zero[0][3] == 0.0
     assert per[2][0][0] == "beta"
     assert all(len(v) == 2 for v in per.values())
+
+
+def test_strip_common_lines_planted_boilerplate(spark):
+    banner, footer = "ACCEPT COOKIES", "(c) footer"
+    rows = [
+        (i, f"{banner}\nunique line {i}\n\nbody {i} words here\n{footer}")
+        for i in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in D.strip_common_lines(df, max_docs=5).collect()
+    }
+    # banner/footer appear in 7 > 5 docs -> stripped; unique lines and the
+    # blank separator (below min_len, never counted) survive in order
+    assert out[3] == "unique line 3\n\nbody 3 words here"
+    assert all(banner not in t and footer not in t for t in out.values())
+    # raising the cap above the corpus size keeps everything verbatim
+    loose = {
+        r["doc_id"]: r["text"]
+        for r in D.strip_common_lines(df, max_docs=10).collect()
+    }
+    assert loose[3] == rows[2][1]
+    # a doc that is ALL boilerplate drops out entirely
+    df2 = spark.createDataFrame(
+        [(i, banner) for i in range(1, 8)] + [(99, "real content")],
+        ["doc_id", "text"],
+    )
+    out2 = {r["doc_id"]: r["text"] for r in D.strip_common_lines(df2, max_docs=5).collect()}
+    assert set(out2) == {99} and out2[99] == "real content"
+    # no cross product in the plan
+    plan = D.strip_common_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -1107,6 +1107,93 @@ def boilerplate_fraction(
     )
 
 
+def strip_common_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 5,
+    min_len: int = 1,
+) -> DataFrame:
+    """Line-level boilerplate REMOVAL (the CCNet/RefinedWeb step that
+    :func:`boilerplate_fraction` only measures): drop every line whose
+    exact trimmed form appears in more than ``max_docs`` distinct
+    documents (navigation chrome, cookie banners, footers), and reassemble
+    each document's surviving lines in their original order. Lines whose
+    trimmed form is shorter than ``min_len`` are never counted (and thus
+    always kept) — stripping blank separator lines would collapse
+    paragraph structure. Returns (id, text) with the cleaned text; a doc
+    whose EVERY line is boilerplate drops out entirely, same as the SQL
+    twin's GROUP BY over zero surviving rows.
+
+    Scale shape: posexplode lines (map-side), per-doc-distinct line forms
+    make ``count(*)`` the distinct-doc frequency, one equi-join back on
+    the line-hash key, and ``sort_array(collect_list(struct(pos, line)))``
+    reassembles per doc — two exchanges, no cross product. Hot boilerplate
+    lines are partition imbalance on the join key, never a blowup (AQE
+    skew-join splits them)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lkey", F.md5(F.trim("line")))
+    freq = (
+        lines.filter(F.length(F.trim("line")) >= min_len)
+        .select(id_col, "lkey")
+        .distinct()
+        .groupBy("lkey")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    kept = (
+        lines.join(freq, "lkey", "left")
+        .filter(F.col("n_docs").isNull() | (F.col("n_docs") <= max_docs))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
+
+
+def strip_common_lines_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 5,
+    min_len: int = 1,
+) -> str:
+    """Oracle: identical split/trim/md5/count/reassemble arithmetic.
+    (DuckDB lacks WITH ORDINALITY; the zipped generate_subscripts + unnest
+    pair yields the same (pos, line) rows.)"""
+    return f"""
+WITH raw AS (
+  SELECT {id_col},
+         generate_subscripts(string_split({text_col}, chr(10)), 1) - 1 AS pos,
+         unnest(string_split({text_col}, chr(10))) AS line
+  FROM {table}
+), lines AS MATERIALIZED (
+  SELECT {id_col}, pos, line, md5(trim(line)) AS lkey FROM raw
+), freq AS (
+  SELECT lkey, count(*) AS n_docs FROM (
+    SELECT DISTINCT {id_col}, lkey FROM lines
+    WHERE length(trim(line)) >= {min_len}
+  ) GROUP BY lkey
+)
+SELECT l.{id_col},
+  string_agg(l.line, chr(10) ORDER BY l.pos) AS {text_col}
+FROM lines l LEFT JOIN freq f USING (lkey)
+WHERE f.n_docs IS NULL OR f.n_docs <= {max_docs}
+GROUP BY l.{id_col}
+"""
+
+
 def boilerplate_fraction_sql(
     table: str,
     id_col: str = "doc_id",
