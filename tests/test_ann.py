@@ -171,6 +171,39 @@ def test_ivf_sq8_storage_prunes_and_matches_quantized_bruteforce(
     assert after.count() == embeddings_tiny.count() + 3
 
 
+def test_ivf_compact_collapses_add_batches(spark, embeddings_tiny, tmp_path, query_vec):
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    path = str(tmp_path / "ivf_compact")
+    idx = IVFIndex(spark, path).build(
+        embeddings_tiny, nlist=4, seed=42, max_iter=4, storage="sq8"
+    )
+    # two incremental batches → extra files per centroid
+    for shift in (10_000, 20_000):
+        idx.add(
+            embeddings_tiny.limit(5).withColumn(
+                "vec_id", F.col("vec_id") + shift
+            )
+        )
+    pre = [
+        (r["vec_id"], r["score"])
+        for r in idx.search(query_vec, k=10, nprobe=4, tie_break=["vec_id"],
+                            output_cols=["vec_id"]).collect()
+    ]
+    before, after = idx.compact()
+    assert after < before
+    # results identical across the swap; quantized codes untouched
+    post = [
+        (r["vec_id"], r["score"])
+        for r in idx.search(query_vec, k=10, nprobe=4, tie_break=["vec_id"],
+                            output_cols=["vec_id"]).collect()
+    ]
+    assert post == pre
+    on_disk = spark.read.parquet(f"{path}/data")
+    assert "__sq8" in on_disk.columns
+    assert on_disk.count() == embeddings_tiny.count() + 10
+
+
 def test_ivf_search_many_rejects_reserved_column_names(spark, tmp_path):
     # data carrying an internal working-column name would silently corrupt
     # the batched join/rank — must fail loud instead (ADVICE r03)

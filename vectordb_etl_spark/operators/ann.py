@@ -355,6 +355,52 @@ class IVFIndex:
         order = np.argsort(-scores, kind="stable")
         return [int(i) for i in order[:nprobe]]
 
+    def compact(self) -> tuple[int, int]:
+        """Rewrite the data layout back to ~one file per centroid.
+
+        Daily ``add()`` batches append one file per centroid per batch —
+        after N ingests a probe reads N files per probed partition and scan
+        setup starts to dominate. Compaction is one shuffle on the layout
+        key into a staging dir, then an atomic rename swap (same
+        checked-rename discipline as store compaction; the previous layout
+        is kept aside until the swap succeeds, so a crash leaves either the
+        old or the new layout, never a mix). Quantized (sq8) layouts
+        compact as-is — codes are never decoded. Returns
+        (files_before, files_after)."""
+        from vectordb_etl_spark.store.collections import (
+            checked_delete,
+            checked_rename,
+        )
+
+        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
+        data = jvm_path(f"{self.path}/data")
+        fs = data.getFileSystem(self.spark._jsc.hadoopConfiguration())
+
+        def _count_files(p) -> int:
+            it = fs.listFiles(p, True)
+            n = 0
+            while it.hasNext():
+                it.next()
+                n += 1
+            return n
+
+        before = _count_files(data)
+        tmp = jvm_path(f"{self.path}/.compact-data")
+        aside = jvm_path(f"{self.path}/.old-data")
+        checked_delete(fs, tmp)
+        checked_delete(fs, aside)
+        (
+            self.spark.read.parquet(f"{self.path}/data")
+            .repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{self.path}/.compact-data")
+        )
+        checked_rename(fs, data, aside)
+        checked_rename(fs, tmp, data)
+        checked_delete(fs, aside)
+        return before, _count_files(data)
+
     def _read_data(self) -> DataFrame:
         """The indexed table with the vector column restored: flat storage
         reads as written; SQ8 storage dequantizes the int8 codes into
