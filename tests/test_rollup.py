@@ -58,3 +58,41 @@ def test_sliding_window_agg(events):
     # 11:05 click sees 10:45 and 10:05 (exactly 3600 s earlier, inclusive)
     assert by_id[("click", "2024-03-05 11:05:00")] == (3.0, 3)
     assert by_id[("view", "2024-03-06 09:00:00")] == (7.0, 1)
+
+
+def test_conversion_funnel_ordered_first_occurrences(spark):
+    # the funnel counts users by ORDERED first occurrences, not mere
+    # presence: user 1 converts fully; user 2 purchased BEFORE clicking
+    # (drops at the purchase stage); user 3 never signed up (counts
+    # nowhere); user 4 signs up then views, nothing more.
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "signup", "2024-01-01 09:00:00"),
+        (1, "view", "2024-01-01 09:05:00"),
+        (1, "click", "2024-01-01 09:06:00"),
+        (1, "purchase", "2024-01-01 09:10:00"),
+        (2, "signup", "2024-01-01 08:00:00"),
+        (2, "view", "2024-01-01 08:10:00"),
+        (2, "purchase", "2024-01-01 08:15:00"),   # before first click
+        (2, "click", "2024-01-01 08:20:00"),
+        (3, "view", "2024-01-01 07:00:00"),
+        (3, "purchase", "2024-01-01 07:30:00"),
+        (4, "signup", "2024-01-01 06:00:00"),
+        (4, "view", "2024-01-01 06:30:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    # drive the registered query body directly on the crafted frame
+    orig = e._events
+    try:
+        e._events = lambda spark_, sf_: ev
+        got = e._conversion_funnel(spark, "unused").collect()[0]
+    finally:
+        e._events = orig
+    assert got["signed_up"] == 3           # users 1, 2, 4
+    assert got["viewed_after_signup"] == 3
+    assert got["clicked_after_view"] == 2  # users 1, 2
+    assert got["purchased_after_click"] == 1  # only user 1 is ordered
