@@ -92,6 +92,8 @@ def test_errors():
         'language == "korean" extra',  # trailing input
         'language in korean',  # in needs a bracketed list
         'language ~ "x"',  # unknown char
+        'A. == 1',  # trailing dot is not a valid attribute name
+        'a..b == 1',  # empty name part
     ]:
         with pytest.raises(FilterExprError):
             parse_filter(bad)

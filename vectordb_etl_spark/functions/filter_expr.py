@@ -36,7 +36,7 @@ _TOKEN_RE = re.compile(
         (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
       | (?P<number>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+(?:[eE][+-]?\d+)?)
       | (?P<op>==|!=|>=|<=|>|<|&&|\|\||\(|\)|\[|\]|,)
-      | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
     )""",
     re.VERBOSE,
 )
