@@ -904,6 +904,53 @@ _register(
 )
 
 
+_register(
+    "substring_dup_stats",
+    # exact substring-window duplication (operators/dedup.py
+    # substring_dup_stats — Lee et al. ExactSubstr, distributed): 40-char
+    # windows / stride 20, a window is duplicated when its text occurs in
+    # >= 2 distinct docs; per-doc duplicated fraction. One shuffle on the
+    # uniform md5(window) key; window text never shuffles.
+    lambda spark, sf: D.substring_dup_stats(
+        _docs(spark, sf).select("doc_id", "text"), width=40, stride=20
+    ),
+    D.substring_dup_stats_sql("documents", width=40, stride=20),
+)
+
+
+def _semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py semantic_dedup) with designated-vector
+    centroids — centroid j := embedding of vec_id j, j < 8 — so cluster
+    assignment itself is oracle-expressible (no trained state). Threshold
+    0.45 sits just under this corpus's max pairwise cosine (~0.51) so the
+    within-cluster earliest-representative rule actually fires."""
+    emb = _table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    return D.semantic_dedup(emb, cents, threshold=0.45)
+
+
+_register(
+    "semantic_dedup",
+    _semantic_dedup,
+    D.semantic_dedup_sql("embeddings", n_centroids=8, threshold=0.45),
+)
+
+
+_register(
+    "bigram_logprob",
+    # CCNet-style LM quality scoring (functions/text.py
+    # bigram_logprob_scores): add-one corpus bigram model, per-doc average
+    # negative log-prob. Tokens/bigrams from one split+slice transform; no
+    # position self-join; V broadcast.
+    lambda spark, sf: T.bigram_logprob_scores(
+        _docs(spark, sf).select("doc_id", "text")
+    ),
+    T.bigram_logprob_scores_sql("documents"),
+)
+
+
 _HYBRID_TERMS = ["spark", "shuffle", "window"]
 
 
@@ -3093,9 +3140,6 @@ _PRIORITY = [
     "clean_text",
     "clean_hwp_text",
     "detect_language",
-    "token_estimate",
-    "chunk_id",
-    "varchar_truncate",
     "doc_fingerprint",
     "text_quality",
     "token_counts",
@@ -3132,8 +3176,15 @@ _PRIORITY = [
 ]
 
 # Green in CORRECTNESS_r03.json (driver-checked last round) — rotate behind
-# the cap; flip again next round.
+# the cap; flip again next round. token_estimate/chunk_id/varchar_truncate
+# moved here mid-r04 (driver-green r01+r02, judge-green r03, pure scalar
+# expressions with no join/shuffle surface) to free cap slots for the three
+# never-driver-checked r04 additions (substring_dup_stats, semantic_dedup,
+# bigram_logprob).
 _DEMOTE = [
+    "token_estimate",
+    "chunk_id",
+    "varchar_truncate",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",

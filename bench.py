@@ -185,8 +185,11 @@ def main() -> None:
         "conversion_funnel",
         "graph_topk_batch",
         "strip_common_lines",
+        "semantic_dedup",
+        "bigram_logprob",
     ]
     noop_queries = [
+        "substring_dup_stats",
         "pii_redaction",
         "contamination_check",
         "html_parse_roundtrip",

@@ -93,3 +93,32 @@ def test_gopher_signals_crafted_docs(spark):
     assert out[4]["symbol_word_ratio"] > 0.1 and out[4]["keep"] is False
     assert out[5]["ellipsis_line_frac"] == round(2 / 3, 6)
     assert out[6]["alpha_word_frac"] == 0.0 and out[6]["keep"] is False
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from vectordb_etl_spark.functions.text import bigram_logprob_scores
+
+    # corpus: "a b a b" and "a b c". tokens: a×3 b×3 c×1, V=3.
+    # bigram counts: (a,b)×3, (b,a)×1, (b,c)×1
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b c")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+    p_ab = (3 + 1) / (3 + 3)   # C(a,b)+1 / C(a)+V
+    p_ba = (1 + 1) / (3 + 3)
+    p_bc = (1 + 1) / (3 + 3)
+    exp1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    exp2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_neg_logprob"] - round(exp1, 6)) < 1e-9
+    assert out[2]["n_bigrams"] == 2
+    assert abs(out[2]["avg_neg_logprob"] - round(exp2, 6)) < 1e-9
+
+
+def test_bigram_logprob_single_token_doc_null_score(spark):
+    from vectordb_etl_spark.functions.text import bigram_logprob_scores
+
+    df = spark.createDataFrame([(1, "solo"), (2, "a b")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+    assert out[1]["n_bigrams"] == 0 and out[1]["avg_neg_logprob"] is None
+    assert out[2]["n_bigrams"] == 1

@@ -526,3 +526,95 @@ def test_strip_common_lines_planted_boilerplate(spark):
     # no cross product in the plan
     plan = D.strip_common_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# exact substring-window duplication (Lee et al. style)
+# --------------------------------------------------------------------------
+
+
+def test_substring_dup_stats_planted_shared_span(spark):
+    shared = "X" * 25 + "Y" * 25  # 50 chars, identical across docs 1 and 2
+    rows = [
+        (1, shared + "a" * 30),
+        (2, shared + "b" * 30),
+        (3, "z" * 80),  # unique content, no cross-doc window
+        (4, "tiny"),  # shorter than the window -> zero windows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in D.substring_dup_stats(df, width=40, stride=20).collect()
+    }
+    # docs 1/2: windows at 0,20,40 — the pos-0 window (chars 1-40) is inside
+    # the shared 50-char prefix in both docs, so it is duplicated; pos-20
+    # spans shared+suffix so it differs between docs; pos-40 differs.
+    assert out[1]["n_windows"] == 3
+    assert out[1]["n_dup_windows"] == 1
+    assert out[2]["n_dup_windows"] == 1
+    assert abs(out[1]["dup_fraction"] - round(1 / 3, 6)) < 1e-9
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_fraction"] == 0.0
+    # zero-window doc survives with an explicit 0.0, not a dropped row
+    assert out[4]["n_windows"] == 0 and out[4]["dup_fraction"] == 0.0
+
+
+def test_substring_dup_stats_within_doc_repeat_not_cross_doc(spark):
+    # the same window repeated WITHIN one doc is not "duplicated" — the
+    # rule is >=2 distinct docs (cross-doc contamination, not self-repeat)
+    rep = ("q" * 40 + "w" * 40) * 2  # the q-window occurs twice in doc 1
+    df = spark.createDataFrame([(1, rep), (2, "r" * 60)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.substring_dup_stats(df, width=40, stride=40).collect()}
+    assert out[1]["n_dup_windows"] == 0
+
+
+# --------------------------------------------------------------------------
+# SemDeDup
+# --------------------------------------------------------------------------
+
+
+def test_semantic_dedup_within_cluster_earliest_kept(spark):
+    # two well-separated directions; ids 10/11/12 ~ e1-ish, 20/21 ~ e2-ish.
+    # 11 is a near-copy of 10 (cos ~ 1); 12 is same-cluster but far; 21 is
+    # a near-copy of 20.
+    rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.999, 0.01, 0.0]),
+        (12, [0.8, 0.0, 0.6]),
+        (20, [0.0, 1.0, 0.0]),
+        (21, [0.01, 0.999, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], ["cid", "centroid"]
+    )
+    out = {
+        r["vec_id"]: r
+        for r in D.semantic_dedup(df, cents, threshold=0.99).collect()
+    }
+    assert not out[10]["is_dup"] and out[10]["cluster_id"] == 0
+    assert out[11]["is_dup"] and out[11]["kept_id"] == 10
+    assert not out[12]["is_dup"]  # same cluster, below threshold
+    assert not out[20]["is_dup"] and out[20]["cluster_id"] == 1
+    assert out[21]["is_dup"] and out[21]["kept_id"] == 20
+
+
+def test_semantic_dedup_assignment_deterministic_and_cluster_scoped(spark):
+    # identical vectors always land in the same cluster (rounded-score tie
+    # breaks to the lowest cid), so a true dup pair is never silently split;
+    # and near-dups in DIFFERENT clusters are not compared — the paper's
+    # accepted approximation.
+    rows = [
+        (1, [1.0, 1.0, 0.0]),
+        (2, [1.0, 1.0, 0.0]),  # exact dup of 1 -> same cluster, flagged
+        (3, [0.0, 0.0, 1.0]),
+        (4, [0.0, 0.01, 1.0]),  # near-dup of 3, other cluster
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 1.0, 0.0]), (1, [0.0, 0.0, 1.0])], ["cid", "centroid"]
+    )
+    out = {r["vec_id"]: r for r in D.semantic_dedup(df, cents, threshold=0.999).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]
+    assert out[2]["is_dup"] and out[2]["kept_id"] == 1
+    assert out[3]["cluster_id"] == out[4]["cluster_id"] == 1
+    assert out[4]["is_dup"] and out[4]["kept_id"] == 3

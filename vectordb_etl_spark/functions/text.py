@@ -407,3 +407,124 @@ SELECT {id_col}, term, tf, df, round(tfidf, 6) AS tfidf FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# corpus bigram language model — CCNet-style LM quality scoring (Wenzek et
+# al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+# Crawl Data" — public paper; CCNet scores docs with a KenLM perplexity,
+# here the LM is an add-one-smoothed word-bigram model trained on the
+# corpus itself, which keeps train+score one Spark job)
+# --------------------------------------------------------------------------
+
+
+def bigram_logprob_scores(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-doc average negative log-probability under a corpus-trained
+    add-one word-bigram model — the low-resource twin of CCNet's KenLM
+    perplexity filter (docs scoring far above the corpus median read as
+    boilerplate/garble; far below as templated repetition). Returns
+    ``(id, n_bigrams, avg_neg_logprob)`` with the score rounded to 6 dp;
+    docs with <2 tokens keep a NULL score.
+
+    Model: P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V), counts over the whole
+    corpus, V = distinct-token vocabulary size.
+
+    Scale shape: tokens and bigram instances come from one split+slice
+    transform per doc (no position self-join, no Python); C2/C1 are
+    map-side-combined aggregates; the score join shuffles on the bigram
+    key (Zipf-skewed — the heaviest bigram key carries its count row only,
+    the INSTANCE side is what shuffles, same volume as the corpus itself);
+    V rides in as a broadcast 1-row aggregate. Everything whole-stage
+    codegen except the final per-doc avg.
+    """
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("__l"))
+    big = (
+        base.filter(F.size("__l") >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(slice(__l, 2, size(__l) - 1), "
+                    "(x, i) -> struct(__l[i] AS w1, x AS w2))"
+                )
+            ).alias("__b"),
+        )
+        .select("id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("__n2"))
+    toks = base.select(F.explode("__l").alias("tok"))
+    c1 = toks.groupBy("tok").agg(F.count("*").alias("__n1"))
+    vocab = toks.agg(F.count_distinct("tok").alias("__v"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, big["w1"] == c1["tok"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lp",
+            -F.log(
+                (F.col("__n2") + F.lit(1.0))
+                / (F.col("__n1") + F.col("__v")).cast("double")
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("__lp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+    return (
+        base.select("id")
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_neg_logprob",
+        )
+    )
+
+
+def bigram_logprob_scores_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle: identical tokenization (split on whitespace runs, empties
+    dropped BEFORE adjacency), counts, smoothing, and rounding."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS id,
+         list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                     x -> x <> '') AS l
+  FROM {table}
+), pairs AS MATERIALIZED (
+  SELECT id, z[1] AS w1, z[2] AS w2
+  FROM (SELECT id, unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z
+        FROM base WHERE len(l) >= 2)
+), c2 AS (
+  SELECT w1, w2, count(*) AS n2 FROM pairs GROUP BY w1, w2
+), toks AS MATERIALIZED (
+  SELECT unnest(l) AS tok FROM base
+), c1 AS (
+  SELECT tok AS w1, count(*) AS n1 FROM toks GROUP BY tok
+), v AS (
+  SELECT count(DISTINCT tok) AS vsz FROM toks
+), scored AS (
+  SELECT p.id, count(*) AS n_bigrams,
+         round(avg(-ln((c2.n2 + 1.0) / (c1.n1 + v.vsz))), 6)
+           AS avg_neg_logprob
+  FROM pairs p
+  JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY p.id
+)
+SELECT b.id AS {id_col},
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.avg_neg_logprob
+FROM base b LEFT JOIN scored s USING (id)
+"""

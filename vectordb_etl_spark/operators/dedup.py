@@ -1370,3 +1370,244 @@ SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.st, b.st) AS dist
 FROM s a JOIN s b ON a.id < b.id
 WHERE levenshtein(a.st, b.st) <= {max_dist}
 """
+
+
+# --------------------------------------------------------------------------
+# exact substring-window duplication (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — public paper)
+# --------------------------------------------------------------------------
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Per-doc exact substring-duplication screen: slide fixed-``width``
+    character windows (step ``stride``) over each document, call a window
+    instance *duplicated* when its exact text occurs in ≥2 distinct docs,
+    and report ``(id, n_windows, n_dup_windows, dup_fraction)``.
+
+    This is the distributed stand-in for the suffix-array ExactSubstr
+    dedup of Lee et al. (their single-node suffix automaton does not
+    shard); fixed windows + a hash shuffle find the same cross-document
+    repeated spans up to window granularity, and the per-doc duplicated
+    fraction is the standard curation signal (drop or trim docs above a
+    cut).
+
+    Scale shape: one generate+explode (no join) producing n_windows ≈
+    chars/stride rows, then ONE shuffle keyed by ``md5(window)`` — uniform
+    by construction, no skew — a count-distinct-docs per key, and a
+    broadcast-free semi-join back on the same uniform key. Window text
+    never shuffles: the 32-hex md5 is the key either side, so shuffle
+    bytes are ~32B per instance regardless of ``width``. Short docs
+    (len < width) yield zero windows and survive with fraction 0.0.
+    """
+    wins_arr = F.expr(
+        f"CASE WHEN length(__t) >= {width} THEN "
+        f"transform(sequence(0, length(__t) - {width}, {stride}), "
+        f"p -> substring(__t, p + 1, {width})) "
+        f"ELSE array() END"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).select("id", wins_arr.alias("__wins"))
+    wins = base.select(
+        "id", F.explode("__wins").alias("__w")
+    ).select("id", F.md5("__w").alias("__h"))
+    dup_keys = (
+        wins.select("__h", "id").distinct()
+        .groupBy("__h").agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    per_doc_dup = wins.join(dup_keys, "__h").groupBy("id").agg(
+        F.count("*").alias("n_dup_windows")
+    )
+    totals = base.select("id", F.size("__wins").alias("n_windows"))
+    return (
+        totals.join(per_doc_dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(F.col("n_windows") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                    / F.col("n_windows"),
+                    6,
+                )
+            )
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def substring_dup_stats_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 40,
+    stride: int = 20,
+) -> str:
+    """Oracle: same windows (``range`` stop-exclusive ≡ ``sequence``
+    stop-inclusive + 1), same md5 keys, same ≥2-distinct-docs rule."""
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT {id_col} AS id, md5(substr({text_col}, p + 1, {width})) AS h
+  FROM (SELECT {id_col}, {text_col},
+               unnest(range(0, length({text_col}) - {width} + 1, {stride})) AS p
+        FROM {table} WHERE length({text_col}) >= {width})
+), dup AS (
+  SELECT h FROM (SELECT h, count(DISTINCT id) AS nd FROM w GROUP BY h)
+  WHERE nd >= 2
+), per_doc AS (
+  SELECT id, count(*) AS n_dup FROM w JOIN dup USING (h) GROUP BY id
+), tot AS (
+  SELECT {id_col} AS id,
+         CASE WHEN length({text_col}) >= {width}
+              THEN (length({text_col}) - {width}) // {stride} + 1
+              ELSE 0 END AS n_win
+  FROM {table}
+)
+SELECT t.id AS {id_col},
+       CAST(t.n_win AS INT) AS n_windows,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       CASE WHEN t.n_win = 0 THEN 0.0
+            ELSE round(coalesce(p.n_dup, 0)::DOUBLE / t.n_win, 6)
+       END AS dup_fraction
+FROM tot t LEFT JOIN per_doc p USING (id)
+"""
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic dedup via embedding clusters (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication" — public paper)
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: cluster embeddings, then within each cluster mark a vector
+    a *semantic duplicate* when an earlier-id vector in the same cluster
+    has cosine ≥ ``threshold``; the earliest such vector is recorded as the
+    kept representative. Returns one row per input vector:
+    ``(id, cluster_id, kept_id nullable, is_dup)``.
+
+    ``centroids`` is a tiny DataFrame ``(cid, centroid array)`` — e.g. a
+    designated-vector/medoid pick or the IVF-trained centroids from
+    :class:`~vectordb_etl_spark.operators.ann.IVFIndex`. Assignment joins
+    it broadcast (scores rounded to 6 dp, ties to the lowest cid) so both
+    engines make identical cluster decisions.
+
+    Scale shape (the paper's own argument): the O(n²) pair work is confined
+    to within-cluster blocks, so with k clusters the pair volume is
+    Σ n_c² ≈ n²/k — pick k so the expected cluster fits one task (the same
+    rows-per-group contract as packing/graph-ANN; SemDeDup at web scale
+    runs k in the tens of thousands). Pairing runs per-cluster inside a
+    BLAS matmul (applyInPandas), emitting only the dup rows; the final
+    decoration is one broadcast-free left join on the id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vectordb_etl_spark.functions.vector import cosine_col
+
+    from pyspark.sql.window import Window
+
+    scored = df.select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("__e")
+    ).crossJoin(
+        F.broadcast(centroids.select("cid", F.col("centroid").alias("__c")))
+    ).select(
+        "id", "__e", "cid", F.round(cosine_col("__e", "__c"), 6).alias("__s")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("__s"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", F.col("cid").alias("cluster_id"), F.col("__e").cast("array<double>").alias("__e"))
+    )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"dup_id {id_type}, kept_id {id_type}"
+
+    def _cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        mat = np.stack(pdf["__e"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms[:, None]
+        sims = np.round(mat @ mat.T, 6)
+        over = sims >= threshold
+        np.fill_diagonal(over, False)
+        # j is a dup iff some i<j is over-threshold; kept = the min such i
+        dup_rows, kept_rows = [], []
+        for j in range(1, len(ids)):
+            hits = np.nonzero(over[:j, j])[0]
+            if hits.size:
+                dup_rows.append(ids[j])
+                kept_rows.append(ids[hits[0]])
+        return pd.DataFrame({
+            "dup_id": pd.Series(dup_rows, dtype=pdf["id"].dtype),
+            "kept_id": pd.Series(kept_rows, dtype=pdf["id"].dtype),
+        })
+
+    dups = assigned.groupBy("cluster_id").applyInPandas(_cluster_dups, out_schema)
+    return (
+        assigned.select("id", "cluster_id")
+        .join(dups.select(F.col("dup_id").alias("id"), "kept_id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "kept_id",
+            F.col("kept_id").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    table: str = "embeddings",
+    n_centroids: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """Oracle for the designated-vector centroid pick (centroid j := the
+    embedding of ``{id_col} = j``, j < ``n_centroids``): assignment and the
+    within-cluster earliest-representative rule stated directly."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT {id_col} AS id, CAST({emb_col} AS DOUBLE[]) AS v FROM {table}
+), cents AS (
+  SELECT id AS cid, v AS c FROM e WHERE id < {n_centroids}
+), scored AS (
+  SELECT e.id, cents.cid,
+         round(list_cosine_similarity(e.v, cents.c), 6) AS s
+  FROM e CROSS JOIN cents
+), assign AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+), dup AS (
+  SELECT b.id AS dup_id, min(a.id) AS kept_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
+  JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+  GROUP BY b.id
+)
+SELECT a.id AS {id_col}, a.cid AS cluster_id, d.kept_id,
+       d.kept_id IS NOT NULL AS is_dup
+FROM assign a LEFT JOIN dup d ON d.dup_id = a.id
+"""
