@@ -822,6 +822,30 @@ _register(
 )
 
 
+def _dsir_log_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (functions/curation.py:dsir_log_weights):
+    target domain = the src0 slice of the corpus; every raw doc scored by
+    log p_target − log p_raw over 256 hashed-unigram buckets. Both models
+    are ≤256-row broadcast joins — no token-key shuffle."""
+    docs = _docs(spark, sf).select("doc_id", "text", "source")
+    return curation.dsir_log_weights(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("source") == "src0").select("text"),
+        buckets=256,
+    )
+
+
+_register(
+    "dsir_log_weights",
+    _dsir_log_weights,
+    curation.dsir_log_weights_sql(
+        "documents",
+        target_sql="SELECT text FROM documents WHERE source = 'src0'",
+        buckets=256,
+    ),
+)
+
+
 _register(
     "weighted_sample",
     # Efraimidis–Spirakis weighted sampling without replacement
@@ -2239,6 +2263,62 @@ _register(
 )
 
 
+def _streaming_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C6 exact dedup as a REAL stream (streaming/ingest.py:dedup_stream,
+    dropDuplicatesWithinWatermark) made hash-checkable: the landing dir is
+    ONE file sorted by doc_id, so the single availableNow micro-batch has
+    one upstream map task and the stateful dedup sees every key's rows in
+    doc_id order — first-wins is then provably min(doc_id) per normalized
+    text hash, which is what the oracle states. Event time is synthesized
+    monotone in doc_id; with one batch the watermark never evicts, so the
+    whole corpus dedups exactly-once-per-key."""
+    import tempfile
+
+    from vectordb_etl_spark.streaming.ingest import dedup_stream
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        "text",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ingest_ts"),
+    )
+    name = f"stream_dedup_{next(_STREAM_SEQ)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with tempfile.TemporaryDirectory() as tmp:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            docs.repartition(1).sortWithinPartitions("doc_id").write.parquet(
+                f"{tmp}/landing"
+            )
+            stream = spark.readStream.schema(docs.schema).parquet(f"{tmp}/landing")
+            kept = dedup_stream(stream, watermark="10 minutes")
+            q = (
+                kept.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.table(name).select("doc_id", "text_hash")
+            out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+_register(
+    "streaming_exact_dedup",
+    _streaming_exact_dedup,
+    # first-wins per normalized-text hash, arrival order = doc_id order
+    "SELECT doc_id, h AS text_hash FROM ("
+    "  SELECT doc_id, {h} AS h,"
+    "    row_number() OVER (PARTITION BY {h} ORDER BY doc_id) AS rn"
+    "  FROM documents) WHERE rn = 1".format(h=chunker.normalized_hash_sql("text")),
+)
+
+
 # -- multimodal tier, driver-checkable ----------------------------------------------
 #
 # The container-header parsers are real (stdlib struct over public formats);
@@ -3138,7 +3218,6 @@ _register(
 _PRIORITY = [
     # not driver-checked in r03 (rotated out; judge-run green) — lead r04
     "clean_text",
-    "clean_hwp_text",
     "detect_language",
     "doc_fingerprint",
     "text_quality",
@@ -3148,7 +3227,6 @@ _PRIORITY = [
     "language_distribution",
     "top_sources",
     "quality_report",
-    "sample_review",
     "embedding_norms",
     "events_hourly",
     "events_distinct_users",
@@ -3177,14 +3255,17 @@ _PRIORITY = [
 
 # Green in CORRECTNESS_r03.json (driver-checked last round) — rotate behind
 # the cap; flip again next round. token_estimate/chunk_id/varchar_truncate
-# moved here mid-r04 (driver-green r01+r02, judge-green r03, pure scalar
-# expressions with no join/shuffle surface) to free cap slots for the three
-# never-driver-checked r04 additions (substring_dup_stats, semantic_dedup,
-# bigram_logprob).
+# (plus clean_hwp_text and sample_review) moved here mid-r04 — driver-green
+# r01+r02, judge-green r03, scalar/sample surfaces with no join risk — to
+# free cap slots for the five never-driver-checked r04 additions
+# (substring_dup_stats, semantic_dedup, bigram_logprob,
+# streaming_exact_dedup, dsir_log_weights).
 _DEMOTE = [
     "token_estimate",
     "chunk_id",
     "varchar_truncate",
+    "clean_hwp_text",
+    "sample_review",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",

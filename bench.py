@@ -187,9 +187,11 @@ def main() -> None:
         "strip_common_lines",
         "semantic_dedup",
         "bigram_logprob",
+        "streaming_exact_dedup",
     ]
     noop_queries = [
         "substring_dup_stats",
+        "dsir_log_weights",
         "pii_redaction",
         "contamination_check",
         "html_parse_roundtrip",

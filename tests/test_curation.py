@@ -163,3 +163,53 @@ def test_percentile_screen_bounds_inclusive(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dsir_log_weights_match_reference_formula(spark):
+    """Recompute the DSIR weight in pure Python with the same md5 bucketing
+    and add-alpha smoothing; target-leaning docs must score higher."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    B, A = 16, 1.0
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:6], 16) % B
+
+    raw = [(1, "ml training data corpus"), (2, "cooking recipes and food"),
+           (3, "ml models and data")]
+    tgt = ["ml data models training", "ml corpus"]
+    df = spark.createDataFrame(raw, ["doc_id", "text"])
+    tdf = spark.createDataFrame([(t,) for t in tgt], ["text"])
+
+    ct = Counter(bucket(t) for s in tgt for t in s.split())
+    cr = Counter(bucket(t) for _, s in raw for t in s.split())
+    tt, tr = sum(ct.values()), sum(cr.values())
+
+    def expected(text: str) -> float:
+        w = 0.0
+        for tok in text.lower().split():
+            b = bucket(tok)
+            w += math.log((ct.get(b, 0) + A) / (tt + A * B))
+            w -= math.log((cr[b] + A) / (tr + A * B))
+        return round(w, 6)
+
+    out = {
+        r["doc_id"]: r
+        for r in curation.dsir_log_weights(df, tdf, buckets=B, alpha=A).collect()
+    }
+    for doc_id, text in raw:
+        assert out[doc_id]["n_tokens"] == len(text.split())
+        assert abs(out[doc_id]["log_weight"] - expected(text)) < 1e-9
+    # the ML-ish docs outrank the cooking doc toward the ML target
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+    assert out[3]["log_weight"] > out[2]["log_weight"]
+
+
+def test_dsir_zero_token_doc_null_weight(spark):
+    df = spark.createDataFrame([(1, "   "), (2, "a b")], ["doc_id", "text"])
+    tdf = spark.createDataFrame([("a",)], ["text"])
+    out = {r["doc_id"]: r for r in curation.dsir_log_weights(df, tdf).collect()}
+    assert out[1]["n_tokens"] == 0 and out[1]["log_weight"] is None
+    assert out[2]["n_tokens"] == 2

@@ -235,3 +235,43 @@ def test_upsert_collection_stream_idempotent_rekey(spark, tmp_path_factory):
     run_once()
     out = {r["chunk_id"]: r["text"] for r in store.read().collect()}
     assert out == {"c1": "version three", "c2": "other doc"}
+
+
+def test_dedup_stream_first_wins_is_min_id_with_single_file_landing(
+    spark, tmp_path_factory
+):
+    """The hash-checkable determinism contract behind streaming_exact_dedup:
+    a single sorted landing file means one upstream map task, so the state
+    op sees each key's rows in doc_id order and first-wins == min(doc_id).
+    Planted duplicates (whitespace/case variants hash equal) prove the
+    state path actually drops rows."""
+    tmp = tmp_path_factory.mktemp("sdedup")
+    rows = [
+        (1, "Alpha beta  gamma"),
+        (2, "alpha beta gamma"),   # normalized dup of 1
+        (3, "unrelated content"),
+        (4, "  ALPHA   BETA GAMMA "),  # normalized dup of 1
+        (5, "unrelated content"),  # dup of 3
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id",
+        "text",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ingest_ts"),
+    )
+    docs.repartition(1).sortWithinPartitions("doc_id").write.parquet(
+        str(tmp / "landing")
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(str(tmp / "landing"))
+    q = (
+        dedup_stream(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sdedup")
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = sorted(r["doc_id"] for r in spark.table("t_sdedup").collect())
+    assert kept == [1, 3]

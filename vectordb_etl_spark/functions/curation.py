@@ -306,3 +306,139 @@ def mix_fractions(
             continue
         out[stratum] = min(1.0, (share * total_tokens) / avail[stratum])
     return out
+
+
+# --------------------------------------------------------------------------
+# DSIR — importance weights for data selection (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling" — public paper)
+# --------------------------------------------------------------------------
+
+
+def _token_bucket_col(tok: Column, buckets: int) -> Column:
+    """Engine-portable hashed-unigram feature: first 6 md5 hex digits of
+    the token, mod ``buckets`` (same md5/hex-parse convention as
+    :func:`stable_bucket`)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("long")
+        % F.lit(buckets)
+    )
+
+
+def _token_bucket_sql(tok_expr: str, buckets: int) -> str:
+    return (
+        f"(('0x' || substring(md5({tok_expr}), 1, 6))::BIGINT % {buckets})"
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights: score each raw document with
+    ``log p_target(x) − log p_raw(x)`` under hashed-unigram bag-of-words
+    models with add-``alpha`` smoothing — the data-selection signal of Xie
+    et al. (sample raw docs with probability ∝ exp(weight) to shift the
+    corpus toward the ``target`` domain). Returns
+    ``(id, n_tokens, log_weight)`` with the weight rounded to 6 dp; docs
+    with zero tokens keep a NULL weight.
+
+    Model: p[b] = (count[b] + alpha) / (total + alpha·buckets) over hashed
+    token buckets, fitted once on ``target`` and once on ``df`` itself.
+
+    Scale shape: both models are ≤``buckets`` rows — they join BROADCAST
+    onto the token stream, so the only exchanges are the two tiny
+    bucket-count aggregations and the final per-doc sum; nothing shuffles
+    on the token key and nothing touches the driver. At 100 TB the token
+    explode dominates and is embarrassingly parallel.
+    """
+    def toks(frame: DataFrame, *keep: str) -> DataFrame:
+        arr = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+        )
+        return frame.select(*keep, F.explode(arr).alias("__tok")).select(
+            *keep, _token_bucket_col(F.col("__tok"), buckets).alias("__b")
+        )
+
+    raw_toks = toks(df.select(F.col(id_col).alias("id"), text_col), "id")
+    t_counts = toks(target).groupBy("__b").agg(F.count("*").alias("__ct"))
+    r_counts = raw_toks.groupBy("__b").agg(F.count("*").alias("__cr"))
+    t_total = t_counts.agg(F.sum("__ct").alias("__tt"))
+    r_total = r_counts.agg(F.sum("__cr").alias("__tr"))
+
+    scored = (
+        raw_toks.join(F.broadcast(t_counts), "__b", "left")
+        .join(F.broadcast(r_counts), "__b")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .withColumn(
+            "__lw",
+            F.log(
+                (F.coalesce("__ct", F.lit(0)) + F.lit(alpha))
+                / (F.col("__tt") + F.lit(alpha * buckets))
+            )
+            - F.log(
+                (F.col("__cr") + F.lit(alpha))
+                / (F.col("__tr") + F.lit(alpha * buckets))
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("__lw"), 6).alias("log_weight"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "log_weight",
+        )
+    )
+
+
+def dsir_log_weights_sql(
+    table: str = "documents",
+    target_sql: str = "SELECT text FROM documents WHERE source = 'src0'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    alpha: float = 1.0,
+) -> str:
+    """Oracle: identical tokenization, hashing, smoothing, and rounding."""
+    b = _token_bucket_sql("tok", buckets)
+    return f"""
+WITH raw_toks AS MATERIALIZED (
+  SELECT id, {b} AS bk
+  FROM (SELECT {id_col} AS id,
+               unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM {table})
+), tgt_toks AS (
+  SELECT {b} AS bk
+  FROM (SELECT unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM ({target_sql}) tgt)
+), ct AS (SELECT bk, count(*) AS n FROM tgt_toks GROUP BY bk),
+cr AS (SELECT bk, count(*) AS n FROM raw_toks GROUP BY bk),
+tt AS (SELECT sum(n) AS t FROM ct), tr AS (SELECT sum(n) AS t FROM cr),
+scored AS (
+  SELECT r.id, count(*) AS n_tokens,
+         round(sum(
+           ln((coalesce(ct.n, 0) + {alpha}) / (tt.t + {alpha} * {buckets}))
+           - ln((cr.n + {alpha}) / (tr.t + {alpha} * {buckets}))
+         ), 6) AS log_weight
+  FROM raw_toks r
+  LEFT JOIN ct USING (bk) JOIN cr USING (bk)
+  CROSS JOIN tt CROSS JOIN tr
+  GROUP BY r.id
+)
+SELECT d.{id_col}, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       s.log_weight
+FROM {table} d LEFT JOIN scored s ON s.id = d.{id_col}
+"""
