@@ -659,6 +659,7 @@ _register(
 
 # -- dedup suite (SURVEY.md §2.3 C6 upgrades; training-data curation tier) ---------
 
+from vectordb_etl_spark.operators import ann as A  # noqa: E402
 from vectordb_etl_spark.operators import dedup as D  # noqa: E402
 
 # signature emitted as a comma-joined STRING: the driver canonicalizes with
@@ -1449,6 +1450,30 @@ _register(
     "SELECT vec_id, label, round(list_cosine_similarity(d, "
     "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) "
     "AS score FROM deq ORDER BY score DESC, vec_id ASC LIMIT 10",
+)
+
+
+def _pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ tier (operators/ann.py pq_topk_adc — the FAISS/Milvus IVF_PQ
+    code path): designated-vector codebook (codeword j of subspace s :=
+    slice s of vec_id j), 6-dp-rounded L2 argmin encode, ADC LUT serving.
+    Unlike the probe-all IVF edges this result is the genuinely LOSSY
+    PQ ranking — the oracle restates the whole encode+ADC pipeline rather
+    than brute force, so the approximation itself is hash-checked."""
+    from vectordb_etl_spark.operators.ann import pq_topk_adc
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return pq_topk_adc(
+        emb, list(q), k=10, n_codes=16, n_subs=8,
+        output_cols=["vec_id", "label"],
+    )
+
+
+_register(
+    "pq_topk",
+    _pq_topk,
+    A.pq_topk_adc_sql("embeddings", query_id=0, k=10, n_codes=16, n_subs=8),
 )
 
 

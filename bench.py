@@ -188,6 +188,7 @@ def main() -> None:
         "semantic_dedup",
         "bigram_logprob",
         "streaming_exact_dedup",
+        "pq_topk",
     ]
     noop_queries = [
         "substring_dup_stats",

@@ -347,3 +347,50 @@ def test_graph_adjacency_bidirectional_and_connected():
                 seen.add(j)
                 stack.append(j)
     assert len(seen) == len(adj)  # insert rule links every node ⇒ connected
+
+
+# --------------------------------------------------------------------------
+# PQ tier
+# --------------------------------------------------------------------------
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark, embeddings_tiny):
+    from vectordb_etl_spark.operators.ann import pq_codebook, pq_encode
+
+    cb = pq_codebook(embeddings_tiny, n_codes=16, n_subs=8)
+    codes = pq_encode(embeddings_tiny, cb, n_subs=8)
+    own = codes.filter(F.col("id") < 16).collect()
+    assert len(own) == 16 * 8
+    # a codebook vector's subvector is at L2 distance 0 from its own
+    # codeword, so argmin must pick code == id in every subspace
+    assert all(r["code"] == r["id"] for r in own)
+
+
+def test_pq_adc_recall_and_self_rank(spark, embeddings_tiny):
+    from vectordb_etl_spark.operators.ann import pq_topk_adc
+
+    q = list(embeddings_tiny.filter(F.col("vec_id") == 7).head()["embedding"])
+    approx = pq_topk_adc(embeddings_tiny, q, k=10, n_codes=16, n_subs=8)
+    ids = [r["vec_id"] for r in approx.collect()]
+    assert len(ids) == 10
+    exact = _exact_ids(embeddings_tiny, q, k=10)
+    # PQ is lossy (16 codes x 8 subspaces on random 64-dim data) — require
+    # a sane floor, not exactness; the pq_topk ORACLE pins the exact lossy
+    # ranking bit-for-bit, this test guards retrieval usefulness
+    assert recall_at_k(exact, ids) >= 0.3
+    # the query IS vec 7 and 7 < n_codes: its PQ code reconstructs itself,
+    # so vec 7 must appear in its own top-10
+    assert 7 in ids
+
+
+def test_pq_encode_single_exchange(spark, embeddings_tiny):
+    """The codebook join must be broadcast: encode's only exchange is the
+    (id, sub) argmin aggregation, never a shuffle of the n·m·K candidate
+    stream."""
+    from vectordb_etl_spark.operators.ann import pq_codebook, pq_encode
+    from vectordb_etl_spark.plans.inspect import plan_fingerprint
+
+    cb = pq_codebook(embeddings_tiny, n_codes=16, n_subs=8)
+    fp = plan_fingerprint(pq_encode(embeddings_tiny, cb, n_subs=8))
+    assert fp["python_eval"] == 0
+    assert fp["exchange"] <= 2  # partial+final agg of the argmin only
