@@ -3161,6 +3161,42 @@ _register(
 )
 
 
+def _retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic product-analytics retention matrix: cohort = a user's first
+    event day; cell (cohort_day, day_offset) counts distinct users of that
+    cohort active offset days later. Scale shape: first-touch is one
+    user-keyed aggregation; the join back is user-keyed (co-partitioned
+    with the agg output under AQE); the distinct collapses (cohort,
+    offset, user) BEFORE the final count so the matrix agg sees one row
+    per user-cell, never raw events."""
+    ev = _events(spark, sf).select("user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("d", F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_register(
+    "retention_cohorts",
+    _retention_cohorts,
+    "WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events), "
+    "first AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1), "
+    "cells AS (SELECT DISTINCT cohort_day, "
+    "  date_diff('day', cohort_day, d) AS day_offset, ev.user_id "
+    "  FROM ev JOIN first USING (user_id)) "
+    "SELECT cohort_day, CAST(day_offset AS INT) AS day_offset, "
+    "count(*) AS n_users FROM cells GROUP BY 1, 2",
+)
+
+
 def _purchasers_without_errors(spark: SparkSession, sf: str) -> DataFrame:
     """Set operators as first-class shapes: EXCEPT and INTERSECT over user
     sets (purchasers minus error-users; both-kinds users). Spark plans
@@ -3250,7 +3286,6 @@ _PRIORITY = [
     "chunk_stats",
     "size_histogram",
     "language_distribution",
-    "top_sources",
     "quality_report",
     "embedding_norms",
     "events_hourly",
@@ -3291,6 +3326,7 @@ _DEMOTE = [
     "varchar_truncate",
     "clean_hwp_text",
     "sample_review",
+    "top_sources",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",
