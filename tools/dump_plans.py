@@ -105,6 +105,28 @@ HEADLINERS: list[tuple[str, str]] = [
     ("ivf_sq8_topk",
      "IVF_SQ8: partition-pruned scan of int8 codes, dequantize as a "
      "codegen projection above the scan, TakeOrderedAndProject top-k."),
+    ("substring_dup_stats",
+     "Exact substring-window dedup: generate+explode windows map-side, ONE "
+     "shuffle on the uniform md5(window) key, semi-join back on the same "
+     "key — window text never shuffles."),
+    ("semantic_dedup",
+     "SemDeDup: broadcast centroid assignment (codegen cosine + one "
+     "row_number window), then FlatMapGroupsInPandas BLAS pairing per "
+     "cluster — pair work never crosses cluster boundaries."),
+    ("bigram_logprob",
+     "Corpus bigram LM scoring: tokens/bigrams from one split+slice "
+     "transform (no position self-join); count aggregates are map-side "
+     "partial; V broadcast as a 1-row aggregate."),
+    ("dsir_log_weights",
+     "DSIR importance weights: both bucket models are <=256-row broadcast "
+     "joins onto the token stream — nothing shuffles on the token key."),
+    ("pq_topk",
+     "PQ ADC serving: broadcast codebook encode with a min-of-struct "
+     "argmin aggregate (one exchange), broadcast LUT join, map-side "
+     "partial score sum, TakeOrderedAndProject."),
+    ("retention_cohorts",
+     "Retention matrix: user-keyed first-touch agg, co-partitioned join "
+     "back, distinct collapses user-cells before the matrix count."),
 ]
 
 
