@@ -1453,6 +1453,81 @@ _register(
 )
 
 
+def _ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF_PQ tier (operators/ann.py build(storage='pq')): designated
+    centroids (centroid j := vec j) AND designated PQ codebook, probe-all
+    edge so the IVF layout is transparent — what remains is the PQ
+    approximation itself: scores are cosine(query, reconstruction), which
+    the oracle restates as the encode→codeword-concat pipeline. The
+    quantized ranking, storage lifecycle (codes on disk, literal-codebook
+    reconstruction above the pruned scan), and search path are all under
+    the hash."""
+    import tempfile
+
+    import numpy as np
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    )
+    cents = np.array(
+        [r["embedding"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IVFIndex(spark, f"{tmp}/ivfpq").build(
+            emb, centroids=cents, assign_round_dp=6, storage="pq",
+            pq_subs=8, pq_codes=16,
+        )
+        out = idx.search(
+            list(q), k=10, nprobe=16, tie_break=["vec_id"],
+            output_cols=["vec_id", "label"],
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "ivf_pq_topk",
+    _ivf_pq_topk,
+    # probe-all makes the IVF layout transparent; the oracle restates the
+    # PQ encode (6-dp L2 argmin per subspace) and scores the query against
+    # the codeword-concatenated reconstruction
+    """
+WITH e AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings
+), w AS (SELECT (len(v) // 8) AS sw FROM e LIMIT 1),
+cb AS MATERIALIZED (
+  SELECT s.s AS sub, e.id AS code,
+         e.v[s.s * w.sw + 1 : (s.s + 1) * w.sw] AS cw
+  FROM e CROSS JOIN w CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+  WHERE e.id < 16
+), enc AS MATERIALIZED (
+  SELECT id, sub, code FROM (
+    SELECT e.id, cb.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY e.id, cb.sub
+             ORDER BY round(list_distance(
+               e.v[cb.sub * w.sw + 1 : (cb.sub + 1) * w.sw], cb.cw), 6) ASC,
+               cb.code ASC) AS rn
+    FROM e CROSS JOIN w CROSS JOIN cb
+  ) WHERE rn = 1
+), recon AS (
+  SELECT enc.id, flatten(list(cb.cw ORDER BY cb.sub)) AS rv
+  FROM enc JOIN cb USING (sub, code) GROUP BY enc.id
+), q AS (SELECT v AS qv FROM e WHERE id = 0)
+SELECT r.id AS vec_id, e.label,
+       round(list_cosine_similarity(r.rv, q.qv), 6) AS score
+FROM recon r JOIN e USING (id) CROSS JOIN q
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
+)
+
+
 def _pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ tier (operators/ann.py pq_topk_adc — the FAISS/Milvus IVF_PQ
     code path): designated-vector codebook (codeword j of subspace s :=
@@ -3284,7 +3359,6 @@ _PRIORITY = [
     "text_quality",
     "token_counts",
     "chunk_stats",
-    "size_histogram",
     "language_distribution",
     "quality_report",
     "embedding_norms",
@@ -3327,6 +3401,7 @@ _DEMOTE = [
     "clean_hwp_text",
     "sample_review",
     "top_sources",
+    "size_histogram",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",

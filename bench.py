@@ -189,6 +189,7 @@ def main() -> None:
         "bigram_logprob",
         "streaming_exact_dedup",
         "pq_topk",
+        "ivf_pq_topk",
         "retention_cohorts",
     ]
     noop_queries = [

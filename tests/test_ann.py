@@ -394,3 +394,39 @@ def test_pq_encode_single_exchange(spark, embeddings_tiny):
     fp = plan_fingerprint(pq_encode(embeddings_tiny, cb, n_subs=8))
     assert fp["python_eval"] == 0
     assert fp["exchange"] <= 2  # partial+final agg of the argmin only
+
+
+def test_ivf_pq_storage_lifecycle(spark, embeddings_tiny, tmp_path_factory):
+    """PQ storage tier: codes on disk (no raw vectors), literal-codebook
+    reconstruction, add() encodes against the PERSISTED codebook, search
+    after add finds the appended near-copy."""
+    import numpy as np
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    cents = np.array(
+        [r["embedding"] for r in embeddings_tiny.filter(F.col("vec_id") < 4)
+         .orderBy("vec_id").collect()], dtype=np.float64,
+    )
+    path = tmp_path_factory.mktemp("ivfpq") / "index"
+    idx = IVFIndex(spark, str(path)).build(
+        embeddings_tiny, centroids=cents, assign_round_dp=6,
+        storage="pq", pq_subs=8, pq_codes=16,
+    )
+    stored = spark.read.parquet(f"{path}/data")
+    assert "__pq" in stored.columns and "embedding" not in stored.columns
+    assert dict(stored.dtypes)["__pq"] == "array<tinyint>"
+
+    q = list(embeddings_tiny.filter(F.col("vec_id") == 0).head()["embedding"])
+    top = idx.search(q, k=5, nprobe=4, tie_break=["vec_id"],
+                     output_cols=["vec_id", "label"]).collect()
+    # vec 0 is a codebook vector: reconstruction is exact, cosine = 1
+    assert top[0]["vec_id"] == 0 and abs(top[0]["score"] - 1.0) < 1e-9
+
+    clone = embeddings_tiny.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    idx.add(clone)
+    ids = [r["vec_id"] for r in idx.search(
+        q, k=5, nprobe=4, tie_break=["vec_id"],
+        output_cols=["vec_id", "label"]).collect()]
+    assert 100000 in ids

@@ -164,6 +164,9 @@ class IVFIndex:
         centroids: np.ndarray | None = None,
         assign_round_dp: int | None = None,
         storage: str = "flat",
+        pq_subs: int = 8,
+        pq_codes: int = 16,
+        pq_id_col: str = "vec_id",
     ) -> "IVFIndex":
         """Train (sampled Lloyd's) or adopt ``centroids`` verbatim — the
         pre-trained/medoid path (e.g. centroid j := a designated vector),
@@ -177,9 +180,19 @@ class IVFIndex:
         time. Probing reads ~nprobe/nlist of a 8×-smaller table; scores are
         exact over the dequantized values (reconstruction error ≤ step/2
         per element, functions/vector.py). Searches always expose the
-        dequantized vector under the name ``embedding``."""
-        if storage not in ("flat", "sq8"):
-            raise ValueError("storage must be 'flat' or 'sq8'")
+        dequantized vector under the name ``embedding``.
+
+        ``storage="pq"`` is the IVF_PQ tier: cell assignment on the RAW
+        vectors, storage as ``pq_subs`` one-byte codes per vector (d/m
+        compression — 32× at m=8, d=64 doubles) against a designated-vector
+        codebook (:func:`pq_codebook` over ``pq_id_col``; the codebook
+        persists at ``<path>/pq_codebook``). Probe-time reconstruction
+        concatenates codewords via a literal lookup (a pure column
+        expression above the pruned scan), so ``dot(q, reconstruction)``
+        IS the classic ADC score and every search/add/compact path works
+        unchanged over codes."""
+        if storage not in ("flat", "sq8", "pq"):
+            raise ValueError("storage must be 'flat', 'sq8', or 'pq'")
         if centroids is not None:
             cents = np.asarray(centroids, dtype=np.float64)
         else:
@@ -196,6 +209,17 @@ class IVFIndex:
             assigned = assigned.withColumn(
                 "__sq8", sq8_quantize_col(emb_col)
             ).drop(emb_col)
+        if storage == "pq":
+            cb = pq_codebook(
+                df, n_codes=pq_codes, n_subs=pq_subs,
+                id_col=pq_id_col, emb_col=emb_col,
+            )
+            cb.repartition(1).write.mode("overwrite").parquet(
+                f"{self.path}/pq_codebook"
+            )
+            assigned = _with_pq_codes(
+                assigned, cb, n_subs=pq_subs, id_col=pq_id_col, emb_col=emb_col
+            )
         # repartition by the layout key first: one file per centroid per
         # shuffle bucket (≈nlist files total), not input-tasks × nlist
         assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
@@ -296,6 +320,7 @@ class IVFIndex:
         df: DataFrame,
         emb_col: str = "embedding",
         assign_round_dp: int | None = None,
+        pq_id_col: str = "vec_id",
     ) -> "IVFIndex":
         """Incremental maintenance: assign a NEW batch against the EXISTING
         centroids and append into the partition layout — cost proportional
@@ -313,13 +338,21 @@ class IVFIndex:
             ),
         )
         # match the existing storage tier (schema sniff = one footer read):
-        # an sq8 index must quantize appended batches the same way build did
-        if "__sq8" in self.spark.read.parquet(f"{self.path}/data").columns:
+        # a quantized index must encode appended batches the same way build
+        # did (pq uses the PERSISTED codebook — codes stay comparable)
+        existing_cols = self.spark.read.parquet(f"{self.path}/data").columns
+        if "__sq8" in existing_cols:
             from vectordb_etl_spark.functions.vector import sq8_quantize_col
 
             assigned = assigned.withColumn(
                 "__sq8", sq8_quantize_col(emb_col)
             ).drop(emb_col)
+        if "__pq" in existing_cols:
+            cb = self.spark.read.parquet(f"{self.path}/pq_codebook")
+            n_subs = cb.agg(F.max("sub")).head()[0] + 1
+            assigned = _with_pq_codes(
+                assigned, cb, n_subs=n_subs, id_col=pq_id_col, emb_col=emb_col
+            )
         assigned.repartition("centroid_id").write.mode("append").partitionBy(
             "centroid_id"
         ).parquet(f"{self.path}/data")
@@ -404,8 +437,11 @@ class IVFIndex:
     def _read_data(self) -> DataFrame:
         """The indexed table with the vector column restored: flat storage
         reads as written; SQ8 storage dequantizes the int8 codes into
-        ``embedding`` (a pure column expression — the partition filter still
-        prunes the scan underneath the projection)."""
+        ``embedding``; PQ storage reconstructs it as codeword lookups
+        against a LITERAL codebook (m·K·(d/m) doubles in the plan — a few
+        KB). All three are pure column expressions — the partition filter
+        still prunes the scan underneath the projection, and for PQ,
+        ``dot(q, reconstruction)`` is exactly the ADC score."""
         df = self.spark.read.parquet(f"{self.path}/data")
         if "__sq8" in df.columns:
             from vectordb_etl_spark.functions.vector import sq8_dequantize_col
@@ -413,6 +449,28 @@ class IVFIndex:
             df = df.withColumn(
                 "embedding", sq8_dequantize_col("__sq8")
             ).drop("__sq8")
+        if "__pq" in df.columns:
+            by_sub: dict[int, dict[int, list[float]]] = {}
+            for r in self.spark.read.parquet(f"{self.path}/pq_codebook").collect():
+                by_sub.setdefault(int(r["sub"]), {})[int(r["code"])] = [
+                    float(x) for x in r["cw"]
+                ]
+            cb_lit = F.array(*[
+                F.array(*[
+                    F.array(*[F.lit(v) for v in by_sub[s][c]])
+                    for c in sorted(by_sub[s])
+                ])
+                for s in sorted(by_sub)
+            ])
+            recon = F.flatten(
+                F.transform(
+                    F.col("__pq"),
+                    lambda c, i: F.element_at(
+                        F.element_at(cb_lit, i + 1), c.cast("int") + 1
+                    ),
+                )
+            )
+            df = df.withColumn("embedding", recon).drop("__pq")
         return df
 
     def search(
@@ -701,3 +759,33 @@ SELECT s.id AS {id_col}, {extra_cols}, s.score
 FROM scored s JOIN e USING (id)
 ORDER BY s.score DESC, s.id ASC LIMIT {k}
 """
+
+
+def _with_pq_codes(
+    assigned: DataFrame,
+    codebook: DataFrame,
+    n_subs: int,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """Replace ``emb_col`` with a ``__pq`` codes column (array<tinyint>,
+    one code per subspace, sub-ordered): encode against ``codebook``, fold
+    the (id, sub, code) rows to an array, and join back on the id — the
+    one id-keyed shuffle of the PQ build path."""
+    codes = pq_encode(
+        assigned.select(F.col(id_col), F.col(emb_col)),
+        codebook, n_subs=n_subs, id_col=id_col, emb_col=emb_col,
+    )
+    codes_arr = codes.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda x: x["code"],
+        )
+        .cast("array<tinyint>")
+        .alias("__pq")
+    )
+    return (
+        assigned.join(codes_arr, assigned[id_col] == codes_arr["id"])
+        .drop("id")
+        .drop(emb_col)
+    )
