@@ -109,10 +109,14 @@ def test_cli_config_plumbing():
 
 
 def test_curate_stage_and_load_prefers_curated(runner):
-    # runs after the full-stage test: transform checkpoint exists. The
-    # fixture corpus is template-generated, so near-identical paragraphs
+    # The fixture corpus is template-generated, so near-identical paragraphs
     # across docs are true near-dups the transitive pass must collapse;
     # load must then pick up curated.parquet instead of raw chunks.
+    from pathlib import Path
+
+    if not Path(runner.chunks_path).exists():  # allow -k selection to run solo
+        runner.extract()
+        runner.transform()
     tr_rows = runner.spark.read.parquet(runner.chunks_path).count()
     cur = runner.curate(sample_fractions=None)
     assert cur.rows < tr_rows
@@ -154,7 +158,8 @@ def test_load_skips_stale_curated(runner):
 def test_cli_curate_stage_parses():
     args = build_parser().parse_args(
         ["--stage", "curate", "--sample-fractions", '{"english": 0.5}',
-         "--length-band", "0.01,0.99", "--boilerplate-max-frac", "0.5"]
+         "--length-band", "0.01,0.99", "--boilerplate-max-frac", "0.5",
+         "--substring-dup-max-frac", "0.4"]
     )
     assert args.stage == "curate"
     import json as _json
@@ -162,6 +167,7 @@ def test_cli_curate_stage_parses():
     assert _json.loads(args.sample_fractions) == {"english": 0.5}
     assert args.length_band == "0.01,0.99"
     assert args.boilerplate_max_frac == 0.5
+    assert args.substring_dup_max_frac == 0.4
 
 
 def test_curate_screens_length_band_and_boilerplate(runner):
@@ -183,6 +189,12 @@ def test_curate_screens_length_band_and_boilerplate(runner):
         near_dup=False, redact_pii=False, boilerplate_max_frac=0.2
     )
     assert screened.rows < base.rows
+    # the template corpus repeats exact 40-char spans across docs, so the
+    # Lee-et-al. substring screen must also remove chunks
+    sub = runner.curate(
+        near_dup=False, redact_pii=False, substring_dup_max_frac=0.2
+    )
+    assert sub.rows < base.rows
     # a no-op band keeps everything (inclusive bounds at 0/1)
     noop = runner.curate(
         near_dup=False, redact_pii=False, length_band=(0.0, 1.0)

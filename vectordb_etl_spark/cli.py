@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="curate: drop chunks whose cross-doc shared-shingle fraction "
         "exceeds this threshold, e.g. 0.5",
     )
+    p.add_argument(
+        "--substring-dup-max-frac",
+        type=float,
+        default=None,
+        help="curate: drop chunks whose exact substring-window duplicated "
+        "fraction exceeds this threshold, e.g. 0.5",
+    )
     p.add_argument("--kind", choices=["html", "hwp"], default="html")
     p.add_argument("--input-dir", default="data/input")
     p.add_argument("--checkpoint-dir", default="data/checkpoints")
@@ -136,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
                 sample_fractions=fractions,
                 length_band=band,
                 boilerplate_max_frac=args.boilerplate_max_frac,
+                substring_dup_max_frac=args.substring_dup_max_frac,
             )
         ]
     elif args.stage == "load":

@@ -118,6 +118,7 @@ class PipelineRunner:
         text_col: str = "text",
         length_band: tuple[float, float] | None = None,
         boilerplate_max_frac: float | None = None,
+        substring_dup_max_frac: float | None = None,
     ) -> StageResult:
         """Optional curation stage between transform and load — the
         training-data pass the reference lacks: length-outlier screening,
@@ -131,8 +132,11 @@ class PipelineRunner:
         percentile band of their text length (percentile_screen);
         ``boilerplate_max_frac`` drops chunks whose shared-shingle fraction
         exceeds the threshold (boilerplate_fraction; chunks too short to
-        shingle are kept). Screens run FIRST — they are the cheapest and
-        shrink the input to the similarity passes."""
+        shingle are kept); ``substring_dup_max_frac`` drops chunks whose
+        exact substring-window duplicated fraction exceeds the threshold
+        (substring_dup_stats — the Lee-et-al. cut; zero-window chunks are
+        kept). Screens run FIRST — they are the cheapest and shrink the
+        input to the similarity passes."""
         from vectordb_etl_spark.functions import curation
         from vectordb_etl_spark.operators import dedup as D
 
@@ -156,6 +160,18 @@ class PipelineRunner:
                     | (F.col("boiler_frac") <= boilerplate_max_frac)
                 )
                 .drop("boiler_frac")
+            )
+        if substring_dup_max_frac is not None:
+            sd = D.substring_dup_stats(
+                chunks, id_col="chunk_id", text_col=text_col
+            ).select("chunk_id", "dup_fraction")
+            chunks = (
+                chunks.join(sd, "chunk_id", "left")
+                .filter(
+                    F.col("dup_fraction").isNull()
+                    | (F.col("dup_fraction") <= substring_dup_max_frac)
+                )
+                .drop("dup_fraction")
             )
         if near_dup:
             pairs = D.lsh_candidate_pairs(chunks, id_col="chunk_id", text_col=text_col)
