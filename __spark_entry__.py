@@ -929,6 +929,31 @@ _register(
 )
 
 
+def _substring_dup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental Lee-et-al. screen (operators/dedup.py
+    substring_dup_incremental): docs < 50 are the daily batch, docs >= 50
+    the standing corpus whose window table would persist; batch windows
+    equi-join the DISTINCT corpus hashes on the uniform md5 key — never
+    corpus×corpus."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") < 50)
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    return D.substring_dup_incremental(
+        batch, D.substring_window_table(corpus), width=40, stride=20
+    )
+
+
+_register(
+    "substring_dup_incremental",
+    _substring_dup_incremental,
+    D.substring_dup_incremental_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 50",
+        "SELECT doc_id, text FROM documents WHERE doc_id >= 50",
+        width=40, stride=20,
+    ),
+)
+
+
 _register(
     "substring_dup_stats",
     # exact substring-window duplication (operators/dedup.py
@@ -3358,7 +3383,6 @@ _PRIORITY = [
     "doc_fingerprint",
     "text_quality",
     "token_counts",
-    "chunk_stats",
     "language_distribution",
     "quality_report",
     "embedding_norms",
@@ -3389,11 +3413,12 @@ _PRIORITY = [
 
 # Green in CORRECTNESS_r03.json (driver-checked last round) — rotate behind
 # the cap; flip again next round. token_estimate/chunk_id/varchar_truncate
-# (plus clean_hwp_text and sample_review) moved here mid-r04 — driver-green
-# r01+r02, judge-green r03, scalar/sample surfaces with no join risk — to
-# free cap slots for the five never-driver-checked r04 additions
-# (substring_dup_stats, semantic_dedup, bigram_logprob,
-# streaming_exact_dedup, dsir_log_weights).
+# (plus clean_hwp_text, sample_review, top_sources, size_histogram and
+# chunk_stats) moved here mid-r04 — driver-green r01+r02, judge-green r03,
+# scalar/small-agg surfaces with no join risk — to free cap slots for the
+# never-driver-checked r04 additions (substring_dup_stats + incremental,
+# semantic_dedup, bigram_logprob, streaming_exact_dedup, dsir_log_weights,
+# pq_topk, ivf_pq_topk, retention_cohorts).
 _DEMOTE = [
     "token_estimate",
     "chunk_id",
@@ -3402,6 +3427,7 @@ _DEMOTE = [
     "sample_review",
     "top_sources",
     "size_histogram",
+    "chunk_stats",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",

@@ -194,6 +194,7 @@ def main() -> None:
     ]
     noop_queries = [
         "substring_dup_stats",
+        "substring_dup_incremental",
         "dsir_log_weights",
         "pii_redaction",
         "contamination_check",

@@ -618,3 +618,25 @@ def test_semantic_dedup_assignment_deterministic_and_cluster_scoped(spark):
     assert out[2]["is_dup"] and out[2]["kept_id"] == 1
     assert out[3]["cluster_id"] == out[4]["cluster_id"] == 1
     assert out[4]["is_dup"] and out[4]["kept_id"] == 3
+
+
+def test_substring_dup_incremental_batch_vs_corpus(spark):
+    shared = "S" * 25 + "T" * 25  # 50 shared chars -> the pos-0 window hits
+    batch = spark.createDataFrame(
+        [(1, shared + "a" * 30), (2, "fresh content " * 6)], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(100, shared + "z" * 40), (101, "other corpus text " * 5)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.substring_dup_incremental(
+            batch, D.substring_window_table(corpus), width=40, stride=20
+        ).collect()
+    }
+    assert out[1]["n_corpus_dup_windows"] >= 1  # shared prefix window hits
+    assert out[2]["n_corpus_dup_windows"] == 0
+    assert out[2]["corpus_dup_fraction"] == 0.0
+    # batch-only scoring: corpus docs never appear in the result
+    assert set(out) == {1, 2}

@@ -1611,3 +1611,122 @@ SELECT a.id AS {id_col}, a.cid AS cluster_id, d.kept_id,
        d.kept_id IS NOT NULL AS is_dup
 FROM assign a LEFT JOIN dup d ON d.dup_id = a.id
 """
+
+
+def substring_window_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """The persistable corpus-side artifact for incremental substring
+    dedup: one ``(id, h)`` row per window instance, ``h = md5(window)``.
+    Write it partitioned/bucketed by ``h`` once per corpus build; daily
+    batches then join against it without re-scanning corpus text (same
+    pattern as the LSH band table)."""
+    wins_arr = F.expr(
+        f"CASE WHEN length(__t) >= {width} THEN "
+        f"transform(sequence(0, length(__t) - {width}, {stride}), "
+        f"p -> substring(__t, p + 1, {width})) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .select("id", F.explode(wins_arr).alias("__w"))
+        .select("id", F.md5("__w").alias("h"))
+    )
+
+
+def substring_dup_incremental(
+    batch: DataFrame,
+    corpus_windows: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Incremental Lee-et-al. screen: score a NEW batch against an
+    EXISTING corpus's window table — a batch window is contaminated when
+    its text occurs anywhere in the corpus. Returns per-batch-doc
+    ``(id, n_windows, n_corpus_dup_windows, corpus_dup_fraction)``.
+
+    Scale contract: batch×corpus is an equi-join on the uniform md5 key
+    against DISTINCT corpus hashes — never corpus×corpus, and the corpus
+    side prunes to one row per distinct window before the join. This is
+    the daily-ingest shape: the corpus table appends, the batch pays one
+    shuffle proportional to ITS size."""
+    bw = substring_window_table(
+        batch, id_col=id_col, text_col=text_col, width=width, stride=stride
+    )
+    hits = bw.join(
+        corpus_windows.select("h").distinct(), "h"
+    ).groupBy("id").agg(F.count("*").alias("n_corpus_dup_windows"))
+    wins_arr = F.expr(
+        f"CASE WHEN length(__t) >= {width} THEN "
+        f"transform(sequence(0, length(__t) - {width}, {stride}), "
+        f"p -> substring(__t, p + 1, {width})) "
+        f"ELSE array() END"
+    )
+    totals = batch.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).select("id", F.size(wins_arr).alias("n_windows"))
+    return (
+        totals.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            F.coalesce("n_corpus_dup_windows", F.lit(0)).alias(
+                "n_corpus_dup_windows"
+            ),
+            F.when(F.col("n_windows") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_corpus_dup_windows", F.lit(0)).cast("double")
+                    / F.col("n_windows"),
+                    6,
+                )
+            )
+            .alias("corpus_dup_fraction"),
+        )
+    )
+
+
+def substring_dup_incremental_sql(
+    batch_sql: str,
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 40,
+    stride: int = 20,
+) -> str:
+    """Oracle: same windows/hashes; corpus side reduced to distinct
+    hashes before the join."""
+    def windows(src: str) -> str:
+        return (
+            f"SELECT {id_col} AS id, md5(substr({text_col}, p + 1, {width})) AS h "
+            f"FROM (SELECT {id_col}, {text_col}, "
+            f"unnest(range(0, length({text_col}) - {width} + 1, {stride})) AS p "
+            f"FROM ({src}) src WHERE length({text_col}) >= {width})"
+        )
+
+    return f"""
+WITH bw AS MATERIALIZED ({windows(batch_sql)}),
+cw AS (SELECT DISTINCT h FROM ({windows(corpus_sql)})),
+hits AS (
+  SELECT id, count(*) AS n_dup FROM bw JOIN cw USING (h) GROUP BY id
+), tot AS (
+  SELECT {id_col} AS id,
+         CASE WHEN length({text_col}) >= {width}
+              THEN (length({text_col}) - {width}) // {stride} + 1
+              ELSE 0 END AS n_win
+  FROM ({batch_sql}) b
+)
+SELECT t.id AS {id_col},
+       CAST(t.n_win AS INT) AS n_windows,
+       CAST(coalesce(hits.n_dup, 0) AS BIGINT) AS n_corpus_dup_windows,
+       CASE WHEN t.n_win = 0 THEN 0.0
+            ELSE round(coalesce(hits.n_dup, 0)::DOUBLE / t.n_win, 6)
+       END AS corpus_dup_fraction
+FROM tot t LEFT JOIN hits USING (id)
+"""
