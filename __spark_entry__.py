@@ -3261,6 +3261,43 @@ _register(
 )
 
 
+def _json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured JSON processing — the events.props column parsed
+    with a TYPED schema (from_json, the idiomatic Spark path: one parse,
+    typed field access, malformed rows → NULL rather than error) and
+    aggregated per event type. A core analytics-engine surface the rest
+    of the suite didn't exercise; at scale the parse is a codegen-adjacent
+    expression evaluated once per row, no Python."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = _events(spark, sf).select("event_type", "props")
+    schema = StructType([StructField("k", LongType())])
+    parsed = ev.select(
+        "event_type", F.from_json("props", schema).getField("k").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_register(
+    "json_props_stats",
+    _json_props_stats,
+    "SELECT event_type, count(*) AS n_events, "
+    "count(CAST(props->>'k' AS BIGINT)) AS n_with_k, "
+    "sum(CAST(props->>'k' AS BIGINT)) AS sum_k, "
+    "round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k, "
+    "min(CAST(props->>'k' AS BIGINT)) AS min_k, "
+    "max(CAST(props->>'k' AS BIGINT)) AS max_k "
+    "FROM events GROUP BY event_type",
+)
+
+
 def _retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """Classic product-analytics retention matrix: cohort = a user's first
     event day; cell (cohort_day, day_offset) counts distinct users of that
@@ -3386,7 +3423,6 @@ _PRIORITY = [
     "language_distribution",
     "quality_report",
     "embedding_norms",
-    "events_hourly",
     "events_distinct_users",
     "pricing_summary",
     "top_customers",
@@ -3428,6 +3464,7 @@ _DEMOTE = [
     "top_sources",
     "size_histogram",
     "chunk_stats",
+    "events_hourly",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",

@@ -191,6 +191,7 @@ def main() -> None:
         "pq_topk",
         "ivf_pq_topk",
         "retention_cohorts",
+        "json_props_stats",
     ]
     noop_queries = [
         "substring_dup_stats",
