@@ -32,7 +32,10 @@ def prepare_training_data(
     *,
     length_band=(0.02, 0.98),
     boilerplate_max_frac=0.8,
+    substring_dup_max_frac=None,
     quality_gate=True,
+    dsir_target_lang=None,
+    dsir_keep_frac=0.5,
     mix_targets=None,
     budget_tokens=200_000,
     pack_budget=512,
@@ -75,6 +78,21 @@ def prepare_training_data(
     )
     stages["boilerplate_screened"] = docs.count()
 
+    # 2b. exact substring-window dup gate (the Lee-et-al. cut)
+    if substring_dup_max_frac is not None:
+        sd = D.substring_dup_stats(docs, id_col="doc_id").select(
+            "doc_id", "dup_fraction"
+        )
+        docs = (
+            docs.join(sd, "doc_id", "left")
+            .filter(
+                F.col("dup_fraction").isNull()
+                | (F.col("dup_fraction") <= substring_dup_max_frac)
+            )
+            .drop("dup_fraction")
+        )
+        stages["substring_screened"] = docs.count()
+
     # 3. transitive near-dup removal (LSH pairs → components → min-id rep)
     pairs = D.lsh_candidate_pairs(docs, id_col="doc_id")
     comps = D.connected_components(docs, pairs, id_col="doc_id")
@@ -85,6 +103,31 @@ def prepare_training_data(
     if quality_gate:
         docs = docs.filter(gopher_pass_col(gopher_signal_cols("text")))
         stages["quality_gated"] = docs.count()
+
+    # 4b. optional DSIR domain targeting: score every doc against the
+    # target-language slice and keep the top fraction by importance weight
+    # (deterministic: weight desc, doc_id tie-break)
+    if dsir_target_lang is not None:
+        from pyspark.sql.window import Window
+
+        w = curation.dsir_log_weights(
+            docs.select("doc_id", "text"),
+            docs.filter(F.col("lang") == dsir_target_lang).select("text"),
+        ).select("doc_id", "log_weight")
+        # rank the SLIM (id, weight) frame — the global total-order sort
+        # moves two columns, never text — then semi-join the keep set back
+        keep = (
+            w.withColumn(
+                "__pr",
+                F.percent_rank().over(
+                    Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+                ),
+            )
+            .filter(F.col("__pr") <= dsir_keep_frac)
+            .select("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
+        stages["dsir_selected"] = docs.count()
 
     # 5. token counts once — mixing, selection, and packing all reuse them
     docs = docs.withColumn("n_tokens", estimate_tokens_col("text"))
