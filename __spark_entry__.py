@@ -3409,9 +3409,12 @@ _register(
 # The driver verifies the FIRST 50 registered queries only. The rotation
 # flips each round so every query is driver-checked at least every other
 # round (VERDICT r03 item 1): rows OUTSIDE the r03 cap lead this round;
-# the 50 rows green in CORRECTNESS_r03.json rotate behind. Newly registered
-# queries land in the middle band — inside the cap by construction
-# (head is 38 rows, so up to 12 new queries stay driver-checked).
+# the rows green in CORRECTNESS_r03.json rotate behind. Newly registered
+# queries land in the middle band — inside the cap by construction. As
+# r04 queries were added, the cheapest long-green head rows (3× driver/
+# judge-verified scalar or small-agg surfaces) were demoted one-for-one
+# so every never-driver-checked addition stays inside the cap; audit with
+# `list(queries())[:50]` after registering anything new.
 
 _PRIORITY = [
     # not driver-checked in r03 (rotated out; judge-run green) — lead r04
