@@ -3226,6 +3226,95 @@ _register(
 )
 
 
+def _events_gap_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series LINEAR INTERPOLATION (sparse → dense → filled): missing
+    (event_type, hour) buckets get the linear blend of the nearest
+    observed hourly averages on both sides — the standard sensor/metrics
+    resample. Same tiny-bounds dense axis as events_gap_fill; the
+    carry-forward/backward scan is two IGNORE-NULLS window passes over the
+    dense axis (rows ∝ span·types, not events), all codegen."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    axis = spans.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    dense = axis.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "vh", F.when(F.col("v").isNotNull(), F.col("hour"))
+    )
+    fwd = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bwd = Window.partitionBy("event_type").orderBy(F.desc("hour")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = (
+        dense.withColumn("pv", F.last("v", ignorenulls=True).over(fwd))
+        .withColumn("ph", F.last("vh", ignorenulls=True).over(fwd))
+        .withColumn("nv", F.last("v", ignorenulls=True).over(bwd))
+        .withColumn("nh", F.last("vh", ignorenulls=True).over(bwd))
+    )
+    frac = (
+        F.col("hour").cast("double") - F.col("ph").cast("double")
+    ) / (F.col("nh").cast("double") - F.col("ph").cast("double"))
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("ph").isNull(), F.col("nv"))
+        .when(F.col("nh").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.col("v").isNotNull().alias("observed"),
+        F.round(interp, 6).alias("v_interp"),
+    )
+
+
+_register(
+    "events_gap_interpolate",
+    _events_gap_interpolate,
+    "WITH hourly AS ("
+    "  SELECT event_type, date_trunc('hour', ts) AS hour,"
+    "         round(avg(value), 6) AS v"
+    "  FROM events GROUP BY 1, 2"
+    "), spans AS ("
+    "  SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM hourly GROUP BY 1"
+    "), axis AS ("
+    "  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour"
+    "  FROM spans"
+    "), dense AS ("
+    "  SELECT a.event_type, a.hour, h.v,"
+    "         CASE WHEN h.v IS NOT NULL THEN a.hour END AS vh"
+    "  FROM axis a LEFT JOIN hourly h"
+    "    ON a.event_type = h.event_type AND a.hour = h.hour"
+    "), filled AS ("
+    "  SELECT *,"
+    "    last_value(v IGNORE NULLS) OVER fw AS pv,"
+    "    last_value(vh IGNORE NULLS) OVER fw AS ph,"
+    "    last_value(v IGNORE NULLS) OVER bw AS nv,"
+    "    last_value(vh IGNORE NULLS) OVER bw AS nh"
+    "  FROM dense"
+    "  WINDOW fw AS (PARTITION BY event_type ORDER BY hour"
+    "                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),"
+    "         bw AS (PARTITION BY event_type ORDER BY hour DESC"
+    "                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ") "
+    "SELECT event_type, hour, v IS NOT NULL AS observed, "
+    "round(CASE WHEN v IS NOT NULL THEN v "
+    "WHEN ph IS NULL THEN nv WHEN nh IS NULL THEN pv "
+    "ELSE pv + (nv - pv) * ((epoch(hour) - epoch(ph)) / (epoch(nh) - epoch(ph))) "
+    "END, 6) AS v_interp FROM filled",
+)
+
+
 def _cumulative_unique_users(spark: SparkSession, sf: str) -> DataFrame:
     """Cumulative distinct users per day — the SCALABLE form. A naive
     `count(DISTINCT) OVER (ORDER BY day)` re-deduplicates the whole prefix
@@ -3426,7 +3515,6 @@ _PRIORITY = [
     "language_distribution",
     "quality_report",
     "embedding_norms",
-    "events_distinct_users",
     "pricing_summary",
     "top_customers",
     "regional_revenue",
@@ -3468,6 +3556,7 @@ _DEMOTE = [
     "size_histogram",
     "chunk_stats",
     "events_hourly",
+    "events_distinct_users",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",

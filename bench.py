@@ -192,6 +192,7 @@ def main() -> None:
         "ivf_pq_topk",
         "retention_cohorts",
         "json_props_stats",
+        "events_gap_interpolate",
     ]
     noop_queries = [
         "substring_dup_stats",
