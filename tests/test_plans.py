@@ -475,3 +475,61 @@ def test_training_shards_pack_aligned_and_sorted(spark, tmp_path):
     assert all(len(files) == 1 for files in pack_locations.values())
     # every row survived the layout
     assert spark.read.parquet(p).count() == 400
+
+
+def test_zordered_write_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order layout must give file-level zone-map selectivity on BOTH
+    clustered columns, where single-column range clustering only skips on
+    its sort key. Measured on the real parquet footers: count the files a
+    narrow predicate on each dimension would have to read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vectordb_etl_spark.store.layout import write_clustered, write_zordered
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "value")
+    zp = str(tmp_path / "z")
+    cp = str(tmp_path / "c")
+    write_zordered(ev, zp, ["user_id", "value"], bits=8, num_files=16)
+    write_clustered(ev, cp, ["user_id"], num_files=16)
+
+    def files_hit(path, col, lo, hi):
+        total, hit = 0, 0
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            fl, fh = None, None
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                st = c.statistics
+                fl = st.min if fl is None else min(fl, st.min)
+                fh = st.max if fh is None else max(fh, st.max)
+            total += 1
+            if not (fh < lo or fl > hi):
+                hit += 1
+        return hit, total
+
+    bounds = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).head()
+    ulo, uhi, vlo, vhi = bounds
+    uspan, vspan = uhi - ulo, vhi - vlo
+    # ~5%-wide probes in each dimension
+    uprobe = (ulo + 0.4 * uspan, ulo + 0.45 * uspan)
+    vprobe = (vlo + 0.4 * vspan, vlo + 0.45 * vspan)
+
+    zu, zt = files_hit(zp, "user_id", *uprobe)
+    zv, _ = files_hit(zp, "value", *vprobe)
+    cu, ct = files_hit(cp, "user_id", *uprobe)
+    cv, _ = files_hit(cp, "value", *vprobe)
+
+    # single-column clustering: selective on user_id, blind on value
+    assert cu < ct
+    assert cv == ct  # every file intersects the value probe
+    # z-order: selective on BOTH dimensions
+    assert zu < zt and zv < zt
+    assert zu + zv < zt * 2  # strictly better than reading everything twice

@@ -169,3 +169,69 @@ def write_training_shards(
         .partitionBy(bucket_col)
         .parquet(path)
     )
+
+
+def zorder_key_col(cols, mins, maxs, bits: int = 8):
+    """Z-order (Morton) interleave key over ``cols`` — the multi-column
+    data-skipping layout (what Delta OPTIMIZE ZORDER BY / Iceberg z-order
+    sort do): each column scales to a ``bits``-bit integer against its
+    [min, max] span, then the bit planes interleave so z-adjacent rows are
+    near-adjacent in EVERY clustered dimension at once. Pure column
+    arithmetic (shift/and/or) — whole-stage codegen, no UDF.
+
+    ``mins``/``maxs`` are the per-column global bounds (one tiny aggregate
+    at write time); constant columns collapse to bucket 0."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    buckets = []
+    top = (1 << bits) - 1
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            buckets.append(F.lit(0))
+            continue
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * top
+        ).cast("long")
+        buckets.append(F.greatest(F.lit(0), F.least(F.lit(top), scaled)))
+    z = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):  # high bit planes first
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = F.shiftleft(z, 1).bitwiseOR(bit)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 8,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimension data-skipping layout: range-partition + sort on the
+    z-order key so every parquet file/row group covers a compact z-range —
+    a bounded sub-rectangle in EVERY clustered column. A later narrow
+    filter on ANY of the columns then skips most files via zone maps,
+    where single-column range clustering (:func:`write_clustered`) only
+    skips on its one sort key. Cost: one bounds aggregate + one range
+    shuffle at write time."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cluster_cols)],
+        *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cluster_cols)],
+    ).head()
+    mins = [bounds[f"__lo_{i}"] for i in range(len(cluster_cols))]
+    maxs = [bounds[f"__hi_{i}"] for i in range(len(cluster_cols))]
+    z = zorder_key_col(cluster_cols, mins, maxs, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
