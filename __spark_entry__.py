@@ -959,8 +959,9 @@ _register(
     # exact substring-window duplication (operators/dedup.py
     # substring_dup_stats — Lee et al. ExactSubstr, distributed): 40-char
     # windows / stride 20, a window is duplicated when its text occurs in
-    # >= 2 distinct docs; per-doc duplicated fraction. One shuffle on the
-    # uniform md5(window) key; window text never shuffles.
+    # >= 2 distinct docs; per-doc duplicated fraction. Exchanges keyed
+    # only by the uniform md5(window) hash or doc id; window text never
+    # shuffles.
     lambda spark, sf: D.substring_dup_stats(
         _docs(spark, sf).select("doc_id", "text"), width=40, stride=20
     ),

@@ -106,9 +106,9 @@ HEADLINERS: list[tuple[str, str]] = [
      "IVF_SQ8: partition-pruned scan of int8 codes, dequantize as a "
      "codegen projection above the scan, TakeOrderedAndProject top-k."),
     ("substring_dup_stats",
-     "Exact substring-window dedup: generate+explode windows map-side, ONE "
-     "shuffle on the uniform md5(window) key, semi-join back on the same "
-     "key — window text never shuffles."),
+     "Exact substring-window dedup: generate+explode windows map-side; "
+     "every exchange is keyed by the uniform md5(window) hash or doc id "
+     "— window text never shuffles."),
     ("semantic_dedup",
      "SemDeDup: broadcast centroid assignment (codegen cosine + one "
      "row_number window), then FlatMapGroupsInPandas BLAS pairing per "

@@ -1398,12 +1398,12 @@ def substring_dup_stats(
     cut).
 
     Scale shape: one generate+explode (no join) producing n_windows ≈
-    chars/stride rows, then ONE shuffle keyed by ``md5(window)`` — uniform
-    by construction, no skew — a count-distinct-docs per key, and a
-    broadcast-free semi-join back on the same uniform key. Window text
-    never shuffles: the 32-hex md5 is the key either side, so shuffle
-    bytes are ~32B per instance regardless of ``width``. Short docs
-    (len < width) yield zero windows and survive with fraction 0.0.
+    chars/stride rows; every exchange after that is keyed either by
+    ``md5(window)`` — uniform by construction, no skew — or by the doc id
+    (the per-doc counts). Window text itself never shuffles: the 32-hex
+    md5 is the key on every wire, so shuffle bytes are ~32B per instance
+    regardless of ``width``. Short docs (len < width) yield zero windows
+    and survive with fraction 0.0.
     """
     wins_arr = F.expr(
         f"CASE WHEN length(__t) >= {width} THEN "
