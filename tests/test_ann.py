@@ -465,3 +465,29 @@ def test_trained_pq_codebook_reduces_reconstruction_error(spark, embeddings_tiny
     assert set(trained.columns) == {"sub", "code", "cw"}
     designated = pq_codebook(embeddings_tiny, n_codes=64, n_subs=8)
     assert total_err(trained) < total_err(designated)
+
+
+def test_ivf_pq_adopts_trained_codebook(spark, embeddings_tiny, tmp_path):
+    import numpy as np
+
+    from vectordb_etl_spark.operators.ann import IVFIndex, train_pq_codebook
+
+    cents = np.array(
+        [r["embedding"] for r in embeddings_tiny.filter(F.col("vec_id") < 4)
+         .orderBy("vec_id").collect()], dtype=np.float64,
+    )
+    cb = train_pq_codebook(embeddings_tiny, spark, n_codes=64, n_subs=8)
+    idx = IVFIndex(spark, str(tmp_path / "ivfpq_t")).build(
+        embeddings_tiny, centroids=cents, storage="pq",
+        pq_subs=8, pq_codebook_df=cb,
+    )
+    # persisted artifact is the adopted codebook
+    persisted = spark.read.parquet(f"{tmp_path}/ivfpq_t/pq_codebook")
+    assert persisted.count() == cb.count()
+    q = list(embeddings_tiny.filter(F.col("vec_id") == 7).head()["embedding"])
+    out = idx.search(q, k=10, nprobe=4, tie_break=["vec_id"],
+                     output_cols=["vec_id"]).collect()
+    assert len(out) == 10
+    # trained-codebook ADC recall floor against exact
+    got = [r["vec_id"] for r in out]
+    assert recall_at_k(_exact_ids(embeddings_tiny, q, k=10), got) >= 0.3

@@ -167,6 +167,7 @@ class IVFIndex:
         pq_subs: int = 8,
         pq_codes: int = 16,
         pq_id_col: str = "vec_id",
+        pq_codebook_df: DataFrame | None = None,
     ) -> "IVFIndex":
         """Train (sampled Lloyd's) or adopt ``centroids`` verbatim — the
         pre-trained/medoid path (e.g. centroid j := a designated vector),
@@ -210,13 +211,22 @@ class IVFIndex:
                 "__sq8", sq8_quantize_col(emb_col)
             ).drop(emb_col)
         if storage == "pq":
-            cb = pq_codebook(
-                df, n_codes=pq_codes, n_subs=pq_subs,
-                id_col=pq_id_col, emb_col=emb_col,
+            # adopt a supplied codebook (e.g. train_pq_codebook's trained
+            # one — the quality path) or derive the designated-vector
+            # codebook (the oracle path); either way it persists next to
+            # the layout so add() re-encodes consistently
+            cb = (
+                pq_codebook_df
+                if pq_codebook_df is not None
+                else pq_codebook(
+                    df, n_codes=pq_codes, n_subs=pq_subs,
+                    id_col=pq_id_col, emb_col=emb_col,
+                )
             )
             cb.repartition(1).write.mode("overwrite").parquet(
                 f"{self.path}/pq_codebook"
             )
+            cb = self.spark.read.parquet(f"{self.path}/pq_codebook")
             assigned = _with_pq_codes(
                 assigned, cb, n_subs=pq_subs, id_col=pq_id_col, emb_col=emb_col
             )
