@@ -640,3 +640,26 @@ def test_substring_dup_incremental_batch_vs_corpus(spark):
     assert out[2]["corpus_dup_fraction"] == 0.0
     # batch-only scoring: corpus docs never appear in the result
     assert set(out) == {1, 2}
+
+
+def test_semantic_dedup_composes_with_ivf_centroids(spark, embeddings_tiny, tmp_path):
+    """SemDeDup's centroid input is exactly the IVF centroid artifact
+    under a rename — build the index once, reuse its trained geometry for
+    semantic dedup (the composition the two operators are designed for)."""
+    from vectordb_etl_spark.operators.ann import IVFIndex
+    from pyspark.sql import functions as F
+
+    idx = IVFIndex(spark, str(tmp_path / "ivf")).build(
+        embeddings_tiny, nlist=8, seed=42, max_iter=4
+    )
+    cents = spark.read.parquet(f"{tmp_path}/ivf/centroids").select(
+        F.col("centroid_id").alias("cid"), F.col("centroid")
+    )
+    out = D.semantic_dedup(embeddings_tiny, cents, threshold=0.45)
+    rows = out.collect()
+    assert len(rows) == embeddings_tiny.count()
+    assert set(r["cluster_id"] for r in rows) <= set(range(8))
+    for r in rows:  # dup decoration is internally consistent
+        assert r["is_dup"] == (r["kept_id"] is not None)
+        if r["kept_id"] is not None:
+            assert r["kept_id"] < r["vec_id"]
