@@ -339,27 +339,47 @@ def main() -> None:
         )
 
     run("pq_design_point", pq_design_point, collect=True)
-    _pq_ids = [r["vec_id"] for r in pq_design_point().collect()]
-    _emb_mat = _np.stack(
-        [r["embedding"] for r in emb.select("embedding").collect()]
-    ).astype(float)
-    _emb_ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    # recall@10 AVERAGED over 10 queries (single-query recall over a
+    # 10-item cut swings ±0.3 — too noisy to grade a codebook): ONE encode
+    # job, then numpy ADC over the tiny codes table vs exact cosine
+    from vectordb_etl_spark.operators.ann import pq_encode
+
+    _rows = emb.select("vec_id", "embedding").collect()
+    _emb_ids = [r["vec_id"] for r in _rows]
+    _emb_mat = _np.stack([r["embedding"] for r in _rows]).astype(float)
     _emb_unit = _emb_mat / _np.maximum(
         _np.linalg.norm(_emb_mat, axis=1, keepdims=True), 1e-12
     )
-    _qn = _np.asarray(list(q), dtype=float)
-    _qn = _qn / max(_np.linalg.norm(_qn), 1e-12)
-    _exact10 = [
-        _emb_ids[i]
-        for i in _np.argsort(-(_emb_unit @ _qn), kind="stable")[:10]
-    ]
+    _cw = {
+        (r["sub"], r["code"]): _np.asarray(r["cw"], dtype=float)
+        for r in _pq_cb.collect()
+    }
+    _sw = _emb_mat.shape[1] // 8
+    _recon = _np.zeros_like(_emb_mat)
+    _codes = pq_encode(
+        emb.select("vec_id", "embedding"), _pq_cb, n_subs=8
+    ).collect()
+    _pos = {vid: i for i, vid in enumerate(_emb_ids)}
+    for r in _codes:
+        i = _pos[r["id"]]
+        _recon[i, r["sub"] * _sw : (r["sub"] + 1) * _sw] = _cw[(r["sub"], r["code"])]
+    _hits = 0
+    for _qi in range(10):
+        _qv = _emb_mat[_pos[_emb_ids[_qi]]] if _qi < len(_emb_ids) else None
+        _qn2 = _qv / max(float(_np.linalg.norm(_qv)), 1e-12)
+        _ex = set(
+            _emb_ids[i] for i in _np.argsort(-(_emb_unit @ _qn2), kind="stable")[:10]
+        )
+        _adc = set(
+            _emb_ids[i] for i in _np.argsort(-(_recon @ _qv), kind="stable")[:10]
+        )
+        _hits += len(_ex & _adc)
     pq_design_point_meta = {
         "n_codes": 256,
         "n_subs": 8,
         "codebook": "trained",
-        "recall_at_10": round(
-            len(set(_exact10) & set(_pq_ids)) / 10.0, 4
-        ),
+        "n_queries": 10,
+        "recall_at_10": round(_hits / 100.0, 4),
     }
 
     # pass 2: re-measure cheapest-first while under budget, keep the min
