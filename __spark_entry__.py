@@ -3003,6 +3003,298 @@ _register(
 )
 
 
+def _rev_dec():
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+def _regional_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Q5 shape: six-table snowflake where customer and supplier must share
+    a nation inside one region — the extra equi-condition (c_nationkey =
+    s_nationkey) rides the supplier join, so no second nation pass; region
+    and nation broadcast, the only big shuffle is lineitem⋈orders."""
+    r = _table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _table(spark, sf, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    o = _table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _table(spark, sf, "lineitem")
+    cust = _table(spark, sf, "customer")
+    sup = _table(spark, sf, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(n), sup.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev_dec()).cast("double"), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_register(
+    "regional_supplier_volume",
+    _regional_supplier_volume,
+    "SELECT n_name, "
+    "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND o_orderdate >= '1997-01-01' "
+    "AND o_orderdate < '1998-01-01' "
+    "GROUP BY n_name ORDER BY revenue DESC, n_name ASC",
+)
+
+
+def _market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Q8 shape: per-year market share of one supplier nation inside a
+    customer region for one part type — a conditional-aggregate ratio over
+    a seven-table join; the CASE keeps it ONE aggregation pass, never two
+    scans."""
+    r = _table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    ncust = _table(spark, sf, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    nsup = _table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = _table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    li = _table(spark, sf, "lineitem")
+    o = _table(spark, sf, "orders")
+    cust = _table(spark, sf, "customer")
+    sup = _table(spark, sf, "supplier")
+    vol = F.col("__vol")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(ncust), cust.c_nationkey == F.col("cn_key"))
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nsup), sup.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            _rev_dec().alias("__vol"),
+            F.col("supp_nation"),
+        )
+        .groupBy("order_year")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    ))
+                    / F.sum(vol)
+                ).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+_register(
+    "market_share",
+    _market_share,
+    "SELECT EXTRACT(year FROM o_orderdate) AS order_year, "
+    "round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3' "
+    "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) "
+    "ELSE CAST(0 AS DECIMAL(18,4)) END) "
+    "/ sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) "
+    "AS mkt_share "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+    "JOIN region ON n1.n_regionkey = r_regionkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+    "WHERE r_name = 'ASIA' AND p_type = 'PROMO' "
+    "GROUP BY 1 ORDER BY 1",
+)
+
+
+def _returned_item_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q10 shape: top-20 customers by lost revenue from returned items in
+    one quarter — selective fact filters feed the join, grouped revenue,
+    TakeOrderedAndProject cut."""
+    li = _table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    cust = _table(spark, sf, "customer")
+    n = _table(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n), cust.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_rev_dec()).cast("double"), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_register(
+    "returned_item_customers",
+    _returned_item_customers,
+    "SELECT c_custkey, c_name, c_acctbal, n_name, "
+    "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' AND o_orderdate >= '1997-01-01' "
+    "AND o_orderdate < '1997-04-01' "
+    "GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey ASC LIMIT 20",
+)
+
+
+def _customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Q13 shape: the double aggregate with an OUTER join — orders per
+    customer INCLUDING zero-order customers (left join + count of the
+    nullable key), then customers per order-count. The zero bucket only
+    exists because the outer join survives both aggregations."""
+    cust = _table(spark, sf, "customer")
+    o = _table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(o, cust.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_register(
+    "customer_order_distribution",
+    _customer_order_distribution,
+    "SELECT c_count, count(*) AS custdist FROM ("
+    "  SELECT c_custkey, count(o_orderkey) AS c_count "
+    "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "  AND o_orderpriority <> '1-URGENT' "
+    "  GROUP BY c_custkey"
+    ") GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+)
+
+
+def _top_revenue_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15 shape: supplier revenue in a quarter, keep the max-revenue
+    supplier(s) — the scalar-subquery max rides back in as a broadcast
+    1-row aggregate, not a window over everything."""
+    li = _table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    sup = _table(spark, sf, "supplier")
+    per_sup = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(_rev_dec()).cast("double"), 4).alias("total_revenue"))
+    )
+    mx = per_sup.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        per_sup.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_register(
+    "top_revenue_suppliers",
+    _top_revenue_suppliers,
+    "WITH rev AS ("
+    "  SELECT l_suppkey, "
+    "  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_revenue "
+    "  FROM lineitem WHERE l_shipdate >= '1997-01-01' "
+    "  AND l_shipdate < '1997-04-01' GROUP BY l_suppkey"
+    ") "
+    "SELECT s_suppkey, s_name, total_revenue "
+    "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) "
+    "ORDER BY s_suppkey",
+)
+
+
+def _suppliers_kept_waiting(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21 shape (multi-EXISTS): suppliers whose line shipped late
+    (>60 days after the order date) on a multi-supplier finished order
+    where NO OTHER supplier shipped late — EXISTS becomes a left-semi,
+    NOT EXISTS a left-anti, both on the (orderkey, ≠suppkey) pair; the
+    correlated subqueries never materialize. This corpus has no
+    receipt/commit dates, so lateness is ship-vs-order-date — the plan
+    shape is the point."""
+    o = _table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _table(spark, sf, "lineitem").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "__late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    l1 = li.filter(F.col("__late")).select(
+        F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("s1")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("k2"),
+        F.col("l_suppkey").alias("s2"),
+        F.col("__late").alias("late2"),
+    )
+    with_other = l1.join(
+        others,
+        (F.col("k1") == F.col("k2")) & (F.col("s1") != F.col("s2")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        others.filter(F.col("late2")),
+        (F.col("k1") == F.col("k2")) & (F.col("s1") != F.col("s2")),
+        "left_anti",
+    )
+    sup = _table(spark, sf, "supplier")
+    return (
+        sole_late.groupBy("s1")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(sup), F.col("s1") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+_register(
+    "suppliers_kept_waiting",
+    _suppliers_kept_waiting,
+    "WITH li AS ("
+    "  SELECT l_orderkey, l_suppkey, "
+    "  l_shipdate > o_orderdate + INTERVAL 60 DAY AS late "
+    "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "  WHERE o_orderstatus = 'F'"
+    ") "
+    "SELECT s_name, count(*) AS numwait "
+    "FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey "
+    "WHERE l1.late "
+    "AND EXISTS (SELECT 1 FROM li l2 WHERE l2.l_orderkey = l1.l_orderkey "
+    "            AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM li l3 WHERE l3.l_orderkey = l1.l_orderkey "
+    "                AND l3.l_suppkey <> l1.l_suppkey AND l3.late) "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 10",
+)
+
+
 def _top_terms_per_language(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped top-k: top-3 terms per language by frequency. The explode
     stays map-side of the (term, lang) partial agg; the rank is a window
@@ -3510,9 +3802,6 @@ _PRIORITY = [
     # not driver-checked in r03 (rotated out; judge-run green) — lead r04
     "clean_text",
     "detect_language",
-    "doc_fingerprint",
-    "text_quality",
-    "token_counts",
     "language_distribution",
     "quality_report",
     "embedding_norms",
@@ -3520,10 +3809,7 @@ _PRIORITY = [
     "top_customers",
     "regional_revenue",
     "order_priority_window",
-    "minhash_signatures",
-    "simhash_fingerprints",
     "exact_dedup",
-    "vocab_top_terms",
     "pii_redaction",
     "stratified_sample",
     "contamination_check",
@@ -3558,6 +3844,12 @@ _DEMOTE = [
     "chunk_stats",
     "events_hourly",
     "events_distinct_users",
+    "doc_fingerprint",
+    "text_quality",
+    "token_counts",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "vocab_top_terms",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",

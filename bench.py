@@ -193,6 +193,12 @@ def main() -> None:
         "retention_cohorts",
         "json_props_stats",
         "events_gap_interpolate",
+        "regional_supplier_volume",
+        "market_share",
+        "returned_item_customers",
+        "customer_order_distribution",
+        "top_revenue_suppliers",
+        "suppliers_kept_waiting",
     ]
     noop_queries = [
         "substring_dup_stats",
