@@ -3163,8 +3163,11 @@ def _customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
     nullable key), then customers per order-count. The zero bucket only
     exists because the outer join survives both aggregations."""
     cust = _table(spark, sf, "customer")
+    # the filter must be selective enough that SOME customers have no
+    # qualifying orders — otherwise the zero bucket (the whole point of
+    # the outer join) is unexercised; recent-orders-only achieves it
     o = _table(spark, sf, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
+        F.col("o_orderdate") >= "2001-01-01"
     )
     per_cust = (
         cust.join(o, cust.c_custkey == o.o_custkey, "left")
@@ -3184,7 +3187,7 @@ _register(
     "SELECT c_count, count(*) AS custdist FROM ("
     "  SELECT c_custkey, count(o_orderkey) AS c_count "
     "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
-    "  AND o_orderpriority <> '1-URGENT' "
+    "  AND o_orderdate >= '2001-01-01' "
     "  GROUP BY c_custkey"
     ") GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
 )

@@ -533,3 +533,31 @@ def test_zordered_write_skips_on_both_dimensions(spark, tmp_path):
     # z-order: selective on BOTH dimensions
     assert zu < zt and zv < zt
     assert zu + zv < zt * 2  # strictly better than reading everything twice
+
+
+def test_suppliers_kept_waiting_decorrelates_both_exists(spark):
+    """Q21's EXISTS and NOT EXISTS must both decorrelate — one LeftSemi
+    and one LeftAnti in a single plan, no correlated re-execution, no
+    cartesian."""
+    import __spark_entry__ as entrymod
+
+    plan = (
+        entrymod.queries()["suppliers_kept_waiting"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_customer_order_distribution_zero_bucket_present(spark):
+    """Q13's reason to exist: customers with no (qualifying) orders form
+    the c_count=0 bucket — only an OUTER join preserves them."""
+    import __spark_entry__ as entrymod
+
+    rows = {
+        r["c_count"]: r["custdist"]
+        for r in entrymod.queries()["customer_order_distribution"](spark, SF).collect()
+    }
+    assert 0 in rows and rows[0] > 0
