@@ -53,3 +53,23 @@ def test_chunk_pipeline_golden_corpus_hash(spark):
         h.update(b"\x02")
     assert len(lines) == 546
     assert h.hexdigest() == "a1e86137feaff448906cb25e419b1729"
+
+
+def test_unrotated_queries_stay_inside_driver_cap():
+    """The driver oracle-checks only the FIRST 50 registered queries. Any
+    query in the middle band (not yet folded into the _PRIORITY/_DEMOTE
+    rotation — i.e. newly registered this round) must sit inside that cap,
+    or it ships without ever being driver-verified. Registering a query
+    without freeing a slot breaks this loudly instead of silently."""
+    import __spark_entry__ as entrymod
+
+    q = list(entrymod.queries())
+    mid = [
+        n for n in q
+        if n not in entrymod._PRIORITY and n not in entrymod._DEMOTE
+    ]
+    outside = [n for n in mid if q.index(n) >= 50]
+    assert not outside, (
+        f"never-driver-checked queries outside the 50-query cap: {outside}; "
+        "demote long-green rows from _PRIORITY to free slots"
+    )
