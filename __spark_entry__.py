@@ -1211,10 +1211,14 @@ _register(
 
 
 def _events_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
-    """Trailing 1 h moving average per event type (RANGE frame window)."""
+    """Trailing 1 h moving average per event type (RANGE frame window).
+    The mean is integer micro-unit arithmetic inside sliding_window_agg —
+    float window averages land on exact .xxxxxx5 boundaries whenever the
+    frame count is a power of two, where IEEE round() flips per engine
+    (surfaced by the sf0.1 oracle sweep: 661 boundary rows)."""
     from vectordb_etl_spark.operators.rollup import sliding_window_agg
 
-    ev = _events(spark, sf).withColumn("value", F.round("value", 6))
+    ev = _events(spark, sf)
     return sliding_window_agg(ev, window_seconds=3600).select(
         "event_type", "ts", "moving_avg", "window_n"
     )
@@ -1223,12 +1227,17 @@ def _events_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "events_moving_avg",
     _events_moving_avg,
-    # frame ordered by integer micros (epoch_us ≡ Spark unix_micros)
+    # frame ordered by integer micros (epoch_us ≡ Spark unix_micros);
+    # mean in exact integer micro-units — floor((2S+n)/(2n)), half-up for
+    # the nonnegative values here — so no float rounding boundary exists
     "SELECT event_type, ts, "
-    "round(avg(round(value, 6)) OVER w, 6) AS moving_avg, "
-    "count(*) OVER w AS window_n FROM events "
-    "WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) "
-    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)",
+    "CAST((2 * s + n) // (2 * n) AS DOUBLE) / 1000000.0 AS moving_avg, "
+    "n AS window_n FROM ("
+    "  SELECT event_type, ts, "
+    "  sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w AS s, "
+    "  count(*) OVER w AS n FROM events "
+    "  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) "
+    "  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))",
 )
 
 _register(
@@ -3532,9 +3541,22 @@ def _events_gap_interpolate(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = _events(spark, sf)
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    # hourly mean and the linear blend both run in EXACT integer
+    # micro-units — float averaging lands on .xxxxxx5 boundaries whenever
+    # a bucket count is a power of two, and a gap-of-two blend (frac = 1/2)
+    # does the same; IEEE round() then flips per engine (surfaced by the
+    # sf0.1 oracle sweep). All numerators are nonnegative, so
+    # floor((2·num + den)/(2·den)) is half-up in both engines.
+    iv = F.round(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.sum(iv).alias("__s"), F.count("*").alias("__n"))
+        .select(
+            "event_type",
+            "hour",
+            F.expr("(2 * __s + __n) DIV (2 * __n)").alias("v"),
+        )
+    )
     spans = hourly.groupBy("event_type").agg(
         F.min("hour").alias("lo"), F.max("hour").alias("hi")
     )
@@ -3543,7 +3565,7 @@ def _events_gap_interpolate(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
     )
     dense = axis.join(hourly, ["event_type", "hour"], "left").withColumn(
-        "vh", F.when(F.col("v").isNotNull(), F.col("hour"))
+        "vh", F.when(F.col("v").isNotNull(), F.unix_timestamp("hour"))
     )
     fwd = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
         Window.unboundedPreceding, 0
@@ -3556,21 +3578,24 @@ def _events_gap_interpolate(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("ph", F.last("vh", ignorenulls=True).over(fwd))
         .withColumn("nv", F.last("v", ignorenulls=True).over(bwd))
         .withColumn("nh", F.last("vh", ignorenulls=True).over(bwd))
+        .withColumn("hs", F.unix_timestamp("hour"))
     )
-    frac = (
-        F.col("hour").cast("double") - F.col("ph").cast("double")
-    ) / (F.col("nh").cast("double") - F.col("ph").cast("double"))
-    interp = (
+    interp_micro = (
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(F.col("ph").isNull(), F.col("nv"))
         .when(F.col("nh").isNull(), F.col("pv"))
-        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .otherwise(
+            F.expr(
+                "(2 * (pv * (nh - hs) + nv * (hs - ph)) + (nh - ph)) "
+                "DIV (2 * (nh - ph))"
+            )
+        )
     )
     return filled.select(
         "event_type",
         "hour",
         F.col("v").isNotNull().alias("observed"),
-        F.round(interp, 6).alias("v_interp"),
+        (interp_micro.cast("double") / F.lit(1_000_000.0)).alias("v_interp"),
     )
 
 
@@ -3579,7 +3604,8 @@ _register(
     _events_gap_interpolate,
     "WITH hourly AS ("
     "  SELECT event_type, date_trunc('hour', ts) AS hour,"
-    "         round(avg(value), 6) AS v"
+    "         (2 * sum(CAST(round(value * 1000000.0) AS BIGINT)) + count(*))"
+    "           // (2 * count(*)) AS v"
     "  FROM events GROUP BY 1, 2"
     "), spans AS ("
     "  SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM hourly GROUP BY 1"
@@ -3588,11 +3614,12 @@ _register(
     "  FROM spans"
     "), dense AS ("
     "  SELECT a.event_type, a.hour, h.v,"
-    "         CASE WHEN h.v IS NOT NULL THEN a.hour END AS vh"
+    "         CASE WHEN h.v IS NOT NULL"
+    "              THEN CAST(epoch(a.hour) AS BIGINT) END AS vh"
     "  FROM axis a LEFT JOIN hourly h"
     "    ON a.event_type = h.event_type AND a.hour = h.hour"
     "), filled AS ("
-    "  SELECT *,"
+    "  SELECT *, CAST(epoch(hour) AS BIGINT) AS hs,"
     "    last_value(v IGNORE NULLS) OVER fw AS pv,"
     "    last_value(vh IGNORE NULLS) OVER fw AS ph,"
     "    last_value(v IGNORE NULLS) OVER bw AS nv,"
@@ -3604,10 +3631,11 @@ _register(
     "                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     ") "
     "SELECT event_type, hour, v IS NOT NULL AS observed, "
-    "round(CASE WHEN v IS NOT NULL THEN v "
+    "CAST(CASE WHEN v IS NOT NULL THEN v "
     "WHEN ph IS NULL THEN nv WHEN nh IS NULL THEN pv "
-    "ELSE pv + (nv - pv) * ((epoch(hour) - epoch(ph)) / (epoch(nh) - epoch(ph))) "
-    "END, 6) AS v_interp FROM filled",
+    "ELSE (2 * (pv * (nh - hs) + nv * (hs - ph)) + (nh - ph)) "
+    "// (2 * (nh - ph)) "
+    "END AS DOUBLE) / 1000000.0 AS v_interp FROM filled",
 )
 
 

@@ -91,7 +91,16 @@ def sliding_window_agg(
     time: RANGE BETWEEN window frame on integer unix MICROseconds
     (unix_timestamp would truncate sub-second timestamps, blurring the frame
     edge by up to 1 s). One shuffle on the partition key; the frame scan is
-    sort-local within each partition."""
+    sort-local within each partition.
+
+    The average is computed in EXACT integer micro-units: values quantize
+    to 1e-6 units once, the frame sums BIGINTs, and the mean rounds via
+    integer arithmetic (floor((2S+n)/(2n)) — half-up for the nonnegative
+    values this op contracts). Float window averages land on exact
+    .xxxxxx5 boundaries whenever the frame count is a power of two (at
+    100k rows, hundreds of rows), where IEEE `round` flips per engine;
+    integer arithmetic makes the result bit-identical everywhere.
+    Requires ``value_col >= 0``."""
     from pyspark.sql.window import Window
 
     w = (
@@ -99,10 +108,21 @@ def sliding_window_agg(
         .orderBy(F.unix_micros(F.col(ts_col)))
         .rangeBetween(-window_seconds * 1_000_000, 0)
     )
-    return df.select(
+    iv = F.round(F.col(value_col) * F.lit(1_000_000.0)).cast("long")
+    framed = df.select(
         partition_col,
         F.col(ts_col),
         F.col(value_col),
-        F.round(F.avg(value_col).over(w), 6).alias("moving_avg"),
-        F.count("*").over(w).alias("window_n"),
+        F.sum(iv).over(w).alias("__s"),
+        F.count("*").over(w).alias("__n"),
+    )
+    return framed.select(
+        partition_col,
+        ts_col,
+        value_col,
+        (
+            F.expr("(2 * __s + __n) DIV (2 * __n)").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("moving_avg"),
+        F.col("__n").alias("window_n"),
     )
