@@ -3674,6 +3674,82 @@ _register(
 )
 
 
+def _integrity_report(spark: SparkSession, sf: str) -> DataFrame:
+    """dbt-test-style relational validation in ONE pass per check: orphan
+    foreign keys via left-anti counts, primary-key duplicates via
+    groupBy-having. Each check is a tiny aggregate over one join; the
+    union of 1-row results is the report (zeros = healthy). At 100 TB each
+    check shuffles only its own key column pair — validation cost scales
+    with the checked relation, not the table width."""
+    from functools import reduce
+
+    def orphans(name, child, ckey, parent, pkey):
+        c = _table(spark, sf, child).select(F.col(ckey))
+        p = _table(spark, sf, parent).select(F.col(pkey))
+        return (
+            c.join(p, c[ckey] == p[pkey], "left_anti")
+            .agg(F.count("*").alias("violations"))
+            .select(F.lit(name).alias("check_name"), "violations")
+        )
+
+    def dup_pk(name, table, key):
+        return (
+            _table(spark, sf, table)
+            .groupBy(key)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > 1)
+            .agg(F.count("*").alias("violations"))
+            .select(F.lit(name).alias("check_name"), "violations")
+        )
+
+    checks = [
+        orphans("orders_customer_fk", "orders", "o_custkey", "customer", "c_custkey"),
+        orphans("lineitem_orders_fk", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        orphans("lineitem_part_fk", "lineitem", "l_partkey", "part", "p_partkey"),
+        orphans("lineitem_supplier_fk", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        orphans("customer_nation_fk", "customer", "c_nationkey", "nation", "n_nationkey"),
+        orphans("supplier_nation_fk", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        orphans("nation_region_fk", "nation", "n_regionkey", "region", "r_regionkey"),
+        dup_pk("orders_pk_unique", "orders", "o_orderkey"),
+        dup_pk("customer_pk_unique", "customer", "c_custkey"),
+        dup_pk("part_pk_unique", "part", "p_partkey"),
+        dup_pk("supplier_pk_unique", "supplier", "s_suppkey"),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+_register(
+    "integrity_report",
+    _integrity_report,
+    " UNION ALL ".join(
+        [
+            "SELECT 'orders_customer_fk' AS check_name, count(*) AS violations "
+            "FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)",
+            "SELECT 'lineitem_orders_fk', count(*) FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)",
+            "SELECT 'lineitem_part_fk', count(*) FROM lineitem "
+            "WHERE l_partkey NOT IN (SELECT p_partkey FROM part)",
+            "SELECT 'lineitem_supplier_fk', count(*) FROM lineitem "
+            "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)",
+            "SELECT 'customer_nation_fk', count(*) FROM customer "
+            "WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)",
+            "SELECT 'supplier_nation_fk', count(*) FROM supplier "
+            "WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)",
+            "SELECT 'nation_region_fk', count(*) FROM nation "
+            "WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)",
+            "SELECT 'orders_pk_unique', count(*) FROM "
+            "(SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)",
+            "SELECT 'customer_pk_unique', count(*) FROM "
+            "(SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)",
+            "SELECT 'part_pk_unique', count(*) FROM "
+            "(SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1)",
+            "SELECT 'supplier_pk_unique', count(*) FROM "
+            "(SELECT s_suppkey FROM supplier GROUP BY 1 HAVING count(*) > 1)",
+        ]
+    ),
+)
+
+
 def _json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured JSON processing — the events.props column parsed
     with a TYPED schema (from_json, the idiomatic Spark path: one parse,
@@ -3839,7 +3915,6 @@ _PRIORITY = [
     "pricing_summary",
     "top_customers",
     "regional_revenue",
-    "order_priority_window",
     "exact_dedup",
     "pii_redaction",
     "stratified_sample",
@@ -3881,6 +3956,7 @@ _DEMOTE = [
     "minhash_signatures",
     "simhash_fingerprints",
     "vocab_top_terms",
+    "order_priority_window",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",

@@ -199,6 +199,7 @@ def main() -> None:
         "customer_order_distribution",
         "top_revenue_suppliers",
         "suppliers_kept_waiting",
+        "integrity_report",
     ]
     noop_queries = [
         "substring_dup_stats",
