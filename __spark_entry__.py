@@ -3681,26 +3681,19 @@ def _integrity_report(spark: SparkSession, sf: str) -> DataFrame:
     union of 1-row results is the report (zeros = healthy). At 100 TB each
     check shuffles only its own key column pair — validation cost scales
     with the checked relation, not the table width."""
-    from functools import reduce
+    from vectordb_etl_spark.store.validation import (
+        integrity_report,
+        orphan_check,
+        unique_check,
+    )
 
     def orphans(name, child, ckey, parent, pkey):
-        c = _table(spark, sf, child).select(F.col(ckey))
-        p = _table(spark, sf, parent).select(F.col(pkey))
-        return (
-            c.join(p, c[ckey] == p[pkey], "left_anti")
-            .agg(F.count("*").alias("violations"))
-            .select(F.lit(name).alias("check_name"), "violations")
+        return orphan_check(
+            name, _table(spark, sf, child), ckey, _table(spark, sf, parent), pkey
         )
 
     def dup_pk(name, table, key):
-        return (
-            _table(spark, sf, table)
-            .groupBy(key)
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") > 1)
-            .agg(F.count("*").alias("violations"))
-            .select(F.lit(name).alias("check_name"), "violations")
-        )
+        return unique_check(name, _table(spark, sf, table), key)
 
     checks = [
         orphans("orders_customer_fk", "orders", "o_custkey", "customer", "c_custkey"),
@@ -3715,7 +3708,7 @@ def _integrity_report(spark: SparkSession, sf: str) -> DataFrame:
         dup_pk("part_pk_unique", "part", "p_partkey"),
         dup_pk("supplier_pk_unique", "supplier", "s_suppkey"),
     ]
-    return reduce(lambda a, b: a.unionByName(b), checks)
+    return integrity_report(checks)
 
 
 _register(

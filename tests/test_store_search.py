@@ -400,3 +400,31 @@ def test_drop_collection_removes_asides(spark, tmp_path):
     )
     counts = store.upsert_documents(delta, embedding_config=EMB)
     assert counts == {"html_f1": 1}  # dropped rows did NOT come back
+
+
+def test_integrity_checks_fire_on_planted_violations(spark):
+    """The validation checks must actually COUNT violations, not just
+    report zeros on clean data: plant two orphan rows and a duplicated
+    primary key and assert the exact counts."""
+    from vectordb_etl_spark.store.validation import (
+        integrity_report,
+        orphan_check,
+        unique_check,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+    child = spark.createDataFrame(
+        [(1, 10), (2, 11), (99, 12), (98, 13)], ["fk", "x"]
+    )
+    dup = spark.createDataFrame([(1,), (1,), (2,), (3,), (3,)], ["k"])
+    rows = {
+        r["check_name"]: r["violations"]
+        for r in integrity_report(
+            [
+                orphan_check("orphans", child, "fk", parent, "pk"),
+                unique_check("dups", dup, "k"),
+                unique_check("clean", parent, "pk"),
+            ]
+        ).collect()
+    }
+    assert rows == {"orphans": 2, "dups": 2, "clean": 0}
