@@ -681,6 +681,75 @@ _register(
 )
 
 
+def _dedup_rate_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Curation dashboard: ONE table comparing every near-dup method's
+    hit volume on the same corpus — exact-hash duplicate docs, MinHash-LSH
+    candidate pairs, SimHash Hamming pairs, n-gram Jaccard pairs, and
+    docs flagged by the substring-window screen. Each row reuses the
+    REGISTERED operator with its registered parameters, so the dashboard
+    number is definitionally the count of the corresponding query's rows
+    — composition, not re-implementation. One lazy unioned plan."""
+    from functools import reduce
+
+    docs = _docs(spark, sf)
+
+    def cnt(name, df):
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("method"), "n"
+        )
+
+    exact_dups = (
+        docs.groupBy(chunker.normalized_hash_col("text").alias("__h"))
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+    )
+    checks = [
+        cnt("exact_dup_groups", exact_dups),
+        cnt("minhash_lsh_pairs", D.lsh_candidate_pairs(docs, num_hashes=8, bands=4)),
+        cnt(
+            "simhash_pairs",
+            D.simhash_near_dup_pairs(docs, bits=32, max_hamming=3),
+        ),
+        cnt(
+            "ngram_jaccard_pairs",
+            D.ngram_jaccard_pairs(docs, threshold=0.5),
+        ),
+        cnt(
+            "substring_flagged_docs",
+            D.substring_dup_stats(docs, width=40, stride=20).filter(
+                F.col("n_dup_windows") > 0
+            ),
+        ),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+_register(
+    "dedup_rate_report",
+    _dedup_rate_report,
+    " UNION ALL ".join(
+        [
+            "SELECT 'exact_dup_groups' AS method, count(*) AS n FROM ("
+            "SELECT 1 FROM documents GROUP BY "
+            + chunker.normalized_hash_sql("text")
+            + " HAVING count(*) > 1)",
+            "SELECT 'minhash_lsh_pairs', count(*) FROM ("
+            + D.lsh_candidate_pairs_sql("documents", num_hashes=8, bands=4)
+            + ") t1",
+            "SELECT 'simhash_pairs', count(*) FROM ("
+            + D.simhash_near_dup_pairs_sql("documents", bits=32, max_hamming=3)
+            + ") t2",
+            "SELECT 'ngram_jaccard_pairs', count(*) FROM ("
+            + D.ngram_jaccard_pairs_sql("documents", threshold=0.5)
+            + ") t3",
+            "SELECT 'substring_flagged_docs', count(*) FROM ("
+            + D.substring_dup_stats_sql("documents", width=40, stride=20)
+            + ") t4 WHERE n_dup_windows > 0",
+        ]
+    ),
+)
+
+
 def _lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental dedup screen: docs 0-49 are the 'daily batch', the rest
     the persisted corpus band table — banding cost ∝ batch, join is
@@ -3907,7 +3976,6 @@ _PRIORITY = [
     "embedding_norms",
     "pricing_summary",
     "top_customers",
-    "regional_revenue",
     "exact_dedup",
     "pii_redaction",
     "stratified_sample",
@@ -3950,6 +4018,7 @@ _DEMOTE = [
     "simhash_fingerprints",
     "vocab_top_terms",
     "order_priority_window",
+    "regional_revenue",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",

@@ -200,6 +200,9 @@ def main() -> None:
         "top_revenue_suppliers",
         "suppliers_kept_waiting",
         "integrity_report",
+        # dedup_rate_report is deliberately NOT benched: it composes five
+        # already-benched dedup operators into one dashboard, so its
+        # wall-time is their sum (~50 s at sf0.1) with no new plan shape
     ]
     noop_queries = [
         "substring_dup_stats",
