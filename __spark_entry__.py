@@ -750,6 +750,83 @@ _register(
 )
 
 
+def _corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot drift monitor: language-mix shares and mean length of the
+    'old' corpus half (doc_id < 250) vs the 'new' half, with deltas — the
+    between-ingest distribution-shift check a recurring pipeline runs
+    before accepting a batch. Means are integer micro-unit arithmetic
+    (see sliding_window_agg) so the report is bit-identical across
+    engines; shares are exact ratios of counts rounded at 6 dp. Two
+    map-side-combined aggregates + a full outer join on the tiny language
+    key — nothing scales with corpus width."""
+    docs = _docs(spark, sf).select(
+        "doc_id", "lang", F.length("text").alias("__len")
+    )
+
+    def side(pred, tag):
+        d = docs.filter(pred)
+        per_lang = d.groupBy("lang").agg(
+            F.count("*").alias(f"n_{tag}"),
+            F.sum("__len").alias(f"len_{tag}"),
+        )
+        total = d.agg(F.count("*").alias(f"tot_{tag}"))
+        return per_lang.crossJoin(F.broadcast(total))
+
+    old = side(F.col("doc_id") < 250, "old")
+    new = side(F.col("doc_id") >= 250, "new")
+    joined = old.join(new, "lang", "full_outer")
+    # totals ride every row via the crossJoin; after the outer join a side
+    # missing a language has NULL totals on that side — backfill from any
+    # row of the same column (window max)
+    w = Window.partitionBy()
+    tot_old = F.max("tot_old").over(w)
+    tot_new = F.max("tot_new").over(w)
+    share_old = F.round(F.coalesce("n_old", F.lit(0)) / tot_old, 6)
+    share_new = F.round(F.coalesce("n_new", F.lit(0)) / tot_new, 6)
+    mean_old = F.expr(
+        "CASE WHEN n_old IS NULL THEN NULL "
+        "ELSE (2 * len_old + n_old) DIV (2 * n_old) END"
+    )
+    mean_new = F.expr(
+        "CASE WHEN n_new IS NULL THEN NULL "
+        "ELSE (2 * len_new + n_new) DIV (2 * n_new) END"
+    )
+    return joined.select(
+        "lang",
+        share_old.alias("share_old"),
+        share_new.alias("share_new"),
+        F.round(share_new - share_old, 6).alias("share_delta"),
+        mean_old.cast("bigint").alias("mean_len_old"),
+        mean_new.cast("bigint").alias("mean_len_new"),
+    )
+
+
+_register(
+    "corpus_drift",
+    _corpus_drift,
+    "WITH old AS ("
+    "  SELECT lang, count(*) AS n_old, sum(length(text)) AS len_old "
+    "  FROM documents WHERE doc_id < 250 GROUP BY lang"
+    "), new AS ("
+    "  SELECT lang, count(*) AS n_new, sum(length(text)) AS len_new "
+    "  FROM documents WHERE doc_id >= 250 GROUP BY lang"
+    "), tot AS ("
+    "  SELECT (SELECT count(*) FROM documents WHERE doc_id < 250) AS t_old,"
+    "         (SELECT count(*) FROM documents WHERE doc_id >= 250) AS t_new"
+    ") "
+    "SELECT lang, "
+    "round(coalesce(n_old, 0) / t_old, 6) AS share_old, "
+    "round(coalesce(n_new, 0) / t_new, 6) AS share_new, "
+    "round(round(coalesce(n_new, 0) / t_new, 6) "
+    "- round(coalesce(n_old, 0) / t_old, 6), 6) AS share_delta, "
+    "CASE WHEN n_old IS NULL THEN NULL "
+    "ELSE (2 * len_old + n_old) // (2 * n_old) END AS mean_len_old, "
+    "CASE WHEN n_new IS NULL THEN NULL "
+    "ELSE (2 * len_new + n_new) // (2 * n_new) END AS mean_len_new "
+    "FROM old FULL JOIN new USING (lang) CROSS JOIN tot",
+)
+
+
 def _lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental dedup screen: docs 0-49 are the 'daily batch', the rest
     the persisted corpus band table — banding cost ∝ batch, join is
@@ -3975,7 +4052,6 @@ _PRIORITY = [
     "quality_report",
     "embedding_norms",
     "pricing_summary",
-    "top_customers",
     "exact_dedup",
     "pii_redaction",
     "stratified_sample",
@@ -4019,6 +4095,7 @@ _DEMOTE = [
     "vocab_top_terms",
     "order_priority_window",
     "regional_revenue",
+    "top_customers",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",

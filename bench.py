@@ -200,6 +200,7 @@ def main() -> None:
         "top_revenue_suppliers",
         "suppliers_kept_waiting",
         "integrity_report",
+        "corpus_drift",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape
