@@ -127,6 +127,23 @@ HEADLINERS: list[tuple[str, str]] = [
     ("retention_cohorts",
      "Retention matrix: user-keyed first-touch agg, co-partitioned join "
      "back, distinct collapses user-cells before the matrix count."),
+    ("market_share",
+     "Q8 shape: seven-table join with dims broadcast; the per-year "
+     "market-share ratio is ONE conditional aggregate pass."),
+    ("suppliers_kept_waiting",
+     "Q21 shape: EXISTS and NOT EXISTS decorrelated to one LeftSemi and "
+     "one LeftAnti on (orderkey, <>suppkey) — correlated subqueries never "
+     "re-execute."),
+    ("customer_order_distribution",
+     "Q13 shape: double aggregate over an OUTER join — the zero-order "
+     "bucket survives both aggregation passes."),
+    ("integrity_report",
+     "Relational validation: 11 checks (orphan-FK left-anti counts, "
+     "PK-uniqueness having-aggregates) as one lazy unioned plan."),
+    ("ivf_pq_topk",
+     "IVF_PQ serving: partition-pruned scan of one-byte PQ codes, "
+     "literal-codebook reconstruction as a codegen projection above the "
+     "scan, TakeOrderedAndProject."),
 ]
 
 
