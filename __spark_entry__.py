@@ -1591,6 +1591,40 @@ def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 _register("ivf_topk", _ivf_topk, _ANN_ORACLE)
 
 
+def _ivf_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered ANN at the INDEX tier (the Milvus expr+index composition,
+    milvus_store.py search filters): the scalar predicate rides INSIDE the
+    partition-pruned probe scan — Catalyst stacks PartitionFilters
+    (centroid_id IN probes) with PushedFilters (label = 2) on one scan, so
+    a filtered index query reads only matching rows of probed partitions.
+    Probe-all edge keeps it oracle-checkable."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IVFIndex(spark, f"{tmp}/ivf").build(emb, nlist=16, seed=42, max_iter=4)
+        out = idx.search(
+            list(q), k=10, nprobe=16, predicate=F.col("label") == 2,
+            tie_break=["vec_id"], output_cols=["vec_id", "label"],
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "ivf_topk_filtered",
+    _ivf_topk_filtered,
+    "SELECT vec_id, label, "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score "
+    "FROM embeddings WHERE label = 2 "
+    "ORDER BY score DESC, vec_id ASC LIMIT 10",
+)
+
+
 def _ivf_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF_SQ8 (the Milvus index type of the same name): IVF cell layout
     over int8-quantized storage (operators/ann.py build(storage='sq8') —
@@ -4051,7 +4085,6 @@ _PRIORITY = [
     "language_distribution",
     "quality_report",
     "embedding_norms",
-    "pricing_summary",
     "exact_dedup",
     "pii_redaction",
     "stratified_sample",
@@ -4096,6 +4129,7 @@ _DEMOTE = [
     "order_priority_window",
     "regional_revenue",
     "top_customers",
+    "pricing_summary",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",
