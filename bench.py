@@ -351,7 +351,7 @@ def main() -> None:
     def pq_design_point():
         return pq_topk_adc(
             emb.select("vec_id", "embedding"), list(q), k=10,
-            n_codes=256, n_subs=8, codebook=_pq_cb,
+            n_codes=256, n_subs=8, codebook=_pq_cb, encode="numpy",
         )
 
     run("pq_design_point", pq_design_point, collect=True)

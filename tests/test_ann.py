@@ -491,3 +491,19 @@ def test_ivf_pq_adopts_trained_codebook(spark, embeddings_tiny, tmp_path):
     # trained-codebook ADC recall floor against exact
     got = [r["vec_id"] for r in out]
     assert recall_at_k(_exact_ids(embeddings_tiny, q, k=10), got) >= 0.3
+
+
+def test_pq_numpy_encode_matches_expression_path(spark, embeddings_tiny):
+    """The vectorized encoder must pick the same codes / same ADC ranking
+    as the oracle-checkable expression path (identical 6-dp L2 rounding,
+    lowest-code ties)."""
+    from vectordb_etl_spark.operators.ann import pq_topk_adc
+
+    q = list(embeddings_tiny.filter(F.col("vec_id") == 7).head()["embedding"])
+    a = pq_topk_adc(embeddings_tiny, q, k=10, n_codes=16, n_subs=8).collect()
+    b = pq_topk_adc(
+        embeddings_tiny, q, k=10, n_codes=16, n_subs=8, encode="numpy"
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [
+        (r["vec_id"], r["score"]) for r in b
+    ]

@@ -636,27 +636,28 @@ def pq_encode(
     join, not shuffle-bound."""
     from vectordb_etl_spark.functions.vector import l2_distance_col
 
-    cand = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(emb_col).cast("array<double>").alias("__v"),
-        )
-        .crossJoin(F.broadcast(codebook))
-        .select(
-            "id",
-            "sub",
-            "code",
-            F.round(
-                l2_distance_col(
-                    F.expr(
-                        f"slice(__v, sub * (size(__v) div {n_subs}) + 1, "
-                        f"size(__v) div {n_subs})"
-                    ),
-                    F.col("cw"),
-                ),
-                6,
-            ).alias("__d"),
-        )
+    # pre-explode each vector into its n_subs subvectors ONCE (n·m rows),
+    # so the broadcast join against K codewords evaluates the distance on a
+    # materialized subvector — not a fresh slice of the full vector per
+    # (vector, sub, code) candidate (a K× cut in slice work)
+    subvecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("__v"),
+    ).select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_subs} - 1), s -> "
+                f"struct(s AS sub, slice(__v, s * (size(__v) div {n_subs}) + 1, "
+                f"size(__v) div {n_subs}) AS sv))"
+            )
+        ).alias("__sv"),
+    ).select("id", F.col("__sv.sub").alias("sub"), F.col("__sv.sv").alias("__sv"))
+    cand = subvecs.join(F.broadcast(codebook), "sub").select(
+        "id",
+        "sub",
+        "code",
+        F.round(l2_distance_col(F.col("__sv"), F.col("cw")), 6).alias("__d"),
     )
     return cand.groupBy("id", "sub").agg(
         F.min(F.struct("__d", "code")).getField("code").alias("code")
@@ -673,6 +674,7 @@ def pq_topk_adc(
     emb_col: str = "embedding",
     output_cols: list | None = None,
     codebook: DataFrame | None = None,
+    encode: str = "expr",
 ) -> DataFrame:
     """PQ serving via the asymmetric-distance LUT: the query is split into
     subvectors once, each (sub, code) codeword gets a partial inner
@@ -693,7 +695,17 @@ def pq_topk_adc(
             df, n_codes=n_codes, n_subs=n_subs, id_col=id_col, emb_col=emb_col
         )
     )
-    codes = pq_encode(df, cb, n_subs=n_subs, id_col=id_col, emb_col=emb_col)
+    if encode == "numpy":
+        # vectorized fast path (pq_codes_udf): one BLAS pass per subspace
+        # per Arrow batch — ~10× the interpreted higher-order-lambda
+        # expression path; identical codes away from rounding boundaries,
+        # so oracles keep encode="expr" and serving/bench pick this
+        enc_udf = pq_codes_udf(codebook_to_array(cb))
+        codes = df.select(
+            F.col(id_col).alias("id"), enc_udf(F.col(emb_col)).alias("__c")
+        ).select("id", F.posexplode("__c").alias("sub", "code"))
+    else:
+        codes = pq_encode(df, cb, n_subs=n_subs, id_col=id_col, emb_col=emb_col)
     q = [float(x) for x in query]
     sub_w = len(q) // n_subs
     lut = cb.select(
@@ -863,3 +875,50 @@ def train_pq_codebook(
     return spark.createDataFrame(
         rows, "sub int, code int, cw array<double>"
     ).repartition(1)
+
+
+def pq_codes_udf(codebook: np.ndarray):
+    """Vectorized PQ encoder (the pandas-UDF fast path — same stance as
+    :func:`assign_centroids_udf`: embedding-shaped numeric work beats
+    per-element JVM lambdas by an order of magnitude). ``codebook`` is
+    (n_subs, n_codes, sub_w); emits the ``n_subs`` codes per vector as one
+    array. Distance/tie semantics replicate :func:`pq_encode` exactly —
+    L2 rounded to 6 dp, first (lowest) code on ties — so both encoders
+    pick identical codes away from exact rounding boundaries; registered
+    ORACLE queries keep the expression path, serving/bench use this."""
+    cb = np.ascontiguousarray(codebook, dtype=np.float64)
+    n_subs, n_codes, sub_w = cb.shape
+
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _encode(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        mat = mat.reshape(mat.shape[0], n_subs, sub_w)
+        out = np.empty((mat.shape[0], n_subs), dtype=np.int32)
+        for s in range(n_subs):
+            # ||x-c|| via the expanded form, one BLAS matmul per subspace
+            sq = (
+                (mat[:, s, :] ** 2).sum(axis=1)[:, None]
+                - 2.0 * (mat[:, s, :] @ cb[s].T)
+                + (cb[s] ** 2).sum(axis=1)[None, :]
+            )
+            d = np.round(np.sqrt(np.maximum(sq, 0.0)), 6)
+            out[:, s] = d.argmin(axis=1)  # first min == lowest code on ties
+        return pd.Series(list(out))
+
+    return _encode
+
+
+def codebook_to_array(codebook: DataFrame) -> np.ndarray:
+    """Collect a ``(sub, code, cw)`` codebook DataFrame into the
+    (n_subs, n_codes, sub_w) ndarray :func:`pq_codes_udf` takes — a tiny
+    driver artifact (m·K·(d/m) doubles)."""
+    rows = codebook.collect()
+    n_subs = max(int(r["sub"]) for r in rows) + 1
+    n_codes = max(int(r["code"]) for r in rows) + 1
+    sub_w = len(rows[0]["cw"])
+    out = np.zeros((n_subs, n_codes, sub_w))
+    for r in rows:
+        out[int(r["sub"]), int(r["code"])] = r["cw"]
+    return out
