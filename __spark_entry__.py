@@ -1911,6 +1911,43 @@ def _graph_topk(spark: SparkSession, sf: str) -> DataFrame:
 _register("graph_topk", _graph_topk, _ANN_ORACLE)
 
 
+def _graph_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered GRAPH search (graph_ann.py search(predicate=...)): the
+    standard HNSW post-filter strategy — traverse unfiltered (filtering
+    during traversal disconnects the graph), emit the ef-beam, filter the
+    merged candidates, rank. Full-beam edge ⇒ exactly the filtered brute
+    force, hash-checked."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = GraphANNIndex(spark, f"{tmp}/graph").build(
+            emb, num_shards=8, m=16, ef_construction=64, passthrough=["label"]
+        )
+        out = idx.search(
+            list(q), k=10, ef=1_000_000, output_cols=["id", "label"],
+            predicate=F.col("label") == 2,
+        ).withColumnRenamed("id", "vec_id")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "graph_topk_filtered",
+    _graph_topk_filtered,
+    # note the column ORDER difference vs _ANN_ORACLE: graph search emits
+    # (id, label, score); restated with the label filter
+    "SELECT vec_id, label, "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score "
+    "FROM embeddings WHERE label = 2 "
+    "ORDER BY score DESC, vec_id ASC LIMIT 10",
+)
+
+
 def _graph_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Batched graph serving (GraphANNIndex.search_many): 3 queries beam-
     searched in ONE applyInPandas pass — each shard loads its graph once
@@ -4089,7 +4126,6 @@ _PRIORITY = [
     "pii_redaction",
     "stratified_sample",
     "contamination_check",
-    "corpus_health",
     "salted_distinct_users_by_type",
     "salted_join_enrichment",
     # r04: gained a SQL oracle for the C5/C6 metadata slice (see
@@ -4130,6 +4166,7 @@ _DEMOTE = [
     "regional_revenue",
     "top_customers",
     "pricing_summary",
+    "corpus_health",
     "graph_topk",
     "sq8_topk",
     "lsh_topk",

@@ -206,6 +206,7 @@ def main() -> None:
         "integrity_report",
         "corpus_drift",
         "ivf_topk_filtered",
+        "graph_topk_filtered",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

@@ -189,7 +189,18 @@ class GraphANNIndex:
         output_cols: list[str] | None = None,
         score_name: str = "score",
         round_dp: int = 6,
+        predicate=None,
     ) -> DataFrame:
+        """``predicate`` enables FILTERED graph search with the standard
+        post-filter strategy (what HNSW libraries do for scalar filters:
+        traverse unfiltered — filtering during traversal disconnects the
+        graph — then filter the candidate set): each shard emits its full
+        ef-beam instead of just top-k, the predicate prunes the merged
+        candidates, and the global top-k ranks what passes. Size ``ef``
+        to the filter's selectivity (candidates ≈ ef × pass-rate); at the
+        full-beam edge (ef ≥ shard size) the result is EXACTLY the
+        filtered brute force, which is what the oracle checks. The
+        predicate may only reference ``output_cols``."""
         q = np.asarray(query, dtype=np.float64)
         q = q / max(float(np.linalg.norm(q)), 1e-12)
         out_cols = output_cols or ["id"]
@@ -199,12 +210,13 @@ class GraphANNIndex:
         )
         out_schema = f"{pass_fields}, {score_name} double"
         k_, ef_ = k, ef
+        emit = max(ef, k) if predicate is not None else k
 
         def _search(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("pos").reset_index(drop=True)
             mat = np.stack(pdf["embedding"].to_numpy())
             adj = [list(a) for a in pdf["neighbors"]]
-            hits = beam_search(mat, adj, q, ef=max(ef_, k_))[:k_]
+            hits = beam_search(mat, adj, q, ef=max(ef_, k_))[:emit]
             rows = [pdf.iloc[node] for _, node in hits]
             return pd.DataFrame(
                 {
@@ -214,6 +226,8 @@ class GraphANNIndex:
             )
 
         local = idx.groupBy("shard").applyInPandas(_search, out_schema)
+        if predicate is not None:
+            local = local.filter(predicate)
         return local.orderBy(
             F.desc(score_name), *[F.asc(c) for c in out_cols]
         ).limit(k)
