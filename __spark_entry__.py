@@ -754,11 +754,13 @@ def _corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot drift monitor: language-mix shares and mean length of the
     'old' corpus half (doc_id < 250) vs the 'new' half, with deltas — the
     between-ingest distribution-shift check a recurring pipeline runs
-    before accepting a batch. Means are integer micro-unit arithmetic
-    (see sliding_window_agg) so the report is bit-identical across
-    engines; shares are exact ratios of counts rounded at 6 dp. Two
-    map-side-combined aggregates + a full outer join on the tiny language
-    key — nothing scales with corpus width."""
+    before accepting a batch. Means AND shares are integer micro-unit
+    arithmetic (see sliding_window_agg): shares are ``(1e6 * n) DIV tot``
+    bigints, so the report is bit-identical across engines — no raw
+    DOUBLE column survives to the output (round(x, 6) of a double is not
+    ulp-stable across engines/agg orders; this burned the r04 driver
+    check). Two map-side-combined aggregates + a full outer join on the
+    tiny language key — nothing scales with corpus width."""
     docs = _docs(spark, sf).select(
         "doc_id", "lang", F.length("text").alias("__len")
     )
@@ -779,10 +781,20 @@ def _corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
     # missing a language has NULL totals on that side — backfill from any
     # row of the same column (window max)
     w = Window.partitionBy()
-    tot_old = F.max("tot_old").over(w)
-    tot_new = F.max("tot_new").over(w)
-    share_old = F.round(F.coalesce("n_old", F.lit(0)) / tot_old, 6)
-    share_new = F.round(F.coalesce("n_new", F.lit(0)) / tot_new, 6)
+    backfilled = joined.select(
+        "lang",
+        "n_old",
+        "n_new",
+        "len_old",
+        "len_new",
+        F.max("tot_old").over(w).alias("t_old"),
+        F.max("tot_new").over(w).alias("t_new"),
+    )
+    # micro-unit shares: integer DIV of counts — bit-stable cross-engine
+    # (counts are non-negative, so Spark's truncating DIV == DuckDB's
+    # flooring // here; no raw DOUBLE column survives to the output)
+    share_old = F.expr("(1000000 * coalesce(n_old, 0)) DIV t_old")
+    share_new = F.expr("(1000000 * coalesce(n_new, 0)) DIV t_new")
     mean_old = F.expr(
         "CASE WHEN n_old IS NULL THEN NULL "
         "ELSE (2 * len_old + n_old) DIV (2 * n_old) END"
@@ -791,11 +803,11 @@ def _corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
         "CASE WHEN n_new IS NULL THEN NULL "
         "ELSE (2 * len_new + n_new) DIV (2 * n_new) END"
     )
-    return joined.select(
+    return backfilled.select(
         "lang",
-        share_old.alias("share_old"),
-        share_new.alias("share_new"),
-        F.round(share_new - share_old, 6).alias("share_delta"),
+        share_old.cast("bigint").alias("share_old_ppm"),
+        share_new.cast("bigint").alias("share_new_ppm"),
+        (share_new - share_old).cast("bigint").alias("share_delta_ppm"),
         mean_old.cast("bigint").alias("mean_len_old"),
         mean_new.cast("bigint").alias("mean_len_new"),
     )
@@ -815,10 +827,10 @@ _register(
     "         (SELECT count(*) FROM documents WHERE doc_id >= 250) AS t_new"
     ") "
     "SELECT lang, "
-    "round(coalesce(n_old, 0) / t_old, 6) AS share_old, "
-    "round(coalesce(n_new, 0) / t_new, 6) AS share_new, "
-    "round(round(coalesce(n_new, 0) / t_new, 6) "
-    "- round(coalesce(n_old, 0) / t_old, 6), 6) AS share_delta, "
+    "(1000000 * coalesce(n_old, 0)) // t_old AS share_old_ppm, "
+    "(1000000 * coalesce(n_new, 0)) // t_new AS share_new_ppm, "
+    "(1000000 * coalesce(n_new, 0)) // t_new "
+    "- (1000000 * coalesce(n_old, 0)) // t_old AS share_delta_ppm, "
     "CASE WHEN n_old IS NULL THEN NULL "
     "ELSE (2 * len_old + n_old) // (2 * n_old) END AS mean_len_old, "
     "CASE WHEN n_new IS NULL THEN NULL "
@@ -3974,26 +3986,48 @@ def _json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
     parsed = ev.select(
         "event_type", F.from_json("props", schema).getField("k").alias("k")
     )
-    return parsed.groupBy("event_type").agg(
+    agg = parsed.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.count("k").alias("n_with_k"),
         F.sum("k").alias("sum_k"),
-        F.round(F.avg("k"), 6).alias("avg_k"),
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
+    )
+    # avg as micro-unit bigint — integer arithmetic only, so the hash is
+    # bit-stable across engines (round(avg(),6) of a DOUBLE is not; that
+    # burned the r04 driver check). The pmod trick makes Spark's
+    # truncating DIV match DuckDB's flooring // even for negative sums:
+    # (a - pmod(a, b)) is exactly divisible by b and pmod is always >= 0,
+    # so the quotient IS floor(a / b).
+    avg_micro = F.expr(
+        "CASE WHEN n_with_k = 0 THEN NULL ELSE "
+        "(1000000 * sum_k - pmod(1000000 * sum_k, n_with_k)) "
+        "DIV n_with_k END"
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_with_k",
+        "sum_k",
+        avg_micro.cast("bigint").alias("avg_k_micro"),
+        "min_k",
+        "max_k",
     )
 
 
 _register(
     "json_props_stats",
     _json_props_stats,
-    "SELECT event_type, count(*) AS n_events, "
+    "WITH agg AS (SELECT event_type, count(*) AS n_events, "
     "count(CAST(props->>'k' AS BIGINT)) AS n_with_k, "
     "sum(CAST(props->>'k' AS BIGINT)) AS sum_k, "
-    "round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k, "
     "min(CAST(props->>'k' AS BIGINT)) AS min_k, "
     "max(CAST(props->>'k' AS BIGINT)) AS max_k "
-    "FROM events GROUP BY event_type",
+    "FROM events GROUP BY event_type) "
+    "SELECT event_type, n_events, n_with_k, sum_k, "
+    "CASE WHEN n_with_k = 0 THEN NULL "
+    "ELSE (1000000 * sum_k) // n_with_k END AS avg_k_micro, "
+    "min_k, max_k FROM agg",
 )
 
 
@@ -4116,68 +4150,54 @@ _register(
 # `list(queries())[:50]` after registering anything new.
 
 _PRIORITY = [
-    # not driver-checked in r03 (rotated out; judge-run green) — lead r04
-    "clean_text",
-    "detect_language",
-    "language_distribution",
-    "quality_report",
-    "embedding_norms",
-    "exact_dedup",
-    "pii_redaction",
-    "stratified_sample",
-    "contamination_check",
-    "salted_distinct_users_by_type",
-    "salted_join_enrichment",
-    # r04: gained a SQL oracle for the C5/C6 metadata slice (see
-    # chunk_metadata below); the full pipeline stays golden-hash-gated
+    # r05 rotation: r04 driver-reds + this-round code changes lead, then
+    # everything whose last driver check is r02 (oldest), then the r03 set.
+    # The driver caps at 50; slots beyond the cap just order the mid-tier.
+    "corpus_drift",
+    "json_props_stats",
+    "semantic_dedup",
+    "pq_topk",
+    "ivf_pq_topk",
+    "integrity_report",
     "chunk_pipeline",
-    "ivf_topk",
-    "ngram_jaccard_pairs",
-    "simhash_near_dups",
-    "lsh_incremental_candidates",
-]
-
-# Green in CORRECTNESS_r03.json (driver-checked last round) — rotate behind
-# the cap; flip again next round. token_estimate/chunk_id/varchar_truncate
-# (plus clean_hwp_text, sample_review, top_sources, size_histogram and
-# chunk_stats) moved here mid-r04 — driver-green r01+r02, judge-green r03,
-# scalar/small-agg surfaces with no join risk — to free cap slots for the
-# never-driver-checked r04 additions (substring_dup_stats + incremental,
-# semantic_dedup, bigram_logprob, streaming_exact_dedup, dsir_log_weights,
-# pq_topk, ivf_pq_topk, retention_cohorts).
-_DEMOTE = [
+    "events_moving_avg",
+    "clean_hwp_text",
     "token_estimate",
     "chunk_id",
     "varchar_truncate",
-    "clean_hwp_text",
-    "sample_review",
-    "top_sources",
-    "size_histogram",
-    "chunk_stats",
-    "events_hourly",
-    "events_distinct_users",
     "doc_fingerprint",
     "text_quality",
     "token_counts",
+    "chunk_stats",
+    "size_histogram",
+    "top_sources",
+    "sample_review",
+    "pricing_summary",
+    "top_customers",
+    "regional_revenue",
+    "order_priority_window",
+    "events_hourly",
     "minhash_signatures",
     "simhash_fingerprints",
-    "vocab_top_terms",
-    "order_priority_window",
-    "regional_revenue",
-    "top_customers",
-    "pricing_summary",
     "corpus_health",
+    "events_distinct_users",
+    "vocab_top_terms",
+    "vector_topk",
+    "vector_topk_filtered",
+    "fanout_topk_per_label",
+    "events_sessionize",
+    "minhash_lsh_candidates",
+    "embedding_topk_pairs",
+    "hybrid_rrf_search",
+    "dedup_components",
+    "asof_join_events_orders",
+    "range_join_purchase_followups",
+    "events_multi_grain_rollup",
+    "ivf_topk_nprobe",
+    "ivf_topk_batch",
+    "lsh_topk",
     "graph_topk",
     "sq8_topk",
-    "lsh_topk",
-    "streaming_windowed_counts",
-    "streaming_enriched_counts",
-    "html_parse_roundtrip",
-    "hwpx_extract_roundtrip",
-    "hwp_cfb_roundtrip",
-    "multimodal_image_meta",
-    "multimodal_audio_meta",
-    "video_frame_fanout",
     "shipping_priority",
     "priority_shipments",
     "brand_revenue",
@@ -4185,38 +4205,81 @@ _DEMOTE = [
     "returned_orders",
     "customers_without_big_orders",
     "small_quantity_revenue",
+    "streaming_windowed_counts",
+    "order_value_percentiles",
     "events_cube",
     "user_event_windows",
-    "order_value_percentiles",
-    "events_sessionize",
-    "ivf_topk_nprobe",
+    "streaming_enriched_counts",
+    "streaming_interval_join",
+    "multimodal_image_meta",
+    "multimodal_audio_meta",
+    "html_parse_roundtrip",
+    "hwpx_extract_roundtrip",
+    "hwp_cfb_roundtrip",
+    "video_frame_fanout",
     "filter_expr_search",
     "promo_revenue_ratio",
     "large_order_customers",
     "disjunctive_predicate_revenue",
     "bilateral_shipping_volume",
     "top_terms_per_language",
-    "streaming_interval_join",
-    "purchasers_without_errors",
-    "event_type_pivot",
-    "events_gap_fill",
-    "cumulative_unique_users",
     "gopher_quality_signals",
     "gopher_pass_rate",
-    "sequence_packing",
     "token_budget_mix",
-    "ivf_topk_batch",
-    "events_moving_avg",
-    "asof_join_events_orders",
-    "range_join_purchase_followups",
-    "events_multi_grain_rollup",
-    "dedup_components",
-    "vector_topk",
-    "vector_topk_filtered",
-    "fanout_topk_per_label",
-    "minhash_lsh_candidates",
-    "embedding_topk_pairs",
-    "hybrid_rrf_search",
+    "sequence_packing",
+    "events_gap_fill",
+    "cumulative_unique_users",
+    "purchasers_without_errors",
+    "event_type_pivot",
+]
+
+# Green in CORRECTNESS_r04.json (driver-checked last round) and not touched
+# by this round's code changes — rotate behind the cap; flip again in r06
+# (the ~21 r03-last queries that miss the r05 cap lead then).
+_DEMOTE = [
+    "clean_text",
+    "detect_language",
+    "exact_dedup",
+    "language_distribution",
+    "quality_report",
+    "embedding_norms",
+    "conversion_funnel",
+    "dedup_rate_report",
+    "lsh_incremental_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_near_dups",
+    "pii_redaction",
+    "stratified_sample",
+    "strip_common_lines",
+    "dsir_log_weights",
+    "weighted_sample",
+    "length_outlier_screen",
+    "tfidf_top_terms",
+    "contamination_check",
+    "boilerplate_fraction",
+    "substring_dup_incremental",
+    "substring_dup_stats",
+    "bigram_logprob",
+    "fuzzy_prefix_pairs",
+    "salted_distinct_users_by_type",
+    "salted_join_enrichment",
+    "chunk_metadata",
+    "ivf_topk",
+    "ivf_topk_filtered",
+    "ivf_sq8_topk",
+    "graph_topk_filtered",
+    "graph_topk_batch",
+    "streaming_sessionize",
+    "streaming_exact_dedup",
+    "multimodal_decoded_features",
+    "regional_supplier_volume",
+    "market_share",
+    "returned_item_customers",
+    "customer_order_distribution",
+    "top_revenue_suppliers",
+    "suppliers_kept_waiting",
+    "events_gap_interpolate",
+    "retention_cohorts",
 ]
 
 
