@@ -1505,43 +1505,62 @@ def semantic_dedup(
 
     ``centroids`` is a tiny DataFrame ``(cid, centroid array)`` — e.g. a
     designated-vector/medoid pick or the IVF-trained centroids from
-    :class:`~vectordb_etl_spark.operators.ann.IVFIndex`. Assignment joins
-    it broadcast (scores rounded to 6 dp, ties to the lowest cid) so both
-    engines make identical cluster decisions.
+    :class:`~vectordb_etl_spark.operators.ann.IVFIndex`. Assignment is one
+    vectorized numpy argmax per Arrow batch
+    (:func:`~vectordb_etl_spark.operators.ann.assign_centroids_udf`) — O(n)
+    rows, zero shuffle, no n×k row explosion. Scores are rounded to 6 dp
+    and ties break to the lowest cid (first-max argmax over cid-sorted
+    centroids), bit-identical to the ``crossJoin + row_number`` SQL
+    restatement the oracle uses — but that form is kept ONLY in the
+    oracle, where k is small; at SemDeDup-scale k (tens of thousands) the
+    crossJoin would materialize and shuffle n×k rows.
 
     Scale shape (the paper's own argument): the O(n²) pair work is confined
     to within-cluster blocks, so with k clusters the pair volume is
-    Σ n_c² ≈ n²/k — pick k so the expected cluster fits one task (the same
-    rows-per-group contract as packing/graph-ANN; SemDeDup at web scale
-    runs k in the tens of thousands). Pairing runs per-cluster inside a
+    Σ n_c² ≈ n²/k. **Contract, same as packing's ``target_rows_per_bucket``
+    / graph-ANN's ``target_rows_per_shard``: pick k so the expected cluster
+    (n/k rows × dim doubles, plus the n_c² similarity matrix) fits one
+    task's memory** — SemDeDup at web scale runs k in the tens of
+    thousands for exactly this reason. Pairing runs per-cluster inside a
     BLAS matmul (applyInPandas), emitting only the dup rows; the final
     decoration is one broadcast-free left join on the id.
     """
     import numpy as np
     import pandas as pd
 
-    from vectordb_etl_spark.functions.vector import cosine_col
+    from vectordb_etl_spark.operators.ann import assign_centroids_udf
 
-    from pyspark.sql.window import Window
+    # centroids are tiny by contract (k rows); collect once, sorted by cid
+    # so argmax's first-max tie-break lands on the lowest cid — identical
+    # to the oracle's ORDER BY score DESC, cid ASC window rule.
+    cent_rows = centroids.select("cid", "centroid").orderBy("cid").collect()
+    cids = [r["cid"] for r in cent_rows]
+    cent_mat = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+    assign = assign_centroids_udf(cent_mat, metric="COSINE", round_dp=6)
 
-    scored = df.select(
-        F.col(id_col).alias("id"), F.col(emb_col).alias("__e")
-    ).crossJoin(
-        F.broadcast(centroids.select("cid", F.col("centroid").alias("__c")))
-    ).select(
-        "id", "__e", "cid", F.round(cosine_col("__e", "__c"), 6).alias("__s")
+    spark = df.sparkSession
+    cid_type = centroids.schema["cid"].dataType.simpleString()
+    idx_to_cid = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cids)],
+        f"__ci int, cluster_id {cid_type}",
     )
-    w = Window.partitionBy("id").orderBy(F.desc("__s"), F.asc("cid"))
     assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", F.col("cid").alias("cluster_id"), F.col("__e").cast("array<double>").alias("__e"))
+        df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("__e"))
+        .withColumn("__ci", assign(F.col("__e").cast("array<double>")))
+        .join(F.broadcast(idx_to_cid), "__ci")
+        .select("id", "cluster_id", F.col("__e").cast("array<double>").alias("__e"))
     )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = f"dup_id {id_type}, kept_id {id_type}"
+    out_schema = (
+        f"{id_col} {id_type}, cluster_id {cid_type}, "
+        f"kept_id {id_type}, is_dup boolean"
+    )
 
     def _cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        # emits EVERY row of the cluster (decorated), not just the dups —
+        # one applyInPandas pass, no join-back, so the assignment UDF runs
+        # exactly once per input row instead of once per plan branch
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")
         ids = pdf["id"].to_numpy()[order]
         mat = np.stack(pdf["__e"].to_numpy()[order]).astype(np.float64)
@@ -1552,27 +1571,20 @@ def semantic_dedup(
         over = sims >= threshold
         np.fill_diagonal(over, False)
         # j is a dup iff some i<j is over-threshold; kept = the min such i
-        dup_rows, kept_rows = [], []
+        kept = [None] * len(ids)
         for j in range(1, len(ids)):
             hits = np.nonzero(over[:j, j])[0]
             if hits.size:
-                dup_rows.append(ids[j])
-                kept_rows.append(ids[hits[0]])
+                kept[j] = ids[hits[0]]
         return pd.DataFrame({
-            "dup_id": pd.Series(dup_rows, dtype=pdf["id"].dtype),
-            "kept_id": pd.Series(kept_rows, dtype=pdf["id"].dtype),
+            id_col: ids,
+            "cluster_id": pdf["cluster_id"].to_numpy()[order],
+            "kept_id": pd.Series(kept, dtype="object"),
+            "is_dup": [k is not None for k in kept],
         })
 
-    dups = assigned.groupBy("cluster_id").applyInPandas(_cluster_dups, out_schema)
-    return (
-        assigned.select("id", "cluster_id")
-        .join(dups.select(F.col("dup_id").alias("id"), "kept_id"), "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "cluster_id",
-            "kept_id",
-            F.col("kept_id").isNotNull().alias("is_dup"),
-        )
+    return assigned.groupBy("cluster_id").applyInPandas(
+        _cluster_dups, out_schema
     )
 
 
