@@ -1755,6 +1755,99 @@ ORDER BY score DESC, vec_id ASC LIMIT 10
 )
 
 
+def _ivf_pq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF_PQ with RESIDUAL encoding (operators/ann.py
+    build(storage='pq_residual') — FAISS/Milvus IVF_PQ proper, Jégou et
+    al. 2011 §IV): PQ quantizes vector − assigned centroid, reconstruction
+    adds the centroid back. Designated centroids (centroid j := vec j,
+    j < 4) and designated RESIDUAL codebook (codeword j of subspace s :=
+    the s-slice of vec j's residual, j < 16), probe-all edge — so the
+    oracle can restate the whole chain: assignment argmax → residual
+    subtract → per-subspace L2 argmin encode → codeword concat → centroid
+    add-back → cosine ranking."""
+    import tempfile
+
+    import numpy as np
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    )
+    cents = np.array(
+        [r["embedding"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IVFIndex(spark, f"{tmp}/ivfpqr").build(
+            emb, centroids=cents, assign_round_dp=6, storage="pq_residual",
+            pq_subs=8, pq_codes=16,
+        )
+        out = idx.search(
+            list(q), k=10, nprobe=4, tie_break=["vec_id"],
+            output_cols=["vec_id", "label"],
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "ivf_pq_residual_topk",
+    _ivf_pq_residual_topk,
+    """
+WITH e AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings
+), cents AS MATERIALIZED (
+  SELECT id AS cid, v AS cv FROM e WHERE id < 4
+), asg AS MATERIALIZED (
+  SELECT id, v, cid, cv FROM (
+    SELECT e.id, e.v, c.cid, c.cv,
+           row_number() OVER (
+             PARTITION BY e.id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+               c.cid ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), res AS MATERIALIZED (
+  SELECT id, cid, cv,
+         list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+  FROM asg
+), w AS (SELECT (len(r) // 8) AS sw FROM res LIMIT 1),
+cb AS MATERIALIZED (
+  SELECT s.s AS sub, res.id AS code,
+         res.r[s.s * w.sw + 1 : (s.s + 1) * w.sw] AS cw
+  FROM res CROSS JOIN w CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+  WHERE res.id < 16
+), enc AS MATERIALIZED (
+  SELECT id, sub, code FROM (
+    SELECT res.id, cb.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY res.id, cb.sub
+             ORDER BY round(list_distance(
+               res.r[cb.sub * w.sw + 1 : (cb.sub + 1) * w.sw], cb.cw), 6) ASC,
+               cb.code ASC) AS rn
+    FROM res CROSS JOIN w CROSS JOIN cb
+  ) WHERE rn = 1
+), recon AS (
+  SELECT enc.id, flatten(list(cb.cw ORDER BY cb.sub)) AS rr
+  FROM enc JOIN cb USING (sub, code) GROUP BY enc.id
+), fin AS (
+  SELECT recon.id,
+         list_transform(range(1, len(recon.rr) + 1),
+                        i -> res.cv[i] + recon.rr[i]) AS fv
+  FROM recon JOIN res USING (id)
+), q AS (SELECT v AS qv FROM e WHERE id = 0)
+SELECT f.id AS vec_id, e.label,
+       round(list_cosine_similarity(f.fv, q.qv), 6) AS score
+FROM fin f JOIN e USING (id) CROSS JOIN q
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
+)
+
+
 def _pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ tier (operators/ann.py pq_topk_adc — the FAISS/Milvus IVF_PQ
     code path): designated-vector codebook (codeword j of subspace s :=
@@ -4158,6 +4251,7 @@ _PRIORITY = [
     "semantic_dedup",
     "pq_topk",
     "ivf_pq_topk",
+    "ivf_pq_residual_topk",
     "integrity_report",
     "chunk_pipeline",
     "events_moving_avg",

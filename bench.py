@@ -343,8 +343,12 @@ def main() -> None:
     # codebook, 256 codes × 8 subspaces — the registered pq_topk query uses
     # a 16-code designated codebook so its oracle stays readable; quality
     # is graded here instead): recall@10 of ADC serving vs exact cosine
-    # over this sf's embeddings. Training lifts recall ~0.5 → ~0.8 on this
-    # corpus vs a designated codebook at the same size.
+    # over this sf's embeddings. Both the trained and the same-size
+    # DESIGNATED codebook recalls are recorded in the meta below — k-means
+    # provably lowers quantization error (tests/test_ann.py pins that),
+    # but on this near-uniform synthetic corpus the recall gap at K=256 is
+    # small (r04 measured trained ≈ 0.48); the residual design point below
+    # is where recall actually recovers.
     from vectordb_etl_spark.operators.ann import pq_topk_adc, train_pq_codebook
 
     _pq_cb = train_pq_codebook(emb, spark, n_codes=256, n_subs=8)
@@ -391,12 +395,101 @@ def main() -> None:
             _emb_ids[i] for i in _np.argsort(-(_recon @ _qv), kind="stable")[:10]
         )
         _hits += len(_ex & _adc)
+    # same-size DESIGNATED codebook recall (codeword j := slice of vec j,
+    # j < 256), numpy-only — the equal-size control for the trained number
+    _des_ids = [j for j in range(256) if j in _pos]
+    _des_cb = _np.stack([_emb_mat[_pos[j]] for j in _des_ids])
+    _des_recon = _np.zeros_like(_emb_mat)
+    for s in range(8):
+        sl = slice(s * _sw, (s + 1) * _sw)
+        d = (
+            (_emb_mat[:, sl] ** 2).sum(axis=1)[:, None]
+            - 2.0 * (_emb_mat[:, sl] @ _des_cb[:, sl].T)
+            + (_des_cb[:, sl] ** 2).sum(axis=1)[None, :]
+        )
+        _des_recon[:, sl] = _des_cb[_np.argmin(_np.round(d, 12), axis=1), sl]
+    _des_hits = 0
+    for _qi in range(10):
+        _qv = _emb_mat[_pos[_emb_ids[_qi]]]
+        _qn2 = _qv / max(float(_np.linalg.norm(_qv)), 1e-12)
+        _ex = set(
+            _emb_ids[i] for i in _np.argsort(-(_emb_unit @ _qn2), kind="stable")[:10]
+        )
+        _des_adc = set(
+            _emb_ids[i]
+            for i in _np.argsort(-(_des_recon @ _qv), kind="stable")[:10]
+        )
+        _des_hits += len(_ex & _des_adc)
     pq_design_point_meta = {
         "n_codes": 256,
         "n_subs": 8,
         "codebook": "trained",
         "n_queries": 10,
         "recall_at_10": round(_hits / 100.0, 4),
+        "designated_recall_at_10": round(_des_hits / 100.0, 4),
+    }
+
+    # IVF_PQ RESIDUAL design point (storage='pq_residual', pq_train=True —
+    # FAISS's IVF_PQ recipe, Jégou et al. 2011 §IV): codes quantize
+    # vector − assigned centroid. Measured on the CLUSTERED 20k jittered
+    # corpus (ivf_design_point's corpus — residual encoding only pays off
+    # when cells capture real cluster structure; on the near-uniform raw
+    # sf corpus it measurably does NOT, which is the paper's own
+    # precondition) at a BINDING code budget (K=16, m=8) where the
+    # encoding choice decides recall. Serve at the reference nprobe=16.
+    # The non-residual control at identical size is built untimed and its
+    # recall recorded alongside — measured r05: residual 0.80 vs raw 0.77
+    # (probe-all: 0.80 vs 0.70).
+    def _dp_pq_build(storage, path):
+        bigdf = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in enumerate(_dp_big)],
+            "vec_id long, embedding array<double>",
+        )
+        return IVFIndex(spark, path).build(
+            bigdf, nlist=128, seed=42, max_iter=8,
+            storage=storage, pq_subs=8, pq_codes=16, pq_train=True,
+        )
+
+    def ivf_pq_residual_design_point():
+        idx = _dp_pq_build("pq_residual", f"{_bench_tmp}/ivfpqr_dp")
+        return idx.search_many(
+            _dp_queries, k=10, nprobe=16, tie_break=["vec_id"],
+            output_cols=["vec_id"],
+        )
+
+    run("ivf_pq_residual_design_point", ivf_pq_residual_design_point, collect=True)
+
+    def _dp_recall10(out) -> float:
+        got: dict[int, list[int]] = {}
+        for r in out.collect():
+            got.setdefault(r["query_id"], []).append(r["vec_id"])
+        hits = 0
+        for qi, qv in enumerate(_dp_queries):
+            qn = _np.asarray(qv) / max(_np.linalg.norm(qv), 1e-12)
+            ex = set(
+                int(x) for x in _np.argsort(-(_dp_unit @ qn), kind="stable")[:10]
+            )
+            hits += len(ex & set(got.get(qi, [])))
+        return round(hits / (10.0 * len(_dp_queries)), 4)
+
+    _res_recall = _dp_recall10(ivf_pq_residual_design_point())
+    _raw_idx = _dp_pq_build("pq", f"{_bench_tmp}/ivfpq_raw_dp")
+    _raw_recall = _dp_recall10(
+        _raw_idx.search_many(
+            _dp_queries, k=10, nprobe=16, tie_break=["vec_id"],
+            output_cols=["vec_id"],
+        )
+    )
+    pq_residual_design_point_meta = {
+        "corpus": "jittered_20k_clustered",
+        "nlist": 128,
+        "nprobe": 16,
+        "n_codes": 16,
+        "n_subs": 8,
+        "codebook": "trained-residual",
+        "n_queries": len(_dp_queries),
+        "recall_at_10": _res_recall,
+        "non_residual_recall_at_10": _raw_recall,
     }
 
     # pass 2: re-measure cheapest-first while under budget, keep the min
@@ -420,6 +513,7 @@ def main() -> None:
                 "plans": plan_fps,
                 "ivf_design_point": ivf_design_point_meta,
                 "pq_design_point": pq_design_point_meta,
+                "pq_residual_design_point": pq_residual_design_point_meta,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

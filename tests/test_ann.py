@@ -414,7 +414,9 @@ def test_ivf_pq_storage_lifecycle(spark, embeddings_tiny, tmp_path_factory):
     )
     stored = spark.read.parquet(f"{path}/data")
     assert "__pq" in stored.columns and "embedding" not in stored.columns
-    assert dict(stored.dtypes)["__pq"] == "array<tinyint>"
+    # smallint, not tinyint: K=256 codebooks (the standard design point)
+    # would wrap codes 128-255 negative under a tinyint cast
+    assert dict(stored.dtypes)["__pq"] == "array<smallint>"
 
     q = list(embeddings_tiny.filter(F.col("vec_id") == 0).head()["embedding"])
     top = idx.search(q, k=5, nprobe=4, tie_break=["vec_id"],
@@ -507,3 +509,157 @@ def test_pq_numpy_encode_matches_expression_path(spark, embeddings_tiny):
     assert [(r["vec_id"], r["score"]) for r in a] == [
         (r["vec_id"], r["score"]) for r in b
     ]
+
+
+def test_ivf_pq_256_code_codebook_roundtrip(spark, tmp_path):
+    """Codes 128-255 must survive storage intact (they'd wrap negative
+    under a tinyint cast and element_at(code+1) would then index from the
+    array END — wrong codewords, silently). Vector j is built to encode to
+    code j in every subspace; j=200 must reconstruct exactly."""
+    import numpy as np
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    n_codes, n_subs, sub_w = 256, 8, 2
+    rng = np.random.RandomState(9)
+    cw = rng.standard_normal((n_subs, n_codes, sub_w))
+    cb = spark.createDataFrame(
+        [(s, j, [float(x) for x in cw[s, j]])
+         for s in range(n_subs) for j in range(n_codes)],
+        "sub int, code int, cw array<double>",
+    )
+    # vector j := concat of codeword j across subspaces -> encodes to j
+    vec_rows = [
+        (j, [float(x) for x in cw[:, j, :].reshape(-1)])
+        for j in list(range(0, 256, 8)) + [200]
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in dict(vec_rows).items()],
+        "vec_id int, embedding array<double>",
+    )
+    cents = np.stack([np.asarray(v) for _, v in vec_rows[:2]])
+    idx = IVFIndex(spark, str(tmp_path / "pq256")).build(
+        df, centroids=cents, storage="pq", pq_subs=n_subs, pq_codebook_df=cb,
+    )
+    stored = spark.read.parquet(f"{tmp_path}/pq256/data")
+    codes = {
+        r["vec_id"]: list(r["__pq"]) for r in stored.select("vec_id", "__pq").collect()
+    }
+    assert codes[200] == [200] * n_subs  # high codes stored un-wrapped
+    assert max(max(c) for c in codes.values()) > 127
+    q = [float(x) for x in cw[:, 200, :].reshape(-1)]
+    top = idx.search(q, k=1, nprobe=2, tie_break=["vec_id"],
+                     output_cols=["vec_id"]).collect()
+    assert top[0]["vec_id"] == 200 and abs(top[0]["score"] - 1.0) < 1e-9
+
+
+def test_pq_prod_dims_reconstruction_stays_arrow_not_literal(spark, tmp_path):
+    """At production dims (d=1024, K beyond a few codes) the codebook must
+    NOT inline as a plan literal (~2 MB of expression tree per query plan);
+    reconstruction switches to the Arrow-batched gather UDF and the plan
+    stays small."""
+    import numpy as np
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    dim, n_subs, n_codes = 1024, 8, 64
+    rng = np.random.RandomState(3)
+    cw = rng.standard_normal((n_subs, n_codes, dim // n_subs))
+    cb = spark.createDataFrame(
+        [(s, j, [float(x) for x in cw[s, j]])
+         for s in range(n_subs) for j in range(n_codes)],
+        "sub int, code int, cw array<double>",
+    )
+    vecs = [
+        (i, [float(x) for x in cw[:, i % n_codes, :].reshape(-1)])
+        for i in range(32)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    cents = np.stack([np.asarray(v) for _, v in vecs[:2]])
+    idx = IVFIndex(spark, str(tmp_path / "pq1024")).build(
+        df, centroids=cents, storage="pq", pq_subs=n_subs, pq_codebook_df=cb,
+    )
+    plan = idx._read_data()._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # gather UDF, not a literal tree
+    assert len(plan) < 50_000  # a 512k-double literal would be megabytes
+    # reconstruction itself is exact for codebook-exact vectors
+    q = vecs[5][1]
+    top = idx.search(q, k=1, nprobe=2, tie_break=["vec_id"],
+                     output_cols=["vec_id"]).collect()
+    assert abs(top[0]["score"] - 1.0) < 1e-9
+
+
+def test_ivf_pq_residual_storage_lifecycle(spark, embeddings_tiny, tmp_path):
+    """pq_residual: codes are PQ over (vector - assigned centroid); the
+    designated residual codebook makes vec 0's reconstruction exact
+    (centroid + its own residual codewords). add() re-encodes residuals
+    against the persisted codebook."""
+    import numpy as np
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    cents = np.array(
+        [r["embedding"] for r in embeddings_tiny.filter(F.col("vec_id") < 4)
+         .orderBy("vec_id").collect()], dtype=np.float64,
+    )
+    path = tmp_path / "ivfpqr"
+    idx = IVFIndex(spark, str(path)).build(
+        embeddings_tiny, centroids=cents, assign_round_dp=6,
+        storage="pq_residual", pq_subs=8, pq_codes=16,
+    )
+    stored = spark.read.parquet(f"{path}/data")
+    assert "__pqr" in stored.columns and "embedding" not in stored.columns
+    assert dict(stored.dtypes)["__pqr"] == "array<smallint>"
+
+    q = list(embeddings_tiny.filter(F.col("vec_id") == 0).head()["embedding"])
+    top = idx.search(q, k=5, nprobe=4, tie_break=["vec_id"],
+                     output_cols=["vec_id", "label"]).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["score"] - 1.0) < 1e-9
+
+    clone = embeddings_tiny.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    idx.add(clone)
+    ids = [r["vec_id"] for r in idx.search(
+        q, k=5, nprobe=4, tie_break=["vec_id"],
+        output_cols=["vec_id", "label"]).collect()]
+    assert 100000 in ids
+
+
+def test_residual_pq_reconstructs_better_on_clustered_data(spark):
+    """The Jegou et al. argument: on clustered data the residual spread is
+    much smaller than the raw spread, so the same-size codebook quantizes
+    residuals with strictly less total error."""
+    import numpy as np
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((4, 16)) * 10.0
+    pts = np.concatenate(
+        [centers[i] + rng.standard_normal((32, 16)) * 0.25 for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id int, embedding array<double>",
+    )
+    q = [float(x) for x in pts[7]]
+
+    def recon_err(storage, path):
+        idx = IVFIndex(spark, path, metric="L2").build(
+            df, centroids=centers, storage=storage, pq_subs=4, pq_codes=8,
+        )
+        rows = idx._read_data().select("vec_id", "embedding").collect()
+        err = 0.0
+        for r in rows:
+            err += float(
+                ((np.asarray(r["embedding"]) - pts[r["vec_id"]]) ** 2).sum()
+            )
+        return err
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        raw = recon_err("pq", f"{tmp}/raw")
+        res = recon_err("pq_residual", f"{tmp}/res")
+    assert res < raw

@@ -168,6 +168,7 @@ class IVFIndex:
         pq_codes: int = 16,
         pq_id_col: str = "vec_id",
         pq_codebook_df: DataFrame | None = None,
+        pq_train: bool = False,
     ) -> "IVFIndex":
         """Train (sampled Lloyd's) or adopt ``centroids`` verbatim — the
         pre-trained/medoid path (e.g. centroid j := a designated vector),
@@ -184,16 +185,30 @@ class IVFIndex:
         dequantized vector under the name ``embedding``.
 
         ``storage="pq"`` is the IVF_PQ tier: cell assignment on the RAW
-        vectors, storage as ``pq_subs`` one-byte codes per vector (d/m
+        vectors, storage as ``pq_subs`` smallint codes per vector (d/m
         compression — 32× at m=8, d=64 doubles) against a designated-vector
         codebook (:func:`pq_codebook` over ``pq_id_col``; the codebook
         persists at ``<path>/pq_codebook``). Probe-time reconstruction
         concatenates codewords via a literal lookup (a pure column
         expression above the pruned scan), so ``dot(q, reconstruction)``
         IS the classic ADC score and every search/add/compact path works
-        unchanged over codes."""
-        if storage not in ("flat", "sq8", "pq"):
-            raise ValueError("storage must be 'flat', 'sq8', or 'pq'")
+        unchanged over codes.
+
+        ``storage="pq_residual"`` is FAISS/Milvus IVF_PQ proper (Jégou,
+        Douze & Schmid 2011 §IV — public): PQ encodes the RESIDUAL
+        ``vector − assigned centroid`` rather than the raw vector, so the
+        codebook only has to cover the within-cell spread — on clustered
+        data that's where PQ recall recovers. Reconstruction adds the
+        centroid back (``_read_data``), after which search/add/compact are
+        identical to ``storage="pq"``. ``pq_codebook_df``, when supplied,
+        must be a RESIDUAL-space codebook; when omitted, the designated
+        codebook is built from the residuals of ``pq_id_col < pq_codes``
+        (still SQL-expressible — the oracle restates assignment, residual,
+        encode, and add-back)."""
+        if storage not in ("flat", "sq8", "pq", "pq_residual"):
+            raise ValueError(
+                "storage must be 'flat', 'sq8', 'pq', or 'pq_residual'"
+            )
         if centroids is not None:
             cents = np.asarray(centroids, dtype=np.float64)
         else:
@@ -210,26 +225,57 @@ class IVFIndex:
             assigned = assigned.withColumn(
                 "__sq8", sq8_quantize_col(emb_col)
             ).drop(emb_col)
-        if storage == "pq":
-            # adopt a supplied codebook (e.g. train_pq_codebook's trained
-            # one — the quality path) or derive the designated-vector
-            # codebook (the oracle path); either way it persists next to
-            # the layout so add() re-encodes consistently
-            cb = (
-                pq_codebook_df
-                if pq_codebook_df is not None
-                else pq_codebook(
-                    df, n_codes=pq_codes, n_subs=pq_subs,
-                    id_col=pq_id_col, emb_col=emb_col,
+        if storage in ("pq", "pq_residual"):
+            src = assigned
+            enc_col = emb_col
+            if storage == "pq_residual":
+                # residual = vector − assigned centroid; centroids join
+                # BROADCAST (nlist rows) so this adds no exchange
+                cents_df = self.spark.createDataFrame(
+                    [
+                        (int(i), [float(x) for x in cents[i]])
+                        for i in range(cents.shape[0])
+                    ],
+                    "centroid_id int, centroid array<double>",
                 )
-            )
+                src = assigned.join(F.broadcast(cents_df), "centroid_id").withColumn(
+                    "__res",
+                    F.zip_with(
+                        F.col(emb_col).cast("array<double>"),
+                        "centroid",
+                        lambda a, b: a - b,
+                    ),
+                ).drop("centroid")
+                enc_col = "__res"
+            # codebook: adopt a supplied one (residual-space for
+            # pq_residual), train per-subspace k-means over the encode
+            # column (``pq_train=True`` — the quality path; trains on the
+            # RESIDUALS for pq_residual, exactly FAISS's IVF_PQ recipe), or
+            # derive the designated-vector codebook (the oracle path);
+            # either way it persists next to the layout so add()
+            # re-encodes consistently
+            if pq_codebook_df is not None:
+                cb = pq_codebook_df
+            elif pq_train:
+                cb = train_pq_codebook(
+                    src, self.spark, emb_col=enc_col,
+                    n_codes=pq_codes, n_subs=pq_subs, seed=seed,
+                )
+            else:
+                cb = pq_codebook(
+                    src, n_codes=pq_codes, n_subs=pq_subs,
+                    id_col=pq_id_col, emb_col=enc_col,
+                )
             cb.repartition(1).write.mode("overwrite").parquet(
                 f"{self.path}/pq_codebook"
             )
             cb = self.spark.read.parquet(f"{self.path}/pq_codebook")
             assigned = _with_pq_codes(
-                assigned, cb, n_subs=pq_subs, id_col=pq_id_col, emb_col=emb_col
+                src, cb, n_subs=pq_subs, id_col=pq_id_col, emb_col=enc_col,
+                out_col="__pq" if storage == "pq" else "__pqr",
             )
+            if storage == "pq_residual":
+                assigned = assigned.drop(emb_col)
         # repartition by the layout key first: one file per centroid per
         # shuffle bucket (≈nlist files total), not input-tasks × nlist
         assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
@@ -363,6 +409,30 @@ class IVFIndex:
             assigned = _with_pq_codes(
                 assigned, cb, n_subs=n_subs, id_col=pq_id_col, emb_col=emb_col
             )
+        if "__pqr" in existing_cols:
+            cb = self.spark.read.parquet(f"{self.path}/pq_codebook")
+            n_subs = cb.agg(F.max("sub")).head()[0] + 1
+            cents_df = self.spark.createDataFrame(
+                [
+                    (int(i), [float(x) for x in cents[i]])
+                    for i in range(cents.shape[0])
+                ],
+                "centroid_id int, centroid array<double>",
+            )
+            assigned = _with_pq_codes(
+                assigned.join(F.broadcast(cents_df), "centroid_id")
+                .withColumn(
+                    "__res",
+                    F.zip_with(
+                        F.col(emb_col).cast("array<double>"),
+                        "centroid",
+                        lambda a, b: a - b,
+                    ),
+                )
+                .drop("centroid"),
+                cb, n_subs=n_subs, id_col=pq_id_col, emb_col="__res",
+                out_col="__pqr",
+            ).drop(emb_col)
         assigned.repartition("centroid_id").write.mode("append").partitionBy(
             "centroid_id"
         ).parquet(f"{self.path}/data")
@@ -444,14 +514,64 @@ class IVFIndex:
         checked_delete(fs, aside)
         return before, _count_files(data)
 
+    # above this many doubles (K·d), the codebook stops being a plan
+    # literal: at production dims (d=1024, K=256 — BGE-M3 through FAISS's
+    # default K) the literal is ~2 MB of expression tree serialized into
+    # EVERY query plan; the Arrow-batched gather UDF ships the ndarray once
+    # per stage in the task closure instead and does the lookup as one
+    # numpy fancy-index per batch.
+    PQ_LITERAL_MAX_DOUBLES = 4096
+
+    def _pq_recon_col(self, codes_col: str) -> Column:
+        """Codeword-concatenation reconstruction for a PQ codes column.
+        Small codebooks inline as a literal (pure column expression —
+        keeps the serve path 100% JVM); large ones reconstruct via
+        :func:`pq_reconstruct_udf`. Either way the partition filter still
+        prunes the scan underneath the projection, and ``dot(q,
+        reconstruction)`` is exactly the ADC score."""
+        cb_df = self.spark.read.parquet(f"{self.path}/pq_codebook")
+        by_sub: dict[int, dict[int, list[float]]] = {}
+        for r in cb_df.collect():
+            by_sub.setdefault(int(r["sub"]), {})[int(r["code"])] = [
+                float(x) for x in r["cw"]
+            ]
+        n_doubles = sum(
+            len(cw) for subs in by_sub.values() for cw in subs.values()
+        )
+        if n_doubles > self.PQ_LITERAL_MAX_DOUBLES:
+            cb_arr = np.array(
+                [
+                    [by_sub[s][c] for c in sorted(by_sub[s])]
+                    for s in sorted(by_sub)
+                ],
+                dtype=np.float64,
+            )
+            return pq_reconstruct_udf(cb_arr)(F.col(codes_col))
+        cb_lit = F.array(*[
+            F.array(*[
+                F.array(*[F.lit(v) for v in by_sub[s][c]])
+                for c in sorted(by_sub[s])
+            ])
+            for s in sorted(by_sub)
+        ])
+        return F.flatten(
+            F.transform(
+                F.col(codes_col),
+                lambda c, i: F.element_at(
+                    F.element_at(cb_lit, i + 1), c.cast("int") + 1
+                ),
+            )
+        )
+
     def _read_data(self) -> DataFrame:
         """The indexed table with the vector column restored: flat storage
         reads as written; SQ8 storage dequantizes the int8 codes into
         ``embedding``; PQ storage reconstructs it as codeword lookups
-        against a LITERAL codebook (m·K·(d/m) doubles in the plan — a few
-        KB). All three are pure column expressions — the partition filter
-        still prunes the scan underneath the projection, and for PQ,
-        ``dot(q, reconstruction)`` is exactly the ADC score."""
+        against the codebook (literal expression at test dims, Arrow
+        gather UDF at prod dims — see :meth:`_pq_recon_col`); residual-PQ
+        storage adds the assigned centroid back on top of the residual
+        reconstruction (centroids join BROADCAST on the partition key, so
+        pruning still reaches the scan)."""
         df = self.spark.read.parquet(f"{self.path}/data")
         if "__sq8" in df.columns:
             from vectordb_etl_spark.functions.vector import sq8_dequantize_col
@@ -460,27 +580,20 @@ class IVFIndex:
                 "embedding", sq8_dequantize_col("__sq8")
             ).drop("__sq8")
         if "__pq" in df.columns:
-            by_sub: dict[int, dict[int, list[float]]] = {}
-            for r in self.spark.read.parquet(f"{self.path}/pq_codebook").collect():
-                by_sub.setdefault(int(r["sub"]), {})[int(r["code"])] = [
-                    float(x) for x in r["cw"]
-                ]
-            cb_lit = F.array(*[
-                F.array(*[
-                    F.array(*[F.lit(v) for v in by_sub[s][c]])
-                    for c in sorted(by_sub[s])
-                ])
-                for s in sorted(by_sub)
-            ])
-            recon = F.flatten(
-                F.transform(
-                    F.col("__pq"),
-                    lambda c, i: F.element_at(
-                        F.element_at(cb_lit, i + 1), c.cast("int") + 1
-                    ),
-                )
+            df = df.withColumn("embedding", self._pq_recon_col("__pq")).drop(
+                "__pq"
             )
-            df = df.withColumn("embedding", recon).drop("__pq")
+        if "__pqr" in df.columns:
+            cents = self.spark.read.parquet(f"{self.path}/centroids")
+            df = (
+                df.withColumn("__recon", self._pq_recon_col("__pqr"))
+                .join(F.broadcast(cents), "centroid_id")
+                .withColumn(
+                    "embedding",
+                    F.zip_with("centroid", "__recon", lambda a, b: a + b),
+                )
+                .drop("__pqr", "__recon", "centroid")
+            )
         return df
 
     def search(
@@ -686,8 +799,9 @@ def pq_topk_adc(
     LUT is built from the broadcast codebook and joins broadcast; the
     final per-vector sum is one map-side-combined aggregation followed by
     TakeOrderedAndProject. Serving never touches raw vectors — at 100 TB
-    the scan reads m one-byte codes per row instead of the d-float
-    embedding (codes are 1/32 of the raw bytes at m=8, d=64)."""
+    the scan reads m small-int codes per row instead of the d-float
+    embedding (~1/16 of the raw bytes at m=8, d=64 before parquet's
+    dictionary/RLE encoding shrinks the code column further)."""
     cb = (
         codebook
         if codebook is not None
@@ -796,11 +910,19 @@ def _with_pq_codes(
     n_subs: int,
     id_col: str,
     emb_col: str,
+    out_col: str = "__pq",
 ) -> DataFrame:
-    """Replace ``emb_col`` with a ``__pq`` codes column (array<tinyint>,
-    one code per subspace, sub-ordered): encode against ``codebook``, fold
-    the (id, sub, code) rows to an array, and join back on the id — the
-    one id-keyed shuffle of the PQ build path."""
+    """Replace ``emb_col`` with a codes column (array<smallint>, one code
+    per subspace, sub-ordered): encode against ``codebook``, fold the
+    (id, sub, code) rows to an array, and join back on the id — the one
+    id-keyed shuffle of the PQ build path.
+
+    smallint, NOT tinyint: the standard PQ design point is K=256 codes
+    (train_pq_codebook's default), and a tinyint cast silently wraps codes
+    128–255 negative (non-ANSI cast), after which reconstruction's
+    ``element_at(..., code + 1)`` indexes from the array END — wrong
+    codewords, no error. Two bytes per code is still 4× under the float
+    width and parquet dictionary/RLE encoding absorbs most of the rest."""
     codes = pq_encode(
         assigned.select(F.col(id_col), F.col(emb_col)),
         codebook, n_subs=n_subs, id_col=id_col, emb_col=emb_col,
@@ -810,8 +932,8 @@ def _with_pq_codes(
             F.array_sort(F.collect_list(F.struct("sub", "code"))),
             lambda x: x["code"],
         )
-        .cast("array<tinyint>")
-        .alias("__pq")
+        .cast("array<smallint>")
+        .alias(out_col)
     )
     return (
         assigned.join(codes_arr, assigned[id_col] == codes_arr["id"])
@@ -908,6 +1030,29 @@ def pq_codes_udf(codebook: np.ndarray):
         return pd.Series(list(out))
 
     return _encode
+
+
+def pq_reconstruct_udf(codebook: np.ndarray):
+    """Vectorized PQ reconstruction (the prod-dims twin of the literal
+    codeword-concat expression): ``codebook`` is (n_subs, n_codes, sub_w);
+    each row's codes gather their codewords in ONE numpy fancy-index per
+    Arrow batch and concatenate. Used by ``IVFIndex._read_data`` when the
+    codebook exceeds ``PQ_LITERAL_MAX_DOUBLES`` — the ndarray rides the
+    task closure once per stage instead of a ~2 MB literal tree serialized
+    into every query plan. Bit-identical to the literal path (same float64
+    codewords, no arithmetic beyond the copy)."""
+    cb = np.ascontiguousarray(codebook, dtype=np.float64)
+    n_subs, n_codes, sub_w = cb.shape
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _recon(codes: pd.Series) -> pd.Series:
+        mat = np.stack(codes.to_numpy()).astype(np.int64)
+        out = cb[np.arange(n_subs)[None, :], mat].reshape(mat.shape[0], -1)
+        return pd.Series(list(out))
+
+    return _recon
 
 
 def codebook_to_array(codebook: DataFrame) -> np.ndarray:
