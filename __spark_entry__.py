@@ -1386,10 +1386,13 @@ _register(
     "events_moving_avg",
     _events_moving_avg,
     # frame ordered by integer micros (epoch_us ≡ Spark unix_micros);
-    # mean in exact integer micro-units — floor((2S+n)/(2n)), half-up for
-    # the nonnegative values here — so no float rounding boundary exists
+    # mean in exact integer micro-units — floor((2S+n)/(2n)), stated via
+    # the mod identity because BOTH Spark's DIV and DuckDB's integer //
+    # truncate toward zero: a - ((a % b + b) % b) is the floor multiple,
+    # so the truncating division of it IS floor(a/b), any sign
     "SELECT event_type, ts, "
-    "CAST((2 * s + n) // (2 * n) AS DOUBLE) / 1000000.0 AS moving_avg, "
+    "CAST(((2 * s + n) - (((2 * s + n) % (2 * n) + 2 * n) % (2 * n))) "
+    "// (2 * n) AS DOUBLE) / 1000000.0 AS moving_avg, "
     "n AS window_n FROM ("
     "  SELECT event_type, ts, "
     "  sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w AS s, "
@@ -4038,20 +4041,31 @@ _register(
     _integrity_report,
     " UNION ALL ".join(
         [
+            # NOT EXISTS + child-NULL filter, NOT `NOT IN`: NOT IN returns
+            # zero violations the moment any parent key is NULL (3-valued
+            # logic), and the operator's dbt convention excludes NULL
+            # child keys (store/validation.py orphan_check)
             "SELECT 'orders_customer_fk' AS check_name, count(*) AS violations "
-            "FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)",
-            "SELECT 'lineitem_orders_fk', count(*) FROM lineitem "
-            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)",
-            "SELECT 'lineitem_part_fk', count(*) FROM lineitem "
-            "WHERE l_partkey NOT IN (SELECT p_partkey FROM part)",
-            "SELECT 'lineitem_supplier_fk', count(*) FROM lineitem "
-            "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)",
-            "SELECT 'customer_nation_fk', count(*) FROM customer "
-            "WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)",
-            "SELECT 'supplier_nation_fk', count(*) FROM supplier "
-            "WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)",
-            "SELECT 'nation_region_fk', count(*) FROM nation "
-            "WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)",
+            "FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS "
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)",
+            "SELECT 'lineitem_orders_fk', count(*) FROM lineitem l "
+            "WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)",
+            "SELECT 'lineitem_part_fk', count(*) FROM lineitem l "
+            "WHERE l.l_partkey IS NOT NULL AND NOT EXISTS "
+            "(SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)",
+            "SELECT 'lineitem_supplier_fk', count(*) FROM lineitem l "
+            "WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS "
+            "(SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)",
+            "SELECT 'customer_nation_fk', count(*) FROM customer c "
+            "WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS "
+            "(SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)",
+            "SELECT 'supplier_nation_fk', count(*) FROM supplier s "
+            "WHERE s.s_nationkey IS NOT NULL AND NOT EXISTS "
+            "(SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)",
+            "SELECT 'nation_region_fk', count(*) FROM nation n "
+            "WHERE n.n_regionkey IS NOT NULL AND NOT EXISTS "
+            "(SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)",
             "SELECT 'orders_pk_unique', count(*) FROM "
             "(SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)",
             "SELECT 'customer_pk_unique', count(*) FROM "

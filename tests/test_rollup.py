@@ -60,6 +60,53 @@ def test_sliding_window_agg(events):
     assert by_id[("view", "2024-03-06 09:00:00")] == (7.0, 1)
 
 
+def test_sliding_window_agg_negative_values_floor_like_duckdb(spark):
+    """Negative frame sums: BOTH Spark's DIV and DuckDB's integer //
+    truncate toward zero, which breaks the half-up identity
+    floor((2S+n)/(2n)) for negative sums (e.g. avg -2/3 would "round" to
+    0). The operator floors via the pmod identity; the oracle must state
+    the same floor via the mod identity — this pins both."""
+    import duckdb
+
+    rows = [
+        ("a", "2024-03-05 10:00:00", -1.0),
+        ("a", "2024-03-05 10:10:00", -2.0),
+        ("a", "2024-03-05 10:20:00", -0.0000015),
+        ("b", "2024-03-05 10:00:00", -7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["event_type"], str(r["ts"])): r["moving_avg"]
+        for r in sliding_window_agg(df, window_seconds=3600).collect()
+    }
+    con = duckdb.connect()
+    oracle = con.execute(
+        """
+        SELECT event_type, ts,
+          CAST(((2 * s + n) - (((2 * s + n) % (2 * n) + 2 * n) % (2 * n)))
+               // (2 * n) AS DOUBLE) / 1000000.0 AS moving_avg
+        FROM (
+          SELECT event_type, ts,
+            sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w AS s,
+            count(*) OVER w AS n
+          FROM (VALUES
+            ('a', TIMESTAMP '2024-03-05 10:00:00', -1.0),
+            ('a', TIMESTAMP '2024-03-05 10:10:00', -2.0),
+            ('a', TIMESTAMP '2024-03-05 10:20:00', -0.0000015),
+            ('b', TIMESTAMP '2024-03-05 10:00:00', -7.0)
+          ) AS t(event_type, ts, value)
+          WINDOW w AS (
+            PARTITION BY event_type ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        )
+        """
+    ).fetchall()
+    for event_type, ts, avg in oracle:
+        assert got[(event_type, str(ts))] == avg, (event_type, ts)
+
+
 def test_conversion_funnel_ordered_first_occurrences(spark):
     # the funnel counts users by ORDERED first occurrences, not mere
     # presence: user 1 converts fully; user 2 purchased BEFORE clicking

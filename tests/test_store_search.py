@@ -414,17 +414,29 @@ def test_integrity_checks_fire_on_planted_violations(spark):
 
     parent = spark.createDataFrame([(1,), (2,)], ["pk"])
     child = spark.createDataFrame(
-        [(1, 10), (2, 11), (99, 12), (98, 13)], ["fk", "x"]
+        [(1, 10), (2, 11), (99, 12), (98, 13), (None, 14)], ["fk", "x"]
     )
     dup = spark.createDataFrame([(1,), (1,), (2,), (3,), (3,)], ["k"])
+    # a NULL parent key must not flip the orphan count to zero (the
+    # NOT-IN three-valued-logic trap); NULL child keys are not violations
+    # (dbt relationship-test convention)
+    parent_with_null = spark.createDataFrame([(1,), (2,), (None,)], ["pk"])
     rows = {
         r["check_name"]: r["violations"]
         for r in integrity_report(
             [
                 orphan_check("orphans", child, "fk", parent, "pk"),
+                orphan_check(
+                    "orphans_null_parent", child, "fk", parent_with_null, "pk"
+                ),
                 unique_check("dups", dup, "k"),
                 unique_check("clean", parent, "pk"),
             ]
         ).collect()
     }
-    assert rows == {"orphans": 2, "dups": 2, "clean": 0}
+    assert rows == {
+        "orphans": 2,  # 99 and 98; the NULL child key is excluded
+        "orphans_null_parent": 2,
+        "dups": 2,
+        "clean": 0,
+    }

@@ -95,12 +95,18 @@ def sliding_window_agg(
 
     The average is computed in EXACT integer micro-units: values quantize
     to 1e-6 units once, the frame sums BIGINTs, and the mean rounds via
-    integer arithmetic (floor((2S+n)/(2n)) — half-up for the nonnegative
-    values this op contracts). Float window averages land on exact
-    .xxxxxx5 boundaries whenever the frame count is a power of two (at
-    100k rows, hundreds of rows), where IEEE `round` flips per engine;
-    integer arithmetic makes the result bit-identical everywhere.
-    Requires ``value_col >= 0``."""
+    integer arithmetic (floor((2S+n)/(2n)) — half-up toward +inf). Float
+    window averages land on exact .xxxxxx5 boundaries whenever the frame
+    count is a power of two (at 100k rows, hundreds of rows), where IEEE
+    `round` flips per engine; integer arithmetic makes the result
+    bit-identical everywhere. Sign-correct for NEGATIVE values too: the
+    floor is taken via the pmod identity ``(a - pmod(a, b)) DIV b``
+    (pmod is always >= 0, so the quotient IS floor(a/b)). Both Spark's
+    bare DIV and DuckDB's integer ``//`` truncate toward zero, which
+    breaks the half-up identity on negative sums (avg -2/3 would "round"
+    to 0); a SQL restatement must use the matching mod identity —
+    ``(a - ((a % b + b) % b)) // b`` — as the registered
+    ``events_moving_avg`` oracle does."""
     from pyspark.sql.window import Window
 
     w = (
@@ -121,7 +127,10 @@ def sliding_window_agg(
         ts_col,
         value_col,
         (
-            F.expr("(2 * __s + __n) DIV (2 * __n)").cast("double")
+            F.expr(
+                "((2 * __s + __n) - pmod(2 * __s + __n, 2 * __n)) "
+                "DIV (2 * __n)"
+            ).cast("double")
             / F.lit(1_000_000.0)
         ).alias("moving_avg"),
         F.col("__n").alias("window_n"),

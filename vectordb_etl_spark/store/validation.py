@@ -19,8 +19,15 @@ from pyspark.sql import functions as F
 def orphan_check(
     name: str, child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
 ) -> DataFrame:
-    """1-row (check_name, violations): child rows whose key has no parent."""
-    c = child.select(F.col(child_key))
+    """1-row (check_name, violations): child rows whose key has no parent.
+
+    NULL semantics follow the dbt relationship-test convention: NULL child
+    keys are NOT violations (use a separate not-null check for those) —
+    they're filtered before the anti-join. This also keeps the operator
+    aligned with a NOT EXISTS SQL restatement regardless of parent-side
+    NULLs (a NOT IN oracle would return zero violations the moment any
+    parent key is NULL — the classic three-valued-logic trap)."""
+    c = child.select(F.col(child_key)).filter(F.col(child_key).isNotNull())
     p = parent.select(F.col(parent_key))
     return (
         c.join(p, c[child_key] == p[parent_key], "left_anti")
