@@ -1496,7 +1496,11 @@ _register(
 
 def _chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """C1–C6 full chunking pipeline (pandas-UDF splitter → posexplode →
-    first-wins dedup). Non-SQL-expressible (recursive splitter); rows-only."""
+    first-wins dedup). The recursive splitter IS SQL-expressible after
+    all: its _go recursion strictly advances the separator cascade (depth
+    ≤ 10, unrolled CTE stages) and its two order-dependent folds walk as
+    recursive CTEs — chunker.chunk_text_sql. Hash-checked since r05
+    (previously the suite's one rows-only verdict)."""
     from vectordb_etl_spark.session import ensure_min_partitions
 
     docs = ensure_min_partitions(_docs(spark, sf)).select(
@@ -1509,7 +1513,29 @@ def _chunk_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_register("chunk_pipeline", _chunk_pipeline, None)
+_CHUNK_PIPELINE_SQL = (
+    "WITH chunks AS ({pipeline}"
+    "), dedup AS ("
+    "  SELECT *, row_number() OVER ("
+    "    PARTITION BY {nhash} ORDER BY doc_id, chunk_index) AS rn"
+    "  FROM chunks"
+    ") "
+    "SELECT doc_id, {cid} AS chunk_id, chunk_index, total_chunks, "
+    "CAST(length(ctext) AS INT) AS chunk_size_chars, "
+    "{toks} AS chunk_size_tokens "
+    "FROM dedup WHERE rn = 1"
+).format(
+    pipeline=chunker.chunk_text_sql(
+        "SELECT doc_id, source, "
+        + cleaning.clean_text_sql("text")
+        + " AS text FROM documents"
+    ),
+    nhash=chunker.normalized_hash_sql("ctext"),
+    cid=T.chunk_id_sql("source", "chunk_index", "ctext"),
+    toks=T.estimate_tokens_sql("ctext"),
+)
+
+_register("chunk_pipeline", _chunk_pipeline, _CHUNK_PIPELINE_SQL)
 
 
 def _chunk_metadata(spark: SparkSession, sf: str) -> DataFrame:

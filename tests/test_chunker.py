@@ -164,3 +164,45 @@ def test_chunk_documents_hybrid_mode(spark):
     # chunk invariants hold in hybrid mode too
     for r in out:
         assert r["chunk_size_chars"] == len(r["text"])
+
+
+def test_chunk_text_sql_matches_python_on_adversarial_texts():
+    """The DuckDB restatement (chunk_text_sql) must reproduce chunk_text
+    chunk-for-chunk on edge shapes the corpus may not exhibit: deep
+    cascade descent, no-separator char splits, overlap carry-back chains,
+    empty docs, small docs, and strip-to-empty flushes."""
+    import duckdb
+
+    from vectordb_etl_spark.config import ChunkerConfig
+    from vectordb_etl_spark.operators.chunker import chunk_text, chunk_text_sql
+
+    cfg = ChunkerConfig()
+    texts = [
+        "",  # empty -> no chunks
+        "short doc",  # <= max -> single chunk
+        "x" * 501,  # no separators at all -> char-level split + merges
+        ("word " * 200).strip(),  # space-separated long run
+        "a. " * 300,  # sentence separator battery
+        ("para one. more text here\n\n" * 40),  # paragraph cascade
+        ("A" * 299 + " ") * 5,  # pieces at the chunk_size boundary
+        "  \n\n  " + "y" * 600 + "\n\n   ",  # strip-to-empty edges
+        ("sent one! sent two? sent three; four, five " * 30),
+        "\n".join("line %d %s" % (i, "z" * (i % 7) * 20) for i in range(80)),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id INT, source VARCHAR, text VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?, ?)",
+        [(i, f"s{i}", t) for i, t in enumerate(texts)],
+    )
+    rows = con.execute(
+        chunk_text_sql("SELECT doc_id, source, text FROM docs")
+        + " ORDER BY doc_id, chunk_index"
+    ).fetchall()
+    got: dict[int, list[str]] = {}
+    for doc_id, _src, _idx, _tot, ctext in rows:
+        got.setdefault(doc_id, []).append(ctext)
+    for i, t in enumerate(texts):
+        assert got.get(i, []) == chunk_text(t, cfg), f"doc {i}"
