@@ -499,6 +499,70 @@ def main() -> None:
         fn, collect = _runners[name]
         timings[name] = min(timings[name], _measure(fn, collect))
 
+    # Scale probe (untimed meta, not part of the suite metric): run the
+    # r04 dedup family at 1x and a 10x deterministically-replicated corpus
+    # and record the measured scaling exponent log10(t10/t1) — the
+    # empirical check that the claimed linear shapes (exchanges keyed only
+    # by md5(window) / cluster id / bigram) hold beyond the bench sf. Doc
+    # replicas get distinct ids and a replica-token suffix (near- but not
+    # exact-duplicate text keeps candidate volumes honest); the embedding
+    # 10x corpus is the jittered _dp_big already built above.
+    import math
+
+    from vectordb_etl_spark.functions import text as text_fns
+    from vectordb_etl_spark.operators import dedup as dedup_ops
+
+    _sp_docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    _sp_reps = spark.range(10).select(F.col("id").cast("int").alias("rep"))
+    _sp_docs10 = _sp_docs1.crossJoin(_sp_reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" r"), F.col("rep")).alias("text"),
+    )
+    _sp_emb10 = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(_dp_big)],
+        "vec_id long, embedding array<double>",
+    )
+    _sp_cents1 = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    # SemDeDup's linear shape is Σ n_c² ≈ n²/k with k CHOSEN so rows/cluster
+    # stays constant (the operator's documented contract) — so the 10x
+    # probe runs 10x clusters, not 10x-fatter clusters
+    _sp_cents10 = _sp_emb10.filter(F.col("vec_id") < 80).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+
+    def _noop_time(fn) -> float:
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    _sp_cases = {
+        "substring_dup_stats": (
+            lambda: dedup_ops.substring_dup_stats(_sp_docs1, width=40, stride=20),
+            lambda: dedup_ops.substring_dup_stats(_sp_docs10, width=40, stride=20),
+        ),
+        "semantic_dedup": (
+            lambda: dedup_ops.semantic_dedup(emb, _sp_cents1, threshold=0.45),
+            lambda: dedup_ops.semantic_dedup(_sp_emb10, _sp_cents10, threshold=0.45),
+        ),
+        "bigram_logprob": (
+            lambda: text_fns.bigram_logprob_scores(_sp_docs1),
+            lambda: text_fns.bigram_logprob_scores(_sp_docs10),
+        ),
+    }
+    scale_probe = {}
+    for name, (f1, f10) in _sp_cases.items():
+        t1 = _noop_time(f1)
+        t10 = _noop_time(f10)
+        scale_probe[name] = {
+            "t_1x": t1,
+            "t_10x": t10,
+            "exponent": round(math.log10(max(t10, 1e-3) / max(t1, 1e-3)), 3),
+        }
+
     import shutil
 
     shutil.rmtree(_bench_tmp, ignore_errors=True)
@@ -514,6 +578,7 @@ def main() -> None:
                 "ivf_design_point": ivf_design_point_meta,
                 "pq_design_point": pq_design_point_meta,
                 "pq_residual_design_point": pq_residual_design_point_meta,
+                "scale_probe": scale_probe,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -42,6 +42,27 @@ def test_histogram_buckets_cover_all_rows(chunks):
     assert all(r["lo"] < r["hi"] for r in hist)
 
 
+def test_histogram_degenerate_bounds(spark):
+    """Bucket-edge rule for corpora numpy.histogram can't bin naturally:
+    min == max (single-value sizes) pins width=1 with every row in bucket
+    0 spanning [v, v+1); an empty frame yields no buckets; a single row
+    behaves like min==max. Property: counts always cover all rows and
+    edges always ascend."""
+    single = spark.createDataFrame([(200,)] * 7, ["chunk_size_chars"])
+    hist = quality.size_histogram(single, bins=30).collect()
+    assert len(hist) == 1
+    assert hist[0]["bucket"] == 0 and hist[0]["n"] == 7
+    assert (hist[0]["lo"], hist[0]["hi"]) == (200.0, 201.0)
+
+    one = spark.createDataFrame([(5,)], ["chunk_size_chars"])
+    hist1 = quality.size_histogram(one, bins=30).collect()
+    assert len(hist1) == 1 and hist1[0]["n"] == 1
+    assert (hist1[0]["lo"], hist1[0]["hi"]) == (5.0, 6.0)
+
+    empty = spark.createDataFrame([], "chunk_size_chars int")
+    assert quality.size_histogram(empty, bins=30).collect() == []
+
+
 def test_language_distribution_sums_to_100(chunks):
     rows = quality.language_distribution(chunks).collect()
     assert sum(r["pct"] for r in rows) == pytest.approx(100.0, abs=1e-3)
