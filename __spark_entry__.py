@@ -1005,6 +1005,39 @@ _register(
 )
 
 
+def _domain_cap_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document caps (functions/curation.py:domain_cap_sample —
+    RefinedWeb-style source balancing): keep at most 10 md5-ordered docs
+    per source. Under-cap sources pass through a broadcast anti-join
+    without shuffling; only over-cap sources pay the window sort."""
+    return curation.domain_cap_sample(
+        _docs(spark, sf).select("doc_id", "source"), group_col="source", cap=10
+    ).select("doc_id", "source")
+
+
+_register(
+    "domain_cap_sample",
+    _domain_cap_sample,
+    curation.domain_cap_sample_sql("documents", cap=10),
+)
+
+
+def _ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus redundancy curve (operators/dedup.py:ngram_novelty): per-doc
+    fraction of distinct word trigrams first seen in that doc, micro-unit
+    bigint. Exchanges keyed only by md5(gram) and doc id."""
+    return D.ngram_novelty(
+        _docs(spark, sf).select("doc_id", "text"), n=3
+    )
+
+
+_register(
+    "ngram_novelty",
+    _ngram_novelty,
+    D.ngram_novelty_sql("documents", n=3),
+)
+
+
 _register(
     "weighted_sample",
     # Efraimidis–Spirakis weighted sampling without replacement
@@ -4292,6 +4325,8 @@ _PRIORITY = [
     "pq_topk",
     "ivf_pq_topk",
     "ivf_pq_residual_topk",
+    "domain_cap_sample",
+    "ngram_novelty",
     "integrity_report",
     "chunk_pipeline",
     "events_moving_avg",

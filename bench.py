@@ -194,6 +194,7 @@ def main() -> None:
         "streaming_exact_dedup",
         "pq_topk",
         "ivf_pq_topk",
+        "ivf_pq_residual_topk",
         "retention_cohorts",
         "json_props_stats",
         "events_gap_interpolate",
@@ -212,6 +213,8 @@ def main() -> None:
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape
     ]
     noop_queries = [
+        "domain_cap_sample",
+        "ngram_novelty",
         "substring_dup_stats",
         "substring_dup_incremental",
         "dsir_log_weights",

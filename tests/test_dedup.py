@@ -663,3 +663,43 @@ def test_semantic_dedup_composes_with_ivf_centroids(spark, embeddings_tiny, tmp_
         assert r["is_dup"] == (r["kept_id"] is not None)
         if r["kept_id"] is not None:
             assert r["kept_id"] < r["vec_id"]
+
+
+def test_ngram_novelty_first_doc_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # 2 trigrams, both novel
+            (2, "alpha beta gamma epsilon"),      # shares 'alpha beta gamma'
+            (3, "zz"),                            # too short -> no shingles
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.ngram_novelty(df, n=3).collect()}
+    assert out[1]["n_shingles"] == 2 and out[1]["novel_ppm"] == 1_000_000
+    # doc 2: 'alpha beta gamma' first seen in doc 1; 'beta gamma epsilon' novel
+    assert out[2]["n_shingles"] == 2 and out[2]["novel_ppm"] == 500_000
+    assert out[3]["n_shingles"] == 0 and out[3]["novel_ppm"] is None
+
+
+def test_domain_cap_sample_caps_and_passes_through(spark):
+    import hashlib
+
+    from vectordb_etl_spark.functions.curation import domain_cap_sample
+
+    rows = [(i, "big") for i in range(20)] + [(100, "small"), (101, "small")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = domain_cap_sample(df, group_col="source", cap=5, id_col="doc_id")
+    got = {(r["doc_id"], r["source"]) for r in out.collect()}
+    # under-cap domain passes through whole
+    assert (100, "small") in got and (101, "small") in got
+    big = sorted(i for i, s in got if s == "big")
+    assert len(big) == 5
+    # the kept set is exactly the 5 lowest md5-ordered ids — deterministic
+    expect = sorted(
+        range(20), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:5]
+    assert big == sorted(expect)
+    # under-cap rows never enter a window: the plan is a union of a
+    # broadcast anti-join pass-through branch and one windowed branch
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Window" in plan and "Union" in plan

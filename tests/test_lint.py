@@ -33,6 +33,10 @@ def test_no_collect_outside_sanctioned_files():
         "quality.py",       # scalar report values (single-row aggregates)
         "curation.py",      # mix_fractions: per-stratum token sums (rows =
                             # number of strata, size-independent of corpus)
+        "dedup.py",         # semantic_dedup: k-row centroid collect feeding
+                            # the vectorized assignment UDF (k bounded by
+                            # the operator's rows-per-cluster contract —
+                            # same class as ann.py's centroid artifact)
     }
     offenders = []
     for path in PKG.rglob("*.py"):

@@ -442,3 +442,62 @@ SELECT d.{id_col}, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
        s.log_weight
 FROM {table} d LEFT JOIN scored s ON s.id = d.{id_col}
 """
+
+
+# --------------------------------------------------------------------------
+# per-domain document caps (RefinedWeb/C4-style source balancing)
+# --------------------------------------------------------------------------
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap documents per domain/source at ``cap``, keeping a deterministic
+    md5-ordered subset (RefinedWeb-style source balancing: a handful of
+    over-represented domains otherwise dominate the mixture). Zero RNG
+    state — the keep-set is a pure function of the ids, so reruns and the
+    SQL oracle agree bit-for-bit.
+
+    Scale shape: a map-side-combined per-domain count first splits domains
+    into under-cap (their rows pass through a broadcast ANTI join — they
+    are never shuffled, and at web scale the domain distribution is
+    Zipf-tailed, so this is MOST rows) and over-cap (only those rows pay
+    the per-domain window sort). The over-cap window partitions by domain;
+    a mega-domain lands in one task but sorts only its OWN rows — bounded
+    by the largest single domain, not the corpus."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    over = counts.filter(F.col("__n") > cap).select(group_col)
+    under_rows = df.join(F.broadcast(over), group_col, "left_anti")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    over_rows = (
+        df.join(F.broadcast(over), group_col, "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    return under_rows.unionByName(over_rows)
+
+
+def domain_cap_sample_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    cap: int = 10,
+    id_col: str = "doc_id",
+    select_cols: str = "doc_id, source",
+) -> str:
+    """Oracle: the under/over split is a pure optimization — the result
+    equals the plain per-domain window cap, stated directly."""
+    return (
+        f"SELECT {select_cols} FROM ("
+        f"  SELECT *, row_number() OVER ("
+        f"    PARTITION BY {group_col} "
+        f"    ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rn"
+        f"  FROM {table}) WHERE rn <= {cap}"
+    )

@@ -1742,3 +1742,82 @@ SELECT t.id AS {id_col},
        END AS corpus_dup_fraction
 FROM tot t LEFT JOIN hits USING (id)
 """
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty — corpus redundancy curve
+# --------------------------------------------------------------------------
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct word
+    n-grams whose global first occurrence (lowest id) is this document —
+    the corpus-redundancy curve a curation pipeline reads to judge how
+    much marginal signal late-ingested documents still add (and to verify
+    a dedup pass actually reduced redundancy). Returns one row per input
+    document: ``(id, n_shingles, novel_ppm)`` — novelty as a bit-stable
+    micro-unit bigint; NULL for shingle-less docs.
+
+    Scale shape: shingles explode keyed by ``md5(gram)`` (uniform — gram
+    text never shuffles); the first-occurrence table is one map-side
+    combined ``min(id)`` aggregation on that hash; the decoration join is
+    hash-keyed. Two exchanges total, both on uniform keys, nothing
+    quadratic."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(text_col, n)).alias("__g"),
+    ).select("id", F.md5("__g").alias("__h"))
+    first = sh.groupBy("__h").agg(F.min("id").alias("__first"))
+    per = (
+        sh.join(first, "__h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("__first") == F.col("id"), 1)).alias("__novel"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            F.expr("(1000000 * __novel) DIV n_shingles").alias("novel_ppm"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.col("novel_ppm").cast("bigint").alias("novel_ppm"),
+        )
+    )
+
+
+def ngram_novelty_sql(
+    table: str = "documents",
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle: identical shingling (word_shingles_sql) and micro-unit
+    integer novelty."""
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT id, md5(g) AS h FROM (
+    SELECT {id_col} AS id, unnest({word_shingles_sql(text_col, n)}) AS g
+    FROM {table})
+), fst AS (SELECT h, min(id) AS first_id FROM sh GROUP BY h),
+per AS (
+  SELECT id, count(*) AS n_shingles,
+         count(*) FILTER (WHERE first_id = id) AS n_novel
+  FROM sh JOIN fst USING (h) GROUP BY id
+)
+SELECT d.{id_col}, CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CASE WHEN p.n_shingles > 0
+            THEN (1000000 * p.n_novel) // p.n_shingles END AS novel_ppm
+FROM {table} d LEFT JOIN per p ON p.id = d.{id_col}
+"""
