@@ -1570,12 +1570,13 @@ def semantic_dedup(
         sims = np.round(mat @ mat.T, 6)
         over = sims >= threshold
         np.fill_diagonal(over, False)
-        # j is a dup iff some i<j is over-threshold; kept = the min such i
-        kept = [None] * len(ids)
-        for j in range(1, len(ids)):
-            hits = np.nonzero(over[:j, j])[0]
-            if hits.size:
-                kept[j] = ids[hits[0]]
+        # j is a dup iff some i<j is over-threshold; kept = the min such i.
+        # One vectorized pass: restrict to the strict upper triangle, then
+        # per column argmax (first True) — no per-row Python loop.
+        tri = np.triu(over, k=1)
+        has = tri.any(axis=0)
+        first = tri.argmax(axis=0)
+        kept = [ids[first[j]] if has[j] else None for j in range(len(ids))]
         return pd.DataFrame({
             id_col: ids,
             "cluster_id": pdf["cluster_id"].to_numpy()[order],
