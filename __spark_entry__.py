@@ -2838,6 +2838,72 @@ _register(
 )
 
 
+def _streaming_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-dup screen as a REAL stream (streaming/ingest.py:
+    lsh_screen_stream): docs < 250 arrive as the stream, docs >= 250 are
+    the persisted corpus band table; a streamed doc colliding with the
+    corpus in >= 1 MinHash band emits exactly once (semi join + watermark
+    dedup). Same determinism harness as streaming_exact_dedup: one sorted
+    landing file -> one availableNow micro-batch, watermark never evicts,
+    so the result is exactly the batch semi-join the oracle states."""
+    import tempfile
+
+    from vectordb_etl_spark.streaming.ingest import lsh_screen_stream
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        "text",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ingest_ts"),
+    )
+    corpus_bands = D.lsh_band_table(
+        docs.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+    )
+    name = f"stream_lsh_{next(_STREAM_SEQ)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with tempfile.TemporaryDirectory() as tmp:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            new_docs = docs.filter(F.col("doc_id") < 250)
+            new_docs.repartition(1).sortWithinPartitions("doc_id").write.parquet(
+                f"{tmp}/landing"
+            )
+            corpus_bands.write.parquet(f"{tmp}/corpus_bands")
+            static_bands = spark.read.parquet(f"{tmp}/corpus_bands")
+            stream = spark.readStream.schema(new_docs.schema).parquet(
+                f"{tmp}/landing"
+            )
+            flagged = lsh_screen_stream(stream, static_bands)
+            q = (
+                flagged.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.table(name).select("doc_id")
+            out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+_STREAM_LSH_ORACLE = (
+    lambda: (
+        D.lsh_candidate_pairs_sql("documents")[
+            : D.lsh_candidate_pairs_sql("documents").index("SELECT DISTINCT")
+        ]
+        + "SELECT DISTINCT n.id AS doc_id "
+        "FROM banded n JOIN banded c ON n.band_key = c.band_key "
+        "AND n.id < 250 AND c.id >= 250"
+    )
+)()
+
+_register("streaming_lsh_dedup", _streaming_lsh_dedup, _STREAM_LSH_ORACLE)
+
+
 # -- multimodal tier, driver-checkable ----------------------------------------------
 #
 # The container-header parsers are real (stdlib struct over public formats);
@@ -4327,6 +4393,7 @@ _PRIORITY = [
     "ivf_pq_residual_topk",
     "domain_cap_sample",
     "ngram_novelty",
+    "streaming_lsh_dedup",
     "integrity_report",
     "chunk_pipeline",
     "events_moving_avg",

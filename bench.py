@@ -192,6 +192,7 @@ def main() -> None:
         "semantic_dedup",
         "bigram_logprob",
         "streaming_exact_dedup",
+        "streaming_lsh_dedup",
         "pq_topk",
         "ivf_pq_topk",
         "ivf_pq_residual_topk",

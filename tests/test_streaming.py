@@ -275,3 +275,47 @@ def test_dedup_stream_first_wins_is_min_id_with_single_file_landing(
     q.awaitTermination()
     kept = sorted(r["doc_id"] for r in spark.table("t_sdedup").collect())
     assert kept == [1, 3]
+
+
+def test_lsh_screen_stream_flags_near_dups_once(spark, tmp_path_factory):
+    """Streaming near-dup screen: a streamed doc sharing most shingles with
+    a corpus doc collides in >= 1 band and emits EXACTLY once (semi join +
+    watermark key-dedup collapses multi-band collisions); novel docs don't
+    emit. Identical text collides in ALL bands — the strongest multi-band
+    case."""
+    from vectordb_etl_spark.operators.dedup import lsh_band_table
+    from vectordb_etl_spark.streaming.ingest import lsh_screen_stream
+
+    tmp = tmp_path_factory.mktemp("slsh")
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(100, corpus_text), (101, "totally different corpus material here")],
+        ["doc_id", "text"],
+    )
+    corpus_bands = lsh_band_table(corpus)
+    rows = [
+        (1, corpus_text),                       # exact copy -> all bands hit
+        (2, "completely novel text with nothing shared at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id",
+        "text",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ingest_ts"),
+    )
+    docs.repartition(1).sortWithinPartitions("doc_id").write.parquet(
+        str(tmp / "landing")
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(str(tmp / "landing"))
+    q = (
+        lsh_screen_stream(stream, corpus_bands)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_slsh")
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    flagged = [r["doc_id"] for r in spark.table("t_slsh").collect()]
+    assert flagged == [1]  # exactly once, despite 4 colliding bands

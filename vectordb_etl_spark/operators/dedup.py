@@ -190,13 +190,17 @@ def lsh_band_table(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band_key) rows — the LSH "index" relation. Persist this
-    (partitioned/bucketed by ``band_key``) and incremental dedup of a new
-    batch against the corpus is one equi-join instead of re-banding
-    history (see :func:`lsh_incremental_candidates`). One fold per row;
-    band keys derived in the FINISH lambda (single signature evaluation,
-    see :func:`lsh_candidate_pairs` plan note)."""
+    """(id, band_key[, passthrough...]) rows — the LSH "index" relation.
+    Persist this (partitioned/bucketed by ``band_key``) and incremental
+    dedup of a new batch against the corpus is one equi-join instead of
+    re-banding history (see :func:`lsh_incremental_candidates`). One fold
+    per row; band keys derived in the FINISH lambda (single signature
+    evaluation, see :func:`lsh_candidate_pairs` plan note). Pure column
+    expressions throughout, so it is STREAMING-SAFE (used by
+    streaming/ingest.py:lsh_screen_stream — ``passthrough`` carries the
+    event-time column for the watermark)."""
     r = num_hashes // bands
     shingles = word_shingles_col(text_col, shingle_n)
     init = F.array(*[F.lit(None).cast("long") for _ in range(num_hashes)])
@@ -226,6 +230,7 @@ def lsh_band_table(
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(F.aggregate(shingles, init, _step, _finish)).alias("band_key"),
+        *[F.col(c) for c in passthrough],
     )
 
 

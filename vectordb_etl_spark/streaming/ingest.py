@@ -380,3 +380,48 @@ def sessionize_stream(
             timeoutConf=conf,
         )
     )
+
+
+def lsh_screen_stream(
+    stream_docs: DataFrame,
+    corpus_bands: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ingest_ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-dup screen under streaming — the streaming twin of
+    operators/dedup.py:lsh_incremental_candidates: each arriving document
+    is MinHash-banded with pure column expressions (streaming-safe, no
+    state) and stream-static LEFT SEMI joined against the persisted corpus
+    band table; documents colliding with the corpus in ≥1 band emit once.
+
+    State story, the part that matters at 100 TB/day: banding is
+    stateless; the semi join is stream-static (the static side is the
+    persisted, bucketed band table — re-read per micro-batch, never
+    buffered as state); the only stateful operator is the final
+    ``dropDuplicatesWithinWatermark`` on the doc id, which collapses the
+    ≤``bands`` collision rows per flagged doc to one output row with
+    watermark-bounded key state. Returns flagged ``(id_col, ts_col)``
+    rows — route them to quarantine/review, anti-join them from the
+    ingest path, or count them as the live dup-rate metric."""
+    from vectordb_etl_spark.operators.dedup import lsh_band_table
+
+    banded = lsh_band_table(
+        stream_docs, id_col, text_col, num_hashes, bands, shingle_n,
+        passthrough=(ts_col,),
+    )
+    flagged = banded.alias("n").join(
+        corpus_bands.alias("c"),
+        (F.col("n.band_key") == F.col("c.band_key"))
+        & (F.col("n.id") != F.col("c.id")),
+        "left_semi",
+    )
+    return (
+        flagged.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["id"])
+        .select(F.col("id").alias(id_col), ts_col)
+    )
