@@ -34,6 +34,8 @@ def prepare_training_data(
     boilerplate_max_frac=0.8,
     substring_dup_max_frac=None,
     quality_gate=True,
+    domain_cap=None,
+    domain_col="source",
     dsir_target_lang=None,
     dsir_keep_frac=0.5,
     mix_targets=None,
@@ -55,7 +57,10 @@ def prepare_training_data(
     from vectordb_etl_spark.operators import dedup as D
 
     stages = {}
-    docs = docs.select("doc_id", "lang", "text")
+    keep_cols = ["doc_id", "lang", "text"]
+    if domain_cap is not None and domain_col in docs.columns:
+        keep_cols.append(domain_col)
+    docs = docs.select(*keep_cols)
     stages["input"] = docs.count()
 
     # 1. length-outlier screen (percentile band of raw length)
@@ -92,6 +97,15 @@ def prepare_training_data(
             .drop("dup_fraction")
         )
         stages["substring_screened"] = docs.count()
+
+    # 2c. optional per-domain document cap (RefinedWeb-style source
+    # balancing) — BEFORE the similarity passes so over-represented domains
+    # don't dominate the shuffle-heavy stages either
+    if domain_cap is not None and domain_col in docs.columns:
+        docs = curation.domain_cap_sample(
+            docs, group_col=domain_col, cap=domain_cap, id_col="doc_id"
+        ).drop(domain_col)
+        stages["domain_capped"] = docs.count()
 
     # 3. transitive near-dup removal (LSH pairs → components → min-id rep)
     pairs = D.lsh_candidate_pairs(docs, id_col="doc_id")

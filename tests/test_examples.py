@@ -106,13 +106,13 @@ def test_training_data_prep_composition(spark, docs_tiny, tmp_path):
     packed, stages = prepare_training_data(
         spark, docs_tiny,
         substring_dup_max_frac=0.95, dsir_target_lang="en",
-        dsir_keep_frac=0.9,
+        dsir_keep_frac=0.9, domain_cap=20,
         mix_targets={"en": 0.6, "zh": 0.4}, budget_tokens=50_000,
         pack_budget=256,
     )
     order = ["input", "length_screened", "boilerplate_screened",
-             "substring_screened", "deduped", "quality_gated",
-             "dsir_selected", "mixed", "packed_rows"]
+             "substring_screened", "domain_capped", "deduped",
+             "quality_gated", "dsir_selected", "mixed", "packed_rows"]
     counts = [stages[s] for s in order if s in stages]
     assert all(a >= b for a, b in zip(counts, counts[1:-1]))
     assert stages["packed_rows"] == stages[order[-2]]  # packing keeps rows

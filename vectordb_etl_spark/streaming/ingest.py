@@ -425,3 +425,46 @@ def lsh_screen_stream(
         .dropDuplicatesWithinWatermark(["id"])
         .select(F.col("id").alias(id_col), ts_col)
     )
+
+
+def ivf_ingest_stream(
+    stream_vectors: DataFrame,
+    index,
+    checkpoint_dir: str,
+    emb_col: str = "embedding",
+    assign_round_dp: int | None = None,
+    pq_id_col: str = "vec_id",
+    trigger_available_now: bool = False,
+):
+    """Continuous ANN-index maintenance: each micro-batch of vectors is
+    assigned against the index's EXISTING centroid geometry and appended
+    into the partition layout via ``IVFIndex.add`` — a foreachBatch sink
+    reusing the batch path, so storage-tier encoding (flat/SQ8/PQ/
+    residual-PQ, against the PERSISTED codebook) and the
+    one-file-per-centroid layout rules are shared, not duplicated.
+
+    This is how an IVF index absorbs a live embedding firehose at 100 TB:
+    per-batch cost ∝ batch (one assignment UDF pass + one partitioned
+    append); readers pick up new files on their next partition listing;
+    centroid retraining stays an explicit scheduled build() exactly as in
+    the batch contract (add() never moves geometry). Searches mid-stream
+    see complete old files only."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index.add(
+            batch_df,
+            emb_col=emb_col,
+            assign_round_dp=assign_round_dp,
+            pq_id_col=pq_id_col,
+        )
+
+    writer = (
+        stream_vectors.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
