@@ -2904,6 +2904,76 @@ _STREAM_LSH_ORACLE = (
 _register("streaming_lsh_dedup", _streaming_lsh_dedup, _STREAM_LSH_ORACLE)
 
 
+def _streaming_ivf_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous ANN-index maintenance as a REAL stream (streaming/
+    ingest.py:ivf_ingest_stream): build an IVF index over vectors with
+    vec_id < 100 (designated centroids j := vec j, j < 8), then stream
+    the REMAINING vectors through a foreachBatch sink that appends them
+    via IVFIndex.add against the frozen centroid geometry. Returns the
+    final per-cell occupancy (centroid_id, n) — which the oracle restates
+    as the 6-dp-rounded cosine argmax assignment of ALL vectors, because
+    build-time and add-time assignment share one rule."""
+    import tempfile
+
+    import numpy as np
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+    from vectordb_etl_spark.streaming.ingest import ivf_ingest_stream
+
+    emb = _table(spark, sf, "embeddings").select("vec_id", "embedding")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    cents = np.array(
+        [r["embedding"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IVFIndex(spark, f"{tmp}/ivf").build(
+            emb.filter(F.col("vec_id") < 100),
+            centroids=cents, assign_round_dp=6,
+        )
+        rest = emb.filter(F.col("vec_id") >= 100)
+        rest.repartition(1).write.parquet(f"{tmp}/landing")
+        stream = spark.readStream.schema(rest.schema).parquet(f"{tmp}/landing")
+        q = ivf_ingest_stream(
+            stream, idx, f"{tmp}/ckpt", assign_round_dp=6,
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{tmp}/ivf/data")
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias("n"))
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "streaming_ivf_ingest",
+    _streaming_ivf_ingest,
+    # the index's final occupancy = argmax_{cid} round(cosine, 6) over ALL
+    # vectors (build half and streamed half share the assignment rule)
+    """
+WITH e AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+asg AS (
+  SELECT id, cid FROM (
+    SELECT e.id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+               c.cid ASC) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT CAST(cid AS INT) AS centroid_id, count(*) AS n FROM asg GROUP BY cid
+""",
+)
+
+
 # -- multimodal tier, driver-checkable ----------------------------------------------
 #
 # The container-header parsers are real (stdlib struct over public formats);
@@ -4394,6 +4464,7 @@ _PRIORITY = [
     "domain_cap_sample",
     "ngram_novelty",
     "streaming_lsh_dedup",
+    "streaming_ivf_ingest",
     "integrity_report",
     "chunk_pipeline",
     "events_moving_avg",

@@ -193,6 +193,7 @@ def main() -> None:
         "bigram_logprob",
         "streaming_exact_dedup",
         "streaming_lsh_dedup",
+        "streaming_ivf_ingest",
         "pq_topk",
         "ivf_pq_topk",
         "ivf_pq_residual_topk",

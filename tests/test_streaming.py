@@ -319,3 +319,38 @@ def test_lsh_screen_stream_flags_near_dups_once(spark, tmp_path_factory):
     q.awaitTermination()
     flagged = [r["doc_id"] for r in spark.table("t_slsh").collect()]
     assert flagged == [1]  # exactly once, despite 4 colliding bands
+
+
+def test_ivf_ingest_stream_appends_via_add(spark, embeddings_tiny, tmp_path_factory):
+    """Streamed vectors land in the index partition layout encoded per the
+    existing storage tier; search after the stream finds them; centroid
+    geometry is untouched (add never retrains)."""
+    from vectordb_etl_spark.operators.ann import IVFIndex
+    from vectordb_etl_spark.streaming.ingest import ivf_ingest_stream
+
+    tmp = tmp_path_factory.mktemp("sivf")
+    first = embeddings_tiny.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding"
+    )
+    rest = embeddings_tiny.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    idx = IVFIndex(spark, str(tmp / "ivf")).build(first, nlist=4, seed=42, max_iter=4)
+    cents_before = idx.centroids.copy()
+
+    rest.repartition(1).write.parquet(str(tmp / "landing"))
+    stream = spark.readStream.schema(rest.schema).parquet(str(tmp / "landing"))
+    q = ivf_ingest_stream(
+        stream, idx, str(tmp / "ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination()
+
+    assert (idx.centroids == cents_before).all()
+    data = spark.read.parquet(f"{tmp}/ivf/data")
+    assert data.count() == embeddings_tiny.count()
+    # an odd (streamed) vector is findable at probe-all
+    odd = embeddings_tiny.filter(F.col("vec_id") == 7).head()
+    got = [r["vec_id"] for r in idx.search(
+        list(odd["embedding"]), k=3, nprobe=4, tie_break=["vec_id"],
+        output_cols=["vec_id"]).collect()]
+    assert 7 in got
