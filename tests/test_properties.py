@@ -214,3 +214,39 @@ def test_pack_fold_matches_recursive_cte(toks, budget):
     con.close()
     got = _python_greedy_fold(toks, budget)
     assert {i: p for i, p in enumerate(got)} == oracle
+
+
+# -- chunk_text_sql ≡ chunk_text over random separator-rich texts ------------
+#
+# The DuckDB restatement of the C1-C4 splitter (chunker.chunk_text_sql) is
+# the one non-trivial SQL artifact whose correctness is structural, not a
+# formula — property-test it against the Python kernel on adversarial
+# random documents built FROM the separator alphabet itself, so split
+# boundaries, cascade descent, overlap carry-back, and small-merge all get
+# fuzzed. One DuckDB run per example batch keeps this fast.
+
+_CHUNK_ATOMS = st.sampled_from(
+    ["word", "x" * 40, "Y", "\n", "\n\n", "\n\n\n", ". ", "? ", "! ",
+     "; ", ", ", " ", "longtoken" * 12]
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_CHUNK_ATOMS, min_size=0, max_size=220))
+def test_chunk_text_sql_matches_python_random(atoms):
+    import duckdb
+
+    from vectordb_etl_spark.config import ChunkerConfig
+    from vectordb_etl_spark.operators.chunker import chunk_text, chunk_text_sql
+
+    text = "".join(atoms)
+    cfg = ChunkerConfig()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id INT, source VARCHAR, text VARCHAR)")
+    con.execute("INSERT INTO docs VALUES (0, 's', ?)", [text])
+    rows = con.execute(
+        chunk_text_sql("SELECT doc_id, source, text FROM docs")
+        + " ORDER BY chunk_index"
+    ).fetchall()
+    got = [r[4] for r in rows]
+    assert got == chunk_text(text, cfg)
