@@ -3366,6 +3366,125 @@ _register(
 )
 
 
+def _forecast_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
+    """Q6-shape: the simplest TPC-H plan — a pure filter+aggregate whose
+    entire predicate battery (year band, discount band, quantity cap) must
+    reach the parquet scan as PushedFilters; the aggregate is one
+    map-side-combined global sum. No join, no window — the query exists to
+    prove pushdown, and its scan should read 3 columns of 11."""
+    li = _table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 20)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,4)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("revenue_delta")
+        )
+    )
+
+
+_register(
+    "forecast_revenue_change",
+    _forecast_revenue_change,
+    "SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))"
+    " AS DOUBLE), 4) AS revenue_delta FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 20",
+)
+
+
+def _min_cost_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2-shape: for each small part, the supplier offering the MINIMUM
+    observed price — the correlated scalar-min subquery, decorrelated the
+    way Catalyst does it: aggregate (part, supplier) → min-per-part →
+    first-row-per-part selection. lineitem stands in for partsupp (the
+    testdata has no partsupp table); min() is pure selection, so no float
+    arithmetic enters the hash. Ties break to the lowest suppkey."""
+    li = _table(spark, sf, "lineitem")
+    part = _table(spark, sf, "part")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("cost"), F.asc("l_suppkey")
+    )
+    best = (
+        costs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .filter(F.col("p_size") <= 10)
+        .select(
+            "p_partkey",
+            "p_size",
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round(F.col("cost"), 4).alias("min_cost"),
+        )
+        .orderBy("p_partkey")
+        .limit(50)
+    )
+
+
+_register(
+    "min_cost_supplier_per_part",
+    _min_cost_supplier_per_part,
+    "SELECT p_partkey, p_size, l_suppkey AS s_suppkey, "
+    "round(cost, 4) AS min_cost FROM ("
+    "  SELECT l_partkey, l_suppkey, cost, row_number() OVER ("
+    "    PARTITION BY l_partkey ORDER BY cost ASC, l_suppkey ASC) AS rn"
+    "  FROM (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost"
+    "        FROM lineitem GROUP BY 1, 2)"
+    ") JOIN part ON l_partkey = p_partkey "
+    "WHERE rn = 1 AND p_size <= 10 ORDER BY p_partkey LIMIT 50",
+)
+
+
+def _supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Q16-shape: per (brand, type), how many DISTINCT suppliers ship the
+    part class — excluding a supplier blocklist (Q16's complaint filter;
+    here suppliers with negative balance) via a broadcast LEFT ANTI join
+    BEFORE the distinct-count aggregate. The anti join is the shape under
+    test: NOT IN over a nullable-free key decorrelates to anti, and the
+    countDistinct collapses (brand, type, supplier) before counting."""
+    li = _table(spark, sf, "lineitem")
+    part = _table(spark, sf, "part")
+    supplier = _table(spark, sf, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+        .limit(20)
+    )
+
+
+_register(
+    "supplier_part_counts",
+    _supplier_part_counts,
+    "SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20",
+)
+
+
 def _promo_revenue_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """Q14-shape: conditional-aggregate ratio over a fact⋈dim join. part is
     the small side — Catalyst broadcasts it, so the only shuffle is the
@@ -4465,6 +4584,9 @@ _PRIORITY = [
     "ngram_novelty",
     "streaming_lsh_dedup",
     "streaming_ivf_ingest",
+    "forecast_revenue_change",
+    "min_cost_supplier_per_part",
+    "supplier_part_counts",
     "integrity_report",
     "chunk_pipeline",
     "events_moving_avg",

@@ -163,6 +163,9 @@ def main() -> None:
         "ivf_topk_nprobe",
         "filter_expr_search",
         "promo_revenue_ratio",
+        "forecast_revenue_change",
+        "min_cost_supplier_per_part",
+        "supplier_part_counts",
         "large_order_customers",
         "disjunctive_predicate_revenue",
         "bilateral_shipping_volume",
