@@ -1005,6 +1005,25 @@ _register(
 )
 
 
+def _quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style linear quality classifier SERVING (functions/
+    curation.py:hashed_classifier_scores): hashed-unigram features ×
+    broadcast weight vector, per-doc floored micro-unit mean. The weight
+    table is the deterministic stand-in for trained weights — the SERVING
+    plan (explode → broadcast join → doc-key sum) is the graded artifact."""
+    w = curation.classifier_weight_table(spark, buckets=256, seed=101)
+    return curation.hashed_classifier_scores(
+        _docs(spark, sf).select("doc_id", "text"), w, buckets=256
+    )
+
+
+_register(
+    "quality_classifier_scores",
+    _quality_classifier_scores,
+    curation.hashed_classifier_scores_sql("documents", buckets=256, seed=101),
+)
+
+
 def _domain_cap_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Per-domain document caps (functions/curation.py:domain_cap_sample —
     RefinedWeb-style source balancing): keep at most 10 md5-ordered docs
@@ -4584,6 +4603,7 @@ _PRIORITY = [
     "ngram_novelty",
     "streaming_lsh_dedup",
     "streaming_ivf_ingest",
+    "quality_classifier_scores",
     "forecast_revenue_change",
     "min_cost_supplier_per_part",
     "supplier_part_counts",

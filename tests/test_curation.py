@@ -213,3 +213,37 @@ def test_dsir_zero_token_doc_null_weight(spark):
     out = {r["doc_id"]: r for r in curation.dsir_log_weights(df, tdf).collect()}
     assert out[1]["n_tokens"] == 0 and out[1]["log_weight"] is None
     assert out[2]["n_tokens"] == 2
+
+
+def test_hashed_classifier_scores_mean_and_nulls(spark):
+    """Scoring is the exact floored mean of bucket weights; token-less docs
+    get NULL; negative sums floor toward -inf (cross-engine rule)."""
+    from vectordb_etl_spark.functions.curation import (
+        _token_bucket_col,
+        classifier_weight_table,
+        hashed_classifier_scores,
+    )
+
+    w = classifier_weight_table(spark, buckets=16, seed=7)
+    wmap = {r["bk"]: r["w_micro"] for r in w.collect()}
+    assert len(wmap) == 16
+    assert any(v < 0 for v in wmap.values())  # negatives exercised
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta GAMMA"), (2, "   "), (3, "alpha")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in hashed_classifier_scores(
+        df, w, buckets=16).collect()}
+
+    def bucket(tok):
+        import hashlib
+        return int(hashlib.md5(tok.encode()).hexdigest()[:6], 16) % 16
+
+    toks = ["alpha", "beta", "gamma"]
+    s = sum(wmap[bucket(t)] for t in toks)
+    assert out[1]["n_tokens"] == 3
+    # python // floors — exactly the pmod identity the operator states
+    assert out[1]["score_micro"] == s // 3
+    assert out[2]["n_tokens"] == 0 and out[2]["score_micro"] is None
+    assert out[3]["score_micro"] == wmap[bucket("alpha")]

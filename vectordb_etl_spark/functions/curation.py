@@ -501,3 +501,119 @@ def domain_cap_sample_sql(
         f"    ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rn"
         f"  FROM {table}) WHERE rn <= {cap}"
     )
+
+
+# --------------------------------------------------------------------------
+# hashed linear quality classifier — fastText-style SERVING
+# --------------------------------------------------------------------------
+
+
+def classifier_weight_table(
+    spark,
+    buckets: int = 256,
+    seed: int = 101,
+) -> DataFrame:
+    """Deterministic per-bucket integer micro-weights — the stand-in for a
+    TRAINED fastText/logistic quality classifier's weight vector (training
+    is out of scope here, as in the reference; a user drops in their
+    trained weights as the same ``(bk, w_micro)`` shape). Weight =
+    (60-bit md5 int of ``seed|bucket``) mod 1000001 − 500000, i.e. a
+    fixed pseudo-random value in [−5e5, 5e5] micro-units — integers, so
+    scoring is bit-stable cross-engine."""
+    return spark.range(buckets).select(
+        F.col("id").cast("int").alias("bk"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("id"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1000001)
+            - F.lit(500000)
+        ).alias("w_micro"),
+    )
+
+
+def hashed_classifier_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """Linear text-classifier SERVING over hashed unigram features — the
+    plan shape of every fastText-style quality/toxicity/domain classifier
+    applied at corpus scale (CCNet, LLaMA's quality filter): score(doc) =
+    mean over token instances of w[bucket(token)].
+
+    Scale shape: tokens explode from one split (no Python), the weight
+    vector joins BROADCAST (``buckets`` rows), and the only exchange is
+    the per-doc sum — identical cost to counting tokens. Returns
+    ``(id, n_tokens, score_micro)`` with the mean as a floored micro-unit
+    bigint (pmod identity, sign-correct — weights go negative); NULL for
+    token-less docs."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    ).select("id", _token_bucket_col(F.col("tok"), buckets).cast("int").alias("bk"))
+    scored = (
+        toks.join(F.broadcast(weights), "bk")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w_micro").alias("__s"))
+        .select(
+            "id",
+            "n_tokens",
+            F.expr("(__s - pmod(__s, n_tokens)) DIV n_tokens").alias(
+                "score_micro"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.col("score_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+
+
+def hashed_classifier_scores_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    seed: int = 101,
+) -> str:
+    """Oracle: identical tokenization, bucket hash, md5-derived weights,
+    and floor-mean (mod identity — DuckDB's integer // truncates, see
+    operators/rollup.py)."""
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT CAST(bk AS INT) AS bk,
+         (('0x' || substring(md5('{seed}' || '|' || bk), 1, 15))::BIGINT
+          % 1000001 - 500000) AS w_micro
+  FROM (SELECT unnest(range(0, {buckets})) AS bk)
+), toks AS (
+  SELECT id, CAST({_token_bucket_sql('tok', buckets)} AS INT) AS bk FROM (
+    SELECT {id_col} AS id,
+           unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM {table})
+), scored AS (
+  SELECT id, count(*) AS n_tokens, sum(w_micro) AS s
+  FROM toks JOIN w USING (bk) GROUP BY id
+)
+SELECT d.{id_col}, CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST((sc.s - ((sc.s % sc.n_tokens + sc.n_tokens) % sc.n_tokens))
+            // sc.n_tokens AS BIGINT) AS score_micro
+FROM {table} d LEFT JOIN scored sc ON sc.id = d.{id_col}
+"""
