@@ -110,9 +110,10 @@ HEADLINERS: list[tuple[str, str]] = [
      "every exchange is keyed by the uniform md5(window) hash or doc id "
      "— window text never shuffles."),
     ("semantic_dedup",
-     "SemDeDup: broadcast centroid assignment (codegen cosine + one "
-     "row_number window), then FlatMapGroupsInPandas BLAS pairing per "
-     "cluster — pair work never crosses cluster boundaries."),
+     "SemDeDup: one-pass vectorized centroid assignment (Arrow argmax UDF "
+     "+ broadcast index-to-cid map — no n*k row explosion), then "
+     "FlatMapGroupsInPandas BLAS pairing per cluster emitting decorated "
+     "rows directly; 2 exchanges total."),
     ("bigram_logprob",
      "Corpus bigram LM scoring: tokens/bigrams from one split+slice "
      "transform (no position self-join); count aggregates are map-side "
@@ -141,9 +142,34 @@ HEADLINERS: list[tuple[str, str]] = [
      "Relational validation: 11 checks (orphan-FK left-anti counts, "
      "PK-uniqueness having-aggregates) as one lazy unioned plan."),
     ("ivf_pq_topk",
-     "IVF_PQ serving: partition-pruned scan of one-byte PQ codes, "
-     "literal-codebook reconstruction as a codegen projection above the "
-     "scan, TakeOrderedAndProject."),
+     "IVF_PQ serving: partition-pruned scan of smallint PQ codes, "
+     "codebook reconstruction above the scan (literal expression at test "
+     "dims, Arrow gather UDF at prod dims), TakeOrderedAndProject."),
+    ("ivf_pq_residual_topk",
+     "IVF_PQ with residual encoding (FAISS proper): reconstruction adds "
+     "the broadcast-joined centroid back onto the codeword concat; "
+     "pruning still reaches the scan under the join."),
+    ("forecast_revenue_change",
+     "Q6 shape: the pushdown proof — whole predicate battery in "
+     "PushedFilters, 4-of-11-column ReadSchema, one map-side-combined "
+     "global aggregate."),
+    ("min_cost_supplier_per_part",
+     "Q2 shape: correlated scalar-min decorrelated to aggregate -> "
+     "min-per-part first-row window; part joins broadcast above."),
+    ("supplier_part_counts",
+     "Q16 shape: broadcast LEFT ANTI blocklist before the distinct-count "
+     "aggregate — NOT IN never re-executes per row."),
+    ("domain_cap_sample",
+     "Per-domain caps: broadcast anti-join passes under-cap domains "
+     "through unshuffled; only over-cap domains enter the window sort."),
+    ("ngram_novelty",
+     "Corpus redundancy curve: shingles explode keyed by md5(gram), "
+     "min-per-hash map-side combine, hash-keyed decoration join — gram "
+     "text never shuffles."),
+    ("quality_classifier_scores",
+     "fastText-style classifier serving: token explode (no Python), "
+     "broadcast weight join, one doc-key sum — same cost as counting "
+     "tokens."),
 ]
 
 
