@@ -206,3 +206,33 @@ def test_chunk_text_sql_matches_python_on_adversarial_texts():
         got.setdefault(doc_id, []).append(ctext)
     for i, t in enumerate(texts):
         assert got.get(i, []) == chunk_text(t, cfg), f"doc {i}"
+
+
+def test_chunk_text_sql_respects_non_default_config():
+    """The generator is parameterized, not hard-coded to the reference
+    defaults — a different (chunk_size, overlap, min, max) quadruple must
+    still match the Python kernel exactly."""
+    import duckdb
+
+    from vectordb_etl_spark.config import ChunkerConfig
+    from vectordb_etl_spark.operators.chunker import chunk_text, chunk_text_sql
+
+    cfg = ChunkerConfig(
+        chunk_size=80, chunk_overlap=20, min_chunk_size=30, max_chunk_size=120
+    )
+    texts = ["word " * 100, "a. " * 80, "x" * 130, "para\n\n" * 30, "tiny"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id INT, source VARCHAR, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?, ?)",
+        [(i, f"s{i}", t) for i, t in enumerate(texts)],
+    )
+    rows = con.execute(
+        chunk_text_sql("SELECT doc_id, source, text FROM docs", cfg)
+        + " ORDER BY doc_id, chunk_index"
+    ).fetchall()
+    got: dict[int, list[str]] = {}
+    for doc_id, _s, _i, _t, ctext in rows:
+        got.setdefault(doc_id, []).append(ctext)
+    for i, t in enumerate(texts):
+        assert got.get(i, []) == chunk_text(t, cfg), f"doc {i}"
