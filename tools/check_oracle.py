@@ -54,6 +54,12 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if not Path(sf_dir).is_dir():
+        print(
+            f"ERROR: sf_dir {sf_dir!r} is not a directory — arguments are "
+            "POSITIONAL: check_oracle.py [sf_dir] [query_name ...]"
+        )
+        return 2
 
     import __spark_entry__ as entrymod
     from vectordb_etl_spark.session import get_spark
@@ -67,6 +73,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name would otherwise produce a vacuous "0 failures"
+        print(f"ERROR: unknown query names: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
