@@ -2097,6 +2097,38 @@ def _graph_topk(spark: SparkSession, sf: str) -> DataFrame:
 _register("graph_topk", _graph_topk, _ANN_ORACLE)
 
 
+def _graph_topk_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph segment-model maintenance (graph_ann.py add()): build on the
+    even half, add() the odd half as NEW self-contained NSW segments
+    (existing shard files untouched — the Milvus growing-segment analog),
+    then probe-all search over the grown index. Full-beam edge over every
+    segment ⇒ exact brute force over the WHOLE corpus, so the add path's
+    correctness is under the hash, not just a unit test."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = GraphANNIndex(spark, f"{tmp}/graph_inc").build(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            num_shards=4, m=16, ef_construction=64, passthrough=["label"],
+        )
+        idx.add(
+            emb.filter(F.col("vec_id") % 2 == 1),
+            num_shards=4, m=16, ef_construction=64, passthrough=["label"],
+        )
+        out = idx.search(
+            list(q), k=10, ef=1_000_000, output_cols=["id", "label"]
+        ).withColumnRenamed("id", "vec_id")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register("graph_topk_incremental", _graph_topk_incremental, _ANN_ORACLE)
+
+
 def _graph_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
     """Filtered GRAPH search (graph_ann.py search(predicate=...)): the
     standard HNSW post-filter strategy — traverse unfiltered (filtering
@@ -4603,6 +4635,7 @@ _PRIORITY = [
     "ngram_novelty",
     "streaming_lsh_dedup",
     "streaming_ivf_ingest",
+    "graph_topk_incremental",
     "quality_classifier_scores",
     "forecast_revenue_change",
     "min_cost_supplier_per_part",

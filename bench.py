@@ -191,6 +191,7 @@ def main() -> None:
         "tfidf_top_terms",
         "conversion_funnel",
         "graph_topk_batch",
+        "graph_topk_incremental",
         "strip_common_lines",
         "semantic_dedup",
         "bigram_logprob",

@@ -663,3 +663,54 @@ def test_residual_pq_reconstructs_better_on_clustered_data(spark):
         raw = recon_err("pq", f"{tmp}/raw")
         res = recon_err("pq_residual", f"{tmp}/res")
     assert res < raw
+
+
+def test_graph_add_appends_segments_probe_all_exact(spark, embeddings_tiny, tmp_path):
+    """Segment-model add(): new shards append past the existing layout,
+    existing shard files are untouched, and probe-all search over the
+    grown index equals brute force over the full corpus."""
+    import glob
+
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    first = embeddings_tiny.filter(F.col("vec_id") % 2 == 0)
+    rest = embeddings_tiny.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "graph_inc")
+    idx = GraphANNIndex(spark, path).build(
+        first, num_shards=4, m=8, ef_construction=32
+    )
+    files_before = set(glob.glob(f"{path}/shard=*/part-*.parquet"))
+    idx.add(rest, num_shards=2, m=8, ef_construction=32)
+    assert files_before <= set(glob.glob(f"{path}/shard=*/part-*.parquet"))
+    shards = sorted(
+        r["shard"] for r in
+        spark.read.parquet(path).select("shard").distinct().collect()
+    )
+    assert max(shards) >= 4  # appended segments live past the old layout
+    assert spark.read.parquet(path).count() == embeddings_tiny.count()
+
+    q = list(embeddings_tiny.filter(F.col("vec_id") == 7).head()["embedding"])
+    exact = _exact_ids(embeddings_tiny, q, k=10)
+    got = [r["id"] for r in idx.search(q, k=10, ef=10_000).collect()]
+    assert got == exact  # probe-all edge stays exact across segments
+
+
+def test_extend_nsw_continues_build(spark):
+    """extend_nsw over a prefix-built adjacency equals build_nsw over the
+    whole set when insertion order matches — the incremental insert is the
+    same construction."""
+    import numpy as np
+
+    from vectordb_etl_spark.operators.graph_ann import (
+        _normalize_rows,
+        build_nsw,
+        extend_nsw,
+    )
+
+    rng = np.random.RandomState(5)
+    mat = _normalize_rows(rng.standard_normal((60, 8)))
+    full = build_nsw(mat, m=4, ef_construction=16)
+    partial = build_nsw(mat[:40], m=4, ef_construction=16)
+    grown = extend_nsw(mat, [list(a) for a in partial] + [[] for _ in range(20)],
+                       40, m=4, ef_construction=16)
+    assert grown == full

@@ -50,14 +50,19 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(norms, 1e-12)
 
 
-def build_nsw(mat: np.ndarray, m: int = 16, ef_construction: int = 200) -> list[list[int]]:
-    """Greedy NSW construction over unit vectors (cosine ≡ dot): insert
-    nodes one by one, linking each to its ``m`` nearest among the already-
-    inserted set found via beam search (ef_construction beam), links made
-    bidirectional. Pure numpy — runs inside one Spark task per shard."""
+def extend_nsw(
+    mat: np.ndarray,
+    adj: list[list[int]],
+    start: int,
+    m: int = 16,
+    ef_construction: int = 200,
+) -> list[list[int]]:
+    """Continue greedy NSW insertion from node ``start`` over an existing
+    adjacency (``build_nsw`` is the ``start=1``/empty-adjacency case —
+    NSW insertion is inherently incremental, which is what makes graph
+    segments extendable)."""
     n = mat.shape[0]
-    adj: list[list[int]] = [[] for _ in range(n)]
-    for i in range(1, n):
+    for i in range(start, n):
         if i <= m:
             nearest = list(range(i))
         else:
@@ -67,6 +72,15 @@ def build_nsw(mat: np.ndarray, m: int = 16, ef_construction: int = 200) -> list[
             adj[i].append(j)
             adj[j].append(i)
     return adj
+
+
+def build_nsw(mat: np.ndarray, m: int = 16, ef_construction: int = 200) -> list[list[int]]:
+    """Greedy NSW construction over unit vectors (cosine ≡ dot): insert
+    nodes one by one, linking each to its ``m`` nearest among the already-
+    inserted set found via beam search (ef_construction beam), links made
+    bidirectional. Pure numpy — runs inside one Spark task per shard."""
+    n = mat.shape[0]
+    return extend_nsw(mat, [[] for _ in range(n)], 1, m, ef_construction)
 
 
 def beam_search(
@@ -178,6 +192,80 @@ class GraphANNIndex:
 
         tagged.groupBy("shard").applyInPandas(_build, out_schema).write.mode(
             "overwrite"
+        ).partitionBy("shard").parquet(self.path)
+        return self
+
+    def add(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        num_shards: int | None = None,
+        m: int = 16,
+        ef_construction: int = 200,
+        passthrough: list[str] | None = None,
+        target_rows_per_shard: int = 100_000,
+    ) -> "GraphANNIndex":
+        """Incremental maintenance via the SEGMENT model — how Milvus
+        absorbs inserts into an HNSW collection: the batch builds NEW
+        self-contained NSW shards whose ids are offset past the existing
+        layout, appended to the parquet table. ``search``/``search_many``
+        already fan over every shard and merge, so appended segments are
+        immediately searchable, the probe-all exactness edge is preserved
+        (each segment is internally connected), and EXISTING shard files
+        are never rewritten — cost ∝ batch, never the corpus. Periodic
+        ``build()`` over the full set is the seal/merge compaction analog
+        when small segments accumulate.
+
+        The batch must carry the same passthrough columns the index was
+        built with (schema is checked against the existing layout)."""
+        passthrough = passthrough or []
+        existing = self.spark.read.parquet(self.path)
+        expected = [
+            c for c in existing.columns
+            if c not in ("shard", "id", "pos", "embedding", "neighbors")
+        ]
+        if sorted(expected) != sorted(passthrough):
+            raise ValueError(
+                f"passthrough {passthrough} != existing layout's {expected}"
+            )
+        base = existing.agg(F.max("shard")).head()[0] + 1
+        if num_shards is None:
+            n = df.select(id_col).count()
+            num_shards = max(1, -(-n // target_rows_per_shard))
+        tagged = df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in passthrough],
+            F.col(emb_col).cast("array<double>").alias("embedding"),
+            (F.lit(base) + F.pmod(F.hash(F.col(id_col)), F.lit(num_shards))).alias(
+                "shard"
+            ),
+        )
+        pass_fields = ", ".join(
+            f"`{c}` {tagged.schema[c].dataType.simpleString()}" for c in passthrough
+        )
+        out_schema = (
+            "shard int, id long, "
+            + (pass_fields + ", " if pass_fields else "")
+            + "pos int, embedding array<double>, neighbors array<int>"
+        )
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("id").reset_index(drop=True)
+            mat = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
+            adj = build_nsw(mat, m=m, ef_construction=ef_construction)
+            out = {
+                "shard": pdf["shard"],
+                "id": pdf["id"],
+                **{c: pdf[c] for c in passthrough},
+                "pos": np.arange(len(pdf), dtype=np.int32),
+                "embedding": list(mat),
+                "neighbors": [np.asarray(a, dtype=np.int32) for a in adj],
+            }
+            return pd.DataFrame(out)
+
+        tagged.groupBy("shard").applyInPandas(_build, out_schema).write.mode(
+            "append"
         ).partitionBy("shard").parquet(self.path)
         return self
 
