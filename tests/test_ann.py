@@ -714,3 +714,24 @@ def test_extend_nsw_continues_build(spark):
     grown = extend_nsw(mat, [list(a) for a in partial] + [[] for _ in range(20)],
                        40, m=4, ef_construction=16)
     assert grown == full
+
+
+def test_graph_compact_merges_segments_results_stable(spark, embeddings_tiny, tmp_path):
+    """compact() re-shards accumulated segments into a uniform layout and
+    probe-all results are identical across the swap."""
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    path = str(tmp_path / "graph_cpt")
+    idx = GraphANNIndex(spark, path).build(
+        embeddings_tiny.filter(F.col("vec_id") % 2 == 0),
+        num_shards=3, m=8, ef_construction=32,
+    )
+    idx.add(embeddings_tiny.filter(F.col("vec_id") % 2 == 1),
+            num_shards=3, m=8, ef_construction=32)
+    q = list(embeddings_tiny.filter(F.col("vec_id") == 7).head()["embedding"])
+    pre = [(r["id"], r["score"]) for r in idx.search(q, k=10, ef=10_000).collect()]
+    before, after = idx.compact(num_shards=4, m=8, ef_construction=32)
+    assert before == 6 and after == 4
+    post = [(r["id"], r["score"]) for r in idx.search(q, k=10, ef=10_000).collect()]
+    assert post == pre
+    assert spark.read.parquet(path).count() == embeddings_tiny.count()

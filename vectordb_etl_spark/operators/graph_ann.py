@@ -269,6 +269,51 @@ class GraphANNIndex:
         ).partitionBy("shard").parquet(self.path)
         return self
 
+    def compact(
+        self,
+        num_shards: int | None = None,
+        m: int = 16,
+        ef_construction: int = 200,
+        target_rows_per_shard: int = 100_000,
+    ) -> tuple[int, int]:
+        """Seal/merge the accumulated ``add()`` segments back into a fresh
+        uniform layout (the Milvus segment-compaction analog): read every
+        shard's vectors, re-shard by the id hash, rebuild per-shard NSW
+        graphs, and swap the layout in one overwrite. Returns
+        ``(shards_before, shards_after)``. Run when small segments
+        accumulate — per-segment beam searches stay correct regardless,
+        but many tiny segments waste task overhead and beam quality."""
+        existing = self.spark.read.parquet(self.path)
+        passthrough = [
+            c for c in existing.columns
+            if c not in ("shard", "id", "pos", "embedding", "neighbors")
+        ]
+        before = existing.select("shard").distinct().count()
+        vectors = existing.select(
+            F.col("id").alias("vec_id"), *passthrough, "embedding"
+        )
+        # materialize before the overwrite clobbers the source files
+        staged = f"{self.path}__compact_staging"
+        vectors.write.mode("overwrite").parquet(staged)
+        self.build(
+            self.spark.read.parquet(staged),
+            id_col="vec_id",
+            num_shards=num_shards,
+            m=m,
+            ef_construction=ef_construction,
+            passthrough=passthrough,
+            target_rows_per_shard=target_rows_per_shard,
+        )
+        from vectordb_etl_spark.store.collections import checked_delete
+
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(staged)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        checked_delete(fs, jpath)
+        after = (
+            self.spark.read.parquet(self.path).select("shard").distinct().count()
+        )
+        return before, after
+
     def search(
         self,
         query: list[float],
