@@ -839,6 +839,57 @@ _register(
 )
 
 
+def _embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-distribution drift monitor — the vector-space twin of
+    corpus_drift: per (label, dimension), counts and component sums of the
+    'old' half (even vec_id) vs the 'new' half. Everything integer:
+    components quantize to micro-units BEFORE summing, so the report is
+    bit-stable regardless of aggregation order (float sums are not — the
+    one thing that makes naive mean-embedding monitors un-oracle-able).
+    Consumers derive mean vectors / cosine shift from the sums. Scale
+    shape: posexplode to (label, dim) then ONE map-side-combined
+    aggregate; partial combine collapses to labels×d rows per task before
+    the exchange."""
+    emb = _table(spark, sf, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("__old"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "__x"
+        ),
+    ).withColumn(
+        "__xq", F.round(F.col("__x") * F.lit(1_000_000.0)).cast("long")
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.count(F.when(F.col("__old"), 1)).alias("n_old"),
+        F.count(F.when(~F.col("__old"), 1)).alias("n_new"),
+        F.sum(F.when(F.col("__old"), F.col("__xq")).otherwise(F.lit(0)))
+        .alias("sum_old_micro"),
+        F.sum(F.when(~F.col("__old"), F.col("__xq")).otherwise(F.lit(0)))
+        .alias("sum_new_micro"),
+    )
+
+
+_register(
+    "embedding_drift",
+    _embedding_drift,
+    # dims are 0-based to match posexplode
+    "SELECT label, dim, "
+    "count(*) FILTER (WHERE old) AS n_old, "
+    "count(*) FILTER (WHERE NOT old) AS n_new, "
+    "coalesce(sum(xq) FILTER (WHERE old), 0) AS sum_old_micro, "
+    "coalesce(sum(xq) FILTER (WHERE NOT old), 0) AS sum_new_micro "
+    "FROM ("
+    "  SELECT label, vec_id % 2 = 0 AS old, s.i - 1 AS dim, "
+    "         CAST(round(1000000 * s.v) AS BIGINT) AS xq "
+    "  FROM (SELECT label, vec_id, "
+    "        unnest(list_transform(range(1, len(embedding) + 1), "
+    "          i -> {'i': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS s "
+    "        FROM embeddings)"
+    ") GROUP BY label, dim",
+)
+
+
 def _lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental dedup screen: docs 0-49 are the 'daily batch', the rest
     the persisted corpus band table — banding cost ∝ batch, join is
@@ -4633,6 +4684,7 @@ _PRIORITY = [
     "ivf_pq_residual_topk",
     "domain_cap_sample",
     "ngram_novelty",
+    "embedding_drift",
     "streaming_lsh_dedup",
     "streaming_ivf_ingest",
     "graph_topk_incremental",

@@ -219,6 +219,7 @@ def main() -> None:
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape
     ]
     noop_queries = [
+        "embedding_drift",
         "quality_classifier_scores",
         "domain_cap_sample",
         "ngram_novelty",
