@@ -890,6 +890,67 @@ _register(
 )
 
 
+def _multimodal_resize_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image resize (multimodal.py resize_images — decode, floor-map
+    nearest-neighbor, re-encode): each doc synthesizes the same arithmetic
+    BMP as multimodal_decoded_features, resizes to a fixed 3×4, and
+    re-decodes for channel sums — so the full decode→resize→encode→decode
+    chain is under the hash. The oracle states the resized sums directly:
+    pixel (r2, c2) of the output is source pixel ((r2·h)//3, (c2·w)//4)."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from vectordb_etl_spark.multimodal import (
+        encode_bmp,
+        image_pixel_stats,
+        resize_images,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def synth_bmp_px(doc_id):
+        def mk(i):
+            i = int(i)
+            w, h = i % 8 + 2, i % 6 + 2
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            r = (i + xx + yy) % 256
+            g = (i + 2 * xx) % 256
+            b = (i + 3 * yy) % 256
+            return encode_bmp(np.stack([r, g, b], axis=-1).astype(np.uint8))
+
+        return doc_id.map(mk)
+
+    docs = _docs(spark, sf).select(
+        F.col("doc_id"), synth_bmp_px("doc_id").alias("content")
+    )
+    resized = resize_images(docs, out_h=3, out_w=4, id_col="doc_id")
+    return image_pixel_stats(resized).withColumnRenamed(
+        "media_id", "doc_id"
+    ).select("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+
+
+_register(
+    "multimodal_resize_roundtrip",
+    _multimodal_resize_roundtrip,
+    # resized pixel (r2, c2) = source ((r2*h)//3, (c2*w)//4); h/w are
+    # arithmetic in doc_id — sums stated over the 3x4 output grid
+    "WITH r2 AS ("
+    "  SELECT doc_id, unnest(generate_series(0, 2)) AS r2 FROM documents"
+    "), grid AS ("
+    "  SELECT doc_id, r2, unnest(generate_series(0, 3)) AS c2 FROM r2"
+    "), mapped AS ("
+    "  SELECT doc_id,"
+    "         (c2 * (doc_id % 8 + 2)) // 4 AS sx,"
+    "         (r2 * (doc_id % 6 + 2)) // 3 AS sy"
+    "  FROM grid"
+    ") "
+    "SELECT doc_id, CAST(4 AS INT) AS width, CAST(3 AS INT) AS height, "
+    "CAST(sum((doc_id + sx + sy) % 256) AS BIGINT) AS r_sum, "
+    "CAST(sum((doc_id + 2 * sx) % 256) AS BIGINT) AS g_sum, "
+    "CAST(sum((doc_id + 3 * sy) % 256) AS BIGINT) AS b_sum "
+    "FROM mapped GROUP BY doc_id",
+)
+
+
 def _lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental dedup screen: docs 0-49 are the 'daily batch', the rest
     the persisted corpus band table — banding cost ∝ batch, join is
@@ -4685,6 +4746,7 @@ _PRIORITY = [
     "domain_cap_sample",
     "ngram_novelty",
     "embedding_drift",
+    "multimodal_resize_roundtrip",
     "streaming_lsh_dedup",
     "streaming_ivf_ingest",
     "graph_topk_incremental",

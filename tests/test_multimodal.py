@@ -231,3 +231,34 @@ def test_media_table_kind_sniffing(media_df):
     assert rows[1]["kind"] == "image" and rows[3]["kind"] == "audio"
     assert rows[4]["kind"] == "binary"
     assert rows[4]["meta"]["n_bytes"] == 200_000
+
+
+def test_resize_pixels_floor_mapping_and_roundtrip(spark):
+    """resize_pixels uses the floor index map (src = dst*H//out); the full
+    decode->resize->encode->decode chain preserves exact pixel values
+    (nearest neighbor copies bytes, never interpolates)."""
+    import numpy as np
+
+    from vectordb_etl_spark.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        resize_images,
+        resize_pixels,
+    )
+
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    small = resize_pixels(px, 2, 3)
+    assert small.shape == (2, 3, 3)
+    for r2 in range(2):
+        for c2 in range(3):
+            assert (small[r2, c2] == px[(r2 * 5) // 2, (c2 * 7) // 3]).all()
+    # upscale duplicates rows/cols, still exact copies
+    big = resize_pixels(px, 10, 14)
+    assert (big[::2, ::2] == px).all()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(px)))], "media_id long, content binary"
+    )
+    out = resize_images(df, out_h=2, out_w=3).collect()[0]
+    assert (out["width"], out["height"]) == (3, 2)
+    assert (decode_bmp_pixels(bytes(out["content"])) == small).all()

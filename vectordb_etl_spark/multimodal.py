@@ -528,3 +528,63 @@ def media_table(
             F.md5(F.col(content_col).cast("string")).alias("content_md5"),
         ).alias("meta"),
     )
+
+
+# --------------------------------------------------------------------------
+# resize — real nearest-neighbor over decoded pixels (no codec libs needed)
+# --------------------------------------------------------------------------
+
+
+def resize_pixels(px: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbor resize with the FLOOR index mapping
+    ``src = (dst * src_dim) // dst_dim`` — deterministic integer
+    arithmetic, so a SQL oracle can state the resized image's pixel values
+    exactly (fractional-center mappings round through floats and cannot).
+    One numpy fancy-index; no interpolation arithmetic touches the pixel
+    values."""
+    h, w = px.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return px[rows[:, None], cols[None, :]]
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Batch image resize — decode (real stdlib BMP path, PIL routing for
+    compressed formats when present) → nearest-neighbor resize →
+    re-encode as 24-bpp BMP. The Spark shape of a training-data image
+    normalization stage: mapInPandas streams Arrow batches, memory ∝
+    batch size × image size, output is again an opaque binary column so
+    downstream feature/stat operators compose unchanged."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, blobs = [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                px = decode_pixels(bytes(blob or b""))
+                resized = resize_pixels(px, out_h, out_w)
+                ids.append(mid)
+                hs.append(out_h)
+                ws.append(out_w)
+                blobs.append(encode_bmp(resized.astype(np.uint8)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids, "width": ws, "height": hs,
+                    "content": blobs,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return df.mapInPandas(_gen, schema)
