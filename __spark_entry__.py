@@ -951,6 +951,68 @@ _register(
 )
 
 
+def _multimodal_resample_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio resample (multimodal.py resample_audio — decode PCM,
+    zero-order-hold nearest-neighbor mapping, re-encode): each doc
+    synthesizes the arithmetic WAV of multimodal_decoded_features,
+    resamples from its synthetic rate to a fixed 6000 Hz, and re-decodes
+    for the sample sum — decode→resample→encode→decode under the hash.
+    Oracle: n_dst = half-up(n·6000/rate); sample j of the output is
+    source sample (j·n)//n_dst, all integer arithmetic."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from vectordb_etl_spark.multimodal import (
+        audio_sample_stats,
+        encode_wav,
+        resample_audio,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def synth_wav_pcm(doc_id):
+        def mk(i):
+            i = int(i)
+            k = np.arange(i % 50 + 10)
+            samples = ((i * 7 + k * 13) % 65536 - 32768).astype(np.int16)
+            return encode_wav(samples.reshape(-1, 1), 8000 + (i % 4) * 4000)
+
+        return doc_id.map(mk)
+
+    docs = _docs(spark, sf).select(
+        F.col("doc_id"), synth_wav_pcm("doc_id").alias("content")
+    )
+    res = resample_audio(docs, out_rate=6000, id_col="doc_id")
+    return audio_sample_stats(res).withColumnRenamed(
+        "media_id", "doc_id"
+    ).select("doc_id", "sample_rate", "n_frames", "sample_sum")
+
+
+_register(
+    "multimodal_resample_roundtrip",
+    _multimodal_resample_roundtrip,
+    # n = doc_id%50+10, rate = 8000 + (doc_id%4)*4000,
+    # n_dst = (2*n*6000 + rate) // (2*rate), src j = (j*n)//n_dst,
+    # sample = (doc_id*7 + src*13) % 65536 - 32768
+    "WITH base AS ("
+    "  SELECT doc_id, doc_id % 50 + 10 AS n,"
+    "         8000 + (doc_id % 4) * 4000 AS rate FROM documents"
+    "), dims AS ("
+    "  SELECT doc_id, n, rate,"
+    "         (2 * n * 6000 + rate) // (2 * rate) AS n_dst FROM base"
+    "), js AS ("
+    "  SELECT doc_id, n, n_dst,"
+    "         unnest(generate_series(0, CAST(n_dst - 1 AS BIGINT))) AS j"
+    "  FROM dims WHERE n_dst > 0"
+    ") "
+    "SELECT d.doc_id, CAST(6000 AS INT) AS sample_rate, "
+    "CAST(d.n_dst AS BIGINT) AS n_frames, "
+    "CAST(coalesce(sum((j.doc_id * 7 + ((j.j * j.n) // j.n_dst) * 13) "
+    "% 65536 - 32768), 0) AS BIGINT) AS sample_sum "
+    "FROM dims d LEFT JOIN js j USING (doc_id) "
+    "GROUP BY d.doc_id, d.n_dst",
+)
+
+
 def _lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental dedup screen: docs 0-49 are the 'daily batch', the rest
     the persisted corpus band table — banding cost ∝ batch, join is
@@ -4747,6 +4809,7 @@ _PRIORITY = [
     "ngram_novelty",
     "embedding_drift",
     "multimodal_resize_roundtrip",
+    "multimodal_resample_roundtrip",
     "streaming_lsh_dedup",
     "streaming_ivf_ingest",
     "graph_topk_incremental",

@@ -237,6 +237,7 @@ def main() -> None:
         "asof_join_events_orders",
         "multimodal_image_meta",
         "multimodal_resize_roundtrip",
+        "multimodal_resample_roundtrip",
     ]
     for name in collect_queries:
         run(name, lambda n=name: qs[n](spark, SF_DIR), collect=True)

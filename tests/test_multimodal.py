@@ -262,3 +262,28 @@ def test_resize_pixels_floor_mapping_and_roundtrip(spark):
     out = resize_images(df, out_h=2, out_w=3).collect()[0]
     assert (out["width"], out["height"]) == (3, 2)
     assert (decode_bmp_pixels(bytes(out["content"])) == small).all()
+
+
+def test_resample_audio_nearest_and_count(spark):
+    """Zero-order-hold resample: output count is half-up(n*out/in); sample
+    j copies source (j*n)//n_dst exactly (no filter arithmetic)."""
+    import numpy as np
+
+    from vectordb_etl_spark.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+        resample_audio,
+    )
+
+    samples = np.arange(-10, 10, dtype=np.int16).reshape(-1, 1)  # n=20
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(samples, 8000)))],
+        "media_id long, content binary",
+    )
+    out = resample_audio(df, out_rate=6000, id_col="media_id").collect()[0]
+    n_dst = (2 * 20 * 6000 + 8000) // (2 * 8000)  # 15
+    assert out["n_frames"] == n_dst and out["sample_rate"] == 6000
+    dec, rate = decode_wav_samples(bytes(out["content"]))
+    assert rate == 6000 and dec.shape[0] == n_dst
+    expect = samples[(np.arange(n_dst) * 20) // n_dst]
+    assert (dec == expect).all()

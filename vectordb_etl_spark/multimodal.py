@@ -588,3 +588,49 @@ def resize_images(
         ]
     )
     return df.mapInPandas(_gen, schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    out_rate: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Batch audio resample — decode PCM WAV, nearest-neighbor sample
+    mapping ``src = (dst * n_src) // n_dst`` (the zero-order-hold twin of
+    :func:`resize_pixels`: deterministic integer index arithmetic, no
+    filter taps touch the sample values, so a SQL oracle can state the
+    output exactly), re-encode at ``out_rate``. Output frame count is
+    ``round(n_src · out_rate / src_rate)`` via integer half-up. The Spark
+    shape of a training-data audio normalization stage; output is again a
+    WAV binary column so downstream stat/feature operators compose."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, frames, blobs = [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                samples, rate = decode_wav_samples(bytes(blob or b""))
+                n_src = samples.shape[0]
+                n_dst = (2 * n_src * out_rate + rate) // (2 * rate)
+                idx = (np.arange(n_dst) * n_src) // max(n_dst, 1)
+                out = samples[idx] if n_dst > 0 else samples[:0]
+                ids.append(mid)
+                rates.append(out_rate)
+                frames.append(int(n_dst))
+                blobs.append(encode_wav(out.astype(np.int16), out_rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids, "sample_rate": rates,
+                    "n_frames": frames, "content": blobs,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return df.mapInPandas(_gen, schema)
