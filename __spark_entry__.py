@@ -4796,6 +4796,12 @@ _register(
 # `list(queries())[:50]` after registering anything new.
 
 _PRIORITY = [
+    # r06 NOTE: with 13 brand-new r05 queries in this head, only ~8 of the
+    # 50 r03-last queries fit the r05 cap — the r06 rotation MUST lead with
+    # the r03-last remainder (vector_topk family, streaming_windowed/
+    # enriched, multimodal_*_meta, parser round-trips, OLAP Q3/Q12/Q14/Q18/
+    # Q19/Q7 rows, gopher/token_budget/sequence_packing, events_* family)
+    # so nothing's last driver check ages past two rounds.
     # r05 rotation: r04 driver-reds + this-round code changes lead, then
     # everything whose last driver check is r02 (oldest), then the r03 set.
     # The driver caps at 50; slots beyond the cap just order the mid-tier.
