@@ -3710,6 +3710,53 @@ _register(
 )
 
 
+def _product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """Q9-shape: per (supplier nation, order year) profit over a six-table
+    join with an expression combining FACT and DIM columns inside the
+    aggregate (the testdata has no partsupp, so supply cost is the
+    part-dim proxy ``p_retailprice · l_quantity / 10`` — the SHAPE under
+    test is unchanged: profit must be computed post-join, so Catalyst
+    can't push the aggregate below the joins; all dims broadcast, the one
+    big shuffle is lineitem⋈orders)."""
+    li = _table(spark, sf, "lineitem")
+    orders = _table(spark, sf, "orders")
+    supplier = _table(spark, sf, "supplier")
+    nation = _table(spark, sf, "nation")
+    part = _table(spark, sf, "part")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") / 10
+    ).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 4).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_register(
+    "product_type_profit",
+    _product_type_profit,
+    "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+    "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+    "- p_retailprice * l_quantity / 10 AS DECIMAL(18,4))) AS DOUBLE), 4) "
+    "AS profit "
+    "FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN part ON l_partkey = p_partkey "
+    "GROUP BY 1, 2 ORDER BY nation, o_year DESC",
+)
+
+
 def _promo_revenue_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """Q14-shape: conditional-aggregate ratio over a fact⋈dim join. part is
     the small side — Catalyst broadcasts it, so the only shuffle is the
@@ -4823,6 +4870,7 @@ _PRIORITY = [
     "forecast_revenue_change",
     "min_cost_supplier_per_part",
     "supplier_part_counts",
+    "product_type_profit",
     "integrity_report",
     "chunk_pipeline",
     "events_moving_avg",

@@ -166,6 +166,7 @@ def main() -> None:
         "forecast_revenue_change",
         "min_cost_supplier_per_part",
         "supplier_part_counts",
+        "product_type_profit",
         "large_order_customers",
         "disjunctive_predicate_revenue",
         "bilateral_shipping_volume",
