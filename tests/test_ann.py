@@ -735,3 +735,34 @@ def test_graph_compact_merges_segments_results_stable(spark, embeddings_tiny, tm
     post = [(r["id"], r["score"]) for r in idx.search(q, k=10, ef=10_000).collect()]
     assert post == pre
     assert spark.read.parquet(path).count() == embeddings_tiny.count()
+
+
+def test_ivf_pq_residual_search_many_matches_single(spark, embeddings_tiny, tmp_path):
+    """The batched serve path composes with residual storage: search_many
+    returns exactly N independent search() results over centroid-add-back
+    reconstruction."""
+    import numpy as np
+
+    cents = np.array(
+        [r["embedding"] for r in embeddings_tiny.filter(F.col("vec_id") < 4)
+         .orderBy("vec_id").collect()], dtype=np.float64,
+    )
+    idx = IVFIndex(spark, str(tmp_path / "pqr_many")).build(
+        embeddings_tiny, centroids=cents, assign_round_dp=6,
+        storage="pq_residual", pq_subs=8, pq_codes=16,
+    )
+    qs = [
+        list(r["embedding"])
+        for r in embeddings_tiny.filter(F.col("vec_id") < 3)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    batch = idx.search_many(qs, k=5, nprobe=4, tie_break=["vec_id"],
+                            output_cols=["vec_id"]).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qi, q in enumerate(qs):
+        single = [r["vec_id"] for r in idx.search(
+            q, k=5, nprobe=4, tie_break=["vec_id"],
+            output_cols=["vec_id"]).collect()]
+        assert by_q[qi] == single, f"query {qi}"
