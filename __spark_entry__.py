@@ -3702,10 +3702,13 @@ def _supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "supplier_part_counts",
     _supplier_part_counts,
+    # NOT EXISTS, not NOT IN: a NULL blocklist key would zero the whole
+    # result under NOT IN's three-valued logic, and NULL fact keys would
+    # diverge from the operator's anti join (which keeps them)
     "SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt "
-    "FROM lineitem JOIN part ON l_partkey = p_partkey "
-    "WHERE l_suppkey NOT IN "
-    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "FROM lineitem l JOIN part ON l.l_partkey = p_partkey "
+    "WHERE NOT EXISTS (SELECT 1 FROM supplier s "
+    "WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey) "
     "GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20",
 )
 
