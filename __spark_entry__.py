@@ -2303,6 +2303,49 @@ def _graph_topk_incremental(spark: SparkSession, sf: str) -> DataFrame:
 _register("graph_topk_incremental", _graph_topk_incremental, _ANN_ORACLE)
 
 
+def _streaming_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous graph-index maintenance as a REAL stream (streaming/
+    ingest.py:graph_ingest_stream — the HNSW-tier twin of
+    streaming_ivf_ingest): build on the even half, stream the odd half
+    through a foreachBatch sink appending NEW NSW segments per
+    micro-batch, then probe-all search the grown index. Full-beam over
+    every segment ⇒ exact brute force over the whole corpus — the
+    stream-maintained index is under the same hash as the batch one."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+    from vectordb_etl_spark.streaming.ingest import graph_ingest_stream
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = GraphANNIndex(spark, f"{tmp}/graph_s").build(
+            emb.filter(F.col("vec_id") % 2 == 0).select(
+                "vec_id", "embedding", "label"
+            ),
+            num_shards=4, m=16, ef_construction=64, passthrough=["label"],
+        )
+        rest = emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding", "label"
+        )
+        rest.repartition(1).write.parquet(f"{tmp}/landing")
+        stream = spark.readStream.schema(rest.schema).parquet(f"{tmp}/landing")
+        sq = graph_ingest_stream(
+            stream, idx, f"{tmp}/ckpt", num_shards=4, m=16,
+            ef_construction=64, passthrough=["label"],
+            trigger_available_now=True,
+        )
+        sq.awaitTermination()
+        out = idx.search(
+            list(q), k=10, ef=1_000_000, output_cols=["id", "label"]
+        ).withColumnRenamed("id", "vec_id")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register("streaming_graph_ingest", _streaming_graph_ingest, _ANN_ORACLE)
+
+
 def _graph_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
     """Filtered GRAPH search (graph_ann.py search(predicate=...)): the
     standard HNSW post-filter strategy — traverse unfiltered (filtering
@@ -4868,6 +4911,7 @@ _PRIORITY = [
     "multimodal_resample_roundtrip",
     "streaming_lsh_dedup",
     "streaming_ivf_ingest",
+    "streaming_graph_ingest",
     "graph_topk_incremental",
     "quality_classifier_scores",
     "forecast_revenue_change",

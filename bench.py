@@ -199,6 +199,7 @@ def main() -> None:
         "streaming_exact_dedup",
         "streaming_lsh_dedup",
         "streaming_ivf_ingest",
+        "streaming_graph_ingest",
         "pq_topk",
         "ivf_pq_topk",
         "ivf_pq_residual_topk",

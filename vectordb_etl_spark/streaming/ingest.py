@@ -468,3 +468,47 @@ def ivf_ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def graph_ingest_stream(
+    stream_vectors: DataFrame,
+    index,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_shards: int | None = None,
+    m: int = 16,
+    ef_construction: int = 200,
+    passthrough: list[str] | None = None,
+    trigger_available_now: bool = False,
+):
+    """Continuous GRAPH-index maintenance — the HNSW-tier twin of
+    :func:`ivf_ingest_stream`, and the place the segment model earns its
+    keep: each micro-batch becomes NEW self-contained NSW segments via
+    ``GraphANNIndex.add`` (existing shard files never rewritten — graph
+    insertion into a shared adjacency would need cross-batch coordination;
+    per-batch segments need none). Searches fan over every segment, so
+    streamed vectors are searchable at the next partition listing.
+    Periodic ``compact()`` merges accumulated micro-batch segments."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index.add(
+            batch_df,
+            id_col=id_col,
+            emb_col=emb_col,
+            num_shards=num_shards,
+            m=m,
+            ef_construction=ef_construction,
+            passthrough=passthrough,
+        )
+
+    writer = (
+        stream_vectors.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
