@@ -354,3 +354,40 @@ def test_ivf_ingest_stream_appends_via_add(spark, embeddings_tiny, tmp_path_fact
         list(odd["embedding"]), k=3, nprobe=4, tie_break=["vec_id"],
         output_cols=["vec_id"]).collect()]
     assert 7 in got
+
+
+def test_graph_ingest_stream_appends_segments(spark, embeddings_tiny, tmp_path_factory):
+    """Streamed vectors become new NSW segments; probe-all search over the
+    grown index equals brute force; pre-existing shard files untouched."""
+    import glob
+
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+    from vectordb_etl_spark.operators.topk import topk_search
+    from vectordb_etl_spark.streaming.ingest import graph_ingest_stream
+
+    tmp = tmp_path_factory.mktemp("sgraph")
+    first = embeddings_tiny.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding"
+    )
+    rest = embeddings_tiny.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    idx = GraphANNIndex(spark, str(tmp / "g")).build(
+        first, num_shards=3, m=8, ef_construction=32
+    )
+    files_before = set(glob.glob(f"{tmp}/g/shard=*/part-*.parquet"))
+    rest.repartition(1).write.parquet(str(tmp / "landing"))
+    stream = spark.readStream.schema(rest.schema).parquet(str(tmp / "landing"))
+    q = graph_ingest_stream(
+        stream, idx, str(tmp / "ckpt"), num_shards=2, m=8,
+        ef_construction=32, trigger_available_now=True,
+    )
+    q.awaitTermination()
+    assert files_before <= set(glob.glob(f"{tmp}/g/shard=*/part-*.parquet"))
+    assert spark.read.parquet(str(tmp / "g")).count() == embeddings_tiny.count()
+
+    qv = list(embeddings_tiny.filter(F.col("vec_id") == 7).head()["embedding"])
+    exact = [r["vec_id"] for r in topk_search(
+        embeddings_tiny, qv, k=10, tie_break=["vec_id"]).collect()]
+    got = [r["id"] for r in idx.search(qv, k=10, ef=10_000).collect()]
+    assert got == exact
