@@ -720,6 +720,28 @@ def _dedup_rate_report(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("n_dup_windows") > 0
             ),
         ),
+        cnt(
+            "fuzzy_prefix_pairs",
+            D.edit_distance_pairs(
+                docs.select(
+                    "doc_id", F.substring("text", 1, 40).alias("prefix")
+                ),
+                str_col="prefix", max_dist=3,
+            ),
+        ),
+        cnt(
+            "semantic_dup_docs",
+            D.semantic_dedup(
+                _table(spark, sf, "embeddings"),
+                _table(spark, sf, "embeddings")
+                .filter(F.col("vec_id") < 8)
+                .select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("centroid"),
+                ),
+                threshold=0.45,
+            ).filter(F.col("is_dup")),
+        ),
     ]
     return reduce(lambda a, b: a.unionByName(b), checks)
 
@@ -745,6 +767,14 @@ _register(
             "SELECT 'substring_flagged_docs', count(*) FROM ("
             + D.substring_dup_stats_sql("documents", width=40, stride=20)
             + ") t4 WHERE n_dup_windows > 0",
+            "SELECT 'fuzzy_prefix_pairs', count(*) FROM ("
+            + D.edit_distance_pairs_sql(
+                "documents", str_expr="substring(text, 1, 40)", max_dist=3
+            )
+            + ") t5",
+            "SELECT 'semantic_dup_docs', count(*) FROM ("
+            + D.semantic_dedup_sql("embeddings", n_centroids=8, threshold=0.45)
+            + ") t6 WHERE is_dup",
         ]
     ),
 )
