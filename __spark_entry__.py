@@ -684,8 +684,9 @@ _register(
 def _dedup_rate_report(spark: SparkSession, sf: str) -> DataFrame:
     """Curation dashboard: ONE table comparing every near-dup method's
     hit volume on the same corpus — exact-hash duplicate docs, MinHash-LSH
-    candidate pairs, SimHash Hamming pairs, n-gram Jaccard pairs, and
-    docs flagged by the substring-window screen. Each row reuses the
+    candidate pairs, SimHash Hamming pairs, n-gram Jaccard pairs, docs
+    flagged by the substring-window screen, edit-distance prefix pairs,
+    and SemDeDup-flagged embeddings. Each row reuses the
     REGISTERED operator with its registered parameters, so the dashboard
     number is definitionally the count of the corresponding query's rows
     — composition, not re-implementation. One lazy unioned plan."""
