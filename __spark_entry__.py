@@ -857,15 +857,25 @@ _register(
     "  SELECT (SELECT count(*) FROM documents WHERE doc_id < 250) AS t_old,"
     "         (SELECT count(*) FROM documents WHERE doc_id >= 250) AS t_new"
     ") "
+    # every integer output is CAST AS BIGINT: sum(BIGINT) is HUGEINT in
+    # DuckDB, and HUGEINT reaches pandas as float64 — the driver hashes
+    # pandas frames, so an uncast "407" (Spark int64) vs "407.0" (oracle
+    # float64) hash-reds even though the values are equal (this was the
+    # r04/r05 driver-red root cause for this query).
     "SELECT lang, "
-    "(1000000 * coalesce(n_old, 0)) // t_old AS share_old_ppm, "
-    "(1000000 * coalesce(n_new, 0)) // t_new AS share_new_ppm, "
-    "(1000000 * coalesce(n_new, 0)) // t_new "
-    "- (1000000 * coalesce(n_old, 0)) // t_old AS share_delta_ppm, "
-    "CASE WHEN n_old IS NULL THEN NULL "
-    "ELSE (2 * len_old + n_old) // (2 * n_old) END AS mean_len_old, "
-    "CASE WHEN n_new IS NULL THEN NULL "
-    "ELSE (2 * len_new + n_new) // (2 * n_new) END AS mean_len_new "
+    "CAST((1000000 * coalesce(n_old, 0)) // t_old AS BIGINT) "
+    "AS share_old_ppm, "
+    "CAST((1000000 * coalesce(n_new, 0)) // t_new AS BIGINT) "
+    "AS share_new_ppm, "
+    "CAST((1000000 * coalesce(n_new, 0)) // t_new "
+    "- (1000000 * coalesce(n_old, 0)) // t_old AS BIGINT) "
+    "AS share_delta_ppm, "
+    "CAST(CASE WHEN n_old IS NULL THEN NULL "
+    "ELSE (2 * len_old + n_old) // (2 * n_old) END AS BIGINT) "
+    "AS mean_len_old, "
+    "CAST(CASE WHEN n_new IS NULL THEN NULL "
+    "ELSE (2 * len_new + n_new) // (2 * n_new) END AS BIGINT) "
+    "AS mean_len_new "
     "FROM old FULL JOIN new USING (lang) CROSS JOIN tot",
 )
 
@@ -905,11 +915,16 @@ _register(
     "embedding_drift",
     _embedding_drift,
     # dims are 0-based to match posexplode
+    # CAST AS BIGINT on the sums: sum(BIGINT) is HUGEINT in DuckDB and
+    # becomes float64 in the driver's pandas frame, hash-redding against
+    # Spark's int64 even when values are identical (r05 driver-red cause).
     "SELECT label, dim, "
     "count(*) FILTER (WHERE old) AS n_old, "
     "count(*) FILTER (WHERE NOT old) AS n_new, "
-    "coalesce(sum(xq) FILTER (WHERE old), 0) AS sum_old_micro, "
-    "coalesce(sum(xq) FILTER (WHERE NOT old), 0) AS sum_new_micro "
+    "CAST(coalesce(sum(xq) FILTER (WHERE old), 0) AS BIGINT) "
+    "AS sum_old_micro, "
+    "CAST(coalesce(sum(xq) FILTER (WHERE NOT old), 0) AS BIGINT) "
+    "AS sum_new_micro "
     "FROM ("
     "  SELECT label, vec_id % 2 = 0 AS old, s.i - 1 AS dim, "
     "         CAST(round(1000000 * s.v) AS BIGINT) AS xq "
@@ -954,9 +969,9 @@ def _multimodal_resize_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id"), synth_bmp_px("doc_id").alias("content")
     )
     resized = resize_images(docs, out_h=3, out_w=4, id_col="doc_id")
-    return image_pixel_stats(resized).withColumnRenamed(
-        "media_id", "doc_id"
-    ).select("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+    return image_pixel_stats(resized, id_col="doc_id").select(
+        "doc_id", "width", "height", "r_sum", "g_sum", "b_sum"
+    )
 
 
 _register(
@@ -1013,9 +1028,9 @@ def _multimodal_resample_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id"), synth_wav_pcm("doc_id").alias("content")
     )
     res = resample_audio(docs, out_rate=6000, id_col="doc_id")
-    return audio_sample_stats(res).withColumnRenamed(
-        "media_id", "doc_id"
-    ).select("doc_id", "sample_rate", "n_frames", "sample_sum")
+    return audio_sample_stats(res, id_col="doc_id").select(
+        "doc_id", "sample_rate", "n_frames", "sample_sum"
+    )
 
 
 _register(
@@ -3404,11 +3419,11 @@ def _multimodal_decoded_features(spark: SparkSession, sf: str) -> DataFrame:
     img = image_pixel_stats(
         docs.select(F.col("doc_id"), synth_bmp_px("doc_id").alias("content")),
         id_col="doc_id",
-    ).withColumnRenamed("media_id", "doc_id")
+    )
     aud = audio_sample_stats(
         docs.select(F.col("doc_id"), synth_wav_pcm("doc_id").alias("content")),
         id_col="doc_id",
-    ).withColumnRenamed("media_id", "doc_id")
+    )
     return img.join(aud, "doc_id").select(
         "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
         "sample_rate", "n_frames", "sample_sum", "sample_min", "sample_max",
@@ -4794,9 +4809,13 @@ _register(
     "min(CAST(props->>'k' AS BIGINT)) AS min_k, "
     "max(CAST(props->>'k' AS BIGINT)) AS max_k "
     "FROM events GROUP BY event_type) "
-    "SELECT event_type, n_events, n_with_k, sum_k, "
-    "CASE WHEN n_with_k = 0 THEN NULL "
-    "ELSE (1000000 * sum_k) // n_with_k END AS avg_k_micro, "
+    # sum_k / avg_k_micro are CAST AS BIGINT: DuckDB sum(BIGINT) is
+    # HUGEINT → float64 in the driver's pandas frame → hash-red vs
+    # Spark's int64 (r04/r05 driver-red cause for this query).
+    "SELECT event_type, n_events, n_with_k, "
+    "CAST(sum_k AS BIGINT) AS sum_k, "
+    "CAST(CASE WHEN n_with_k = 0 THEN NULL "
+    "ELSE (1000000 * sum_k) // n_with_k END AS BIGINT) AS avg_k_micro, "
     "min_k, max_k FROM agg",
 )
 
@@ -4920,108 +4939,151 @@ _register(
 # `list(queries())[:50]` after registering anything new.
 
 _PRIORITY = [
-    # r06 NOTE: with 13 brand-new r05 queries in this head, only ~8 of the
-    # 50 r03-last queries fit the r05 cap — the r06 rotation MUST lead with
-    # the r03-last remainder (vector_topk family, streaming_windowed/
-    # enriched, multimodal_*_meta, parser round-trips, OLAP Q3/Q12/Q14/Q18/
-    # Q19/Q7 rows, gopher/token_budget/sequence_packing, events_* family)
-    # so nothing's last driver check ages past two rounds.
-    # r05 rotation: r04 driver-reds + this-round code changes lead, then
-    # everything whose last driver check is r02 (oldest), then the r03 set.
-    # The driver caps at 50; slots beyond the cap just order the mid-tier.
+    # r06 rotation: the three r05 driver-reds lead (all were the DuckDB
+    # HUGEINT->pandas-float64 canonicalization class, fixed this round by
+    # CAST(... AS BIGINT) in their oracles — they MUST re-check green),
+    # then every query whose last driver check was r03 (43 rows, aging
+    # out), then the r04 set, alphabetical within each tier. The driver
+    # caps at 50: 3 + 43 fills 46 slots, the first 4 r04 rows ride along.
+    # r07 NOTE: after this round the r04-last tier (~39 remaining rows)
+    # is the oldest — lead r07 with the remainder of the alphabetical
+    # r04 tier below (everything from 'detect_language' onward).
     "corpus_drift",
     "json_props_stats",
-    "semantic_dedup",
-    "pq_topk",
-    "ivf_pq_topk",
-    "ivf_pq_residual_topk",
-    "domain_cap_sample",
-    "ngram_novelty",
     "embedding_drift",
-    "multimodal_resize_roundtrip",
-    "multimodal_resample_roundtrip",
-    "streaming_lsh_dedup",
-    "streaming_ivf_ingest",
-    "streaming_graph_ingest",
-    "graph_topk_incremental",
-    "quality_classifier_scores",
-    "forecast_revenue_change",
-    "min_cost_supplier_per_part",
-    "supplier_part_counts",
-    "product_type_profit",
-    "integrity_report",
-    "chunk_pipeline",
-    "events_moving_avg",
-    "clean_hwp_text",
-    "token_estimate",
-    "chunk_id",
-    "varchar_truncate",
-    "doc_fingerprint",
-    "text_quality",
-    "token_counts",
-    "chunk_stats",
-    "size_histogram",
-    "top_sources",
-    "sample_review",
-    "pricing_summary",
-    "top_customers",
-    "regional_revenue",
-    "order_priority_window",
-    "events_hourly",
-    "minhash_signatures",
-    "simhash_fingerprints",
-    "corpus_health",
-    "events_distinct_users",
-    "vocab_top_terms",
-    "vector_topk",
-    "vector_topk_filtered",
-    "fanout_topk_per_label",
-    "events_sessionize",
-    "minhash_lsh_candidates",
-    "embedding_topk_pairs",
-    "hybrid_rrf_search",
-    "dedup_components",
     "asof_join_events_orders",
-    "range_join_purchase_followups",
-    "events_multi_grain_rollup",
-    "ivf_topk_nprobe",
-    "ivf_topk_batch",
-    "lsh_topk",
-    "graph_topk",
-    "sq8_topk",
-    "shipping_priority",
-    "priority_shipments",
+    "bilateral_shipping_volume",
     "brand_revenue",
-    "supplier_balance_by_region",
-    "returned_orders",
+    "cumulative_unique_users",
     "customers_without_big_orders",
-    "small_quantity_revenue",
-    "streaming_windowed_counts",
-    "order_value_percentiles",
+    "dedup_components",
+    "disjunctive_predicate_revenue",
+    "event_type_pivot",
     "events_cube",
-    "user_event_windows",
+    "events_gap_fill",
+    "events_multi_grain_rollup",
+    "filter_expr_search",
+    "gopher_pass_rate",
+    "gopher_quality_signals",
+    "graph_topk",
+    "html_parse_roundtrip",
+    "hwp_cfb_roundtrip",
+    "hwpx_extract_roundtrip",
+    "hybrid_rrf_search",
+    "ivf_topk_batch",
+    "ivf_topk_nprobe",
+    "large_order_customers",
+    "lsh_topk",
+    "multimodal_audio_meta",
+    "multimodal_image_meta",
+    "order_value_percentiles",
+    "priority_shipments",
+    "promo_revenue_ratio",
+    "purchasers_without_errors",
+    "range_join_purchase_followups",
+    "returned_orders",
+    "sequence_packing",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "sq8_topk",
     "streaming_enriched_counts",
     "streaming_interval_join",
-    "multimodal_image_meta",
-    "multimodal_audio_meta",
-    "html_parse_roundtrip",
-    "hwpx_extract_roundtrip",
-    "hwp_cfb_roundtrip",
-    "video_frame_fanout",
-    "filter_expr_search",
-    "promo_revenue_ratio",
-    "large_order_customers",
-    "disjunctive_predicate_revenue",
-    "bilateral_shipping_volume",
-    "top_terms_per_language",
-    "gopher_quality_signals",
-    "gopher_pass_rate",
+    "streaming_windowed_counts",
+    "supplier_balance_by_region",
     "token_budget_mix",
-    "sequence_packing",
-    "events_gap_fill",
-    "cumulative_unique_users",
-    "purchasers_without_errors",
-    "event_type_pivot",
+    "top_terms_per_language",
+    "user_event_windows",
+    "video_frame_fanout",
+    "bigram_logprob",
+    "boilerplate_fraction",
+    "chunk_metadata",
+    "clean_text",
+    "contamination_check",
+    "conversion_funnel",
+    "customer_order_distribution",
+    "dedup_rate_report",
+    "detect_language",
+    "dsir_log_weights",
+    "embedding_norms",
+    "events_gap_interpolate",
+    "exact_dedup",
+    "fuzzy_prefix_pairs",
+    "graph_topk_batch",
+    "graph_topk_filtered",
+    "ivf_sq8_topk",
+    "ivf_topk",
+    "ivf_topk_filtered",
+    "language_distribution",
+    "length_outlier_screen",
+    "lsh_incremental_candidates",
+    "market_share",
+    "multimodal_decoded_features",
+    "ngram_jaccard_pairs",
+    "pii_redaction",
+    "quality_report",
+    "regional_supplier_volume",
+    "retention_cohorts",
+    "returned_item_customers",
+    "salted_distinct_users_by_type",
+    "salted_join_enrichment",
+    "simhash_near_dups",
+    "stratified_sample",
+    "streaming_exact_dedup",
+    "streaming_sessionize",
+    "strip_common_lines",
+    "substring_dup_incremental",
+    "substring_dup_stats",
+    "suppliers_kept_waiting",
+    "tfidf_top_terms",
+    "top_revenue_suppliers",
+    "weighted_sample",
+    "chunk_id",
+    "chunk_pipeline",
+    "chunk_stats",
+    "clean_hwp_text",
+    "corpus_health",
+    "doc_fingerprint",
+    "domain_cap_sample",
+    "embedding_topk_pairs",
+    "events_distinct_users",
+    "events_hourly",
+    "events_moving_avg",
+    "events_sessionize",
+    "fanout_topk_per_label",
+    "forecast_revenue_change",
+    "graph_topk_incremental",
+    "integrity_report",
+    "ivf_pq_residual_topk",
+    "ivf_pq_topk",
+    "min_cost_supplier_per_part",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "multimodal_resample_roundtrip",
+    "multimodal_resize_roundtrip",
+    "ngram_novelty",
+    "order_priority_window",
+    "pq_topk",
+    "pricing_summary",
+    "product_type_profit",
+    "quality_classifier_scores",
+    "regional_revenue",
+    "sample_review",
+    "semantic_dedup",
+    "simhash_fingerprints",
+    "size_histogram",
+    "streaming_graph_ingest",
+    "streaming_ivf_ingest",
+    "streaming_lsh_dedup",
+    "supplier_part_counts",
+    "text_quality",
+    "token_counts",
+    "token_estimate",
+    "top_customers",
+    "top_sources",
+    "varchar_truncate",
+    "vector_topk",
+    "vector_topk_filtered",
+    "vocab_top_terms",
 ]
 
 # Green in CORRECTNESS_r04.json (driver-checked last round) and not touched

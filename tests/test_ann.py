@@ -766,3 +766,28 @@ def test_ivf_pq_residual_search_many_matches_single(spark, embeddings_tiny, tmp_
             q, k=5, nprobe=4, tie_break=["vec_id"],
             output_cols=["vec_id"]).collect()]
         assert by_q[qi] == single, f"query {qi}"
+
+
+def test_pq_recon_rejects_sparse_codebook(spark, embeddings_tiny, tmp_path):
+    """Reconstruction gathers codewords by sorted-key position, which is
+    only correct for dense 0..K-1 code ids per subspace — a user-supplied
+    codebook with gaps must fail loudly, not reconstruct wrong vectors."""
+    import numpy as np
+    import pytest
+
+    from vectordb_etl_spark.operators.ann import IVFIndex, train_pq_codebook
+
+    cents = np.array(
+        [r["embedding"] for r in embeddings_tiny.filter(F.col("vec_id") < 4)
+         .orderBy("vec_id").collect()], dtype=np.float64,
+    )
+    cb = train_pq_codebook(embeddings_tiny, spark, n_codes=16, n_subs=8)
+    # punch a hole in the code-id space: drop code 3 in every subspace
+    sparse = cb.filter(F.col("code") != 3)
+    idx = IVFIndex(spark, str(tmp_path / "ivfpq_sparse")).build(
+        embeddings_tiny, centroids=cents, storage="pq",
+        pq_subs=8, pq_codebook_df=sparse,
+    )
+    q = list(embeddings_tiny.head()["embedding"])
+    with pytest.raises(ValueError, match="non-contiguous code"):
+        idx.search(q, k=5, nprobe=4).collect()

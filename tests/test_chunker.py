@@ -236,3 +236,16 @@ def test_chunk_text_sql_respects_non_default_config():
         got.setdefault(doc_id, []).append(ctext)
     for i, t in enumerate(texts):
         assert got.get(i, []) == chunk_text(t, cfg), f"doc {i}"
+
+
+def test_chunk_text_sql_requires_char_split_fallback():
+    """A separator list without the final '' fallback would silently drop
+    un-splittable pieces from the SQL cascade — refused loudly instead."""
+    import pytest
+
+    from vectordb_etl_spark.config import ChunkerConfig
+    from vectordb_etl_spark.operators.chunker import chunk_text_sql
+
+    cfg = ChunkerConfig(separators=["\n\n", "\n", " "])
+    with pytest.raises(ValueError, match="fallback"):
+        chunk_text_sql("SELECT * FROM docs", cfg)

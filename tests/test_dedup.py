@@ -703,3 +703,39 @@ def test_domain_cap_sample_caps_and_passes_through(spark):
     # broadcast anti-join pass-through branch and one windowed branch
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "Window" in plan and "Union" in plan
+
+
+def test_domain_cap_sample_caps_null_domain(spark):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from vectordb_etl_spark.functions.curation import domain_cap_sample
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+        ]
+    )
+    rows = [(i, None) for i in range(8)] + [(100, "a"), (101, "a")]
+    df = spark.createDataFrame(rows, schema)
+    out = domain_cap_sample(df, group_col="source", cap=3, id_col="doc_id")
+    got = out.collect()
+    # NULL is one domain like any other: capped at 3, not waved through
+    null_rows = [r for r in got if r["source"] is None]
+    assert len(null_rows) == 3
+    assert {(r["doc_id"], r["source"]) for r in got if r["source"] == "a"} == {
+        (100, "a"),
+        (101, "a"),
+    }
+    # the kept NULL subset matches the oracle's window-cap order
+    import hashlib
+
+    expect = sorted(
+        range(8), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:3]
+    assert sorted(r["doc_id"] for r in null_rows) == sorted(expect)

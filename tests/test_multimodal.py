@@ -287,3 +287,34 @@ def test_resample_audio_nearest_and_count(spark):
     assert rate == 6000 and dec.shape[0] == n_dst
     expect = samples[(np.arange(n_dst) * 20) // n_dst]
     assert (dec == expect).all()
+
+
+def test_resize_and_resample_respect_string_id_column(spark):
+    """The output id field takes its name AND type from df.schema[id_col]
+    — string media ids round-trip instead of failing Arrow conversion
+    against a hard-coded LongType."""
+    import numpy as np
+
+    from vectordb_etl_spark.multimodal import (
+        encode_bmp,
+        encode_wav,
+        resample_audio,
+        resize_images,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("img-a", bytearray(encode_bmp(px)))], "uri string, content binary"
+    )
+    out = resize_images(df, out_h=2, out_w=2, id_col="uri")
+    assert out.schema["uri"].dataType.simpleString() == "string"
+    assert out.collect()[0]["uri"] == "img-a"
+
+    samples = np.arange(8, dtype=np.int16).reshape(-1, 1)
+    dfa = spark.createDataFrame(
+        [("wav-b", bytearray(encode_wav(samples, 8000)))],
+        "uri string, content binary",
+    )
+    outa = resample_audio(dfa, out_rate=4000, id_col="uri")
+    assert outa.schema["uri"].dataType.simpleString() == "string"
+    assert outa.collect()[0]["uri"] == "wav-b"

@@ -6,6 +6,15 @@ order-insensitive value hash (columns sorted by name, rows sorted by their
 stringified tuple). Usage:
 
     python tools/check_oracle.py [sf_dir] [query_name ...]
+
+Besides the lenient value hash, a pandas dtype-KIND parity check models the
+driver's conversion path: the driver hashes pandas frames, where Spark's
+``toPandas`` yields int64 for a no-NULL bigint column while DuckDB's
+``.df()`` yields float64 for any HUGEINT (= ``sum(BIGINT)``) column — so
+"407" vs "407.0" hash-reds even though the values are equal. Any column
+where one side lands integer-kind and the other float-kind is reported as a
+failure here even when the lenient hash matches (this exact class was the
+r04/r05 driver-red root cause; fix = ``CAST(... AS BIGINT)`` in the oracle).
 """
 
 from __future__ import annotations
@@ -49,6 +58,44 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
         h.update(line.encode())
         h.update(b"\x02")
     return h.hexdigest()
+
+
+_SPARK_INT_TYPES = ("tinyint", "smallint", "int", "bigint", "long")
+_SPARK_FLOAT_TYPES = ("float", "double")
+
+
+def _spark_pandas_kind(spark_type: str, has_null: bool) -> str | None:
+    """Kind ('i' or 'f') the column takes after Spark toPandas (arrow off):
+    integral types stay int64 unless NULLs force float64; floats are
+    float64. Non-numeric types return None (exempt from the parity check).
+    """
+    if spark_type in _SPARK_INT_TYPES:
+        return "f" if has_null else "i"
+    if spark_type in _SPARK_FLOAT_TYPES:
+        return "f"
+    return None
+
+
+def kind_mismatches(
+    spark_dtypes: list[tuple[str, str]],
+    srows: list[tuple],
+    duck_df,
+) -> list[str]:
+    """Columns whose pandas dtype-kind would differ between the driver's
+    Spark toPandas frame and its DuckDB .df() frame (int-vs-float only —
+    that is the class that hash-reds despite equal values)."""
+    out = []
+    scols = [c for c, _ in spark_dtypes]
+    for i, (col, styp) in enumerate(spark_dtypes):
+        if col not in duck_df.columns:
+            continue
+        has_null = any(r[i] is None for r in srows)
+        sk = _spark_pandas_kind(styp, has_null)
+        dkind = duck_df[col].dtype.kind
+        dk = "i" if dkind in "iu" else ("f" if dkind == "f" else None)
+        if sk and dk and sk != dk:
+            out.append(f"{col} (spark {styp}->{sk} vs duckdb {dk})")
+    return out
 
 
 def main() -> int:
@@ -108,12 +155,21 @@ def main() -> int:
         ok_hash = (
             ok_count and ok_cols and frame_hash(scols, srows) == frame_hash(dcols, drows)
         )
-        status = "PASS" if ok_hash else "FAIL"
+        try:
+            duck_df = con.execute(oracles[name]).df()
+            kinds_bad = kind_mismatches(sdf.dtypes, srows, duck_df)
+        except Exception as e:  # pragma: no cover - diagnostic path only
+            kinds_bad = [f"<kind-check error: {e}>"]
+        status = "PASS" if ok_hash and not kinds_bad else "FAIL"
         print(
             f"{status} {name}: rows {len(srows)}/{len(drows)} "
             f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
-            f"hash={'ok' if ok_hash else 'MISMATCH'} [{time.time()-t0:.1f}s]"
+            f"hash={'ok' if ok_hash else 'MISMATCH'} "
+            f"kinds={'ok' if not kinds_bad else kinds_bad} "
+            f"[{time.time()-t0:.1f}s]"
         )
+        if kinds_bad and ok_hash:
+            failures.append(name)
         if not ok_hash:
             failures.append(name)
             # print first differing canonical row to aid debugging

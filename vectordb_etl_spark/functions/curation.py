@@ -467,20 +467,32 @@ def domain_cap_sample(
     Zipf-tailed, so this is MOST rows) and over-cap (only those rows pay
     the per-domain window sort). The over-cap window partitions by domain;
     a mega-domain lands in one task but sorts only its OWN rows — bounded
-    by the largest single domain, not the corpus."""
+    by the largest single domain, not the corpus.
+
+    NULL group keys are capped like any other domain: the split joins run
+    on a NULL-coalesced shadow key (plain equi-joins never match NULL, so
+    an uncoalesced split would wave every NULL-domain row through the
+    anti join uncapped — silently diverging from the window-cap
+    semantics, which treat NULL as one partition)."""
     from pyspark.sql.window import Window
 
-    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
-    over = counts.filter(F.col("__n") > cap).select(group_col)
-    under_rows = df.join(F.broadcast(over), group_col, "left_anti")
-    w = Window.partitionBy(group_col).orderBy(
+    # shadow key: group value as string, NULL -> sentinel. Injective for a
+    # single-typed column, and lets the over/under split use plain
+    # broadcast equi-joins while still capping the NULL domain.
+    sentinel = "\x00__null_domain__\x00"
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit(sentinel))
+    dfk = df.withColumn("__gk", gk)
+    counts = dfk.groupBy("__gk").agg(F.count("*").alias("__n"))
+    over = counts.filter(F.col("__n") > cap).select("__gk")
+    under_rows = dfk.join(F.broadcast(over), "__gk", "left_anti").drop("__gk")
+    w = Window.partitionBy("__gk").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
     over_rows = (
-        df.join(F.broadcast(over), group_col, "left_semi")
+        dfk.join(F.broadcast(over), "__gk", "left_semi")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
-        .drop("__rn")
+        .drop("__gk", "__rn")
     )
     return under_rows.unionByName(over_rows)
 

@@ -434,7 +434,10 @@ def image_pixel_stats(
     (``decode_pixels`` — stdlib BMP path needs no external libs). Integer
     channel sums are exact, so the result is hash-comparable against a SQL
     oracle that states the same pixel arithmetic. mapInPandas streams Arrow
-    batches; memory ∝ batch size × image size."""
+    batches; memory ∝ batch size × image size. The id column keeps its
+    input name AND type (derived from ``df.schema[id_col]``, not
+    hard-coded long)."""
+    id_field = df.schema[id_col]
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -451,12 +454,16 @@ def image_pixel_stats(
                 bs.append(int(sums[2]))
             yield pd.DataFrame(
                 {
-                    "media_id": ids, "width": ws, "height": hs,
+                    id_field.name: ids, "width": ws, "height": hs,
                     "r_sum": rs, "g_sum": gs, "b_sum": bs,
                 }
             )
 
-    return df.mapInPandas(_gen, IMAGE_PIXEL_STATS_SCHEMA)
+    schema = StructType(
+        [StructField(id_field.name, id_field.dataType)]
+        + IMAGE_PIXEL_STATS_SCHEMA.fields[1:]
+    )
+    return df.mapInPandas(_gen, schema)
 
 
 AUDIO_SAMPLE_STATS_SCHEMA = StructType(
@@ -476,7 +483,9 @@ def audio_sample_stats(
 ) -> DataFrame:
     """Per-clip statistics from REAL decoded PCM samples
     (``decode_wav_samples``); exact integer sums/extrema for oracle
-    hashing. Same Arrow-batched contract as ``image_pixel_stats``."""
+    hashing. Same Arrow-batched contract as ``image_pixel_stats``,
+    including the derived (not hard-coded) id field name/type."""
+    id_field = df.schema[id_col]
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -491,13 +500,17 @@ def audio_sample_stats(
                 maxs.append(int(samples.max()) if samples.size else 0)
             yield pd.DataFrame(
                 {
-                    "media_id": ids, "sample_rate": rates, "n_frames": ns,
-                    "sample_sum": sums, "sample_min": mins,
-                    "sample_max": maxs,
+                    id_field.name: ids, "sample_rate": rates,
+                    "n_frames": ns, "sample_sum": sums,
+                    "sample_min": mins, "sample_max": maxs,
                 }
             )
 
-    return df.mapInPandas(_gen, AUDIO_SAMPLE_STATS_SCHEMA)
+    schema = StructType(
+        [StructField(id_field.name, id_field.dataType)]
+        + AUDIO_SAMPLE_STATS_SCHEMA.fields[1:]
+    )
+    return df.mapInPandas(_gen, schema)
 
 
 def media_table(
@@ -560,7 +573,11 @@ def resize_images(
     re-encode as 24-bpp BMP. The Spark shape of a training-data image
     normalization stage: mapInPandas streams Arrow batches, memory ∝
     batch size × image size, output is again an opaque binary column so
-    downstream feature/stat operators compose unchanged."""
+    downstream feature/stat operators compose unchanged. The id column
+    keeps its input name AND type (string media ids pass through — the
+    output schema is derived from ``df.schema[id_col]``, not hard-coded
+    long)."""
+    id_field = df.schema[id_col]
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -574,14 +591,14 @@ def resize_images(
                 blobs.append(encode_bmp(resized.astype(np.uint8)))
             yield pd.DataFrame(
                 {
-                    "media_id": ids, "width": ws, "height": hs,
+                    id_field.name: ids, "width": ws, "height": hs,
                     "content": blobs,
                 }
             )
 
     schema = StructType(
         [
-            StructField("media_id", LongType()),
+            StructField(id_field.name, id_field.dataType),
             StructField("width", IntegerType()),
             StructField("height", IntegerType()),
             StructField("content", BinaryType()),
@@ -603,7 +620,10 @@ def resample_audio(
     output exactly), re-encode at ``out_rate``. Output frame count is
     ``round(n_src · out_rate / src_rate)`` via integer half-up. The Spark
     shape of a training-data audio normalization stage; output is again a
-    WAV binary column so downstream stat/feature operators compose."""
+    WAV binary column so downstream stat/feature operators compose. The
+    id column keeps its input name AND type (derived from
+    ``df.schema[id_col]``, not hard-coded long)."""
+    id_field = df.schema[id_col]
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -620,14 +640,14 @@ def resample_audio(
                 blobs.append(encode_wav(out.astype(np.int16), out_rate))
             yield pd.DataFrame(
                 {
-                    "media_id": ids, "sample_rate": rates,
+                    id_field.name: ids, "sample_rate": rates,
                     "n_frames": frames, "content": blobs,
                 }
             )
 
     schema = StructType(
         [
-            StructField("media_id", LongType()),
+            StructField(id_field.name, id_field.dataType),
             StructField("sample_rate", IntegerType()),
             StructField("n_frames", LongType()),
             StructField("content", BinaryType()),

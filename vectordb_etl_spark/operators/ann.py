@@ -535,6 +535,23 @@ class IVFIndex:
             by_sub.setdefault(int(r["sub"]), {})[int(r["code"])] = [
                 float(x) for x in r["cw"]
             ]
+        # both reconstruction paths gather codewords by POSITION (sorted
+        # key order), which is only correct when sub ids are 0..M-1 and
+        # code ids are dense 0..K-1 per subspace. The built-in codebook
+        # builders always produce that; a user-supplied codebook with
+        # gaps would silently reconstruct the WRONG codewords, so check.
+        if sorted(by_sub) != list(range(len(by_sub))):
+            raise ValueError(
+                "PQ codebook subspace ids must be contiguous 0..M-1; got "
+                f"{sorted(by_sub)}"
+            )
+        for s, codes in by_sub.items():
+            if sorted(codes) != list(range(len(codes))):
+                raise ValueError(
+                    f"PQ codebook subspace {s} has non-contiguous code "
+                    f"ids (min {min(codes)}, max {max(codes)}, "
+                    f"n {len(codes)}); codes must be dense 0..K-1"
+                )
         n_doubles = sum(
             len(cw) for subs in by_sub.values() for cw in subs.values()
         )

@@ -305,6 +305,17 @@ def chunk_text_sql(docs_rel: str, config: ChunkerConfig | None = None) -> str:
     the registered ``chunk_pipeline`` oracle)."""
     config = config or ChunkerConfig()
     seps = list(config.separators)
+    if not seps or seps[-1] != "":
+        # the cascade recurses only while chosen < n_levels-1 and joins
+        # each node to its chosen separator; without the final ''
+        # (split-to-chars) fallback, a piece no separator matches — or one
+        # still >= chunk_size at the last level — would silently vanish
+        # from the SQL output while chunk_text still emits it.
+        raise ValueError(
+            "chunk_text_sql requires config.separators to end with the "
+            "'' (character-split) fallback; got "
+            f"{config.separators!r}"
+        )
     cs, ov = config.chunk_size, config.chunk_overlap
     mn, mx = config.min_chunk_size, config.max_chunk_size
     ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"

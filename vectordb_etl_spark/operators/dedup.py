@@ -1761,13 +1761,19 @@ def ngram_novelty(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-document n-gram NOVELTY: the fraction of a doc's distinct word
-    n-grams whose global first occurrence (lowest id) is this document —
+    """Per-document n-gram NOVELTY: the fraction of a doc's word n-gram
+    INSTANCES whose global first occurrence (lowest id) is this document —
     the corpus-redundancy curve a curation pipeline reads to judge how
     much marginal signal late-ingested documents still add (and to verify
-    a dedup pass actually reduced redundancy). Returns one row per input
-    document: ``(id, n_shingles, novel_ppm)`` — novelty as a bit-stable
-    micro-unit bigint; NULL for shingle-less docs.
+    a dedup pass actually reduced redundancy). Counted over instances,
+    not distinct grams: a gram repeated within its first-occurrence doc
+    contributes each repeat to both numerator and denominator (so
+    ``n_shingles`` is the doc's shingle count, and a self-repetitive doc
+    reads as more novel than a distinct-gram definition would say —
+    deliberate, it keeps the denominator the familiar shingle count).
+    Returns one row per input document: ``(id, n_shingles, novel_ppm)``
+    — novelty as a bit-stable micro-unit bigint; NULL for shingle-less
+    docs.
 
     Scale shape: shingles explode keyed by ``md5(gram)`` (uniform — gram
     text never shuffles); the first-occurrence table is one map-side
