@@ -1686,6 +1686,162 @@ _register(
 )
 
 
+def _hll_distinct_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (functions/sketches.py) — the
+    mergeable, engine-portable alternative to exact count(distinct):
+    distinct orderkeys per returnflag via md5-hash registers (p=8,
+    m=256). Both the register aggregation and the estimator are pure
+    column expressions authored IEEE-identically in DuckDB, so even the
+    float step of the estimate hash-matches bit-for-bit. exact_n rides
+    along to document the error envelope (raw HLL, no linear-counting
+    branch — ln() is libm-version-dependent; documented in the module).
+    Scale: two map-side-combined exchanges; the shuffle carries ≤
+    groups×256 register rows, never orderkeys — the shape that makes
+    distinct counting feasible at 100 TB and lets per-day sketches merge
+    by max() without rescanning."""
+    from vectordb_etl_spark.functions.sketches import hll_distinct
+
+    li = _table(spark, sf, "lineitem")
+    est = hll_distinct(li, "l_orderkey", ["l_returnflag"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_n")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag", "n_buckets_used", "hll_est", "exact_n"
+    )
+
+
+def _hll_distinct_orders_sql() -> str:
+    from vectordb_etl_spark.functions.sketches import hll_distinct_sql
+
+    inner = hll_distinct_sql(
+        "SELECT * FROM lineitem", "l_orderkey", ["l_returnflag"]
+    )
+    return (
+        f"WITH est AS ({inner}), ex AS ("
+        "  SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_n "
+        "  FROM lineitem GROUP BY 1) "
+        "SELECT l_returnflag, n_buckets_used, hll_est, exact_n "
+        "FROM est JOIN ex USING (l_returnflag)"
+    )
+
+
+_register(
+    "hll_distinct_orders",
+    _hll_distinct_orders,
+    _hll_distinct_orders_sql(),
+)
+
+
+def _bipartite_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-iteration integer PageRank (operators/graph_analytics.py)
+    over the undirected customer↔supplier trade graph (edge = the pair
+    co-occurs on an order line). Ranks are micro-unit bigints — the
+    iteration is bit-deterministic, so the DuckDB oracle (the same
+    arithmetic unrolled as chained CTEs) hash-matches the 4-round fixed
+    point exactly. Scale shape: 2 shuffles per iteration (edge join +
+    dst agg), independent of graph size; node ids pack type in the low
+    bit (even=customer, odd=supplier) so the edge list stays one bigint
+    pair — no string keys on the shuffle."""
+    from vectordb_etl_spark.operators.graph_analytics import pagerank
+
+    li = _table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    ranks = pagerank(edges, iterations=4)
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.expr("node DIV 2").alias("node_key"),
+            "rank_micro",
+        )
+        .orderBy(F.desc("rank_micro"), "node_type", "node_key")
+        .limit(25)
+    )
+
+
+def _bipartite_pagerank_sql() -> str:
+    from vectordb_etl_spark.operators.graph_analytics import pagerank_sql
+
+    edges = (
+        "SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "UNION ALL "
+        "SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    )
+    pr = pagerank_sql(edges, iterations=4)
+    return (
+        f"SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END"
+        f" AS node_type, node // 2 AS node_key, rank_micro FROM ({pr}) "
+        "ORDER BY rank_micro DESC, node_type, node_key LIMIT 25"
+    )
+
+
+_register(
+    "bipartite_pagerank",
+    _bipartite_pagerank,
+    _bipartite_pagerank_sql(),
+)
+
+
+def _zorder_locality(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key (operators/layout.py) — the
+    lakehouse file-layout primitive: interleave customer-key and
+    day-of-year bits so range-partitioned files carry tight min/max
+    boxes on BOTH columns and a box predicate prunes most files from a
+    100 TB manifest (the pruning payoff itself is asserted empirically
+    in tests/test_layout.py; this query hash-checks the key arithmetic
+    — pure shift/mask/or, bit-identical in DuckDB). Returns the 50
+    lowest keys plus their decoded dims; the ordering IS the locality
+    curve."""
+    from vectordb_etl_spark.operators.layout import zorder_key_col
+
+    o = _table(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("ck"),
+        F.dayofyear("o_orderdate").alias("dy"),
+    )
+    return (
+        o.withColumn("zkey", zorder_key_col(["ck", "dy"], bits=10))
+        .orderBy("zkey", "o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "ck", "dy", "zkey")
+    )
+
+
+def _zorder_locality_sql() -> str:
+    from vectordb_etl_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(["ck", "dy"], bits=10)
+    return (
+        "SELECT o_orderkey, ck, dy, zkey FROM ("
+        "  SELECT o_orderkey, ck, dy, " + z + " AS zkey FROM ("
+        "    SELECT o_orderkey, o_custkey % 1024 AS ck, "
+        "           dayofyear(o_orderdate) AS dy FROM orders)) "
+        "ORDER BY zkey, o_orderkey LIMIT 50"
+    )
+
+
+_register(
+    "zorder_locality",
+    _zorder_locality,
+    _zorder_locality_sql(),
+)
+
+
 def _salted_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """Salted two-phase aggregation (operators/skew.py) on a 5-value grouping
     key: value-hash salt in the phase-1 key bounds per-task state at
@@ -4951,6 +5107,9 @@ _PRIORITY = [
     "corpus_drift",
     "json_props_stats",
     "embedding_drift",
+    # new-in-r06 queries (never driver-checked) ride directly after the
+    # re-check reds
+    "hll_distinct_orders",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -216,6 +216,7 @@ def main() -> None:
         "corpus_drift",
         "ivf_topk_filtered",
         "graph_topk_filtered",
+        "hll_distinct_orders",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

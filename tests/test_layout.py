@@ -1,0 +1,104 @@
+"""Z-order layout — key parity with DuckDB, locality, and file pruning."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vectordb_etl_spark.operators.layout import (
+    zorder_key_col,
+    zorder_key_sql,
+    zorder_layout,
+)
+
+
+def test_zorder_key_matches_duckdb_bit_for_bit(spark):
+    df = spark.range(512).select(
+        F.col("id").alias("a"), (F.col("id") * 37 % 512).alias("b")
+    )
+    got = [
+        r["z"]
+        for r in df.select(zorder_key_col(["a", "b"], bits=9).alias("z"))
+        .orderBy("a")
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {zorder_key_sql(['a', 'b'], bits=9)} AS z FROM ("
+            "SELECT range AS a, range * 37 % 512 AS b FROM range(512)"
+            ") ORDER BY a"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_zorder_key_is_morton_interleave():
+    """Known Morton values: (a=1,b=0)->1, (a=0,b=1)->2, (a=3,b=5)->39."""
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    df = spark.createDataFrame([(1, 0), (0, 1), (3, 5)], ["a", "b"])
+    got = [
+        r["z"]
+        for r in df.select(zorder_key_col(["a", "b"], bits=4).alias("z")).collect()
+    ]
+    # interleave: z = sum bit_j(a)<<(2j) | bit_j(b)<<(2j+1)
+    assert got == [1, 2, 0b100111]
+
+
+def test_zorder_rejects_bad_shapes():
+    with pytest.raises(ValueError, match="at least 2"):
+        zorder_key_col(["a"])
+    with pytest.raises(ValueError, match="> 62"):
+        zorder_key_col(["a", "b", "c", "d"], bits=16)
+    with pytest.raises(ValueError, match="at least 2"):
+        zorder_key_sql(["a"])
+
+
+def test_zorder_layout_tightens_file_stats_and_prunes(spark, tmp_path):
+    """The lakehouse payoff: after Z-order, per-file min/max boxes of
+    BOTH dimensions are tight, so a box predicate's candidate-file set
+    (the manifest-prune arithmetic) shrinks vs insert order."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("ck"),
+        (F.dayofyear("o_orderdate")).alias("dy"),
+    )
+    base = str(tmp_path / "plain")
+    zord = str(tmp_path / "zorder")
+    orders.repartition(8).write.parquet(base)
+    zorder_layout(orders, ["ck", "dy"], bits=10, num_files=8).write.parquet(
+        zord
+    )
+
+    def candidate_files(path, ck_lo, ck_hi, dy_lo, dy_hi):
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("ck").alias("ck_min"), F.max("ck").alias("ck_max"),
+                F.min("dy").alias("dy_min"), F.max("dy").alias("dy_max"),
+            )
+            .collect()
+        )
+        hit = [
+            r
+            for r in stats
+            if r["ck_max"] >= ck_lo and r["ck_min"] <= ck_hi
+            and r["dy_max"] >= dy_lo and r["dy_min"] <= dy_hi
+        ]
+        return len(hit), len(stats)
+
+    box = (100, 200, 50, 100)
+    plain_hit, plain_total = candidate_files(base, *box)
+    z_hit, z_total = candidate_files(zord, *box)
+    # insert order: every file spans the full range -> nothing prunes
+    assert plain_hit == plain_total
+    # z-order: the box intersects a strict minority of files
+    assert z_hit < z_total
+    # and the data itself is unchanged
+    a = spark.read.parquet(base).orderBy("o_orderkey").collect()
+    b = spark.read.parquet(zord).orderBy("o_orderkey").collect()
+    assert a == b

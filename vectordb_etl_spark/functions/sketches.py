@@ -1,0 +1,228 @@
+"""Deterministic, engine-portable cardinality sketches (HyperLogLog).
+
+Beyond-reference tier: the reference engine has no sketch surface, but a
+100 TB pipeline needs mergeable distinct counts (users per day, unique
+grams per shard, vocabulary growth) where exact ``count(distinct)``
+shuffles every value. Spark ships ``approx_count_distinct`` (HLL++), but
+its register layout is JVM-private: the result can't be re-derived by
+another engine, so it can't be oracle-checked and its sketches can't be
+merged outside Spark. This module instead builds HLL from first
+principles as PURE column expressions — ``md5``-derived 60-bit hashes,
+integer bucket/rank arithmetic — so the identical formula runs on Spark
+and DuckDB and produces BIT-IDENTICAL registers and estimates (the
+estimator's one float step is authored with an explicit cast/operation
+order both engines execute IEEE-identically; see ``hll_estimate_expr``).
+
+Flajolet et al., "HyperLogLog: the analysis of a near-optimal cardinality
+estimation algorithm" (AofA 2007); bias constant alpha_m from the paper.
+The small-range linear-counting correction is deliberately omitted — it
+needs ``ln``, whose low-order bits are libm-version-dependent, which
+would break cross-engine hash parity. Raw-HLL error holds once
+n ≳ 2.5·m; below that the estimate is deterministic but biased high
+(documented, tested).
+
+Scale shape: the sketch is ONE map-side-combined aggregation to at most
+``groups × m`` register rows (m = 2^p, default 256) — partial ``max``
+per (group, bucket) collapses inside each task before the exchange, so
+the shuffle carries registers, never values. Registers merge by ``max``:
+per-partition / per-day sketches union into global ones without touching
+raw data again — the property exact distinct counting fundamentally
+lacks.
+
+Reference parity note: no counterpart in gudwls215/vectordb-etl (checked
+modules/ and queries/ — distinct counts there are exact and single-node).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit hash budget: 15 md5 hex chars (conv(...,16,10) stays exact well
+# under the bigint boundary). p bucket bits leave W = 60 - p rank bits.
+_HASH_HEX_CHARS = 15
+_HASH_BITS = 4 * _HASH_HEX_CHARS
+
+
+def _alpha_ppm(m: int) -> int:
+    """HLL bias constant alpha_m in parts-per-million, hard-coded into
+    BOTH engines' expressions as the same integer literal so the float
+    estimator starts from identical operands."""
+    if m < 128:
+        # paper gives dedicated constants below 128; restrict instead of
+        # silently mis-correcting
+        raise ValueError(f"hll: p must be >= 7 (m >= 128); got m={m}")
+    return round(1_000_000 * 0.7213 / (1 + 1.079 / m))
+
+
+def hll_register_cols(value: Column | str, p: int = 8) -> tuple[Column, Column]:
+    """(bucket, rho) columns for one value: bucket = low p bits of the
+    60-bit md5 hash, rho = leading-zero count of the remaining W bits
+    plus one (the HLL rank). Pure JVM expressions — ``conv``/``bin``
+    string ops and integer arithmetic, no UDF."""
+    m = 1 << p
+    w = _HASH_BITS - p
+    v = F.col(value) if isinstance(value, str) else value
+    h = F.conv(
+        F.substring(F.md5(v.cast("string")), 1, _HASH_HEX_CHARS), 16, 10
+    ).cast("bigint")
+    bucket = (h % m).cast("int").alias("__hll_bucket")
+    # h >> p, NOT (h - h%m)/m: Spark's `/` routes bigints through double,
+    # which rounds above 2^53 — the shift is exact integer arithmetic and
+    # equals DuckDB's `h // m` for the non-negative h here
+    rem = F.shiftright(h, p).cast("bigint")
+    # bit length via bin(): rem > 0 -> length of its binary string;
+    # rem = 0 -> rank saturates at W + 1
+    rho = (
+        F.when(rem == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(rem)))
+        .cast("int")
+        .alias("__hll_rho")
+    )
+    return bucket, rho
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """The sketch itself: one row per (group, bucket) with the max rank.
+    This is the mergeable artifact — union register tables from any
+    partitioning of the data and take ``max(max_rho)`` per (group,
+    bucket) to get the sketch of the union (tested property)."""
+    group_cols = group_cols or []
+    bucket, rho = hll_register_cols(value_col, p)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, bucket, rho
+    )
+    return base.groupBy(*group_cols, "__hll_bucket").agg(
+        F.max("__hll_rho").alias("max_rho")
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge register tables (max per bucket) — the union-sketch op."""
+    group_cols = group_cols or []
+    return registers.groupBy(*group_cols, "__hll_bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def hll_estimate_expr(p: int = 8) -> Column:
+    """Aggregate Column turning grouped registers into the estimate.
+
+    Integer part first: S_scaled = sum over present buckets of
+    2^(W - max_rho) plus 2^W per EMPTY bucket (empty contributes
+    2^-0 = 1 to the harmonic sum) — exact bigint, max m·2^W = 2^60.
+    Then the one float step, authored operation-for-operation the same
+    in :func:`hll_estimate_sql_expr`: S = S_scaled / 2^W (double; the
+    bigint→double cast and the power-of-two divide are IEEE-identical
+    cross-engine), estimate = floor(alpha_ppm · m · m / 1e6 / S), all
+    left-associated double ops on identical operands → identical bits →
+    identical floor."""
+    m = 1 << p
+    w = _HASH_BITS - p
+    two_w = 1 << w
+    alpha = _alpha_ppm(m)
+    s_scaled = (
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({w} - max_rho AS INT))"))
+        + (F.lit(m) - F.count("*")).cast("bigint") * F.lit(two_w)
+    )
+    s = s_scaled.cast("double") / F.lit(float(two_w))
+    est = F.floor(
+        F.lit(float(alpha)) * F.lit(float(m)) * F.lit(float(m))
+        / F.lit(1000000.0)
+        / s
+    ).cast("bigint")
+    return est
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group approximate distinct count: ``(group..., n_buckets_used,
+    hll_est)``. Two map-side-combined aggregations; the exchange carries
+    at most groups × m register rows."""
+    group_cols = group_cols or []
+    regs = hll_registers(df, value_col, group_cols, p)
+    return regs.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_buckets_used"),
+        hll_estimate_expr(p).alias("hll_est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins — same formula, rendered as SQL text
+# --------------------------------------------------------------------------
+
+
+def hll_registers_sql(
+    source_sql: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> str:
+    """Register-table oracle: identical hash/bucket/rank arithmetic.
+    DuckDB's ``CAST('0x'||hex AS BIGINT)`` equals Spark's
+    ``conv(hex, 16, 10)`` for 15 hex chars (both exact under 2^60)."""
+    m = 1 << p
+    w = _HASH_BITS - p
+    gs = group_cols or []
+    gsel = "".join(f"{g}, " for g in gs)
+    gby = "".join(f", {g}" for g in gs)
+    return f"""
+WITH hashed AS (
+  SELECT {gsel}
+         CAST('0x' || substring(md5(CAST({value_col} AS VARCHAR)), 1,
+                                {_HASH_HEX_CHARS}) AS BIGINT) AS h
+  FROM ({source_sql}) WHERE {value_col} IS NOT NULL
+), br AS (
+  SELECT {gsel}
+         CAST(h % {m} AS INT) AS __hll_bucket,
+         CAST(CASE WHEN h // {m} = 0 THEN {w + 1}
+              ELSE {w + 1} - length(bin(h // {m})) END AS INT) AS rho
+  FROM hashed
+)
+SELECT {gsel}__hll_bucket, max(rho) AS max_rho
+FROM br GROUP BY __hll_bucket{gby}
+"""
+
+
+def hll_distinct_sql(
+    source_sql: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> str:
+    """Estimate oracle — the same integer S_scaled and the same
+    cast/operation order for the single float step (see
+    :func:`hll_estimate_expr`); every numeric literal is CAST to DOUBLE
+    explicitly because bare decimal literals parse as DECIMAL in DuckDB,
+    which would change the arithmetic type and the bits."""
+    m = 1 << p
+    w = _HASH_BITS - p
+    two_w = 1 << w
+    alpha = _alpha_ppm(m)
+    gs = group_cols or []
+    gsel = "".join(f"{g}, " for g in gs)
+    gby_cols = ", ".join(gs)
+    gby = f" GROUP BY {gby_cols}" if gs else ""
+    regs = hll_registers_sql(source_sql, value_col, gs, p)
+    return f"""
+WITH regs AS ({regs})
+SELECT {gsel}
+       CAST(count(*) AS BIGINT) AS n_buckets_used,
+       CAST(floor(
+         CAST({alpha} AS DOUBLE) * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE)
+         / CAST(1000000 AS DOUBLE)
+         / (CAST(sum(CAST(1 AS BIGINT) << ({w} - max_rho))
+                 + ({m} - count(*)) * CAST({two_w} AS BIGINT) AS DOUBLE)
+            / CAST({two_w} AS DOUBLE))
+       ) AS BIGINT) AS hll_est
+FROM regs{gby}
+"""
