@@ -1733,6 +1733,127 @@ _register(
 )
 
 
+def _idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape on the trimmed schema (no phone column → grouped
+    by nation; "never ordered" → "no order in the data's final year",
+    since the generator gives every customer at least one order):
+    customers whose balance beats the positive-balance average AND who
+    lapsed — the sales-opportunity report. The threshold compare runs in
+    integer micro-units (floor(x·1e6+0.5) quantization, integer-DIV
+    average) so boundary membership — the thing that flips under
+    cross-engine float ulp drift — is bit-deterministic. Scale shape:
+    the threshold and the cutoff date are broadcast scalars (tiny agg
+    crossJoins), the lapsed test is a shuffle anti join on the customer
+    key against orders pre-filtered to the window and pre-projected to
+    the key column."""
+    cust = _table(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("ab_micro"),
+    )
+    thr = (
+        cust.filter(F.col("ab_micro") > 0)
+        .agg(
+            F.sum("ab_micro").alias("s"), F.count("*").alias("n")
+        )
+        .select(F.expr("s DIV n").alias("avg_micro"))
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).filter(
+        F.col("ab_micro") > F.col("avg_micro")
+    )
+    o = _table(spark, sf, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    cutoff = o.agg(F.date_sub(F.max("d"), 365).alias("cut"))
+    recent = (
+        o.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("d") >= F.col("cut"))
+        .select("o_custkey")
+    )
+    idle = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("ab_micro").alias("total_acctbal_micro"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_register(
+    "idle_rich_customers",
+    _idle_rich_customers,
+    # CAST sums AS BIGINT (DuckDB hugeint→pandas float64 otherwise);
+    # NOT EXISTS == Spark's left_anti for the non-null o_custkey here
+    "WITH cust AS ("
+    "  SELECT c_custkey, c_nationkey, "
+    "         CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT) AS ab_micro"
+    "  FROM customer"
+    "), thr AS ("
+    "  SELECT CAST(sum(ab_micro) AS BIGINT) // count(*) AS avg_micro "
+    "  FROM cust WHERE ab_micro > 0"
+    "), "
+    "cut AS ("
+    "  SELECT max(CAST(o_orderdate AS DATE)) - INTERVAL 365 DAY AS cut "
+    "  FROM orders"
+    ") "
+    "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, "
+    "CAST(sum(ab_micro) AS BIGINT) AS total_acctbal_micro "
+    "FROM cust CROSS JOIN thr CROSS JOIN cut "
+    "WHERE ab_micro > avg_micro "
+    "AND NOT EXISTS (SELECT 1 FROM orders "
+    "                WHERE o_custkey = c_custkey "
+    "                AND CAST(o_orderdate AS DATE) >= cut) "
+    "GROUP BY c_nationkey ORDER BY c_nationkey",
+)
+
+
+def _scd2_order_status(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension build (operators/temporal.py scd2_intervals): each
+    customer's order-status change history collapsed into half-open
+    validity intervals — the slowly-changing-dimension shape every
+    warehouse merge pipeline maintains. Gaps-and-islands via two window
+    row_numbers; ONE key-partitioned shuffle co-locates a customer's
+    whole history, per-key cost bounded by the hottest key. Deterministic
+    by construction (o_orderkey tie-break), so the DuckDB twin
+    hash-matches including the 9999-12-31 open-interval sentinel."""
+    from vectordb_etl_spark.operators.temporal import scd2_intervals
+
+    o = _table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    return scd2_intervals(
+        o, key_col="o_custkey", attr_col="o_orderstatus",
+        time_col="d", tie_col="o_orderkey",
+    )
+
+
+def _scd2_order_status_sql() -> str:
+    from vectordb_etl_spark.operators.temporal import scd2_intervals_sql
+
+    return scd2_intervals_sql(
+        "SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, "
+        "o_orderkey FROM orders",
+        key_col="o_custkey", attr_col="o_orderstatus",
+        time_col="d", tie_col="o_orderkey",
+    )
+
+
+_register(
+    "scd2_order_status",
+    _scd2_order_status,
+    _scd2_order_status_sql(),
+)
+
+
 def _bipartite_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-iteration integer PageRank (operators/graph_analytics.py)
     over the undirected customer↔supplier trade graph (edge = the pair
@@ -5108,8 +5229,14 @@ _PRIORITY = [
     "json_props_stats",
     "embedding_drift",
     # new-in-r06 queries (never driver-checked) ride directly after the
-    # re-check reds
+    # re-check reds; with 5 of them, the alphabetical tail of the r03
+    # tier (top_terms_per_language, user_event_windows, video_frame_
+    # fanout) slips past the 50-cap to lead r07 with the r04 tier
     "hll_distinct_orders",
+    "zorder_locality",
+    "bipartite_pagerank",
+    "scd2_order_status",
+    "idle_rich_customers",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

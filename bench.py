@@ -217,6 +217,9 @@ def main() -> None:
         "ivf_topk_filtered",
         "graph_topk_filtered",
         "hll_distinct_orders",
+        "bipartite_pagerank",
+        "scd2_order_status",
+        "idle_rich_customers",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape
@@ -241,6 +244,7 @@ def main() -> None:
         "multimodal_image_meta",
         "multimodal_resize_roundtrip",
         "multimodal_resample_roundtrip",
+        "zorder_locality",
     ]
     for name in collect_queries:
         run(name, lambda n=name: qs[n](spark, SF_DIR), collect=True)

@@ -96,3 +96,81 @@ def test_asof_plan_has_single_shuffle(quotes, trades):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # union-trick: exactly one Exchange (the window's hashpartitioning)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_intervals_islands_and_sentinel(spark):
+    """A reopened attribute value starts a NEW interval (islands, not
+    groups); intervals chain half-open per key; exactly one open
+    interval carries the sentinel."""
+    import datetime as dt
+
+    from vectordb_etl_spark.operators.temporal import scd2_intervals
+
+    d = dt.date
+    rows = [
+        # key 1: A A B A  -> three intervals (A reopens after B)
+        (1, "A", d(2024, 1, 1), 1),
+        (1, "A", d(2024, 1, 5), 2),
+        (1, "B", d(2024, 2, 1), 3),
+        (1, "A", d(2024, 3, 1), 4),
+        # key 2: single event
+        (2, "X", d(2024, 6, 1), 5),
+    ]
+    df = spark.createDataFrame(rows, ["k", "st", "d", "tie"])
+    out = sorted(
+        (r["k"], r["st"], r["valid_from"], r["valid_to"], r["n_rows"],
+         r["is_current"])
+        for r in scd2_intervals(df, "k", "st", "d", "tie").collect()
+    )
+    sentinel = d(9999, 12, 31)
+    assert out == [
+        (1, "A", d(2024, 1, 1), d(2024, 2, 1), 2, False),
+        (1, "A", d(2024, 3, 1), sentinel, 1, True),
+        (1, "B", d(2024, 2, 1), d(2024, 3, 1), 1, False),
+        (2, "X", d(2024, 6, 1), sentinel, 1, True),
+    ]
+    # half-open chain: each key's intervals tile [first, sentinel)
+    per_key = {}
+    for k, _st, vf, vt, _n, _cur in out:
+        per_key.setdefault(k, []).append((vf, vt))
+    for k, spans in per_key.items():
+        spans.sort()
+        for (_, vt_prev), (vf_next, _) in zip(spans, spans[1:]):
+            assert vt_prev == vf_next, (k, spans)
+
+
+def test_scd2_intervals_matches_duckdb(spark):
+    import duckdb
+
+    from tests.conftest import SF_TINY
+    from vectordb_etl_spark.operators.temporal import (
+        scd2_intervals,
+        scd2_intervals_sql,
+    )
+
+    o = spark.read.parquet(f"{SF_TINY}/orders.parquet").select(
+        "o_custkey", "o_orderstatus",
+        F.to_date("o_orderdate").alias("d"), "o_orderkey",
+    )
+    got = sorted(
+        map(
+            tuple,
+            scd2_intervals(
+                o, "o_custkey", "o_orderstatus", "d", "o_orderkey"
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_TINY}/orders.parquet'"
+    )
+    want = sorted(
+        con.execute(
+            scd2_intervals_sql(
+                "SELECT o_custkey, o_orderstatus, "
+                "CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders",
+                "o_custkey", "o_orderstatus", "d", "o_orderkey",
+            )
+        ).fetchall()
+    )
+    assert got == want

@@ -157,3 +157,97 @@ def range_join_count(
         left, right, on, left_ts, right_ts, lower_seconds, upper_seconds
     )
     return joined.groupBy(*group_cols).agg(F.count("*").alias(count_alias))
+
+
+# --------------------------------------------------------------------------
+# SCD2 interval builder — gaps-and-islands change tracking
+# --------------------------------------------------------------------------
+
+SCD2_SENTINEL_DATE = "9999-12-31"
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    time_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval builder: collapse each
+    key's change events into half-open validity intervals of the tracked
+    attribute. Consecutive events with the SAME attribute value extend
+    one interval; a change opens the next. Classic gaps-and-islands:
+    island id = row_number over (key, time) minus row_number over (key,
+    attr, time) — pure windows, no self-join, no UDF.
+
+    Output: ``(key, attr, valid_from, valid_to, n_rows, is_current)``
+    where ``valid_to`` is the NEXT interval's ``valid_from`` (half-open)
+    and the sentinel date 9999-12-31 marks the open interval. ``tie_col``
+    makes same-timestamp event order total, so the islands — and the
+    hash — are deterministic on any engine/partitioning.
+
+    Scale shape: all three windows and the island aggregation partition
+    by the key — ONE shuffle co-locates everything; per-key work is a
+    sort of that key's own events, bounded by the hottest key, never the
+    table.
+    """
+    w_all = Window.partitionBy(key_col).orderBy(time_col, tie_col)
+    w_attr = Window.partitionBy(key_col, attr_col).orderBy(time_col, tie_col)
+    isl = (F.row_number().over(w_all) - F.row_number().over(w_attr)).alias(
+        "__island"
+    )
+    grouped = (
+        df.select(key_col, attr_col, time_col, tie_col)
+        .withColumn("__island", isl)
+        .groupBy(key_col, attr_col, "__island")
+        .agg(
+            F.min(time_col).alias("valid_from"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    w_seq = Window.partitionBy(key_col).orderBy("valid_from", attr_col)
+    sentinel = F.to_date(F.lit(SCD2_SENTINEL_DATE))
+    return grouped.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(w_seq), sentinel
+        ).alias("valid_to"),
+        "n_rows",
+        F.lead("valid_from").over(w_seq).isNull().alias("is_current"),
+    )
+
+
+def scd2_intervals_sql(
+    source_sql: str,
+    key_col: str,
+    attr_col: str,
+    time_col: str,
+    tie_col: str,
+) -> str:
+    """DuckDB twin of :func:`scd2_intervals` — identical windows and
+    tie-breaks; n_rows CAST to BIGINT (count is bigint on both, the cast
+    is belt-and-braces against engine type drift)."""
+    return f"""
+WITH ev AS (
+  SELECT {key_col}, {attr_col}, {time_col}, {tie_col},
+         row_number() OVER (PARTITION BY {key_col}
+                            ORDER BY {time_col}, {tie_col})
+         - row_number() OVER (PARTITION BY {key_col}, {attr_col}
+                              ORDER BY {time_col}, {tie_col}) AS __island
+  FROM ({source_sql})
+), isl AS (
+  SELECT {key_col}, {attr_col}, __island,
+         min({time_col}) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM ev GROUP BY {key_col}, {attr_col}, __island
+)
+SELECT {key_col}, {attr_col}, valid_from,
+       coalesce(lead(valid_from) OVER w, DATE '{SCD2_SENTINEL_DATE}')
+         AS valid_to,
+       n_rows,
+       lead(valid_from) OVER w IS NULL AS is_current
+FROM isl
+WINDOW w AS (PARTITION BY {key_col} ORDER BY valid_from, {attr_col})
+"""
