@@ -1919,7 +1919,7 @@ _register(
 
 
 def _zorder_locality(spark: SparkSession, sf: str) -> DataFrame:
-    """Z-order (Morton) clustering key (operators/layout.py) — the
+    """Z-order (Morton) clustering key (store/layout.py exact variant) — the
     lakehouse file-layout primitive: interleave customer-key and
     day-of-year bits so range-partitioned files carry tight min/max
     boxes on BOTH columns and a box predicate prunes most files from a
@@ -1928,7 +1928,7 @@ def _zorder_locality(spark: SparkSession, sf: str) -> DataFrame:
     — pure shift/mask/or, bit-identical in DuckDB). Returns the 50
     lowest keys plus their decoded dims; the ordering IS the locality
     curve."""
-    from vectordb_etl_spark.operators.layout import zorder_key_col
+    from vectordb_etl_spark.store.layout import zorder_key_exact_col
 
     o = _table(spark, sf, "orders").select(
         "o_orderkey",
@@ -1936,7 +1936,7 @@ def _zorder_locality(spark: SparkSession, sf: str) -> DataFrame:
         F.dayofyear("o_orderdate").alias("dy"),
     )
     return (
-        o.withColumn("zkey", zorder_key_col(["ck", "dy"], bits=10))
+        o.withColumn("zkey", zorder_key_exact_col(["ck", "dy"], bits=10))
         .orderBy("zkey", "o_orderkey")
         .limit(50)
         .select("o_orderkey", "ck", "dy", "zkey")
@@ -1944,9 +1944,9 @@ def _zorder_locality(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _zorder_locality_sql() -> str:
-    from vectordb_etl_spark.operators.layout import zorder_key_sql
+    from vectordb_etl_spark.store.layout import zorder_key_exact_sql
 
-    z = zorder_key_sql(["ck", "dy"], bits=10)
+    z = zorder_key_exact_sql(["ck", "dy"], bits=10)
     return (
         "SELECT o_orderkey, ck, dy, zkey FROM ("
         "  SELECT o_orderkey, ck, dy, " + z + " AS zkey FROM ("

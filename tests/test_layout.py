@@ -5,10 +5,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
-from vectordb_etl_spark.operators.layout import (
-    zorder_key_col,
-    zorder_key_sql,
-    zorder_layout,
+from vectordb_etl_spark.store.layout import (
+    zorder_exact_layout,
+    zorder_key_exact_col,
+    zorder_key_exact_sql,
 )
 
 
@@ -18,7 +18,7 @@ def test_zorder_key_matches_duckdb_bit_for_bit(spark):
     )
     got = [
         r["z"]
-        for r in df.select(zorder_key_col(["a", "b"], bits=9).alias("z"))
+        for r in df.select(zorder_key_exact_col(["a", "b"], bits=9).alias("z"))
         .orderBy("a")
         .collect()
     ]
@@ -26,7 +26,7 @@ def test_zorder_key_matches_duckdb_bit_for_bit(spark):
     want = [
         r[0]
         for r in con.execute(
-            f"SELECT {zorder_key_sql(['a', 'b'], bits=9)} AS z FROM ("
+            f"SELECT {zorder_key_exact_sql(['a', 'b'], bits=9)} AS z FROM ("
             "SELECT range AS a, range * 37 % 512 AS b FROM range(512)"
             ") ORDER BY a"
         ).fetchall()
@@ -42,7 +42,7 @@ def test_zorder_key_is_morton_interleave():
     df = spark.createDataFrame([(1, 0), (0, 1), (3, 5)], ["a", "b"])
     got = [
         r["z"]
-        for r in df.select(zorder_key_col(["a", "b"], bits=4).alias("z")).collect()
+        for r in df.select(zorder_key_exact_col(["a", "b"], bits=4).alias("z")).collect()
     ]
     # interleave: z = sum bit_j(a)<<(2j) | bit_j(b)<<(2j+1)
     assert got == [1, 2, 0b100111]
@@ -50,11 +50,11 @@ def test_zorder_key_is_morton_interleave():
 
 def test_zorder_rejects_bad_shapes():
     with pytest.raises(ValueError, match="at least 2"):
-        zorder_key_col(["a"])
+        zorder_key_exact_col(["a"])
     with pytest.raises(ValueError, match="> 62"):
-        zorder_key_col(["a", "b", "c", "d"], bits=16)
+        zorder_key_exact_col(["a", "b", "c", "d"], bits=16)
     with pytest.raises(ValueError, match="at least 2"):
-        zorder_key_sql(["a"])
+        zorder_key_exact_sql(["a"])
 
 
 def test_zorder_layout_tightens_file_stats_and_prunes(spark, tmp_path):
@@ -69,7 +69,7 @@ def test_zorder_layout_tightens_file_stats_and_prunes(spark, tmp_path):
     base = str(tmp_path / "plain")
     zord = str(tmp_path / "zorder")
     orders.repartition(8).write.parquet(base)
-    zorder_layout(orders, ["ck", "dy"], bits=10, num_files=8).write.parquet(
+    zorder_exact_layout(orders, ["ck", "dy"], bits=10, num_files=8).write.parquet(
         zord
     )
 

@@ -43,39 +43,57 @@ def pagerank(
     iterations: int = 6,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list (pass both
     directions for an undirected graph). Returns ``(node, rank_micro)``
     for every node appearing as a source OR destination; nodes with no
     in-edges settle at the teleport term, dangling nodes (no out-edges)
     simply contribute nothing — mass is not redistributed, matching the
-    simple iterative formulation."""
+    simple iterative formulation.
+
+    Lineage is truncated the same way as dedup.connected_components:
+    the shared edge/degree/node tables once up front and the rank table
+    every iteration (without this, Catalyst re-evaluates the shared
+    subplans under every iteration's joins — measured 71 exchanges for
+    4 rounds vs ~3 per round truncated — and the plan tree grows
+    super-linearly). ``checkpoint_dir`` switches from executor-local
+    blocks to a RELIABLE checkpoint so a cluster run survives executor
+    loss mid-iteration."""
     if not 0 < damping_ppm < _ONE:
         raise ValueError(f"damping_ppm must be in (0, 1e6); got {damping_ppm}")
+    if checkpoint_dir is not None:
+        def truncate(df: DataFrame) -> DataFrame:
+            df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint(eager=True)
+    else:
+        def truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+    # edges with the source degree attached — the one table every
+    # iteration joins; truncated so it is computed exactly once
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ewd = truncate(e.join(deg, "src").select("src", "dst", "deg"))
+    nodes = truncate(
+        ewd.select(F.col("src").alias("node"))
+        .unionByName(ewd.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     teleport = _ONE - damping_ppm
     ranks = nodes.withColumn("rank_micro", F.lit(_ONE).cast("bigint"))
     for _ in range(iterations):
-        contrib = (
-            ranks.join(deg, ranks["node"] == deg["src"], "inner")
-            .join(e, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_micro DIV deg").alias("c"),
-            )
+        incoming = (
+            ranks.join(ewd, ranks["node"] == ewd["src"], "inner")
+            .select(F.col("dst"), F.expr("rank_micro DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
         )
-        incoming = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(incoming, "node", "left")
-            .select(
+        ranks = truncate(
+            nodes.join(
+                incoming, nodes["node"] == incoming["dst"], "left"
+            ).select(
                 "node",
                 (
                     F.lit(teleport)

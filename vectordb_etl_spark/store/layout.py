@@ -235,3 +235,84 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# --------------------------------------------------------------------------
+# exact (oracle-checkable) Z-order variant
+# --------------------------------------------------------------------------
+#
+# :func:`zorder_key_col` above scales each column to its [min, max] span
+# through DOUBLE arithmetic — the right default for arbitrary numeric
+# columns at write time, but the float scaling is not something a
+# cross-engine oracle can restate bit-for-bit. The *_exact_* variant below
+# instead masks already-bounded integer inputs (keys, day numbers,
+# pre-bucketed values) to the low ``bits`` bits and interleaves with pure
+# integer shift/mask/or — the identical arithmetic renders as DuckDB SQL
+# (:func:`zorder_key_exact_sql`), so layouts and locality queries built on
+# it are hash-checkable (registered query ``zorder_locality``).
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def zorder_key_exact_col(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of each column: bit j of
+    column c lands at position ``j * n_cols + c``. n_cols × bits must
+    fit a bigint (≤ 62). Pure shift/mask/or expression tree — 2·n·bits
+    JVM ops, no Python."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    if n * bits > 62:
+        raise ValueError(f"zorder key would need {n * bits} bits (> 62)")
+    cs = [
+        (F.col(c) if isinstance(c, str) else c).cast("bigint")
+        for c in cols
+    ]
+    mask = (1 << bits) - 1
+    terms = []
+    for ci, c in enumerate(cs):
+        masked = c.bitwiseAND(F.lit(mask))
+        for j in range(bits):
+            bit = F.shiftright(masked, j).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, j * n + ci))
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def zorder_key_exact_sql(cols: list[str], bits: int = 16) -> str:
+    """The identical interleave as DuckDB SQL text (>>, &, << on
+    BIGINT), for oracle twins of queries that sort/filter by the key."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    if n * bits > 62:
+        raise ValueError(f"zorder key would need {n * bits} bits (> 62)")
+    mask = (1 << bits) - 1
+    terms = []
+    for ci, c in enumerate(cols):
+        m = f"(CAST({c} AS BIGINT) & {mask})"
+        for j in range(bits):
+            terms.append(f"((({m} >> {j}) & 1) << {j * n + ci})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_exact_layout(
+    df: DataFrame,
+    cols: list[Column | str],
+    bits: int = 16,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Rewrite ``df`` into Z-order: range-partitioned and sorted by the
+    Morton key of ``cols``. Write the result with ``.write.parquet`` to
+    get one locality-tight file per partition. ``num_files`` defaults to
+    the session shuffle parallelism."""
+    key = zorder_key_exact_col(cols, bits).alias("__zorder")
+    with_key = df.withColumn("__zorder", key)
+    parted = (
+        with_key.repartitionByRange(num_files, "__zorder")
+        if num_files
+        else with_key.repartitionByRange("__zorder")
+    )
+    return parted.sortWithinPartitions("__zorder").drop("__zorder")
