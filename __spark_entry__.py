@@ -1733,6 +1733,105 @@ _register(
 )
 
 
+def _kmv_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set-overlap sketch (functions/sketches.py) — the scale path
+    for train/test contamination-RATE estimation: per-side distinct
+    3-word-shingle counts AND the Jaccard overlap of the old
+    (doc_id < 250) vs new corpus halves, all from two 256-hash register
+    sets. HLL can't intersect; KMV can — J ≈ |K(A∪B) ∩ K(A) ∩ K(B)| / k
+    is pure integer counting, and the order-statistic n-distinct
+    estimator is the same pinned-float pattern as the HLL estimator, so
+    the whole row is hash-exact against DuckDB. Scale shape: each
+    register set is a TakeOrdered (per-partition k-smallest, one merge —
+    shingle strings never shuffle); everything after runs on ≤ 2k
+    register rows. Shingles (not bare tokens) because overlap-rate on
+    n-grams is what contamination screens actually measure — and the
+    synthetic corpus' 31-token vocabulary would make token-level Jaccard
+    degenerate."""
+    from vectordb_etl_spark.functions.sketches import (
+        kmv_estimate_cols,
+        kmv_jaccard,
+        kmv_registers,
+    )
+    from vectordb_etl_spark.operators.dedup import word_shingles_col
+
+    k = 256
+    docs = _docs(spark, sf)
+
+    def toks(pred):
+        return docs.filter(pred).select(
+            F.explode(word_shingles_col("text", 3)).alias("tok")
+        )
+
+    # registers are ≤ k rows but feed FOUR consumers (estimate, union,
+    # two semi-joins) — materialize each side once so the token scan and
+    # TakeOrdered run once per side, not once per consumer
+    a = kmv_registers(toks(F.col("doc_id") < 250), "tok", k=k).localCheckpoint(
+        eager=True
+    )
+    b = kmv_registers(toks(F.col("doc_id") >= 250), "tok", k=k).localCheckpoint(
+        eager=True
+    )
+    ea = a.agg(*kmv_estimate_cols(k)).select(
+        F.col("n_regs").alias("n_old_regs"),
+        F.col("n_distinct_est").alias("n_old_est"),
+    )
+    eb = b.agg(*kmv_estimate_cols(k)).select(
+        F.col("n_regs").alias("n_new_regs"),
+        F.col("n_distinct_est").alias("n_new_est"),
+    )
+    return ea.crossJoin(eb).crossJoin(kmv_jaccard(a, b, k=k))
+
+
+def _kmv_corpus_overlap_sql() -> str:
+    from vectordb_etl_spark.functions.sketches import kmv_registers_sql
+
+    k = 256
+    two60 = 1 << 60
+
+    from vectordb_etl_spark.operators.dedup import word_shingles_sql
+
+    def side(cmp):
+        toks = (
+            f"SELECT unnest({word_shingles_sql('text', 3)}) AS tok "
+            f"FROM documents WHERE doc_id {cmp}"
+        )
+        return kmv_registers_sql(toks, "tok", k=k)
+
+    est = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_regs, "
+        "CASE WHEN count(*) < {k} THEN CAST(count(*) AS BIGINT) "
+        "ELSE CAST(floor(CAST({km1} AS DOUBLE) * CAST({two60} AS DOUBLE) "
+        "/ CAST(max(h) AS DOUBLE)) AS BIGINT) END AS n_distinct_est "
+        "FROM {src}"
+    )
+    return (
+        f"WITH a AS MATERIALIZED ({side('< 250')}), "
+        f"b AS MATERIALIZED ({side('>= 250')}), "
+        f"m AS MATERIALIZED (SELECT h FROM (SELECT h FROM a UNION "
+        f"SELECT h FROM b) ORDER BY h LIMIT {k}), "
+        "ea AS (SELECT n_regs AS n_old_regs, n_distinct_est AS n_old_est "
+        f"FROM ({est.format(k=k, km1=k - 1, two60=two60, src='a')})), "
+        "eb AS (SELECT n_regs AS n_new_regs, n_distinct_est AS n_new_est "
+        f"FROM ({est.format(k=k, km1=k - 1, two60=two60, src='b')})), "
+        "j AS (SELECT CAST((SELECT count(*) FROM m) AS BIGINT) "
+        "AS n_union_regs, "
+        "CAST((SELECT count(*) FROM m WHERE h IN (SELECT h FROM a) "
+        "AND h IN (SELECT h FROM b)) AS BIGINT) AS n_both) "
+        "SELECT n_old_regs, n_old_est, n_new_regs, n_new_est, "
+        "n_union_regs, n_both, "
+        "(1000000 * n_both) // n_union_regs AS jaccard_ppm "
+        "FROM ea CROSS JOIN eb CROSS JOIN j"
+    )
+
+
+_register(
+    "kmv_corpus_overlap",
+    _kmv_corpus_overlap,
+    _kmv_corpus_overlap_sql(),
+)
+
+
 def _idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q22 shape on the trimmed schema (no phone column → grouped
     by nation; "never ordered" → "no order in the data's final year",
@@ -5237,6 +5336,7 @@ _PRIORITY = [
     "bipartite_pagerank",
     "scd2_order_status",
     "idle_rich_customers",
+    "kmv_corpus_overlap",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

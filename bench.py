@@ -220,6 +220,7 @@ def main() -> None:
         "bipartite_pagerank",
         "scd2_order_status",
         "idle_rich_customers",
+        "kmv_corpus_overlap",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

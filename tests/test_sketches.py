@@ -105,3 +105,81 @@ def test_hll_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_registers_match_duckdb_and_small_sets_exact(spark):
+    from vectordb_etl_spark.functions.sketches import (
+        kmv_estimate_cols,
+        kmv_registers,
+        kmv_registers_sql,
+    )
+
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    regs = kmv_registers(df, "v", k=128)
+    got = [r["h"] for r in regs.collect()]
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            kmv_registers_sql("SELECT range AS v FROM range(1000)", "v", k=128)
+        ).fetchall()
+    ]
+    assert sorted(got) == sorted(want) and len(got) == 128
+    # under-k set: count is exact, estimator bypassed
+    small = kmv_registers(spark.range(50).select(F.col("id").alias("v")), "v", k=128)
+    est = small.agg(*kmv_estimate_cols(128)).collect()[0]
+    assert est["n_regs"] == 50 and est["n_distinct_est"] == 50
+
+
+def test_kmv_estimator_accuracy_and_jaccard(spark):
+    """KMV n-distinct within ~3/sqrt(k); Jaccard of half-overlapping
+    ranges lands near the true 1/3."""
+    from vectordb_etl_spark.functions.sketches import (
+        kmv_estimate_cols,
+        kmv_jaccard,
+        kmv_registers,
+    )
+
+    k = 256
+    a = kmv_registers(
+        spark.range(0, 20000).select(F.col("id").alias("v")), "v", k=k
+    )
+    b = kmv_registers(
+        spark.range(10000, 30000).select(F.col("id").alias("v")), "v", k=k
+    )
+    est = a.agg(*kmv_estimate_cols(k)).collect()[0]
+    assert abs(est["n_distinct_est"] - 20000) / 20000 < 0.25
+    j = kmv_jaccard(a, b, k=k).collect()[0]
+    # true J = 10000/30000 = 0.333...
+    assert j["n_union_regs"] == k
+    assert abs(j["jaccard_ppm"] - 333_333) < 120_000
+    assert j["jaccard_ppm"] == (1_000_000 * j["n_both"]) // k
+
+
+def test_kmv_merge_is_union_sketch(spark):
+    from vectordb_etl_spark.functions.sketches import kmv_merge, kmv_registers
+
+    a = kmv_registers(spark.range(0, 5000).select(F.col("id").alias("v")), "v", k=64)
+    b = kmv_registers(
+        spark.range(5000, 10000).select(F.col("id").alias("v")), "v", k=64
+    )
+    whole = kmv_registers(
+        spark.range(0, 10000).select(F.col("id").alias("v")), "v", k=64
+    )
+    merged = kmv_merge(a, b, k=64)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in whole.collect()
+    )
+
+
+def test_kmv_rejects_tiny_k(spark):
+    from vectordb_etl_spark.functions.sketches import (
+        kmv_registers,
+        kmv_registers_sql,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_registers(df, "v", k=1)
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_registers_sql("SELECT 1 AS v", "v", k=0)

@@ -226,3 +226,111 @@ SELECT {gsel}
        ) AS BIGINT) AS hll_est
 FROM regs{gby}
 """
+
+
+# --------------------------------------------------------------------------
+# KMV (k minimum values) — distinct-count + set-overlap sketch
+# --------------------------------------------------------------------------
+#
+# HLL above answers "how many distinct"; KMV additionally answers "how much
+# do two sets OVERLAP" (Jaccard / intersection), which HLL registers cannot
+# (Beyer et al., "On synopses for distinct-value estimation under multiset
+# operations", SIGMOD 2007). The sketch is simply the k smallest distinct
+# 60-bit md5 hash values — order statistics, so:
+#   * union-merge = k smallest of the concatenated registers,
+#   * J(A, B) ≈ |K(A∪B) ∩ K(A) ∩ K(B)| / k  (pure integer counting),
+#   * n_distinct ≈ (k-1) · 2^60 / h_(k)  (one pinned-order float step).
+# The k-smallest-distinct computation is TakeOrdered-shaped in Spark (per-
+# partition top-k, then merge — no full sort, no full shuffle of values).
+
+
+def kmv_registers(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """The sketch: k smallest DISTINCT 60-bit hashes of ``value_col`` as
+    one column ``h``. Plan shape: hash projection → partial distinct →
+    TakeOrderedAndProject (per-partition k-smallest, single merge) — the
+    values themselves never shuffle."""
+    if k < 2:
+        raise ValueError(f"kmv: k must be >= 2; got {k}")
+    v = F.col(value_col)
+    h = F.conv(
+        F.substring(F.md5(v.cast("string")), 1, _HASH_HEX_CHARS), 16, 10
+    ).cast("bigint")
+    return (
+        df.filter(v.isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Union sketch: k smallest of the combined registers."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate_cols(k: int):
+    """Aggregate columns over a register set: ``n_regs`` (may be < k for
+    small sets — then the count IS exact) and ``n_distinct_est`` via the
+    (k-1)·2^60/h_(k) order-statistic estimator, float step pinned the
+    same way as the HLL estimator (explicit casts, fixed operation
+    order). When the set has fewer than k distinct values the estimator
+    is bypassed — the register count is the exact answer."""
+    n = F.count("*").cast("bigint")
+    kth = F.max("h")
+    est = F.floor(
+        F.lit(float(k - 1))
+        * F.lit(float(1 << _HASH_BITS))
+        / kth.cast("double")
+    ).cast("bigint")
+    return [
+        n.alias("n_regs"),
+        F.when(n < k, n).otherwise(est).alias("n_distinct_est"),
+    ]
+
+
+def kmv_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Jaccard similarity estimate between two register sets: the
+    fraction of the union's k smallest hashes present in BOTH sides —
+    integer counting, ``jaccard_ppm = 1e6 · matches // |K(A∪B)|``.
+    Returns one row: (n_union_regs, n_both, jaccard_ppm)."""
+    merged = kmv_merge(a, b, k)
+    both = merged.join(a, "h", "left_semi").join(b, "h", "left_semi")
+    m = merged.agg(F.count("*").alias("n_union_regs"))
+    nb = both.agg(F.count("*").alias("n_both"))
+    return (
+        m.crossJoin(nb)
+        .select(
+            "n_union_regs",
+            "n_both",
+            F.expr("(1000000 * n_both) DIV n_union_regs").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+def kmv_hash_sql(value_expr: str) -> str:
+    """The hash expression as DuckDB SQL (identical to Spark's conv)."""
+    return (
+        f"CAST('0x' || substring(md5(CAST({value_expr} AS VARCHAR)), 1, "
+        f"{_HASH_HEX_CHARS}) AS BIGINT)"
+    )
+
+
+def kmv_registers_sql(source_sql: str, value_col: str, k: int = 256) -> str:
+    if k < 2:
+        raise ValueError(f"kmv: k must be >= 2; got {k}")
+    return (
+        f"SELECT DISTINCT {kmv_hash_sql(value_col)} AS h "
+        f"FROM ({source_sql}) WHERE {value_col} IS NOT NULL "
+        f"ORDER BY h LIMIT {k}"
+    )
