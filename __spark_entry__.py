@@ -1733,6 +1733,70 @@ _register(
 )
 
 
+def _cm_token_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch (functions/sketches.py) — frequency estimation,
+    the heavy-hitter leg of the sketch suite: sketch the document token
+    stream into 4×1024 integer counters (one map-side-combined agg;
+    shuffle carries ≤ d·w counter rows), then point-estimate the exact
+    top-10 tokens against their true counts. Counters and estimates are
+    pure md5/modulo integer arithmetic — bit-identical in DuckDB, so the
+    overestimate-but-never-undercount property is under the hash, not
+    just asserted. Sketches merge by counter addition (per-day token
+    frequency tables roll up without rescanning — the vocabulary-build
+    shape at 100 TB)."""
+    from vectordb_etl_spark.functions.sketches import cm_lookup, cm_sketch
+
+    d, w = 4, 1024
+    toks = (
+        _docs(spark, sf)
+        .select(F.explode(F.split(F.lower("text"), "\\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    sk = cm_sketch(toks, "tok", d=d, w=w).localCheckpoint(eager=True)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(10)
+    )
+    est = cm_lookup(sk, top.select("tok"), "tok", d=d, w=w)
+    return (
+        top.join(est, "tok")
+        .select("tok", "exact_n", "cm_est")
+        .orderBy(F.desc("exact_n"), "tok")
+    )
+
+
+def _cm_token_freq_sql() -> str:
+    from vectordb_etl_spark.functions.sketches import (
+        cm_lookup_sql,
+        cm_sketch_sql,
+    )
+
+    toks = (
+        "SELECT tok FROM (SELECT unnest(string_split_regex(lower(text), "
+        "'\\s+')) AS tok FROM documents) WHERE tok <> ''"
+    )
+    cands = (
+        f"SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM ({toks}) "
+        "GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10"
+    )
+    inner = cm_lookup_sql(
+        cm_sketch_sql(toks, "tok", d=4, w=1024), cands, "tok", d=4, w=1024
+    )
+    return (
+        f"SELECT tok, exact_n, cm_est FROM ({inner}) "
+        "ORDER BY exact_n DESC, tok"
+    )
+
+
+_register(
+    "cm_token_freq",
+    _cm_token_freq,
+    _cm_token_freq_sql(),
+)
+
+
 def _kmv_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """KMV set-overlap sketch (functions/sketches.py) — the scale path
     for train/test contamination-RATE estimation: per-side distinct
@@ -3525,6 +3589,60 @@ _register(
     "  SELECT doc_id, {h} AS h,"
     "    row_number() OVER (PARTITION BY {h} ORDER BY doc_id) AS rn"
     "  FROM documents) WHERE rn = 1".format(h=chunker.normalized_hash_sql("text")),
+)
+
+
+def _streaming_hll_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-maintained distinct-count sketch (streaming/ingest.py
+    hll_ingest_stream): events arrive as four micro-batches
+    (maxFilesPerTrigger=1 over a 4-file landing dir) and each batch's
+    HLL registers max-merge into a persisted register table. Because
+    register max-merge is commutative/associative/idempotent, the final
+    table — and the per-type estimates computed from it — are BIT-EQUAL
+    to the batch sketch over all events, so the oracle is simply the
+    batch HLL SQL. The 100 TB story: unique-users-per-type forever with
+    state = 5×256 register rows, no user ids ever held in state, CDC
+    re-delivery absorbed by idempotence."""
+    import tempfile
+
+    from vectordb_etl_spark.functions.sketches import hll_estimate_expr
+    from vectordb_etl_spark.streaming.ingest import hll_ingest_stream
+
+    ev = _events(spark, sf).select("event_type", "user_id")
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.repartition(4).write.parquet(f"{tmp}/landing")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/landing")
+        )
+        q = hll_ingest_stream(
+            stream, f"{tmp}/registers", f"{tmp}/ckpt",
+            value_col="user_id", group_cols=["event_type"],
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+        regs = spark.read.parquet(f"{tmp}/registers")
+        out = regs.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_buckets_used"),
+            hll_estimate_expr(8).alias("hll_est"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+def _streaming_hll_ingest_sql() -> str:
+    from vectordb_etl_spark.functions.sketches import hll_distinct_sql
+
+    return hll_distinct_sql(
+        "SELECT event_type, user_id FROM events", "user_id", ["event_type"]
+    )
+
+
+_register(
+    "streaming_hll_ingest",
+    _streaming_hll_ingest,
+    _streaming_hll_ingest_sql(),
 )
 
 
@@ -5337,6 +5455,8 @@ _PRIORITY = [
     "scd2_order_status",
     "idle_rich_customers",
     "kmv_corpus_overlap",
+    "streaming_hll_ingest",
+    "cm_token_freq",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -221,6 +221,8 @@ def main() -> None:
         "scd2_order_status",
         "idle_rich_customers",
         "kmv_corpus_overlap",
+        "streaming_hll_ingest",
+        "cm_token_freq",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

@@ -183,3 +183,75 @@ def test_kmv_rejects_tiny_k(spark):
         kmv_registers(df, "v", k=1)
     with pytest.raises(ValueError, match="k must be"):
         kmv_registers_sql("SELECT 1 AS v", "v", k=0)
+
+
+def test_cm_sketch_matches_duckdb_and_overestimates(spark):
+    """Counters bit-match DuckDB; point estimates never UNDERcount (the
+    CM guarantee) and hit exactly for values with no hash collisions."""
+    from vectordb_etl_spark.functions.sketches import (
+        cm_lookup,
+        cm_sketch,
+        cm_sketch_sql,
+    )
+
+    # skewed stream: value v occurs v times, v in 1..40
+    rows = [(v,) for v in range(1, 41) for _ in range(v)]
+    df = spark.createDataFrame(rows, ["v"])
+    sk = cm_sketch(df, "v", d=4, w=64)
+    got = sorted(map(tuple, sk.collect()))
+    con = duckdb.connect()
+    vals = ", ".join(f"({v})" for v, in rows)
+    want = sorted(
+        con.execute(
+            cm_sketch_sql(f"SELECT * FROM (VALUES {vals}) t(v)", "v", d=4, w=64)
+        ).fetchall()
+    )
+    assert got == want
+    cands = spark.createDataFrame([(v,) for v in range(1, 41)], ["v"])
+    est = {
+        r["v"]: r["cm_est"]
+        for r in cm_lookup(sk, cands, "v", d=4, w=64).collect()
+    }
+    for v in range(1, 41):
+        assert est[v] >= v  # never undercounts
+    # total mass per hash row is exact
+    n = len(rows)
+    per_row = sk.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    assert all(r["s"] == n for r in per_row)
+
+
+def test_cm_merge_equals_whole_and_absent_is_zero(spark):
+    from vectordb_etl_spark.functions.sketches import (
+        cm_lookup,
+        cm_merge,
+        cm_sketch,
+    )
+
+    a = cm_sketch(spark.range(0, 500).select(F.col("id").alias("v")), "v", d=3, w=128)
+    b = cm_sketch(
+        spark.range(500, 1000).select(F.col("id").alias("v")), "v", d=3, w=128
+    )
+    whole = cm_sketch(spark.range(0, 1000).select(F.col("id").alias("v")), "v", d=3, w=128)
+    merged = cm_merge(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # a value the sketch never saw can still collide, but an EMPTY sketch
+    # gives 0
+    empty = cm_sketch(
+        spark.range(0).select(F.col("id").alias("v")), "v", d=3, w=128
+    )
+    cand = spark.createDataFrame([(123456789,)], ["v"])
+    assert cm_lookup(empty, cand, "v", d=3, w=128).collect()[0]["cm_est"] == 0
+
+
+def test_cm_rejects_bad_shape(spark):
+    import pytest as _pytest
+
+    from vectordb_etl_spark.functions.sketches import cm_sketch, cm_sketch_sql
+
+    df = spark.range(5).select(F.col("id").alias("v"))
+    with _pytest.raises(ValueError, match="d >= 1"):
+        cm_sketch(df, "v", d=0)
+    with _pytest.raises(ValueError, match="d >= 1"):
+        cm_sketch_sql("SELECT 1 AS v", "v", w=1)

@@ -391,3 +391,51 @@ def test_graph_ingest_stream_appends_segments(spark, embeddings_tiny, tmp_path_f
         embeddings_tiny, qv, k=10, tie_break=["vec_id"]).collect()]
     got = [r["id"] for r in idx.search(qv, k=10, ef=10_000).collect()]
     assert got == exact
+
+
+def test_hll_ingest_stream_equals_batch_and_absorbs_redelivery(spark, tmp_path):
+    """Register max-merge is order-insensitive and idempotent: the
+    stream-maintained table equals the batch sketch, and re-delivering
+    an already-merged batch leaves the registers unchanged."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_TINY
+    from vectordb_etl_spark.functions.sketches import hll_registers
+    from vectordb_etl_spark.streaming.ingest import hll_ingest_stream
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    landing = str(tmp_path / "landing")
+    regs_path = str(tmp_path / "regs")
+    ev.repartition(3).write.parquet(landing)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = hll_ingest_stream(
+        stream, regs_path, str(tmp_path / "ckpt"),
+        value_col="user_id", group_cols=["event_type"],
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.read.parquet(regs_path).collect()))
+    batch = sorted(
+        map(tuple, hll_registers(ev, "user_id", ["event_type"]).collect())
+    )
+    assert streamed == batch
+    # re-delivery: stream the SAME landing dir into the SAME register
+    # table under a fresh checkpoint — max(max) changes nothing
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q2 = hll_ingest_stream(
+        stream2, regs_path, str(tmp_path / "ckpt2"),
+        value_col="user_id", group_cols=["event_type"],
+        trigger_available_now=True,
+    )
+    q2.awaitTermination()
+    assert sorted(map(tuple, spark.read.parquet(regs_path).collect())) == batch

@@ -334,3 +334,157 @@ def kmv_registers_sql(source_sql: str, value_col: str, k: int = 256) -> str:
         f"FROM ({source_sql}) WHERE {value_col} IS NOT NULL "
         f"ORDER BY h LIMIT {k}"
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch — frequency estimation / heavy hitters
+# --------------------------------------------------------------------------
+#
+# Third leg of the sketch suite: HLL = how many distinct, KMV = how much
+# overlap, Count-Min = how OFTEN each value occurs (Cormode & Muthukrishnan,
+# "An improved data stream summary: the count-min sketch and its
+# applications", J. Algorithms 2005). d independent hash rows × w counters;
+# point estimate = min over rows of the hit counter — always an
+# OVERestimate, within eps·N with probability 1-delta for w = e/eps,
+# d = ln(1/delta). Counters are exact integer sums of md5-derived
+# positions, so sketch AND estimates are bit-identical cross-engine, and
+# sketches merge by plain counter addition (the property that lets per-day
+# token-frequency sketches roll up into corpus heavy-hitter tables without
+# rescanning — the vocabulary-building shape at 100 TB).
+
+
+def _cm_pos_expr(value_sql_or_col, row: int, w: int):
+    """Counter column for hash row ``row``: md5 of 'row|value', low 60
+    bits mod w. Returned as a Spark Column; the SQL twin renders the
+    identical arithmetic."""
+    v = (
+        F.col(value_sql_or_col)
+        if isinstance(value_sql_or_col, str)
+        else value_sql_or_col
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(row)), v.cast("string"))),
+            1,
+            _HASH_HEX_CHARS,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % w).cast("int")
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """The sketch: ``(row, pos, cnt)`` counters — one map-side-combined
+    aggregation over d exploded hash rows per value (shuffle carries ≤
+    d·w counter rows after partial combine). Merge two sketches by
+    unioning and summing ``cnt`` per (row, pos)."""
+    if d < 1 or w < 2:
+        raise ValueError(f"cm_sketch: need d >= 1, w >= 2; got d={d}, w={w}")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), _cm_pos_expr(value_col, i, w).alias("pos")
+            )
+            for i in range(d)
+        ]
+    )
+    ex = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(pairs).alias("rp"))
+        .select("rp.row", "rp.pos")
+    )
+    return ex.groupBy("row", "pos").agg(F.count("*").cast("bigint").alias("cnt"))
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merged sketch: counter-wise sum."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cm_lookup(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Point estimates for a candidate-value table: each candidate joins
+    its d counters (candidates broadcast — they are the small side by
+    construction) and takes the min; absent counters count 0. Returns the
+    candidate rows plus ``cm_est``."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), _cm_pos_expr(value_col, i, w).alias("pos")
+            )
+            for i in range(d)
+        ]
+    )
+    ex = candidates.select(
+        F.col(value_col), F.explode(pairs).alias("rp")
+    ).select(value_col, "rp.row", "rp.pos")
+    hit = ex.join(F.broadcast(sketch), ["row", "pos"], "left").select(
+        value_col, F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("c")
+    )
+    return hit.groupBy(value_col).agg(F.min("c").alias("cm_est"))
+
+
+def cm_sketch_sql(source_sql: str, value_col: str, d: int = 4, w: int = 256) -> str:
+    """DuckDB twin of :func:`cm_sketch` (union-all of the d hash rows)."""
+    if d < 1 or w < 2:
+        raise ValueError(f"cm_sketch: need d >= 1, w >= 2; got d={d}, w={w}")
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, CAST({_cm_pos_sql(value_col, i, w)} AS INT) AS pos "
+        f"FROM ({source_sql}) WHERE {value_col} IS NOT NULL"
+        for i in range(d)
+    )
+    return (
+        f"SELECT row, pos, CAST(count(*) AS BIGINT) AS cnt FROM ({rows}) "
+        "GROUP BY row, pos"
+    )
+
+
+def _cm_pos_sql(value_expr: str, row: int, w: int) -> str:
+    return (
+        f"(CAST('0x' || substring(md5('{row}' || '|' || "
+        f"CAST({value_expr} AS VARCHAR)), 1, {_HASH_HEX_CHARS}) AS BIGINT) "
+        f"% {w})"
+    )
+
+
+def cm_lookup_sql(
+    sketch_sql: str,
+    candidates_sql: str,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> str:
+    """DuckDB twin of :func:`cm_lookup`: candidates (must expose
+    ``value_col``) keep their other columns; adds ``cm_est``."""
+    probes = " UNION ALL ".join(
+        f"SELECT {value_col}, {i} AS row, "
+        f"CAST({_cm_pos_sql(value_col, i, w)} AS INT) AS pos "
+        f"FROM cands"
+        for i in range(d)
+    )
+    return f"""
+WITH cands AS MATERIALIZED ({candidates_sql}),
+sk AS MATERIALIZED ({sketch_sql}),
+probe AS ({probes}),
+est AS (
+  SELECT {value_col}, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
+  FROM probe LEFT JOIN sk ON sk.row = probe.row AND sk.pos = probe.pos
+  GROUP BY {value_col}
+)
+SELECT c.*, est.cm_est FROM cands c JOIN est USING ({value_col})
+"""

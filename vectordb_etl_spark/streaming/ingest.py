@@ -512,3 +512,63 @@ def graph_ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hll_ingest_stream(
+    stream_df: DataFrame,
+    registers_path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    trigger_available_now: bool = False,
+):
+    """Continuous distinct-count maintenance: each micro-batch's HLL
+    registers (functions/sketches.py) max-merge into a persisted register
+    table — the streaming shape of "unique users per type, forever"
+    without ever holding user ids in state. Register max-merge is
+    commutative/associative/idempotent, so the final table is BIT-EQUAL
+    to the batch sketch of all rows regardless of micro-batch boundaries
+    or arrival order (the registered oracle exploits exactly that), and
+    CDC re-deliveries are absorbed for free (max of a max).
+
+    State is the register table itself: ≤ groups × 2^p rows, read-merged-
+    rewritten per batch through a staging dir + rename swap (readers see
+    complete old or complete new). Per-batch cost ∝ batch + register
+    table; nothing grows with stream lifetime."""
+    from vectordb_etl_spark.functions.sketches import hll_merge, hll_registers
+
+    group_cols = group_cols or []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_regs = hll_registers(batch_df, value_col, group_cols, p)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        fs = jvm_path(registers_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        if fs.exists(jvm_path(registers_path)):
+            old = spark.read.parquet(registers_path)
+            merged = hll_merge(new_regs.unionByName(old), group_cols)
+        else:
+            merged = new_regs
+        staging = f"{registers_path}.staging"
+        aside = f"{registers_path}.old"
+        merged.write.mode("overwrite").parquet(staging)
+        if fs.exists(jvm_path(aside)):
+            fs.delete(jvm_path(aside), True)
+        if fs.exists(jvm_path(registers_path)):
+            fs.rename(jvm_path(registers_path), jvm_path(aside))
+        fs.rename(jvm_path(staging), jvm_path(registers_path))
+        fs.delete(jvm_path(aside), True)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
