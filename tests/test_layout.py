@@ -73,27 +73,18 @@ def test_zorder_layout_tightens_file_stats_and_prunes(spark, tmp_path):
         zord
     )
 
-    def candidate_files(path, ck_lo, ck_hi, dy_lo, dy_hi):
-        stats = (
-            spark.read.parquet(path)
-            .groupBy(F.input_file_name().alias("f"))
-            .agg(
-                F.min("ck").alias("ck_min"), F.max("ck").alias("ck_max"),
-                F.min("dy").alias("dy_min"), F.max("dy").alias("dy_max"),
-            )
-            .collect()
-        )
-        hit = [
-            r
-            for r in stats
-            if r["ck_max"] >= ck_lo and r["ck_min"] <= ck_hi
-            and r["dy_max"] >= dy_lo and r["dy_min"] <= dy_hi
-        ]
-        return len(hit), len(stats)
+    from vectordb_etl_spark.store.layout import (
+        file_stats_manifest,
+        prune_candidate_files,
+    )
 
-    box = (100, 200, 50, 100)
-    plain_hit, plain_total = candidate_files(base, *box)
-    z_hit, z_total = candidate_files(zord, *box)
+    def candidate_files(path, box):
+        manifest = file_stats_manifest(spark, path, ["ck", "dy"])
+        return prune_candidate_files(manifest, box).count(), manifest.count()
+
+    box = {"ck": (100, 200), "dy": (50, 100)}
+    plain_hit, plain_total = candidate_files(base, box)
+    z_hit, z_total = candidate_files(zord, box)
     # insert order: every file spans the full range -> nothing prunes
     assert plain_hit == plain_total
     # z-order: the box intersects a strict minority of files
@@ -102,3 +93,27 @@ def test_zorder_layout_tightens_file_stats_and_prunes(spark, tmp_path):
     a = spark.read.parquet(base).orderBy("o_orderkey").collect()
     b = spark.read.parquet(zord).orderBy("o_orderkey").collect()
     assert a == b
+
+
+def test_manifest_rowcounts_and_full_range_box(spark, tmp_path):
+    """Manifest n_rows sums to the table; an all-covering box keeps every
+    file; an impossible box keeps none."""
+    from vectordb_etl_spark.store.layout import (
+        file_stats_manifest,
+        prune_candidate_files,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") % 97).alias("b")
+    )
+    p = str(tmp_path / "t")
+    df.repartition(4).write.parquet(p)
+    man = file_stats_manifest(spark, p, ["a", "b"])
+    assert man.agg(F.sum("n_rows")).collect()[0][0] == 1000
+    assert prune_candidate_files(man, {"a": (0, 2000)}).count() == man.count()
+    assert prune_candidate_files(man, {"a": (5000, 6000)}).count() == 0
+    # multi-column: both conditions must intersect
+    assert (
+        prune_candidate_files(man, {"a": (0, 2000), "b": (500, 600)}).count()
+        == 0
+    )
