@@ -1733,6 +1733,36 @@ _register(
 )
 
 
+def _skew_report_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/skew.py skew_report): the
+    report to run BEFORE keying a 100 TB join/agg — per hot key its row
+    count, table share, ratio-to-mean-load, and the salt factor
+    salted_agg/salted_join would need to level it (0 = below the skew
+    bar). All integer micro arithmetic, NULL-safe composite keys, one
+    count-agg + TakeOrdered — the diagnostic itself never shuffles more
+    than the distinct-key table."""
+    from vectordb_etl_spark.operators.skew import skew_report
+
+    return skew_report(
+        _events(spark, sf).select("user_id"), ["user_id"], top_n=10
+    )
+
+
+def _skew_report_events_sql() -> str:
+    from vectordb_etl_spark.operators.skew import skew_report_sql
+
+    return skew_report_sql(
+        "SELECT user_id FROM events", ["user_id"], top_n=10
+    )
+
+
+_register(
+    "skew_report_events",
+    _skew_report_events,
+    _skew_report_events_sql(),
+)
+
+
 def _cm_token_freq(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min sketch (functions/sketches.py) — frequency estimation,
     the heavy-hitter leg of the sketch suite: sketch the document token
@@ -5457,6 +5487,7 @@ _PRIORITY = [
     "kmv_corpus_overlap",
     "streaming_hll_ingest",
     "cm_token_freq",
+    "skew_report_events",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -157,3 +157,50 @@ def test_salted_join_spreads_hot_key(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan  # the shuffle key includes the salt
     assert out.count() == 1000
+
+
+def test_skew_report_flags_hot_key_and_matches_duckdb(spark):
+    import duckdb
+
+    from vectordb_etl_spark.operators.skew import skew_report, skew_report_sql
+
+    # 1 hot key with 900 rows, 100 cold keys with 1 row each
+    rows = [("hot", i) for i in range(900)] + [
+        (f"k{i}", i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["k", "x"])
+    rep = skew_report(df, ["k"], top_n=5, skew_factor=8).collect()
+    assert rep[0]["key"] == "hot" and rep[0]["n"] == 900
+    assert rep[0]["share_ppm"] == (1_000_000 * 900) // 1000
+    # mean load = 1000/101 ≈ 9.9; hot ratio ≈ 90.9x -> salted
+    assert rep[0]["salt_recommended"] > 0
+    assert all(r["salt_recommended"] == 0 for r in rep[1:])
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('{k}', {x})" for k, x in rows)
+    want = con.execute(
+        skew_report_sql(
+            f"SELECT * FROM (VALUES {vals}) t(k, x)", ["k"],
+            top_n=5, skew_factor=8,
+        )
+    ).fetchall()
+    assert [tuple(r) for r in rep] == want
+
+
+def test_skew_report_null_keys_and_multi_column(spark):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from vectordb_etl_spark.operators.skew import skew_report
+
+    schema = StructType(
+        [StructField("a", StringType()), StructField("b", LongType())]
+    )
+    rows = [(None, 1)] * 5 + [("x", 2)] * 3
+    df = spark.createDataFrame(rows, schema)
+    rep = {r["key"]: r["n"] for r in skew_report(df, ["a", "b"]).collect()}
+    assert rep == {"\x1f1": 5, "x\x1f2": 3}

@@ -202,3 +202,93 @@ def salted_join(
     )
     out = salted_fact.join(salted_dim, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+    skew_factor: int = 8,
+) -> DataFrame:
+    """Shuffle-key skew diagnostic — the report to run BEFORE keying a
+    big join/agg on a column at 100 TB: per candidate hot key, its row
+    count, its share of the table in ppm, the ratio to the mean key load
+    (micro-units), and the salt factor that would level it. A key whose
+    ``load_ratio_micro`` is ≥ ``skew_factor``× the mean is flagged with
+    ``salt_recommended`` = ceil(count / mean) capped at 256 — the spread
+    that brings its per-task load back to the mean (what
+    :func:`salted_agg` / :func:`salted_join` consume as ``salt``).
+
+    Scale shape: one map-side-combined count per key, then
+    TakeOrderedAndProject for the top-n — the diagnostic never shuffles
+    more than (distinct keys) rows, and integer micro arithmetic keeps it
+    oracle-checkable."""
+    # coalesce each part to '' BEFORE concat: Spark's concat_ws skips
+    # NULLs (separator and all) while DuckDB's || nulls the whole key —
+    # pinning empty-string semantics keeps the two engines identical
+    key = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols],
+    )
+    counts = (
+        df.select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.agg(
+        F.sum("n").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    top = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.expr("(1000000 * n) DIV total_rows").alias("share_ppm"),
+            # mean key load = total/n_keys; ratio in micro-units, both
+            # truncating integer divisions (non-negative operands)
+            F.expr("(1000000 * n * n_keys) DIV total_rows").alias(
+                "load_ratio_micro"
+            ),
+            F.expr(
+                f"CASE WHEN (n * n_keys) >= {skew_factor} * total_rows "
+                "THEN least(CAST(256 AS BIGINT), "
+                "(n * n_keys + total_rows - 1) DIV total_rows) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("salt_recommended"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(top_n)
+    )
+    return top
+
+
+def skew_report_sql(
+    source_sql: str,
+    key_cols: list[str],
+    top_n: int = 10,
+    skew_factor: int = 8,
+) -> str:
+    """DuckDB twin of :func:`skew_report` (identical integer arithmetic;
+    chr(31) is the same key separator Spark's concat_ws uses)."""
+    key = " || chr(31) || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), '')" for c in key_cols
+    )
+    return f"""
+WITH counts AS (
+  SELECT {key} AS key, CAST(count(*) AS BIGINT) AS n
+  FROM ({source_sql}) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys FROM counts
+)
+SELECT key, n,
+       (1000000 * n) // total_rows AS share_ppm,
+       (1000000 * n * n_keys) // total_rows AS load_ratio_micro,
+       CASE WHEN (n * n_keys) >= {skew_factor} * total_rows
+            THEN least(CAST(256 AS BIGINT),
+                       (n * n_keys + total_rows - 1) // total_rows)
+            ELSE CAST(0 AS BIGINT) END AS salt_recommended
+FROM counts CROSS JOIN tot
+ORDER BY n DESC, key LIMIT {top_n}
+"""
