@@ -46,6 +46,23 @@ from vectordb_etl_spark.functions.filter_expr import (
     FilterExprError,
     parse_filter,
 )
+from vectordb_etl_spark.functions.sketches import (
+    cm_lookup,
+    cm_lookup_sql,
+    cm_merge,
+    cm_sketch,
+    cm_sketch_sql,
+    hll_distinct,
+    hll_distinct_sql,
+    hll_merge,
+    hll_registers,
+    hll_registers_sql,
+    kmv_estimate_cols,
+    kmv_jaccard,
+    kmv_merge,
+    kmv_registers,
+    kmv_registers_sql,
+)
 from vectordb_etl_spark.functions.vector import (
     cosine_col,
     dot_col,
@@ -85,6 +102,21 @@ __all__ = [
     "doc_fingerprint_sql",
     "quality_score_cols",
     "truncate_cols",
+    "hll_distinct",
+    "hll_distinct_sql",
+    "hll_registers",
+    "hll_registers_sql",
+    "hll_merge",
+    "kmv_registers",
+    "kmv_registers_sql",
+    "kmv_estimate_cols",
+    "kmv_jaccard",
+    "kmv_merge",
+    "cm_sketch",
+    "cm_sketch_sql",
+    "cm_lookup",
+    "cm_lookup_sql",
+    "cm_merge",
     "dot_col",
     "cosine_col",
     "norm_col",
