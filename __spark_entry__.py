@@ -3676,6 +3676,56 @@ _register(
 )
 
 
+def _streaming_cm_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-maintained Count-Min frequency sketch (streaming/ingest.py
+    cm_ingest_stream) — the non-idempotent contrast to
+    streaming_hll_ingest: counter ADDITION double-counts replays, so the
+    sink carries the last committed batch_id in the persisted sketch and
+    skips re-delivered batches (the exactly-once foreachBatch contract).
+    Addition is commutative/associative, so the final counters are
+    BIT-EQUAL to the batch sketch of all events regardless of
+    micro-batch boundaries — the oracle is the plain batch CM SQL."""
+    import tempfile
+
+    from vectordb_etl_spark.streaming.ingest import cm_ingest_stream
+
+    ev = _events(spark, sf).select("user_id")
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.repartition(4).write.parquet(f"{tmp}/landing")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/landing")
+        )
+        q = cm_ingest_stream(
+            stream, f"{tmp}/cm", f"{tmp}/ckpt",
+            value_col="user_id", d=4, w=256, trigger_available_now=True,
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{tmp}/cm")
+            .filter(F.col("row") >= 0)
+            .select("row", "pos", "cnt")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+def _streaming_cm_ingest_sql() -> str:
+    from vectordb_etl_spark.functions.sketches import cm_sketch_sql
+
+    return cm_sketch_sql(
+        "SELECT user_id FROM events", "user_id", d=4, w=256
+    )
+
+
+_register(
+    "streaming_cm_ingest",
+    _streaming_cm_ingest,
+    _streaming_cm_ingest_sql(),
+)
+
+
 def _streaming_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """NEAR-dup screen as a REAL stream (streaming/ingest.py:
     lsh_screen_stream): docs < 250 arrive as the stream, docs >= 250 are
@@ -5488,6 +5538,7 @@ _PRIORITY = [
     "streaming_hll_ingest",
     "cm_token_freq",
     "skew_report_events",
+    "streaming_cm_ingest",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

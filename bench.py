@@ -224,6 +224,7 @@ def main() -> None:
         "streaming_hll_ingest",
         "cm_token_freq",
         "skew_report_events",
+        "streaming_cm_ingest",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

@@ -127,3 +127,39 @@ def test_training_data_prep_composition(spark, docs_tiny, tmp_path):
     write_training_shards(packed, p)
     assert glob.glob(f"{p}/bucket=*/part-*.parquet")
     assert spark.read.parquet(p).count() == stages["packed_rows"]
+
+
+def test_corpus_observability_dashboard(spark):
+    """Deterministic sketch dashboard: sections present, integer-typed,
+    and byte-identical across two runs."""
+    import json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent.parent / "examples" / (
+        "corpus_observability.py"
+    )
+
+    def run():
+        p = subprocess.run(
+            [_sys.executable, str(script), "/root/testdata/sf0.001"],
+            capture_output=True, text=True, timeout=420,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        return [
+            json.loads(line)
+            for line in p.stdout.splitlines()
+            if line.startswith("{")
+        ]
+
+    first = run()
+    sections = {k for d in first for k in d}
+    assert sections == {
+        "distinct_users_per_type_hll",
+        "shingle_overlap",
+        "heavy_hitters_cm",
+        "skew_user_id",
+    }
+    second = run()
+    assert first == second  # bit-deterministic dashboard

@@ -439,3 +439,62 @@ def test_hll_ingest_stream_equals_batch_and_absorbs_redelivery(spark, tmp_path):
     )
     q2.awaitTermination()
     assert sorted(map(tuple, spark.read.parquet(regs_path).collect())) == batch
+
+
+def test_cm_ingest_stream_exactly_once_under_redelivery(spark, tmp_path):
+    """CM counter addition is NOT idempotent, so the sink tracks the
+    last committed batch_id and skips replays — the exactly-once
+    foreachBatch contract. Final counters equal the batch sketch; a
+    manual replay of an already-committed batch_id changes nothing."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_TINY
+    from vectordb_etl_spark.functions.sketches import cm_sketch
+    from vectordb_etl_spark.streaming.ingest import cm_ingest_stream
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select("user_id")
+    landing = str(tmp_path / "landing")
+    sk_path = str(tmp_path / "cm")
+    ev.repartition(3).write.parquet(landing)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = cm_ingest_stream(
+        stream, sk_path, str(tmp_path / "ckpt"),
+        value_col="user_id", d=3, w=128, trigger_available_now=True,
+    )
+    q.awaitTermination()
+    stored = spark.read.parquet(sk_path)
+    counters = sorted(
+        map(tuple, stored.filter(F.col("row") >= 0).collect())
+    )
+    batch = sorted(
+        map(tuple, cm_sketch(ev, "user_id", d=3, w=128).collect())
+    )
+    assert counters == batch
+    # watermark: the meta row records the last committed batch id (2,
+    # three single-file batches 0..2)
+    meta = stored.filter(F.col("row") == -1).collect()
+    assert len(meta) == 1 and meta[0]["cnt"] == 2
+    # REPLAY: run the same landing dir under a FRESH checkpoint — Spark
+    # re-delivers every batch with ids 0..2, all <= the watermark, all
+    # skipped by the sink
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q2 = cm_ingest_stream(
+        stream2, sk_path, str(tmp_path / "ckpt2"),
+        value_col="user_id", d=3, w=128, trigger_available_now=True,
+    )
+    q2.awaitTermination()
+    after = sorted(
+        map(
+            tuple,
+            spark.read.parquet(sk_path).filter(F.col("row") >= 0).collect(),
+        )
+    )
+    assert after == batch  # no double counting

@@ -572,3 +572,82 @@ def hll_ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cm_ingest_stream(
+    stream_df: DataFrame,
+    sketch_path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+    trigger_available_now: bool = False,
+):
+    """Continuous frequency-sketch maintenance — the Count-Min twin of
+    :func:`hll_ingest_stream`, and the reason the two exist side by
+    side: HLL register max-merge is IDEMPOTENT (re-delivered batches are
+    free), but CM counter ADDITION is not — a re-delivered batch would
+    double-count. So this sink implements the classic exactly-once
+    foreachBatch contract: the persisted sketch carries the last
+    committed ``batch_id`` (a ``__meta`` row with row = -1), and a batch
+    whose id is <= that watermark is skipped wholesale. Spark replays
+    foreachBatch with THE SAME batch_id after a failure, so
+    skip-if-committed turns at-least-once delivery into exactly-once
+    merged counters.
+
+    State is ≤ d·w counter rows + one meta row; per-batch cost ∝ batch.
+    The final counters equal the batch sketch of all rows (addition is
+    commutative/associative — micro-batch boundaries don't matter)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_etl_spark.functions.sketches import cm_merge, cm_sketch
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # nothing to merge; replay of an empty batch is free
+        spark = batch_df.sparkSession
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        fs = jvm_path(sketch_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        exists = fs.exists(jvm_path(sketch_path))
+        if exists:
+            old = spark.read.parquet(sketch_path)
+            committed = (
+                old.filter(F.col("row") == -1)
+                .agg(F.max("cnt"))
+                .collect()[0][0]
+            )
+            if committed is not None and batch_id <= committed:
+                return  # replayed batch — already merged
+            old_counters = old.filter(F.col("row") >= 0)
+        else:
+            old_counters = None
+        new_regs = cm_sketch(batch_df, value_col, d=d, w=w)
+        merged = (
+            cm_merge(old_counters, new_regs)
+            if old_counters is not None
+            else new_regs
+        )
+        meta = spark.createDataFrame(
+            [(-1, 0, batch_id)], "row int, pos int, cnt long"
+        )
+        out = merged.unionByName(meta)
+        staging = f"{sketch_path}.staging"
+        aside = f"{sketch_path}.old"
+        out.write.mode("overwrite").parquet(staging)
+        if fs.exists(jvm_path(aside)):
+            fs.delete(jvm_path(aside), True)
+        if exists:
+            fs.rename(jvm_path(sketch_path), jvm_path(aside))
+        fs.rename(jvm_path(staging), jvm_path(sketch_path))
+        fs.delete(jvm_path(aside), True)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
