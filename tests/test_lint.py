@@ -37,6 +37,11 @@ def test_no_collect_outside_sanctioned_files():
                             # the vectorized assignment UDF (k bounded by
                             # the operator's rows-per-cluster contract —
                             # same class as ann.py's centroid artifact)
+        "ingest.py",        # cm_ingest_stream: one scalar (last committed
+                            # batch_id) from the ≤ d·w+1-row persisted
+                            # sketch — size-independent of the stream;
+                            # the exactly-once watermark has to be read
+                            # on the driver before deciding to merge
     }
     offenders = []
     for path in PKG.rglob("*.py"):
