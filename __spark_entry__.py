@@ -1733,6 +1733,44 @@ _register(
 )
 
 
+def _events_daily_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust (median/MAD) anomaly flags over per-type daily event
+    counts (operators/rollup.py robust_anomalies) — the ingest-monitor
+    question "did today's volume jump?" answered without the
+    inflated-mean trap of z-scores. Medians of integer counts land on
+    .0/.5, so the whole rule runs ×2/×4-scaled in bigints and the flag
+    comparison is pure integer — hash-exact against DuckDB's
+    quantile_cont twin. Scale shape: the raw table aggregates once to
+    (type, day) counts; both median aggregates run on that tiny table
+    and broadcast back."""
+    from vectordb_etl_spark.operators.rollup import robust_anomalies
+
+    daily = (
+        _events(spark, sf)
+        .select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    return robust_anomalies(daily, "event_type", "day", "n")
+
+
+def _events_daily_anomalies_sql() -> str:
+    from vectordb_etl_spark.operators.rollup import robust_anomalies_sql
+
+    daily = (
+        "SELECT event_type, CAST(ts AS DATE) AS day, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+    )
+    return robust_anomalies_sql(daily, "event_type", "day", "n")
+
+
+_register(
+    "events_daily_anomalies",
+    _events_daily_anomalies,
+    _events_daily_anomalies_sql(),
+)
+
+
 def _skew_report_events(spark: SparkSession, sf: str) -> DataFrame:
     """Shuffle-key skew diagnostic (operators/skew.py skew_report): the
     report to run BEFORE keying a 100 TB join/agg — per hot key its row
@@ -5539,6 +5577,7 @@ _PRIORITY = [
     "cm_token_freq",
     "skew_report_events",
     "streaming_cm_ingest",
+    "events_daily_anomalies",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

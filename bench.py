@@ -225,6 +225,7 @@ def main() -> None:
         "cm_token_freq",
         "skew_report_events",
         "streaming_cm_ingest",
+        "events_daily_anomalies",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

@@ -143,3 +143,37 @@ def test_conversion_funnel_ordered_first_occurrences(spark):
     assert got["viewed_after_signup"] == 3
     assert got["clicked_after_view"] == 2  # users 1, 2
     assert got["purchased_after_click"] == 1  # only user 1 is ordered
+
+
+def test_robust_anomalies_flags_spike_not_baseline(spark):
+    """A 10x spike flags; the (inflated-mean trap) baseline days do not;
+    constant series flag nothing; matches DuckDB bit-for-bit."""
+    import duckdb
+
+    from vectordb_etl_spark.operators.rollup import (
+        robust_anomalies,
+        robust_anomalies_sql,
+    )
+
+    rows = (
+        [("a", d, 100 + (d % 3)) for d in range(10)]  # stable around 100
+        + [("a", 10, 1000)]                            # spike
+        + [("b", d, 50) for d in range(5)]             # constant
+    )
+    df = spark.createDataFrame(rows, ["t", "day", "n"])
+    out = robust_anomalies(df, "t", "day", "n").collect()
+    flags = {(r["t"], r["day"]): r["is_anomaly"] for r in out}
+    assert flags[("a", 10)] is True
+    assert not any(v for (t, d), v in flags.items() if t == "a" and d < 10)
+    assert not any(v for (t, d), v in flags.items() if t == "b")
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('{t}', {d}, {n})" for t, d, n in rows)
+    want = sorted(
+        con.execute(
+            robust_anomalies_sql(
+                f"SELECT * FROM (VALUES {vals}) t(t, day, n)", "t", "day", "n"
+            )
+        ).fetchall()
+    )
+    assert sorted(map(tuple, out)) == want

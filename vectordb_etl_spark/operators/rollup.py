@@ -135,3 +135,87 @@ def sliding_window_agg(
         ).alias("moving_avg"),
         F.col("__n").alias("window_n"),
     )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+    k_half: int = 3,
+) -> DataFrame:
+    """Median/MAD robust anomaly flags per (group, bucket) value — the
+    ingest-monitoring primitive ("did today's count for this type jump?")
+    that a mean/stddev z-score gets wrong whenever the anomaly itself
+    inflates the baseline. A point is anomalous when
+    ``|x - median| > k_half * MAD`` (k_half=3 ≈ the classic 3-MAD rule).
+
+    Exactness stance: medians of INTEGER values land on .0 or .5, so
+    everything runs ×2/×4 scaled in bigints — ``med2 = 2·median(x)``,
+    ``dev2 = |2x - med2|``, ``mad4 = 2·median(dev2)`` — and the flag is
+    the pure-integer comparison ``2·dev2 > k_half·mad4``. Bit-identical
+    on any engine (DuckDB twin: :func:`robust_anomalies_sql`); a
+    constant series (MAD=0) flags only true deviators, not everything.
+
+    Scale shape: two tiny per-group aggregates (groups × 1 rows)
+    broadcast back onto the bucket table — the big table shuffles once
+    on the group key; medians are exact percentile aggregates, not
+    approximations, because the per-group cardinality here is buckets
+    (days), not raw rows."""
+    med = df.groupBy(group_col).agg(
+        (F.expr(f"percentile({value_col}, 0.5)") * 2)
+        .cast("bigint")
+        .alias("__med2")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__dev2",
+        F.abs(F.col(value_col) * 2 - F.col("__med2")).cast("bigint"),
+    )
+    mad = dev.groupBy(group_col).agg(
+        (F.expr("percentile(__dev2, 0.5)") * 2).cast("bigint").alias("__mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .select(
+            group_col,
+            bucket_col,
+            F.col(value_col),
+            F.col("__med2"),
+            F.col("__mad4"),
+            (F.col("__dev2") * 2 > F.lit(k_half) * F.col("__mad4")).alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+def robust_anomalies_sql(
+    source_sql: str,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+    k_half: int = 3,
+) -> str:
+    """DuckDB twin — ``quantile_cont`` interpolates medians exactly like
+    Spark's ``percentile``; the rest is the identical ×2/×4 integer
+    arithmetic."""
+    return f"""
+WITH src AS MATERIALIZED ({source_sql}),
+med AS (
+  SELECT {group_col},
+         CAST(quantile_cont({value_col}, 0.5) * 2 AS BIGINT) AS med2
+  FROM src GROUP BY {group_col}
+), dev AS (
+  SELECT src.*, med.med2,
+         CAST(abs(src.{value_col} * 2 - med.med2) AS BIGINT) AS dev2
+  FROM src JOIN med USING ({group_col})
+), mad AS (
+  SELECT {group_col},
+         CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+  FROM dev GROUP BY {group_col}
+)
+SELECT dev.{group_col}, dev.{bucket_col}, dev.{value_col},
+       dev.med2 AS __med2, mad.mad4 AS __mad4,
+       dev.dev2 * 2 > {k_half} * mad.mad4 AS is_anomaly
+FROM dev JOIN mad USING ({group_col})
+"""
