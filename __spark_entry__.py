@@ -880,6 +880,75 @@ _register(
 )
 
 
+def _corpus_drift_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample chi-square drift terms over the old/new language mix —
+    the hypothesis-test companion to corpus_drift's share deltas: per
+    language, the cell contribution ``(o·Tn − n·To)² / (To·Tn·(o+n))``
+    (o,n = per-lang counts; To,Tn = side totals). Emitted PER LANGUAGE
+    as a floored micro-unit bigint rather than summed: each term is a
+    fixed chain of IEEE double ops on integer-valued operands (exact
+    below 2^53, identical order both engines), but a cross-row float SUM
+    would reintroduce aggregation-order sensitivity — so the consumer
+    sums the integer terms instead, which is order-free. Scale shape:
+    one conditional aggregation (map-side combined) + a window total."""
+    docs = _docs(spark, sf).select("doc_id", "lang")
+    is_old = F.col("doc_id") < 250
+    per = docs.groupBy("lang").agg(
+        F.sum(F.when(is_old, 1).otherwise(0)).cast("bigint").alias("o"),
+        F.sum(F.when(~is_old, 1).otherwise(0)).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy()
+    tot = per.select(
+        "lang",
+        "o",
+        "n",
+        F.sum("o").over(w).alias("t_old"),
+        F.sum("n").over(w).alias("t_new"),
+    )
+    term = F.floor(
+        F.lit(1000000.0)
+        * (
+            (F.col("o") * F.col("t_new") - F.col("n") * F.col("t_old"))
+            .cast("double")
+            * (F.col("o") * F.col("t_new") - F.col("n") * F.col("t_old"))
+            .cast("double")
+        )
+        / (F.col("t_old") * F.col("t_new") * (F.col("o") + F.col("n")))
+        .cast("double")
+    ).cast("bigint")
+    return tot.select(
+        "lang",
+        F.col("o").alias("n_old"),
+        F.col("n").alias("n_new"),
+        term.alias("chi2_term_micro"),
+    )
+
+
+_register(
+    "corpus_drift_chi2",
+    _corpus_drift_chi2,
+    # identical pinned arithmetic: diff cast double, squared, times 1e6,
+    # divided by the (exact-in-double) integer product; floor; the sums
+    # feeding it are CAST to BIGINT (DuckDB HUGEINT rule)
+    "WITH per AS ("
+    "  SELECT lang, "
+    "  CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS o, "
+    "  CAST(sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n "
+    "  FROM documents GROUP BY lang"
+    "), tot AS ("
+    "  SELECT lang, o, n, "
+    "  CAST(sum(o) OVER () AS BIGINT) AS t_old, "
+    "  CAST(sum(n) OVER () AS BIGINT) AS t_new FROM per"
+    ") "
+    "SELECT lang, o AS n_old, n AS n_new, "
+    "CAST(floor(CAST(1000000 AS DOUBLE) "
+    "* (CAST(o * t_new - n * t_old AS DOUBLE) "
+    "   * CAST(o * t_new - n * t_old AS DOUBLE)) "
+    "/ CAST(t_old * t_new * (o + n) AS DOUBLE)) AS BIGINT) "
+    "AS chi2_term_micro FROM tot",
+)
+
+
 def _embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-distribution drift monitor — the vector-space twin of
     corpus_drift: per (label, dimension), counts and component sums of the
@@ -5578,6 +5647,7 @@ _PRIORITY = [
     "skew_report_events",
     "streaming_cm_ingest",
     "events_daily_anomalies",
+    "corpus_drift_chi2",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -226,6 +226,7 @@ def main() -> None:
         "skew_report_events",
         "streaming_cm_ingest",
         "events_daily_anomalies",
+        "corpus_drift_chi2",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape
