@@ -5623,12 +5623,15 @@ _PRIORITY = [
     # r06 rotation: the three r05 driver-reds lead (all were the DuckDB
     # HUGEINT->pandas-float64 canonicalization class, fixed this round by
     # CAST(... AS BIGINT) in their oracles — they MUST re-check green),
-    # then every query whose last driver check was r03 (43 rows, aging
-    # out), then the r04 set, alphabetical within each tier. The driver
-    # caps at 50: 3 + 43 fills 46 slots, the first 4 r04 rows ride along.
-    # r07 NOTE: after this round the r04-last tier (~39 remaining rows)
-    # is the oldest — lead r07 with the remainder of the alphabetical
-    # r04 tier below (everything from 'detect_language' onward).
+    # then the 12 never-driver-checked r06 queries, then the r03-last
+    # tier (43 rows), then the r04 set, alphabetical within each tier.
+    # The driver caps at 50: 3 reds + 12 new + the first ~35 r03 rows
+    # fit; the alphabetical tail of the r03 tier (~8 rows from
+    # streaming_windowed_counts onward) slips to r07 — all are locally
+    # 3-SF green this round, so the risk is bookkeeping, not coverage.
+    # r07 NOTE: lead r07 with that r03 tail + the whole r04 tier
+    # (recompute last-checked rounds from CORRECTNESS_r0*.json as r06
+    # did; the r06-endgame memory records the recipe).
     "corpus_drift",
     "json_props_stats",
     "embedding_drift",
