@@ -1840,6 +1840,53 @@ _register(
 )
 
 
+def _join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-join cardinality estimation from Count-Min sketches
+    (functions/sketches.py cm_join_size, Cormode–Muthukrishnan §4.2):
+    |events ⋈ orders ON user_id = o_custkey| estimated as the min over
+    hash rows of the counter inner product, next to the exact size —
+    the decide-broadcast-vs-shuffle-vs-salt planning primitive, answered
+    from two d·w-row sketches instead of running the join. Estimate ≥
+    exact by construction (collision mass only adds); both columns are
+    pure integer arithmetic, hash-exact vs DuckDB."""
+    from vectordb_etl_spark.functions.sketches import cm_join_size, cm_sketch
+
+    d, w = 4, 1024
+    ev = _events(spark, sf).select(F.col("user_id").alias("k"))
+    od = _table(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    est = cm_join_size(
+        cm_sketch(ev, "k", d=d, w=w), cm_sketch(od, "k", d=d, w=w), d=d
+    )
+    exact = ev.join(od, "k").agg(F.count("*").alias("exact_n"))
+    return est.crossJoin(exact)
+
+
+def _join_size_estimate_sql() -> str:
+    from vectordb_etl_spark.functions.sketches import (
+        cm_join_size_sql,
+        cm_sketch_sql,
+    )
+
+    inner = cm_join_size_sql(
+        cm_sketch_sql("SELECT user_id AS k FROM events", "k", d=4, w=1024),
+        cm_sketch_sql("SELECT o_custkey AS k FROM orders", "k", d=4, w=1024),
+        d=4,
+    )
+    return (
+        f"WITH est AS ({inner}), ex AS ("
+        "  SELECT CAST(count(*) AS BIGINT) AS exact_n "
+        "  FROM events JOIN orders ON user_id = o_custkey) "
+        "SELECT join_size_est, exact_n FROM est CROSS JOIN ex"
+    )
+
+
+_register(
+    "join_size_estimate",
+    _join_size_estimate,
+    _join_size_estimate_sql(),
+)
+
+
 def _skew_report_events(spark: SparkSession, sf: str) -> DataFrame:
     """Shuffle-key skew diagnostic (operators/skew.py skew_report): the
     report to run BEFORE keying a 100 TB join/agg — per hot key its row
@@ -5651,6 +5698,7 @@ _PRIORITY = [
     "streaming_cm_ingest",
     "events_daily_anomalies",
     "corpus_drift_chi2",
+    "join_size_estimate",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

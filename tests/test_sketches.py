@@ -255,3 +255,67 @@ def test_cm_rejects_bad_shape(spark):
         cm_sketch(df, "v", d=0)
     with _pytest.raises(ValueError, match="d >= 1"):
         cm_sketch_sql("SELECT 1 AS v", "v", w=1)
+
+
+def test_cm_join_size_estimates_and_overestimates(spark):
+    """Inner-product estimate >= the true equi-join size (collision mass
+    only adds); equals it with a collision-free width; disjoint key sets
+    estimate small (0 without collisions)."""
+    from vectordb_etl_spark.functions.sketches import cm_join_size, cm_sketch
+
+    # A: key v appears v times (v in 1..20); B: each key once (1..10)
+    a_rows = [(v,) for v in range(1, 21) for _ in range(v)]
+    b_rows = [(v,) for v in range(1, 11)]
+    true_size = sum(v for v in range(1, 11))  # 55
+    A = spark.createDataFrame(a_rows, ["k"])
+    B = spark.createDataFrame(b_rows, ["k"])
+    d, w = 4, 1024  # wide enough: no collisions among 20 keys
+    sa = cm_sketch(A, "k", d=d, w=w)
+    sb = cm_sketch(B, "k", d=d, w=w)
+    est = cm_join_size(sa, sb, d=d).collect()[0]["join_size_est"]
+    assert est == true_size
+    # narrow width: collisions can only push the estimate UP
+    sa8 = cm_sketch(A, "k", d=2, w=8)
+    sb8 = cm_sketch(B, "k", d=2, w=8)
+    est8 = cm_join_size(sa8, sb8, d=2).collect()[0]["join_size_est"]
+    assert est8 >= true_size
+    # disjoint keys, wide sketch -> 0
+    C = spark.createDataFrame([(v,) for v in range(1000, 1010)], ["k"])
+    sc = cm_sketch(C, "k", d=d, w=w)
+    assert cm_join_size(sa, sc, d=d).collect()[0]["join_size_est"] == 0
+
+
+def test_cm_join_size_matches_duckdb(spark):
+    import duckdb
+
+    from vectordb_etl_spark.functions.sketches import (
+        cm_join_size,
+        cm_join_size_sql,
+        cm_sketch,
+        cm_sketch_sql,
+    )
+
+    a_rows = [(v % 7,) for v in range(50)]
+    b_rows = [(v % 5,) for v in range(30)]
+    A = spark.createDataFrame(a_rows, ["k"])
+    B = spark.createDataFrame(b_rows, ["k"])
+    got = cm_join_size(
+        cm_sketch(A, "k", d=3, w=64), cm_sketch(B, "k", d=3, w=64), d=3
+    ).collect()[0]["join_size_est"]
+    con = duckdb.connect()
+    va = ", ".join(f"({v})" for v, in a_rows)
+    vb = ", ".join(f"({v})" for v, in b_rows)
+    want = con.execute(
+        cm_join_size_sql(
+            cm_sketch_sql(f"SELECT * FROM (VALUES {va}) t(k)", "k", d=3, w=64),
+            cm_sketch_sql(f"SELECT * FROM (VALUES {vb}) t(k)", "k", d=3, w=64),
+            d=3,
+        )
+    ).fetchall()[0][0]
+    assert got == want
+    # sanity: the true join size for v%7 x v%5 keys
+    from collections import Counter
+
+    ca, cb = Counter(v for v, in a_rows), Counter(v for v, in b_rows)
+    true = sum(ca[k] * cb[k] for k in ca)
+    assert got >= true

@@ -488,3 +488,48 @@ est AS (
 )
 SELECT c.*, est.cm_est FROM cands c JOIN est USING ({value_col})
 """
+
+
+def cm_join_size(a: DataFrame, b: DataFrame, d: int = 4) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two Count-Min sketches built
+    over the two join-key columns (same d/w): |A ⋈ B| = Σ_v fA(v)·fB(v),
+    estimated as min over hash rows of the counter inner product
+    (Cormode & Muthukrishnan §4.2 — each row's product OVERestimates by
+    collision mass, so the min is the tightest). The query-planning
+    primitive: decide broadcast vs shuffle vs salt BEFORE running a
+    100 TB join, from two d·w-row sketches. Returns one row
+    ``(join_size_est)``; exact when no row has collisions. Pure integer,
+    so it hash-matches the SQL twin."""
+    prod = (
+        a.select("row", "pos", F.col("cnt").alias("ca"))
+        .join(
+            b.select("row", "pos", F.col("cnt").alias("cb")),
+            ["row", "pos"],
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("ip"))
+    )
+    # rows with NO overlapping counters contribute inner product 0 — the
+    # min must see them, so reinstate absent rows as 0
+    rows = a.sparkSession.range(d).select(F.col("id").cast("int").alias("row"))
+    full = rows.join(prod, "row", "left").select(
+        F.coalesce("ip", F.lit(0).cast("bigint")).alias("ip")
+    )
+    return full.agg(F.min("ip").alias("join_size_est"))
+
+
+def cm_join_size_sql(
+    sketch_a_sql: str, sketch_b_sql: str, d: int = 4
+) -> str:
+    """DuckDB twin of :func:`cm_join_size`."""
+    return f"""
+WITH a AS MATERIALIZED ({sketch_a_sql}),
+b AS MATERIALIZED ({sketch_b_sql}),
+prod AS (
+  SELECT a.row, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+  FROM a JOIN b ON a.row = b.row AND a.pos = b.pos
+  GROUP BY a.row
+), rows AS (SELECT unnest(range({d})) AS row)
+SELECT CAST(min(coalesce(prod.ip, 0)) AS BIGINT) AS join_size_est
+FROM rows LEFT JOIN prod ON prod.row = rows.row
+"""
