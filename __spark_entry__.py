@@ -1840,6 +1840,43 @@ _register(
 )
 
 
+def _sample_quantiles_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """Order statistics at scale (functions/curation.py
+    sample_quantiles): price quantiles from a 20% md5-deterministic
+    sample instead of a full-column sort. Sample membership is a pure
+    function of the row id (stable across runs/partitionings/engines)
+    and Spark's percentile interpolation is bit-identical to DuckDB's
+    quantile_cont, so even the interpolated DOUBLE outputs hash-match.
+    The 100 TB pattern: rank error ~1/√(f·n) for one small aggregation
+    instead of a terabyte sort."""
+    from vectordb_etl_spark.functions.curation import sample_quantiles
+
+    li = _table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    return sample_quantiles(
+        li, "l_orderkey", "l_extendedprice",
+        probs=[0.1, 0.25, 0.5, 0.75, 0.9], fraction=0.2,
+    )
+
+
+def _sample_quantiles_prices_sql() -> str:
+    from vectordb_etl_spark.functions.curation import sample_quantiles_sql
+
+    return sample_quantiles_sql(
+        "SELECT l_orderkey, l_extendedprice FROM lineitem",
+        "l_orderkey", "l_extendedprice",
+        probs=[0.1, 0.25, 0.5, 0.75, 0.9], fraction=0.2,
+    )
+
+
+_register(
+    "sample_quantiles_prices",
+    _sample_quantiles_prices,
+    _sample_quantiles_prices_sql(),
+)
+
+
 def _join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
     """Pre-join cardinality estimation from Count-Min sketches
     (functions/sketches.py cm_join_size, Cormode–Muthukrishnan §4.2):
@@ -5699,6 +5736,7 @@ _PRIORITY = [
     "events_daily_anomalies",
     "corpus_drift_chi2",
     "join_size_estimate",
+    "sample_quantiles_prices",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

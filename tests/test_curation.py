@@ -247,3 +247,56 @@ def test_hashed_classifier_scores_mean_and_nulls(spark):
     assert out[1]["score_micro"] == s // 3
     assert out[2]["n_tokens"] == 0 and out[2]["score_micro"] is None
     assert out[3]["score_micro"] == wmap[bucket("alpha")]
+
+
+def test_sample_quantiles_deterministic_and_matches_duckdb(spark):
+    """Sample quantiles: engine parity bit-for-bit (including the
+    interpolated doubles), sane ordering across probs, and closeness to
+    the exact full-data quantiles at a healthy sampling fraction."""
+    import duckdb
+
+    from tests.conftest import SF_SMALL
+    from vectordb_etl_spark.functions.curation import (
+        sample_quantiles,
+        sample_quantiles_sql,
+    )
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    probs = [0.1, 0.5, 0.9]
+    got = sorted(
+        map(
+            tuple,
+            sample_quantiles(
+                li, "l_orderkey", "l_extendedprice", probs, fraction=0.2
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMALL}/lineitem.parquet'"
+    )
+    want = sorted(
+        con.execute(
+            sample_quantiles_sql(
+                "SELECT l_orderkey, l_extendedprice FROM lineitem",
+                "l_orderkey",
+                "l_extendedprice",
+                probs,
+                fraction=0.2,
+            )
+        ).fetchall()
+    )
+    assert got == want
+    qs = {p: q for p, q in got}
+    assert qs[100000] < qs[500000] < qs[900000]
+    exact = {
+        int(p * 1e6): li.agg(
+            F.expr(f"percentile(l_extendedprice, {p})")
+        ).collect()[0][0]
+        for p in probs
+    }
+    for p_ppm, q in got:
+        spread = exact[900000] - exact[100000]
+        assert abs(q - exact[p_ppm]) < 0.15 * spread, (p_ppm, q, exact[p_ppm])

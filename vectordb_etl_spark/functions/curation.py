@@ -629,3 +629,74 @@ SELECT d.{id_col}, CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
             // sc.n_tokens AS BIGINT) AS score_micro
 FROM {table} d LEFT JOIN scored sc ON sc.id = d.{id_col}
 """
+
+
+# --------------------------------------------------------------------------
+# sample-based quantiles — order statistics at scale
+# --------------------------------------------------------------------------
+
+
+def sample_quantiles(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    probs: list[float],
+    fraction: float = 0.01,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantiles from a DETERMINISTIC sample — the scale pattern for
+    order statistics: exact percentiles need a full sort of the column,
+    but percentiles of an md5-bucket sample (``deterministic_sample``)
+    cost one small aggregation and carry the standard sampling error
+    (±O(1/√(f·n)) in rank). Because the sample membership is a pure
+    function of the id hash — not ``rand()`` — the result is identical
+    across runs, partitionings, AND engines, and Spark's ``percentile``
+    interpolation (lower + (higher−lower)·frac) is bit-identical to
+    DuckDB's ``quantile_cont`` (verified over arbitrary probs), so even
+    the interpolated DOUBLE output hash-matches the SQL twin.
+
+    Returns ``(group..., p_ppm, q)`` — one row per prob, prob as an
+    integer ppm key."""
+    gs = group_cols or []
+    samp = deterministic_sample(df, id_col, fraction)
+    rows = []
+    for p in probs:
+        agg = samp.groupBy(*gs).agg(
+            F.lit(int(round(p * 1_000_000))).cast("bigint").alias("p_ppm"),
+            F.expr(f"percentile({value_col}, CAST({p!r} AS DOUBLE))").alias(
+                "q"
+            ),
+        )
+        rows.append(agg)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def sample_quantiles_sql(
+    source_sql: str,
+    id_col: str,
+    value_col: str,
+    probs: list[float],
+    fraction: float = 0.01,
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`sample_quantiles`."""
+    gs = group_cols or []
+    gsel = "".join(f"{g}, " for g in gs)
+    gby = (" GROUP BY " + ", ".join(gs)) if gs else ""
+    thresh = int(fraction * _SAMPLE_BUCKETS)
+    samp = (
+        f"SELECT * FROM ({source_sql}) "
+        f"WHERE {sample_bucket_sql(id_col)} < {thresh}"
+    )
+    parts = [
+        f"SELECT {gsel}CAST({int(round(p * 1_000_000))} AS BIGINT) AS p_ppm, "
+        f"quantile_cont({value_col}, CAST({p!r} AS DOUBLE)) AS q "
+        f"FROM samp{gby}"
+        for p in probs
+    ]
+    return (
+        f"WITH samp AS MATERIALIZED ({samp}) " + " UNION ALL ".join(parts)
+    )
