@@ -177,3 +177,13 @@ def test_robust_anomalies_flags_spike_not_baseline(spark):
         ).fetchall()
     )
     assert sorted(map(tuple, out)) == want
+
+
+def test_robust_anomalies_rejects_float_values(spark):
+    import pytest
+
+    from vectordb_etl_spark.operators.rollup import robust_anomalies
+
+    df = spark.createDataFrame([("a", 1, 1.5)], ["t", "day", "n"])
+    with pytest.raises(ValueError, match="integral value column"):
+        robust_anomalies(df, "t", "day", "n")

@@ -174,3 +174,59 @@ def test_scd2_intervals_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_scd2_null_time_islands_match_duckdb(spark):
+    """NULL event times order NULLS FIRST on both engines (Spark's
+    window default, pinned explicitly in the SQL twin — DuckDB defaults
+    NULLS LAST and would island differently without the pin)."""
+    import datetime as dt
+
+    import duckdb
+
+    from vectordb_etl_spark.operators.temporal import (
+        scd2_intervals,
+        scd2_intervals_sql,
+    )
+
+    from pyspark.sql.types import (
+        DateType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("st", StringType()),
+            StructField("d", DateType()),
+            StructField("tie", IntegerType()),
+        ]
+    )
+    rows = [
+        (1, "A", None, 1),
+        (1, "B", dt.date(2024, 1, 2), 2),
+        (1, "A", dt.date(2024, 2, 1), 3),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    skey = lambda r: tuple(str(x) for x in r)  # noqa: E731 (None vs date)
+    got = sorted(
+        map(tuple, scd2_intervals(df, "k", "st", "d", "tie").collect()),
+        key=skey,
+    )
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            scd2_intervals_sql(
+                "SELECT * FROM (VALUES "
+                "(1, 'A', NULL::DATE, 1), "
+                "(1, 'B', DATE '2024-01-02', 2), "
+                "(1, 'A', DATE '2024-02-01', 3)) t(k, st, d, tie)",
+                "k", "st", "d", "tie",
+            )
+        ).fetchall(),
+        key=skey,
+    )
+    assert got == want

@@ -162,6 +162,15 @@ def robust_anomalies(
     on the group key; medians are exact percentile aggregates, not
     approximations, because the per-group cardinality here is buckets
     (days), not raw rows."""
+    vt = dict(df.dtypes).get(value_col)
+    if vt not in ("tinyint", "smallint", "int", "bigint", "long"):
+        # the ×2/×4 scaling is exact ONLY for integer values (medians of
+        # ints land on .0/.5); a double column would silently lose the
+        # bit-exactness contract — refuse loudly, quantize upstream
+        raise ValueError(
+            f"robust_anomalies needs an integral value column; {value_col} "
+            f"is {vt} — quantize to micro-units first"
+        )
     med = df.groupBy(group_col).agg(
         (F.expr(f"percentile({value_col}, 0.5)") * 2)
         .cast("bigint")

@@ -231,11 +231,15 @@ def scd2_intervals_sql(
     is belt-and-braces against engine type drift)."""
     return f"""
 WITH ev AS (
+  -- NULLS FIRST pins DuckDB's default (NULLS LAST) to Spark's window
+  -- default (NULLS FIRST) so NULL event times island identically
   SELECT {key_col}, {attr_col}, {time_col}, {tie_col},
          row_number() OVER (PARTITION BY {key_col}
-                            ORDER BY {time_col}, {tie_col})
+                            ORDER BY {time_col} NULLS FIRST,
+                                     {tie_col} NULLS FIRST)
          - row_number() OVER (PARTITION BY {key_col}, {attr_col}
-                              ORDER BY {time_col}, {tie_col}) AS __island
+                              ORDER BY {time_col} NULLS FIRST,
+                                       {tie_col} NULLS FIRST) AS __island
   FROM ({source_sql})
 ), isl AS (
   SELECT {key_col}, {attr_col}, __island,
@@ -249,5 +253,6 @@ SELECT {key_col}, {attr_col}, valid_from,
        n_rows,
        lead(valid_from) OVER w IS NULL AS is_current
 FROM isl
-WINDOW w AS (PARTITION BY {key_col} ORDER BY valid_from, {attr_col})
+WINDOW w AS (PARTITION BY {key_col}
+             ORDER BY valid_from NULLS FIRST, {attr_col} NULLS FIRST)
 """
