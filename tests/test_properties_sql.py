@@ -37,8 +37,8 @@ def _morton(a: int, b: int, bits: int) -> int:
 @given(
     st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=(1 << 20)),
-            st.integers(min_value=0, max_value=(1 << 20)),
+            st.integers(min_value=-(1 << 20), max_value=(1 << 20)),
+            st.integers(min_value=-(1 << 20), max_value=(1 << 20)),
         ),
         min_size=1,
         max_size=40,
@@ -46,6 +46,8 @@ def _morton(a: int, b: int, bits: int) -> int:
 )
 @settings(max_examples=60, deadline=None)
 def test_zorder_sql_matches_python_reference(pairs):
+    # negatives included: & masks two's-complement low bits identically
+    # in Python, Spark, and DuckDB
     bits = 10
     mask = (1 << bits) - 1
     con = duckdb.connect()
