@@ -1840,6 +1840,76 @@ _register(
 )
 
 
+def _hll_multigrain_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-grain distinct counts from ONE register pass — the
+    operational win of mergeable sketches: per-day HLL registers over
+    event users are computed once, then the corpus-total estimate comes
+    from max-MERGING those registers, never rescanning raw events
+    (exact count(distinct) fundamentally cannot roll up this way —
+    every grain would be its own full pass). Output: one row per day
+    plus a 9999-12-31 total row, all from the same register table
+    (localCheckpointed once for the two consumers)."""
+    from vectordb_etl_spark.functions.sketches import (
+        hll_estimate_expr,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _events(spark, sf).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    day_regs = hll_registers(ev, "user_id", ["day"]).localCheckpoint(
+        eager=True
+    )
+    daily = day_regs.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_buckets_used"),
+        hll_estimate_expr(8).alias("hll_est"),
+    )
+    total = (
+        hll_merge(day_regs, [])
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets_used"),
+            hll_estimate_expr(8).alias("hll_est"),
+        )
+        .select(
+            F.to_date(F.lit("9999-12-31")).alias("day"),
+            "n_buckets_used",
+            "hll_est",
+        )
+    )
+    return daily.unionByName(total)
+
+
+def _hll_multigrain_users_sql() -> str:
+    from vectordb_etl_spark.functions.sketches import (
+        hll_estimate_sql_exprs,
+        hll_registers_sql,
+    )
+
+    regs = hll_registers_sql(
+        "SELECT CAST(ts AS DATE) AS day, user_id FROM events",
+        "user_id",
+        ["day"],
+    )
+    est = hll_estimate_sql_exprs(8)
+    return f"""
+WITH day_regs AS MATERIALIZED ({regs})
+SELECT day, {est} FROM day_regs GROUP BY day
+UNION ALL
+SELECT DATE '9999-12-31' AS day, {est} FROM (
+  SELECT __hll_bucket, max(max_rho) AS max_rho
+  FROM day_regs GROUP BY __hll_bucket
+)
+"""
+
+
+_register(
+    "hll_multigrain_users",
+    _hll_multigrain_users,
+    _hll_multigrain_users_sql(),
+)
+
+
 def _sample_quantiles_prices(spark: SparkSession, sf: str) -> DataFrame:
     """Order statistics at scale (functions/curation.py
     sample_quantiles): price quantiles from a 20% md5-deterministic
@@ -5737,6 +5807,7 @@ _PRIORITY = [
     "corpus_drift_chi2",
     "join_size_estimate",
     "sample_quantiles_prices",
+    "hll_multigrain_users",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -204,10 +204,6 @@ def hll_distinct_sql(
     :func:`hll_estimate_expr`); every numeric literal is CAST to DOUBLE
     explicitly because bare decimal literals parse as DECIMAL in DuckDB,
     which would change the arithmetic type and the bits."""
-    m = 1 << p
-    w = _HASH_BITS - p
-    two_w = 1 << w
-    alpha = _alpha_ppm(m)
     gs = group_cols or []
     gsel = "".join(f"{g}, " for g in gs)
     gby_cols = ", ".join(gs)
@@ -216,16 +212,28 @@ def hll_distinct_sql(
     return f"""
 WITH regs AS ({regs})
 SELECT {gsel}
-       CAST(count(*) AS BIGINT) AS n_buckets_used,
+       {hll_estimate_sql_exprs(p)}
+FROM regs{gby}
+"""
+
+
+def hll_estimate_sql_exprs(p: int = 8) -> str:
+    """The two estimator select expressions (``n_buckets_used``,
+    ``hll_est``) over a GROUPED register relation exposing ``max_rho`` —
+    reusable wherever registers come from something other than raw rows
+    (merged/rolled-up/streamed register tables)."""
+    m = 1 << p
+    w = _HASH_BITS - p
+    two_w = 1 << w
+    alpha = _alpha_ppm(m)
+    return f"""CAST(count(*) AS BIGINT) AS n_buckets_used,
        CAST(floor(
          CAST({alpha} AS DOUBLE) * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE)
          / CAST(1000000 AS DOUBLE)
          / (CAST(sum(CAST(1 AS BIGINT) << ({w} - max_rho))
                  + ({m} - count(*)) * CAST({two_w} AS BIGINT) AS DOUBLE)
             / CAST({two_w} AS DOUBLE))
-       ) AS BIGINT) AS hll_est
-FROM regs{gby}
-"""
+       ) AS BIGINT) AS hll_est"""
 
 
 # --------------------------------------------------------------------------
