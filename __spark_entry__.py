@@ -1840,6 +1840,42 @@ _register(
 )
 
 
+def _inverted_term_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword lookup through a REAL inverted index (store/inverted.py):
+    build the postings table (partitioned by md5 term-bucket), then
+    resolve 'window' via the pruned partition read + id semi join — the
+    full-scan-free keyword path (the reference LIKE-scans text per
+    query; at 100 TB the postings partition is corpus/64 and the scan is
+    plan-assertably pruned, tests/test_inverted.py). The oracle states
+    the semantics directly as a tokenized containment scan — index and
+    scan must agree doc-for-doc."""
+    import tempfile
+
+    from vectordb_etl_spark.store.inverted import InvertedIndex
+
+    docs = _docs(spark, sf)
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = InvertedIndex(spark, f"{tmp}/inv").build(docs)
+        out = (
+            idx.lookup(docs, "window")
+            .select("doc_id", "lang", "source")
+            .orderBy("doc_id")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "inverted_term_lookup",
+    _inverted_term_lookup,
+    # identical tokenization (lower, \s+ split, drop empties) stated as a
+    # containment scan
+    "SELECT doc_id, lang, source FROM documents "
+    "WHERE list_contains(list_filter(string_split_regex(lower(text), "
+    "'\\s+'), x -> x <> ''), 'window') ORDER BY doc_id",
+)
+
+
 def _hll_multigrain_users(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-grain distinct counts from ONE register pass — the
     operational win of mergeable sketches: per-day HLL registers over
@@ -5808,6 +5844,7 @@ _PRIORITY = [
     "join_size_estimate",
     "sample_quantiles_prices",
     "hll_multigrain_users",
+    "inverted_term_lookup",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

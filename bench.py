@@ -230,6 +230,7 @@ def main() -> None:
         "join_size_estimate",
         "sample_quantiles_prices",
         "hll_multigrain_users",
+        "inverted_term_lookup",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape
