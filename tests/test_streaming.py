@@ -498,3 +498,40 @@ def test_cm_ingest_stream_exactly_once_under_redelivery(spark, tmp_path):
         )
     )
     assert after == batch  # no double counting
+
+
+def test_kmv_ingest_stream_equals_batch(spark, tmp_path):
+    """k-smallest merge is idempotent: stream-maintained KMV registers
+    equal the batch sketch, and a full re-delivery changes nothing."""
+    from tests.conftest import SF_TINY
+    from vectordb_etl_spark.functions.sketches import kmv_registers
+    from vectordb_etl_spark.streaming.ingest import kmv_ingest_stream
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select("user_id")
+    landing = str(tmp_path / "landing")
+    regs_path = str(tmp_path / "kmv")
+    ev.repartition(3).write.parquet(landing)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = kmv_ingest_stream(
+            stream, regs_path, str(tmp_path / ckpt),
+            value_col="user_id", k=64, trigger_available_now=True,
+        )
+        q.awaitTermination()
+
+    run("ckpt")
+    batch = sorted(
+        r["h"] for r in kmv_registers(ev, "user_id", k=64).collect()
+    )
+    assert sorted(
+        r["h"] for r in spark.read.parquet(regs_path).collect()
+    ) == batch
+    run("ckpt2")  # full replay under a fresh checkpoint — idempotent
+    assert sorted(
+        r["h"] for r in spark.read.parquet(regs_path).collect()
+    ) == batch

@@ -651,3 +651,54 @@ def cm_ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def kmv_ingest_stream(
+    stream_df: DataFrame,
+    registers_path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    k: int = 256,
+    trigger_available_now: bool = False,
+):
+    """Continuous KMV maintenance — the third streaming sketch: merge =
+    k-smallest of (persisted ∪ batch registers), which like HLL max-merge
+    is commutative/associative/idempotent (taking the k smallest twice
+    changes nothing), so replays are free and the final register set is
+    BIT-EQUAL to the batch sketch of all rows. Keeping live KMV registers
+    per corpus side is what lets the overlap/contamination dashboards
+    (kmv_jaccard) run continuously without rescanning either side."""
+    from vectordb_etl_spark.functions.sketches import kmv_merge, kmv_registers
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_regs = kmv_registers(batch_df, value_col, k=k)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        fs = jvm_path(registers_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        if fs.exists(jvm_path(registers_path)):
+            old = spark.read.parquet(registers_path)
+            merged = kmv_merge(old, new_regs, k=k)
+        else:
+            merged = new_regs
+        staging = f"{registers_path}.staging"
+        aside = f"{registers_path}.old"
+        merged.write.mode("overwrite").parquet(staging)
+        if fs.exists(jvm_path(aside)):
+            fs.delete(jvm_path(aside), True)
+        if fs.exists(jvm_path(registers_path)):
+            fs.rename(jvm_path(registers_path), jvm_path(aside))
+        fs.rename(jvm_path(staging), jvm_path(registers_path))
+        fs.delete(jvm_path(aside), True)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
