@@ -73,3 +73,12 @@ def test_unrotated_queries_stay_inside_driver_cap():
         f"never-driver-checked queries outside the 50-query cap: {outside}; "
         "demote long-green rows from _PRIORITY to free slots"
     )
+
+
+def test_priority_covers_every_registered_query():
+    """A new queries() entry that misses _PRIORITY would silently skip
+    driver rotation scheduling — keep the two sets identical."""
+    import __spark_entry__ as em
+
+    assert sorted(em._PRIORITY) == sorted(em.queries())
+    assert len(em._PRIORITY) == len(set(em._PRIORITY)), "duplicate names"
