@@ -535,3 +535,46 @@ def test_kmv_ingest_stream_equals_batch(spark, tmp_path):
     assert sorted(
         r["h"] for r in spark.read.parquet(regs_path).collect()
     ) == batch
+
+
+def test_sketch_sink_recovers_from_crashed_swap(spark, tmp_path):
+    """A sink that died between rename-aside and rename-in leaves the
+    only sketch copy at <path>.old; the next batch must restore it, not
+    silently start fresh."""
+    from tests.conftest import SF_TINY
+    from vectordb_etl_spark.functions.sketches import hll_registers
+    from vectordb_etl_spark.streaming.ingest import hll_ingest_stream
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    half1 = ev.filter(F.col("user_id") % 2 == 0)
+    half2 = ev.filter(F.col("user_id") % 2 == 1)
+    landing1 = str(tmp_path / "l1")
+    landing2 = str(tmp_path / "l2")
+    regs = str(tmp_path / "regs")
+    half1.coalesce(1).write.parquet(landing1)
+    half2.coalesce(1).write.parquet(landing2)
+
+    def run(landing, ckpt):
+        stream = spark.readStream.schema(ev.schema).parquet(landing)
+        q = hll_ingest_stream(
+            stream, regs, str(tmp_path / ckpt),
+            value_col="user_id", group_cols=["event_type"],
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+
+    run(landing1, "c1")
+    # simulate the crash window: registers renamed aside, staging lost
+    import shutil
+
+    shutil.move(regs, f"{regs}.old")
+    run(landing2, "c2")
+    # result must equal the sketch of BOTH halves — half1's registers
+    # were recovered from the aside before merging
+    got = sorted(map(tuple, spark.read.parquet(regs).collect()))
+    want = sorted(
+        map(tuple, hll_registers(ev, "user_id", ["event_type"]).collect())
+    )
+    assert got == want

@@ -514,6 +514,18 @@ def graph_ingest_stream(
     return writer.start()
 
 
+def _restore_sketch_if_crashed(fs, jvm_path, path: str) -> None:
+    """A sink that died between rename-aside and rename-in left the ONLY
+    copy of the sketch at <path>.old — restore it before reading, or the
+    next batch would silently treat the table as fresh and the aside
+    cleanup would destroy the history (same recovery rule as the
+    collection store's _restore_if_crashed)."""
+    aside = jvm_path(f"{path}.old")
+    dest = jvm_path(path)
+    if fs.exists(aside) and not fs.exists(dest):
+        fs.rename(aside, dest)
+
+
 def hll_ingest_stream(
     stream_df: DataFrame,
     registers_path: str,
@@ -549,6 +561,7 @@ def hll_ingest_stream(
         fs = jvm_path(registers_path).getFileSystem(
             spark._jsc.hadoopConfiguration()  # noqa: SLF001
         )
+        _restore_sketch_if_crashed(fs, jvm_path, registers_path)
         if fs.exists(jvm_path(registers_path)):
             old = spark.read.parquet(registers_path)
             merged = hll_merge(new_regs.unionByName(old), group_cols)
@@ -610,6 +623,7 @@ def cm_ingest_stream(
         fs = jvm_path(sketch_path).getFileSystem(
             spark._jsc.hadoopConfiguration()  # noqa: SLF001
         )
+        _restore_sketch_if_crashed(fs, jvm_path, sketch_path)
         exists = fs.exists(jvm_path(sketch_path))
         if exists:
             old = spark.read.parquet(sketch_path)
@@ -679,6 +693,7 @@ def kmv_ingest_stream(
         fs = jvm_path(registers_path).getFileSystem(
             spark._jsc.hadoopConfiguration()  # noqa: SLF001
         )
+        _restore_sketch_if_crashed(fs, jvm_path, registers_path)
         if fs.exists(jvm_path(registers_path)):
             old = spark.read.parquet(registers_path)
             merged = kmv_merge(old, new_regs, k=k)
