@@ -309,7 +309,13 @@ def kmv_jaccard(
     """Jaccard similarity estimate between two register sets: the
     fraction of the union's k smallest hashes present in BOTH sides —
     integer counting, ``jaccard_ppm = 1e6 · matches // |K(A∪B)|``.
-    Returns one row: (n_union_regs, n_both, jaccard_ppm)."""
+    Returns one row: (n_union_regs, n_both, jaccard_ppm).
+
+    ``a``/``b`` are consumed by THREE plan branches (union + two
+    semi-joins): when they are lazy register pipelines over big inputs,
+    ``localCheckpoint(eager=True)`` them first so the TakeOrdered scan
+    runs once per side, not once per consumer (the registered
+    kmv_corpus_overlap query does exactly this)."""
     merged = kmv_merge(a, b, k)
     both = merged.join(a, "h", "left_semi").join(b, "h", "left_semi")
     m = merged.agg(F.count("*").alias("n_union_regs"))
