@@ -1,0 +1,77 @@
+"""Compute the recommended _PRIORITY rotation for the next round.
+
+Reads every CORRECTNESS_r*.json scoreboard, derives each registered
+query's most recent driver check and verdict, and prints the rotation
+order the next round's `__spark_entry__._PRIORITY` should lead with:
+
+    1. driver-RED rows (must re-check green after their fix)
+    2. never-driver-checked rows (new queries)
+    3. everything else, oldest-last-check first (alphabetical per tier)
+
+Usage:  python tools/plan_rotation.py            # print the list
+        python tools/plan_rotation.py --python   # as a pasteable literal
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    import __spark_entry__ as em
+
+    names = list(em.queries())
+    last: dict[str, int] = {n: 0 for n in names}
+    red: dict[str, int] = {}
+    repo = Path(__file__).resolve().parent.parent
+    rounds = sorted(repo.glob("CORRECTNESS_r*.json"))
+    for path in rounds:
+        rnd = int(path.stem.split("_r")[1])
+        data = json.loads(path.read_text())
+        for q, v in data.items():
+            if q not in last:
+                continue  # renamed/retired query
+            last[q] = max(last[q], rnd)
+            ok = (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+            )
+            if ok:
+                red.pop(q, None)
+            elif rnd >= last[q]:
+                red[q] = rnd
+    reds = sorted(red, key=lambda n: (-red[n], n))
+    never = sorted(n for n in names if last[n] == 0 and n not in red)
+    rest = sorted(
+        (n for n in names if last[n] > 0 and n not in red),
+        key=lambda n: (last[n], n),
+    )
+    order = reds + never + rest
+    if "--python" in sys.argv:
+        print("_PRIORITY = [")
+        for n in order:
+            print(f'    "{n}",')
+        print("]")
+    else:
+        try:
+            print(f"# {len(reds)} red, {len(never)} never-checked, "
+                  f"{len(rest)} by last-check age; driver cap is 50")
+            for i, n in enumerate(order):
+                tag = (
+                    "RED" if n in red
+                    else ("NEW" if last[n] == 0 else f"r{last[n]:02d}")
+                )
+                marker = " | <- cap boundary" if i == 50 else ""
+                print(f"{i + 1:3d}. [{tag}] {n}{marker}")
+        except BrokenPipeError:  # head/tail closed the pipe — fine
+            pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
