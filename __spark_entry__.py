@@ -1330,6 +1330,35 @@ _register(
 )
 
 
+_SPLITS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+
+
+def _dedup_aware_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment
+    (functions/curation.py:leakage_safe_split): the split is an md5-bucket
+    CASE over the document's exact-dup group key (md5(text)), so duplicated
+    documents can never straddle the train/eval boundary — the eval-
+    contamination guard every pretraining corpus needs (Lee et al. 2022 §6).
+    Map-only: one projected column on the scan, no shuffle, no RNG; the
+    same doc lands in the same split on any cluster or engine.
+    tests/test_curation.py asserts no group spans two splits."""
+    docs = _docs(spark, sf).select(
+        "doc_id", F.md5("text").alias("group_key")
+    )
+    return curation.leakage_safe_split(docs, "group_key", _SPLITS).orderBy(
+        "doc_id"
+    )
+
+
+_register(
+    "dedup_aware_split",
+    _dedup_aware_split,
+    "SELECT doc_id, md5(text) AS group_key, "
+    + curation.leakage_safe_split_sql("md5(text)", _SPLITS)
+    + " AS split FROM documents ORDER BY doc_id",
+)
+
+
 def _ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus redundancy curve (operators/dedup.py:ngram_novelty): per-doc
     fraction of distinct word trigrams first seen in that doc, micro-unit

@@ -300,3 +300,39 @@ def test_sample_quantiles_deterministic_and_matches_duckdb(spark):
     for p_ppm, q in got:
         spread = exact[900000] - exact[100000]
         assert abs(q - exact[p_ppm]) < 0.15 * spread, (p_ppm, q, exact[p_ppm])
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    # duplicated texts share a group key; every group must land in ONE split
+    rows = [(i, f"doc body {i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id", F.md5("text").alias("g")
+    )
+    out = curation.leakage_safe_split(
+        df, "g", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    spans = (
+        out.groupBy("g")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
+    # all three splits materialize and fractions are grossly sane on the
+    # GROUP level (40 groups, md5-uniform)
+    per = dict(
+        (r["split"], r["n"])
+        for r in out.select("g", "split")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert set(per) == {"train", "val", "test"}
+    assert per["train"] > per["val"] and per["train"] > per["test"]
+
+
+def test_leakage_safe_split_rejects_bad_fractions(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "g"])
+    with pytest.raises(ValueError):
+        curation.leakage_safe_split(df, "g", [("train", 0.5), ("val", 0.4)])

@@ -700,3 +700,67 @@ def sample_quantiles_sql(
     return (
         f"WITH samp AS MATERIALIZED ({samp}) " + " UNION ALL ".join(parts)
     )
+
+
+# --------------------------------------------------------------------------
+# leakage-safe train/val/test split
+# --------------------------------------------------------------------------
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: Column | str,
+    splits: list[tuple[str, float]],
+) -> DataFrame:
+    """Assign every row to a train/val/test split BY DUPLICATE GROUP, not by
+    row: the split is a pure md5-bucket function of ``group_col`` (e.g. a
+    content fingerprint), so exact/near duplicates — which share the group
+    key — can never straddle the train/eval boundary. This is the standard
+    leakage guard for pretraining corpora (eval contamination via duplicated
+    documents; cf. Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better", §6): splitting by row id leaks every duplicated
+    document across splits with probability 1 − Σfᵢ².
+
+    ``splits`` is an ordered list of (name, fraction) summing to ~1.0; the
+    last split absorbs rounding remainder. Assignment compiles to one CASE
+    chain over the md5 bucket — no shuffle, no join, no RNG state; the same
+    document lands in the same split on any cluster, any partitioning, any
+    engine (the DuckDB twin below is hash-identical).
+
+    Scale: O(n) map-only; at 100 TB this adds one projected column to the
+    scan. The group key itself comes from whatever dedup tier is in play
+    (md5(text) for exact groups; a MinHash-LSH component id for near-dup
+    groups via ``operators.dedup.connected_components``).
+    """
+    fracs = [f for _, f in splits]
+    if not splits or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1.0")
+    bucket = sample_bucket_col(group_col)
+    cum = 0.0
+    expr: Column | None = None
+    for name, frac in splits[:-1]:
+        cum += frac
+        thr = int(cum * _SAMPLE_BUCKETS)
+        expr = (
+            F.when(bucket < thr, F.lit(name))
+            if expr is None
+            else expr.when(bucket < thr, F.lit(name))
+        )
+    last = F.lit(splits[-1][0])
+    split_col = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split_col)
+
+
+def leakage_safe_split_sql(
+    group_expr: str, splits: list[tuple[str, float]]
+) -> str:
+    """DuckDB twin of :func:`leakage_safe_split`'s ``split`` column."""
+    bucket = sample_bucket_sql(group_expr)
+    cum = 0.0
+    arms = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        arms.append(f"WHEN {bucket} < {int(cum * _SAMPLE_BUCKETS)} THEN '{name}'")
+    if not arms:
+        return f"'{splits[-1][0]}'"
+    return "CASE " + " ".join(arms) + f" ELSE '{splits[-1][0]}' END"
