@@ -5828,6 +5828,57 @@ _register(
 )
 
 
+def _incremental_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-view delta maintenance
+    (operators/incremental.py:merge_states): per-customer order stats kept
+    current by folding a new batch's compact aggregate state into the
+    stored state — merge(agg(history), agg(batch)), never a history
+    rescan. The Spark side runs the real split-at-1997-01-01 + merge
+    path; the DuckDB oracle is the one-shot full recompute, so the hash
+    check proves the merge identity itself (count merges by SUM — the
+    classic trap — and sum/min/max by themselves). Money is quantized to
+    cents ONCE at the leaf so both the split and one-shot paths sum the
+    same integers in any order. Scale: the merge shuffle moves two
+    compact per-key tables, not the fact history."""
+    from vectordb_etl_spark.operators.incremental import (
+        aggregate_state,
+        merge_states,
+    )
+
+    orders = _table(spark, sf, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    )
+    cut = F.lit("1997-01-01").cast("timestamp")
+    measures = {
+        "n_orders": ("count", "o_orderkey"),
+        "sum_cents": ("sum", "cents"),
+        "min_cents": ("min", "cents"),
+        "max_cents": ("max", "cents"),
+    }
+    hist = aggregate_state(
+        orders.filter(F.col("o_orderdate") < cut), ["o_custkey"], measures
+    )
+    batch = aggregate_state(
+        orders.filter(F.col("o_orderdate") >= cut), ["o_custkey"], measures
+    )
+    return merge_states(hist, batch, ["o_custkey"], measures).orderBy(
+        "o_custkey"
+    )
+
+
+_register(
+    "incremental_agg_merge",
+    _incremental_agg_merge,
+    # one-shot full recompute — equality with the Spark merge path IS the
+    # decomposability proof
+    "SELECT o_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders, "
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents, "
+    "CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents, "
+    "CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents "
+    "FROM orders GROUP BY o_custkey ORDER BY o_custkey",
+)
+
+
 # The driver verifies the FIRST 50 registered queries only. The rotation
 # flips each round so every query is driver-checked at least every other
 # round (VERDICT r03 item 1): rows OUTSIDE the r03 cap lead this round;
