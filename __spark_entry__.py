@@ -2437,6 +2437,48 @@ _register(
 )
 
 
+def _part_copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph
+    (operators/graph_analytics.py:triangle_count — degree-ordered
+    orientation, Suri & Vassilvitskii 2011): parts are linked when they
+    appear in the same order; triangles measure basket clustering. Edge
+    generation is a lineitem self-join on l_orderkey — bounded by TPC-H's
+    ≤7 items/order, so pairs stay O(items²/order), never a hub blowup —
+    and the count itself is skew-proof: orientation caps every wedge key
+    at O(√m) out-degree, the property that survives a 1000-executor
+    shuffle where a naive wedge join dies on the hottest part."""
+    from vectordb_etl_spark.operators.graph_analytics import triangle_count
+
+    li = _table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2")
+    )
+    edges = li.join(l2, li.l_orderkey == l2.k2).filter(
+        F.col("l_partkey") < F.col("p2")
+    ).select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    return triangle_count(edges)
+
+
+def _part_copurchase_triangles_sql() -> str:
+    from vectordb_etl_spark.operators.graph_analytics import (
+        triangle_count_sql,
+    )
+
+    edges = (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "WHERE a.l_partkey < b.l_partkey"
+    )
+    return triangle_count_sql(edges)
+
+
+_register(
+    "part_copurchase_triangles",
+    _part_copurchase_triangles,
+    _part_copurchase_triangles_sql(),
+)
+
+
 def _zorder_locality(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order (Morton) clustering key (store/layout.py exact variant) — the
     lakehouse file-layout primitive: interleave customer-key and

@@ -64,3 +64,28 @@ def test_pagerank_plan_is_join_agg_per_iteration(spark):
     out = pagerank(e, iterations=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_count_k4_with_noise(spark):
+    from vectordb_etl_spark.operators.graph_analytics import triangle_count
+
+    # K4 = 4 triangles; plus a self-loop, a duplicate, and a reversed
+    # duplicate that canonicalization must absorb, and a pendant vertex
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(2, 2), (0, 1), (1, 0), (3, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    row = triangle_count(df).first()
+    assert row["n_triangles"] == 4
+    assert row["n_edges"] == 7  # 6 K4 edges + pendant
+    assert row["n_nodes"] == 5
+
+
+def test_triangle_count_star_has_none(spark):
+    from vectordb_etl_spark.operators.graph_analytics import triangle_count
+
+    star = [(0, i) for i in range(1, 30)]
+    row = triangle_count(spark.createDataFrame(star, ["src", "dst"])).first()
+    assert row["n_triangles"] == 0
+    # hub orientation: every edge points hub-ward only when the leaf's
+    # (deg, id) rank is lower — wedge count must stay 0, not deg²
+    assert row["n_wedges"] == 0

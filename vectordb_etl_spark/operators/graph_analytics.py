@@ -146,3 +146,116 @@ r{i + 1} AS (
 )""")
     parts.append(f"\nSELECT node, rank_micro FROM r{iterations}")
     return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# triangle counting
+# --------------------------------------------------------------------------
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Exact triangle count over an UNDIRECTED edge list (self-loops and
+    duplicate/reversed edges tolerated — canonicalized away first).
+    Returns one row: ``(n_nodes, n_edges, n_wedges, n_triangles)``.
+
+    Algorithm: degree-ordered orientation (Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer" — the
+    MapReduce-standard fix for the naive wedge join, where one celebrity
+    node generates deg² wedges and lands on a single reducer). Each
+    canonical edge is oriented from its lower-(degree, id) endpoint to the
+    higher; every triangle then has exactly ONE source node owning both of
+    its lowest-rank edges, so enumerating out-neighbor pairs of each node
+    (wedges) and closing them against the oriented edge set counts each
+    triangle once. Orientation bounds out-degree at O(√m), so total wedges
+    are O(m^1.5) and no key is skewed by a hub node — the property that
+    makes this survive a 1000-executor shuffle where the unoriented join
+    dies on the hottest vertex.
+
+    Determinism: pure integer set algebra — counts are engine-exact, no
+    float anywhere. Ties in degree order break by node id, so the
+    orientation (and the wedge/triangle sets, not just their counts) is
+    reproducible across engines; the DuckDB twin
+    (:func:`triangle_count_sql`) restates the same three joins.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # canonical edges with both endpoint degrees, then degree-ordered
+    # orientation src -> dst with (deg, id) rank
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    wd = canon.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = wd.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+    ).localCheckpoint(eager=True)  # three consumers below — compute once
+    o1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddeg").alias("dv")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddeg").alias("dw")
+    )
+    v_first = (F.col("dv") < F.col("dw")) | (
+        (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))
+    )
+    wedges = o1.join(o2, "u").filter(v_first).select("v", "w")
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])
+    return (
+        deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .crossJoin(canon.agg(F.count("*").cast("bigint").alias("n_edges")))
+        .crossJoin(wedges.agg(F.count("*").cast("bigint").alias("n_wedges")))
+        .crossJoin(tri.agg(F.count("*").cast("bigint").alias("n_triangles")))
+    )
+
+
+def triangle_count_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_count` — identical canonicalize /
+    degree / orient / wedge / close steps; counts CAST to BIGINT."""
+    return f"""
+WITH raw AS (SELECT * FROM ({edges_sql})),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+  GROUP BY node),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND a < b)
+              THEN a ELSE b END AS src,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND a < b)
+              THEN b ELSE a END AS dst,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND a < b)
+              THEN db.deg ELSE da.deg END AS ddeg
+  FROM canon
+  JOIN deg da ON da.node = a
+  JOIN deg db ON db.node = b),
+wedges AS MATERIALIZED (
+  SELECT o1.dst AS v, o2.dst AS w
+  FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+  WHERE (o1.ddeg < o2.ddeg) OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst)),
+tri AS (
+  SELECT w.v, w.w FROM wedges w
+  JOIN oriented o ON o.src = w.v AND o.dst = w.w)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM canon) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles"""
