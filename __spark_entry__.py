@@ -1869,6 +1869,46 @@ _register(
 )
 
 
+def _ewma_daily_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer EWMA (α=¼) over per-type daily event counts
+    (operators/rollup.py:ewma_int) — the smoothed ingest-volume monitor
+    companion to events_daily_anomalies. The per-key recursion folds
+    JVM-side with one aggregate() expression over the rolled-up series
+    (no Python hop, no per-iteration lineage); bit-exact integer floor
+    division lets DuckDB's recursive-CTE twin hash-match."""
+    from vectordb_etl_spark.operators.rollup import ewma_int
+
+    daily = (
+        _events(spark, sf)
+        .select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return ewma_int(daily, ["event_type"], "day", "n").orderBy(
+        "event_type", "day"
+    )
+
+
+def _ewma_daily_events_sql() -> str:
+    from vectordb_etl_spark.operators.rollup import ewma_int_sql
+
+    daily = (
+        "SELECT event_type, CAST(ts AS DATE) AS day, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+    )
+    return (
+        ewma_int_sql(daily, ["event_type"], "day", "n")
+        + " ORDER BY event_type, day"
+    )
+
+
+_register(
+    "ewma_daily_events",
+    _ewma_daily_events,
+    _ewma_daily_events_sql(),
+)
+
+
 def _inverted_term_lookup(spark: SparkSession, sf: str) -> DataFrame:
     """Keyword lookup through a REAL inverted index (store/inverted.py):
     build the postings table (partitioned by md5 term-bucket), then
@@ -5252,6 +5292,73 @@ _register(
 )
 
 
+def _dominant_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q20 shape (reference search_utils.py has no OLAP tier; this is the
+    beyond-reference TPC-H sweep's last missing member) — nested
+    IN + correlated scalar aggregate, decorrelated: suppliers who shipped
+    MORE THAN 30% of a red part's total 1997 volume. The classic plan
+    rewrites ``availqty > 0.5 * (SELECT sum(..))`` into one aggregate
+    reused by a window — here the per-(part, supplier) rollup is computed
+    ONCE, the per-part total rides a window over the already-aggregated
+    pairs (same partitioning, no second scan of the fact), and the
+    qualifying supplier keys reach the dim as a LEFT SEMI, never
+    materializing the IN-list. Share test is pure integer arithmetic
+    (``10·sup_qty > 3·part_total`` over bigint quantities) — bit-exact
+    cross-engine, no float ratio."""
+    part = (
+        _table(spark, sf, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = _table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    red = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    pair = red.groupBy("l_partkey", "l_suppkey").agg(F.sum("q").alias("sup_qty"))
+    dom = pair.withColumn(
+        "part_total", F.sum("sup_qty").over(Window.partitionBy("l_partkey"))
+    ).filter(10 * F.col("sup_qty") > 3 * F.col("part_total"))
+    sup = _table(spark, sf, "supplier")
+    nation = _table(spark, sf, "nation")
+    return (
+        sup.join(
+            dom.select(F.col("l_suppkey").alias("__k")),
+            F.col("s_suppkey") == F.col("__k"),
+            "left_semi",
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_register(
+    "dominant_part_suppliers",
+    _dominant_part_suppliers,
+    "WITH red AS ("
+    "  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q "
+    "  FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "  WHERE p_name LIKE 'red%' "
+    "  AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'"
+    "), pair AS ("
+    "  SELECT l_partkey, l_suppkey, sum(q) AS sup_qty FROM red GROUP BY 1, 2"
+    "), dom AS ("
+    "  SELECT l_suppkey, sup_qty, "
+    "  sum(sup_qty) OVER (PARTITION BY l_partkey) AS part_total FROM pair"
+    ") "
+    "SELECT s_suppkey, s_name, n_name "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE s_suppkey IN "
+    "  (SELECT l_suppkey FROM dom WHERE 10 * sup_qty > 3 * part_total) "
+    "ORDER BY s_suppkey",
+)
+
+
 def _top_terms_per_language(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped top-k: top-3 terms per language by frequency. The explode
     stays map-side of the (term, lang) partial agg; the rank is a window
@@ -5967,6 +6074,13 @@ _PRIORITY = [
     "sample_quantiles_prices",
     "hll_multigrain_users",
     "inverted_term_lookup",
+    # late-r06 additions (also never driver-checked) — each slot here
+    # pushes one more r03-tier row past the 50-cap into the r07 lead
+    "dedup_aware_split",
+    "incremental_agg_merge",
+    "part_copurchase_triangles",
+    "ewma_daily_events",
+    "dominant_part_suppliers",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

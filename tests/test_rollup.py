@@ -187,3 +187,51 @@ def test_robust_anomalies_rejects_float_values(spark):
     df = spark.createDataFrame([("a", 1, 1.5)], ["t", "day", "n"])
     with pytest.raises(ValueError, match="integral value column"):
         robust_anomalies(df, "t", "day", "n")
+
+
+def test_ewma_int_hand_computed(spark):
+    from vectordb_etl_spark.operators.rollup import ewma_int
+
+    rows = [("a", 1, 100), ("a", 2, 0), ("a", 3, 40), ("b", 1, 8)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    got = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma_int(df, ["k"], "t", "x").collect()
+    }
+    # s1=100; s2=(0+3*100)//4=75; s3=(40+3*75)//4=66
+    assert got == {("a", 1): 100, ("a", 2): 75, ("a", 3): 66, ("b", 1): 8}
+
+
+def test_ewma_int_matches_duckdb(spark):
+    import duckdb
+
+    from vectordb_etl_spark.operators.rollup import ewma_int, ewma_int_sql
+
+    rows = [
+        ("k%d" % (i % 3), i // 3, (i * 37) % 101 - 17) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    got = sorted(
+        map(tuple, ewma_int(df, ["k"], "t", "x", num=2, den=5).collect())
+    )
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                ewma_int_sql("SELECT * FROM src", ["k"], "t", "x", num=2, den=5)
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_ewma_int_rejects_bad_alpha(spark):
+    import pytest as _pytest
+
+    from vectordb_etl_spark.operators.rollup import ewma_int
+
+    df = spark.createDataFrame([("a", 1, 1)], ["k", "t", "x"])
+    with _pytest.raises(ValueError):
+        ewma_int(df, ["k"], "t", "x", num=4, den=4)

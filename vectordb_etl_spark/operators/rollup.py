@@ -228,3 +228,96 @@ SELECT dev.{group_col}, dev.{bucket_col}, dev.{value_col},
        dev.dev2 * 2 > {k_half} * mad.mad4 AS is_anomaly
 FROM dev JOIN mad USING ({group_col})
 """
+
+
+def ewma_int(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    num: int = 1,
+    den: int = 4,
+) -> DataFrame:
+    """Integer EWMA per key: ``s₁ = x₁; sₜ = (num·xₜ + (den−num)·sₜ₋₁) DIV den``
+    (α = num/den; default ¼ — a ~7-step memory, the ingest-monitor
+    smoother). Defined over INTEGER inputs with floor division so the
+    recursion is bit-exact on any engine — float EWMA is order-sensitive
+    in the last ulp and can't be hash-checked; callers quantize to
+    micro-units first (the house rule).
+
+    Execution shape: a recursive fold has no window-function form, but the
+    per-key series is small (days, not rows), so each key's ordered values
+    are collected into ONE array and folded with ``aggregate()`` — a
+    whole-stage-codegen JVM expression, no Python hop, no iteration
+    lineage. One shuffle (the groupBy on the key), then map-only explode
+    back to rows. At 100 TB the pre-aggregation to (key, period) grain has
+    already shrunk the data by orders of magnitude; the arrays are bounded
+    by the series length per key (guard: this operator is for rolled-up
+    series — do not feed raw event rows).
+
+    Returns the input columns plus ``ewma`` (bigint). DuckDB twin:
+    :func:`ewma_int_sql` (recursive CTE over row_number — engines may
+    differ in HOW they fold, only the result is compared).
+    """
+    if not (0 < num < den):
+        raise ValueError(f"need 0 < num < den; got {num}/{den}")
+    packed = df.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col), F.col(value_col)))
+        ).alias("series")
+    )
+    rest = den - num
+    folded = packed.withColumn(
+        "states",
+        F.expr(
+            f"""
+            aggregate(
+              series,
+              CAST(array() AS ARRAY<BIGINT>),
+              (acc, e) -> CASE WHEN size(acc) = 0
+                   THEN array(CAST(e.{value_col} AS BIGINT))
+                   ELSE concat(acc, array(
+                        ({num} * CAST(e.{value_col} AS BIGINT)
+                         + {rest} * element_at(acc, -1)) DIV {den})) END)
+            """
+        ),
+    )
+    return folded.select(
+        *key_cols,
+        F.expr(
+            f"inline(zip_with(series, states, "
+            f"(e, s) -> struct(e.{order_col} AS {order_col}, "
+            f"e.{value_col} AS {value_col}, s AS ewma)))"
+        ),
+    )
+
+
+def ewma_int_sql(
+    source_sql: str,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    num: int = 1,
+    den: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ewma_int`: the same integer recursion as a
+    recursive CTE over per-key row_number (DuckDB folds row-at-a-time
+    where Spark folds an array — identical results, hash-compared)."""
+    if not (0 < num < den):
+        raise ValueError(f"need 0 < num < den; got {num}/{den}")
+    keys = ", ".join(key_cols)
+    rest = den - num
+    return f"""
+WITH RECURSIVE ewma_src AS MATERIALIZED (
+  SELECT {keys}, {order_col}, CAST({value_col} AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY {keys} ORDER BY {order_col}) AS rn
+  FROM ({source_sql})),
+ewma_fold AS (
+  SELECT {keys}, {order_col}, v, rn, v AS ewma FROM ewma_src WHERE rn = 1
+  UNION ALL
+  SELECT s.{keys.replace(', ', ', s.')}, s.{order_col}, s.v, s.rn,
+         ({num} * s.v + {rest} * f.ewma) // {den} AS ewma
+  FROM ewma_src s JOIN ewma_fold f
+    ON s.rn = f.rn + 1 AND {' AND '.join(f's.{k} = f.{k}' for k in key_cols)})
+SELECT {keys}, {order_col}, v AS {value_col}, CAST(ewma AS BIGINT) AS ewma
+FROM ewma_fold"""
