@@ -1945,6 +1945,51 @@ _register(
 )
 
 
+_BM25_QUERY = "dup vector scan"  # rare + mid + common df: idf spread
+
+
+def _bm25_ranked_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-10 through the RANKED inverted index
+    (store/inverted.py:build_ranked/bm25_topk): tf postings partitioned
+    by md5 term-bucket + a doclens table, so a query touches only its
+    terms' pruned partitions instead of the corpus (the reference's
+    lexical path is per-query substring scans, search.py — no ranking
+    at all). Scoring is the integer-exact rational-idf BM25 (k1=6/5,
+    b=3/4, ln replaced by its monotone argument — see bm25_topk's
+    docstring), so the DuckDB twin — the same formula stated directly
+    over the corpus with no index — must hash-match: the index is
+    proven lossless AND the score arithmetic cross-engine exact in one
+    check."""
+    import tempfile
+
+    from vectordb_etl_spark.store.inverted import InvertedIndex
+
+    docs = _docs(spark, sf)
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = InvertedIndex(spark, f"{tmp}/inv").build_ranked(docs)
+        out = idx.bm25_topk(_BM25_QUERY, 10).withColumnRenamed(
+            "id", "doc_id"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+def _bm25_ranked_lookup_sql() -> str:
+    from vectordb_etl_spark.store.inverted import bm25_topk_sql
+
+    inner = bm25_topk_sql("SELECT * FROM documents", _BM25_QUERY.split(), 10)
+    # re-alias the id column to the corpus's name (the LIMIT-selecting
+    # ORDER BY lives in the subquery; the compare is order-insensitive)
+    return f"SELECT id AS doc_id, score_micro FROM ({inner})"
+
+
+_register(
+    "bm25_ranked_lookup",
+    _bm25_ranked_lookup,
+    _bm25_ranked_lookup_sql(),
+)
+
+
 def _hll_multigrain_users(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-grain distinct counts from ONE register pass — the
     operational win of mergeable sketches: per-day HLL registers over
@@ -6081,6 +6126,7 @@ _PRIORITY = [
     "part_copurchase_triangles",
     "ewma_daily_events",
     "dominant_part_suppliers",
+    "bm25_ranked_lookup",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -231,6 +231,13 @@ def main() -> None:
         "sample_quantiles_prices",
         "hll_multigrain_users",
         "inverted_term_lookup",
+        # late-r06 additions
+        "dedup_aware_split",
+        "incremental_agg_merge",
+        "part_copurchase_triangles",
+        "ewma_daily_events",
+        "dominant_part_suppliers",
+        "bm25_ranked_lookup",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape
