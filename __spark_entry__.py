@@ -2238,6 +2238,45 @@ _register(
 )
 
 
+def _heavy_hitter_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT heavy-hitter vocabulary (stopword discovery) in two bounded
+    passes — functions/sketches.py:heavy_hitters: per-partition
+    Misra-Gries summaries (≤ k rows each, map-side) union into a
+    guaranteed-complete candidate set, then a broadcast-semi-join-pruned
+    exact count keeps terms with count·k > n. Never a full groupBy over
+    the vocabulary — at 100 TB the billion-key token shuffle is replaced
+    by ≤ k·partitions candidate rows + counts of candidate rows only.
+    Output is exact, so the oracle is the plain GROUP BY/HAVING
+    statement of the semantics (candidate-set variance can't leak:
+    verification is exact and the threshold integer)."""
+    from vectordb_etl_spark.functions.sketches import heavy_hitters
+
+    toks = (
+        _docs(spark, sf)
+        .select(F.explode(F.split(F.lower("text"), "\\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return heavy_hitters(toks, "tok", k=40).withColumnRenamed("item", "tok")
+
+
+def _heavy_hitter_terms_sql() -> str:
+    from vectordb_etl_spark.functions.sketches import heavy_hitters_sql
+
+    toks = (
+        "SELECT tok FROM (SELECT unnest(string_split_regex(lower(text), "
+        "'\\s+')) AS tok FROM documents) WHERE tok <> ''"
+    )
+    inner = heavy_hitters_sql(toks, "tok", k=40)
+    return f"SELECT item AS tok, cnt FROM ({inner})"
+
+
+_register(
+    "heavy_hitter_terms",
+    _heavy_hitter_terms,
+    _heavy_hitter_terms_sql(),
+)
+
+
 def _kmv_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """KMV set-overlap sketch (functions/sketches.py) — the scale path
     for train/test contamination-RATE estimation: per-side distinct
@@ -6127,6 +6166,7 @@ _PRIORITY = [
     "ewma_daily_events",
     "dominant_part_suppliers",
     "bm25_ranked_lookup",
+    "heavy_hitter_terms",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

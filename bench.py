@@ -238,6 +238,7 @@ def main() -> None:
         "ewma_daily_events",
         "dominant_part_suppliers",
         "bm25_ranked_lookup",
+        "heavy_hitter_terms",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

@@ -319,3 +319,70 @@ def test_cm_join_size_matches_duckdb(spark):
     ca, cb = Counter(v for v, in a_rows), Counter(v for v, in b_rows)
     true = sum(ca[k] * cb[k] for k in ca)
     assert got >= true
+
+
+# -- Misra-Gries heavy hitters -------------------------------------------
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    from collections import Counter
+
+    from vectordb_etl_spark.functions.sketches import heavy_hitters
+
+    # zipf-ish synthetic stream: value v appears ~ N/v times
+    rows = [(f"v{v:03d}",) for v in range(1, 60) for _ in range(600 // v)]
+    df = spark.createDataFrame(rows, ["x"]).repartition(8)
+    for k in (5, 20, 50):
+        got = {
+            (r["item"], r["cnt"])
+            for r in heavy_hitters(df, "x", k).collect()
+        }
+        c = Counter(x for x, in rows)
+        n = len(rows)
+        want = {(v, cnt) for v, cnt in c.items() if cnt * k > n}
+        assert got == want, k
+
+
+def test_heavy_hitters_partials_bounded_and_superset(spark):
+    from collections import Counter
+
+    from vectordb_etl_spark.functions.sketches import misra_gries_partials
+
+    rows = [(f"v{v:02d}",) for v in range(1, 40) for _ in range(400 // v)]
+    df = spark.createDataFrame(rows, ["x"]).repartition(4)
+    k = 10
+    parts = misra_gries_partials(df, "x", k).collect()
+    # bound: <= k rows per partition -> <= 4k total
+    assert len(parts) <= 4 * k
+    cands = {r["item"] for r in parts}
+    c = Counter(x for x, in rows)
+    n = len(rows)
+    heavy = {v for v, cnt in c.items() if cnt * k > n}
+    assert heavy <= cands  # the completeness guarantee
+
+
+def test_heavy_hitters_null_keys_excluded(spark):
+    import duckdb
+
+    from vectordb_etl_spark.functions.sketches import (
+        heavy_hitters,
+        heavy_hitters_sql,
+    )
+
+    rows = [(None,)] * 50 + [("a",)] * 30 + [("b",)] * 2
+    df = spark.createDataFrame(rows, "x string")
+    got = sorted(map(tuple, heavy_hitters(df, "x", 4).collect()))
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                heavy_hitters_sql("SELECT * FROM t", "x", 4)
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # NULLs are not items on either engine; 'a' qualifies vs the
+    # non-null total (30*4 > 32)
+    assert [i for i, _ in got] == ["a"]

@@ -547,3 +547,109 @@ prod AS (
 SELECT CAST(min(coalesce(prod.ip, 0)) AS BIGINT) AS join_size_est
 FROM rows LEFT JOIN prod ON prod.row = rows.row
 """
+
+
+# -- Misra-Gries heavy hitters -------------------------------------------
+
+
+def misra_gries_partials(
+    df: DataFrame, value_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ ``capacity`` ``(item, w)``
+    rows per partition, where ``w`` underestimates the partition count
+    by at most ``n_p/(capacity+1)`` (Misra & Gries 1982; batch-merge
+    reduction per Agarwal et al., "Mergeable Summaries", PODS 2012:
+    fold each Arrow batch's exact value_counts into the summary, then
+    shrink over capacity by subtracting the (capacity+1)-th largest
+    weight from all and dropping non-positives — the vectorized
+    equivalent of the classic decrement loop, no per-row Python).
+
+    The guarantee that matters downstream: any item with GLOBAL count
+    > n/capacity must, by pigeonhole, exceed n_p/(capacity+1) in some
+    partition and therefore survives that partition's summary — the
+    union of partials is a complete candidate set for
+    :func:`heavy_hitters`'s exact verification pass. Summary CONTENT
+    beyond that set may vary with row order; the final operator output
+    never does."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    field = df.schema[value_col]
+    schema = StructType(
+        [StructField("item", field.dataType), StructField("w", LongType())]
+    )
+
+    def summarize(batches):
+        acc = None
+        for pdf in batches:
+            vc = pdf[value_col].value_counts()  # exact, vectorized
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > capacity:
+                cut = acc.nlargest(capacity + 1).iloc[-1]
+                acc = acc - cut
+                acc = acc[acc > 0]
+        if acc is None or acc.empty:
+            return
+        yield pd.DataFrame(
+            {"item": acc.index, "w": acc.values.astype("int64")}
+        )
+
+    return df.select(value_col).mapInPandas(summarize, schema)
+
+
+def heavy_hitters(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """EXACT frequent items — every value with count > n/k — in two
+    bounded passes, never a full groupBy over the value domain:
+
+    1. candidate discovery: :func:`misra_gries_partials` with capacity
+       ``k`` reduces each partition to ≤ k rows map-side; the distinct
+       union (≤ k·partitions rows, a sliver) is a guaranteed superset
+       of the answer.
+    2. exact verify: a broadcast semi join prunes the corpus to
+       candidate rows only, then one small groupBy counts them exactly;
+       ``cnt·k > n`` keeps the true heavy hitters.
+
+    At 100 TB this is the difference between shuffling a billion-key
+    vocabulary and shuffling ≤ k·partitions candidate rows + the pruned
+    counts: the heavy-key scan stays map-side both passes. Output
+    ``(item, cnt)`` is exact and deterministic (candidate-set variance
+    cannot leak: verification counts are exact and the threshold is a
+    pure integer predicate), so a plain GROUP BY/HAVING oracle
+    hash-matches. Ties need no breaking — output is a set with exact
+    counts, ordered (cnt desc, item asc)."""
+    # NULL keys are excluded on both engines (value_counts drops them;
+    # the oracle filters them) — a NULL "item" is not a vocabulary member
+    vals = df.select(value_col).where(F.col(value_col).isNotNull())
+    cands = (
+        misra_gries_partials(vals, value_col, k)
+        .select(F.col("item").alias(value_col))
+        .distinct()
+    )
+    total = vals.agg(F.count("*").cast("bigint").alias("__n"))
+    exact = (
+        vals.join(F.broadcast(cands), [value_col], "left_semi")
+        .groupBy(value_col)
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("__n"))
+        .select(F.col(value_col).alias("item"), "cnt")
+        .orderBy(F.desc("cnt"), F.asc("item"))
+    )
+
+
+def heavy_hitters_sql(source_sql: str, value_col: str, k: int) -> str:
+    """DuckDB twin of :func:`heavy_hitters` — the semantics stated
+    directly: GROUP BY + HAVING against the total."""
+    return f"""
+WITH hh_src AS MATERIALIZED (
+  SELECT {value_col} AS item FROM ({source_sql})
+  WHERE {value_col} IS NOT NULL),
+hh_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hh_src)
+SELECT item, CAST(count(*) AS BIGINT) AS cnt
+FROM hh_src CROSS JOIN hh_n
+GROUP BY item, n HAVING count(*) * {k} > n
+ORDER BY cnt DESC, item ASC
+"""
