@@ -1156,6 +1156,19 @@ _register(
     D.ngram_jaccard_pairs_sql("documents", threshold=0.2, max_shingle_freq=5),
 )
 
+# the EXACT τ-similarity join: prefix filtering prunes candidates without
+# changing the answer (operators/dedup.py:prefix_filter_jaccard_pairs —
+# AllPairs/PPJoin rule), so the oracle is the naive all-pairs statement
+_register(
+    "prefix_jaccard_pairs",
+    lambda spark, sf: D.prefix_filter_jaccard_pairs(
+        _docs(spark, sf), shingle_n=5, tau_num=1, tau_den=2
+    ),
+    D.prefix_filter_jaccard_pairs_sql(
+        "documents", shingle_n=5, tau_num=1, tau_den=2
+    ),
+)
+
 _register(
     "simhash_fingerprints",
     lambda spark, sf: _docs(spark, sf).select(
@@ -6167,6 +6180,7 @@ _PRIORITY = [
     "dominant_part_suppliers",
     "bm25_ranked_lookup",
     "heavy_hitter_terms",
+    "prefix_jaccard_pairs",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -739,3 +739,92 @@ def test_domain_cap_sample_caps_null_domain(spark):
         range(8), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
     )[:3]
     assert sorted(r["doc_id"] for r in null_rows) == sorted(expect)
+
+
+# -- prefix-filtered exact Jaccard join ----------------------------------
+
+
+def _naive_jaccard_pairs(rows, n, p, q):
+    out = set()
+    sets = {}
+    for i, text in rows:
+        toks = text.lower().split()
+        sets[i] = {
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        }
+    ids = sorted(sets)
+    for x in ids:
+        for y in ids:
+            if x < y and sets[x] and sets[y]:
+                inter = len(sets[x] & sets[y])
+                if (q + p) * inter >= p * (len(sets[x]) + len(sets[y])):
+                    out.add((x, y, inter, len(sets[x]), len(sets[y])))
+    return out
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    # planted near-dups: docs 2k/2k+1 share most of their text; plus one
+    # boilerplate sentence in EVERY doc (the hot-shingle case the df-cap
+    # heuristic would drop — prefix filtering must keep exactness)
+    boiler = "this page is served by the example corpus engine"
+    rows = []
+    for g in range(12):
+        base = " ".join(
+            f"w{(g * 31 + j * 7) % 97}" for j in range(30)
+        )
+        rows.append((2 * g, f"{boiler} {base} unique{g} end"))
+        rows.append((2 * g + 1, f"{boiler} {base} other{g} end"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5)
+    got = {
+        tuple(r)
+        for r in D.prefix_filter_jaccard_pairs(
+            df, shingle_n=5, tau_num=1, tau_den=2
+        ).collect()
+    }
+    want = _naive_jaccard_pairs(rows, 5, 1, 2)
+    assert got == want
+    assert len(want) >= 12  # every planted pair qualifies
+
+
+def test_prefix_jaccard_matches_duckdb_fuzz(spark):
+    import duckdb
+
+    rows = [
+        (
+            i,
+            " ".join(
+                f"t{(i * 13 + j * (1 + i % 4)) % 50}" for j in range(8 + i % 9)
+            ),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        map(
+            tuple,
+            D.prefix_filter_jaccard_pairs(
+                df, shingle_n=3, tau_num=2, tau_den=5
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.register("corpus", df.toPandas())
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                D.prefix_filter_jaccard_pairs_sql(
+                    "corpus", shingle_n=3, tau_num=2, tau_den=5
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_prefix_jaccard_short_docs_excluded(spark):
+    rows = [(1, "too short"), (2, "also brief"), (3, "a b c d e"), (4, "a b c d e")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = D.prefix_filter_jaccard_pairs(df, shingle_n=5).collect()
+    # only the identical 5-token docs pair up; sub-shingle docs vanish
+    assert [(r["id_a"], r["id_b"], r["inter_sz"]) for r in got] == [(3, 4, 1)]

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 # --------------------------------------------------------------------------
@@ -441,6 +442,125 @@ SELECT id_a, id_b,
        round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
 FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
 WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= {threshold}
+"""
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard similarity join with PREFIX FILTERING (AllPairs /
+    PPJoin candidate rule: Bayardo et al., WWW 2007; Xiao et al., WWW
+    2008) — the scale path :func:`ngram_jaccard_pairs`'s df-cap
+    approximates: all pairs with J(a,b) ≥ τ over word-shingle SETS,
+    τ = tau_num/tau_den, no semantics lost.
+
+    Candidate rule: order every shingle by global (doc_freq, shingle) —
+    rarest first — and keep only each doc's first ``sz − ⌈τ·sz⌉ + 1``
+    shingles. Any pair with J ≥ τ has overlap ≥ max(⌈τ·|a|⌉, ⌈τ·|b|⌉)
+    (since the union is ≥ either set), so its prefixes must intersect —
+    candidates come from self-joining the PREFIXES only. The join key is
+    by construction the rare end of the vocabulary: the quadratic
+    blow-up a raw shingle self-join has on boilerplate shingles cannot
+    happen, without dropping any shingle (the df-cap trick changes the
+    answer; the prefix rule does not). Verification then computes exact
+    intersections for candidates only and keeps
+    ``(τden+τnum)·i ≥ τnum·(|a|+|b|)`` — pure integer, bit-stable.
+
+    Output: (id_a, id_b, inter_sz, size_a, size_b), id_a < id_b.
+    Shuffles: shingle df-count, per-doc rank window, prefix self-join,
+    candidate×set verify join — all keyed, no cartesian anywhere."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            word_shingles_col(F.lower(_as_col(text_col)), shingle_n)
+        ).alias("s"),
+    ).localCheckpoint(eager=True)  # four consumers (sizes/df/rank/verify):
+    # materialize the tokenize+explode once instead of re-scanning per use
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df_"))
+    w = Window.partitionBy("id").orderBy("df_", "s")
+    ranked = (
+        sh.join(dfreq, "s")
+        .join(sizes, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "plen",
+            F.col("sz")
+            - F.expr(f"({tau_num} * sz + {tau_den} - 1) DIV {tau_den}")
+            + 1,
+        )
+    )
+    pref = ranked.filter(F.col("rn") <= F.col("plen")).select("id", "s")
+    cand = (
+        pref.alias("pa")
+        .join(
+            pref.alias("pb"),
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.id") < F.col("pb.id")),
+        )
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("x"), F.col("id_a") == F.col("x.id"))
+        .join(
+            sh.alias("y"),
+            (F.col("id_b") == F.col("y.id")) & (F.col("x.s") == F.col("y.s")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("inter_sz"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (tau_den + tau_num) * F.col("inter_sz")
+            >= tau_num * (F.col("size_a") + F.col("size_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter_sz",
+            F.col("size_a").cast("bigint").alias("size_a"),
+            F.col("size_b").cast("bigint").alias("size_b"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def prefix_filter_jaccard_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> str:
+    """DuckDB twin of :func:`prefix_filter_jaccard_pairs` — states the
+    SEMANTICS (exact τ-Jaccard join over the same shingle sets) in the
+    naive all-shared-pairs form; the prefix filter is a candidate
+    pruning, so the results must be identical."""
+    shingles = word_shingles_sql(f"lower({text_col})", shingle_n)
+    return f"""
+WITH pf_sh AS MATERIALIZED (
+  SELECT {id_col} AS id, unnest({shingles}) AS s FROM {table}
+), pf_sizes AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS sz FROM pf_sh GROUP BY id
+), pf_inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter_sz
+  FROM pf_sh a JOIN pf_sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter_sz, sa.sz AS size_a, sb.sz AS size_b
+FROM pf_inter JOIN pf_sizes sa ON id_a = sa.id JOIN pf_sizes sb ON id_b = sb.id
+WHERE ({tau_den} + {tau_num}) * inter_sz >= {tau_num} * (sa.sz + sb.sz)
+ORDER BY id_a, id_b
 """
 
 
