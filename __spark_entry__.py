@@ -2251,6 +2251,45 @@ _register(
 )
 
 
+def _bloom_semi_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned exact semi join (operators/bloom.py): lineitem is
+    filtered map-side by a (word, bits) bitmap built from the selected
+    suppliers' keys — two broadcast word-probes — BEFORE the exact
+    left-semi join; the shuffle carries survivors only. The 100 TB case
+    this models: a dimension too big to broadcast raw whose bloom words
+    still fit (m/64 rows), pruning ~86% of the fact pre-exchange here.
+    The result is EXACT (false positives die in the semi join), so the
+    oracle is the plain IN-subquery statement; the revenue rollup uses
+    the house decimal-sum canonicalization."""
+    from vectordb_etl_spark.operators.bloom import bloom_semi_join
+
+    li = _table(spark, sf, "lineitem")
+    sup = _table(spark, sf, "supplier").filter(
+        F.col("s_suppkey") % 7 == 0
+    )
+    hits = bloom_semi_join(li, sup, "l_suppkey", "s_suppkey", m_bits=4096)
+    return (
+        hits.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(F.sum(_rev_dec()).cast("double"), 4).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_register(
+    "bloom_semi_revenue",
+    _bloom_semi_revenue,
+    "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines, "
+    "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+    "AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
+    "FROM lineitem WHERE l_suppkey IN "
+    "  (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0) "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+
+
 def _heavy_hitter_terms(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT heavy-hitter vocabulary (stopword discovery) in two bounded
     passes — functions/sketches.py:heavy_hitters: per-partition
@@ -6181,6 +6220,7 @@ _PRIORITY = [
     "bm25_ranked_lookup",
     "heavy_hitter_terms",
     "prefix_jaccard_pairs",
+    "bloom_semi_revenue",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

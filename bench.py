@@ -240,6 +240,7 @@ def main() -> None:
         "bm25_ranked_lookup",
         "heavy_hitter_terms",
         "prefix_jaccard_pairs",
+        "bloom_semi_revenue",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape
