@@ -2655,6 +2655,122 @@ _register(
 )
 
 
+def _part_bundle_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed edge list of the SUPPORT-2 part co-purchase graph: parts
+    linked when they co-occur in >= 2 distinct orders (the support floor
+    sparsifies the dense raw co-occurrence graph into actual bundling
+    signal). Emitted in both directions for traversal operators."""
+    li = _table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        li.join(l2, li.l_orderkey == l2.k2)
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .agg(F.count_distinct(F.col("l_orderkey")).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+_BUNDLE_EDGES_SQL = (
+    "SELECT a AS src, b AS dst FROM ("
+    "  SELECT x.l_partkey AS a, y.l_partkey AS b"
+    "  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey"
+    "  WHERE x.l_partkey < y.l_partkey"
+    "  GROUP BY 1, 2 HAVING count(DISTINCT x.l_orderkey) >= 2) "
+    "UNION ALL "
+    "SELECT b AS src, a AS dst FROM ("
+    "  SELECT x.l_partkey AS a, y.l_partkey AS b"
+    "  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey"
+    "  WHERE x.l_partkey < y.l_partkey"
+    "  GROUP BY 1, 2 HAVING count(DISTINCT x.l_orderkey) >= 2)"
+)
+
+
+def _bfs_part_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS hop counts (operators/graph_analytics.py:
+    bfs_hops) over the support-2 part co-purchase graph — "every part
+    within 4 bundle-hops of the seed assortment", the recommendation /
+    substitution-radius shape. Seeds are the deterministic 1%-of-parts
+    slice; a seed isolated from the graph still reports hop 0. Each hop
+    is one frontier×edges join + one anti join against visited — exact
+    integer set algebra, so the DuckDB twin (the same rounds unrolled as
+    chained CTEs) hash-matches bit-for-bit."""
+    from vectordb_etl_spark.operators.graph_analytics import bfs_hops
+
+    edges = _part_bundle_edges(spark, sf)
+    seeds = (
+        _table(spark, sf, "part")
+        .filter(F.col("p_partkey") % 100 == 1)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return bfs_hops(edges, seeds, max_hops=4)
+
+
+def _bfs_part_reach_sql() -> str:
+    from vectordb_etl_spark.operators.graph_analytics import bfs_hops_sql
+
+    return bfs_hops_sql(
+        _BUNDLE_EDGES_SQL,
+        "SELECT p_partkey AS node FROM part WHERE p_partkey % 100 = 1",
+        max_hops=4,
+    )
+
+
+_register(
+    "bfs_part_reach",
+    _bfs_part_reach,
+    _bfs_part_reach_sql(),
+)
+
+
+def _kcore_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core of the raw part co-purchase graph (operators/
+    graph_analytics.py:kcore, k=60, 4 peel rounds): the
+    "densely-bundled assortment core" — parts that stay mutually
+    connected to >= 60 co-purchase partners even after every weakly
+    connected part is peeled away. Fixed-round peeling (degree agg + two
+    endpoint semi joins per round) is the same declarative-iteration
+    contract as pagerank; the DuckDB twin unrolls identical rounds, so
+    survivor degrees hash-match exactly."""
+    from vectordb_etl_spark.operators.graph_analytics import kcore
+
+    li = _table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(l2, li.l_orderkey == l2.k2)
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return kcore(edges, k=60, rounds=4)
+
+
+def _kcore_copurchase_sql() -> str:
+    from vectordb_etl_spark.operators.graph_analytics import kcore_sql
+
+    edges = (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "WHERE a.l_partkey < b.l_partkey"
+    )
+    return kcore_sql(edges, k=60, rounds=4)
+
+
+_register(
+    "kcore_copurchase",
+    _kcore_copurchase,
+    _kcore_copurchase_sql(),
+)
+
+
 def _zorder_locality(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order (Morton) clustering key (store/layout.py exact variant) — the
     lakehouse file-layout primitive: interleave customer-key and
@@ -6221,6 +6337,8 @@ _PRIORITY = [
     "heavy_hitter_terms",
     "prefix_jaccard_pairs",
     "bloom_semi_revenue",
+    "bfs_part_reach",
+    "kcore_copurchase",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

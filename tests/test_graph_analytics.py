@@ -89,3 +89,104 @@ def test_triangle_count_star_has_none(spark):
     # hub orientation: every edge points hub-ward only when the leaf's
     # (deg, id) rank is lower — wedge count must stay 0, not deg²
     assert row["n_wedges"] == 0
+
+
+def _values_sql(rows, cols):
+    body = ", ".join("(" + ", ".join(str(v) for v in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES {body}) t({', '.join(cols)})"
+
+
+def test_bfs_hops_chain_and_isolated_seed(spark):
+    from vectordb_etl_spark.operators.graph_analytics import bfs_hops
+
+    # chain 0-1-2-3-4 (undirected), isolated seed 9, unreachable node 7-8
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (7, 8)]
+    both = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(both, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (9,)], ["node"])
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 2).collect()}
+    assert got == {0: 0, 9: 0, 1: 1, 2: 2}  # 3,4 beyond 2 hops; 7,8 unreachable
+
+
+def test_bfs_hops_min_hop_wins_on_multiple_paths(spark):
+    from vectordb_etl_spark.operators.graph_analytics import bfs_hops
+
+    # two seeds; node 2 reachable at hop 1 from seed 3 and hop 2 from seed 0
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 2)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], ["node"])
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 3).collect()}
+    assert got[2] == 1
+
+
+def test_bfs_hops_matches_duckdb_bit_for_bit(spark):
+    import duckdb as _dk
+
+    from vectordb_etl_spark.operators.graph_analytics import (
+        bfs_hops, bfs_hops_sql,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 5), (5, 6), (8, 9)]
+    both = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(both, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (8,)], ["node"])
+    got = sorted(map(tuple, bfs_hops(edges, seeds, 3).collect()))
+    sql = bfs_hops_sql(
+        _values_sql(both, ["src", "dst"]),
+        "SELECT 0 AS node UNION ALL SELECT 8",
+        3,
+    )
+    want = sorted(map(tuple, _dk.connect().execute(sql).fetchall()))
+    assert got == want
+
+
+def test_kcore_peels_pendants_cascade(spark):
+    from vectordb_etl_spark.operators.graph_analytics import kcore
+
+    # K4 core with a pendant chain 3-10-11: a single peel round removes
+    # 11, the NEXT removes 10 (cascade) — K4 survives with degree 3
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 10), (10, 11)], ["src", "dst"])
+    got = {r["node"]: r["deg"] for r in kcore(edges, k=2, rounds=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_matches_duckdb_bit_for_bit(spark):
+    import duckdb as _dk
+
+    from vectordb_etl_spark.operators.graph_analytics import kcore, kcore_sql
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(3, 10), (10, 11), (1, 0), (2, 2)]  # dup/rev/self-loop
+    edges = spark.createDataFrame(noisy, ["src", "dst"])
+    got = sorted(map(tuple, kcore(edges, k=2, rounds=3).collect()))
+    sql = kcore_sql(_values_sql(noisy, ["src", "dst"]), k=2, rounds=3)
+    want = sorted(map(tuple, _dk.connect().execute(sql).fetchall()))
+    assert got == want
+
+
+def test_kcore_empty_when_k_exceeds_graph(spark):
+    from vectordb_etl_spark.operators.graph_analytics import kcore
+
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], ["src", "dst"])
+    assert kcore(tri, k=3, rounds=2).count() == 0
+
+
+def test_traversal_guards(spark):
+    import pytest as _pt
+
+    from vectordb_etl_spark.operators.graph_analytics import (
+        bfs_hops, bfs_hops_sql, kcore, kcore_sql,
+    )
+
+    e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    s = spark.createDataFrame([(0,)], ["node"])
+    with _pt.raises(ValueError, match="max_hops"):
+        bfs_hops(e, s, -1)
+    with _pt.raises(ValueError, match="max_hops"):
+        bfs_hops_sql("x", "y", -1)
+    with _pt.raises(ValueError, match="k must"):
+        kcore(e, k=0, rounds=1)
+    with _pt.raises(ValueError, match="rounds"):
+        kcore_sql("x", k=1, rounds=0)

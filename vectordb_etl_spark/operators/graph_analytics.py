@@ -259,3 +259,190 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM canon) AS n_edges,
        (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
        (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles"""
+
+
+# --------------------------------------------------------------------------
+# multi-source BFS (shortest hop counts)
+# --------------------------------------------------------------------------
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS over a DIRECTED edge list (pass both directions
+    for an undirected graph): returns ``(node, hop)`` — the MINIMUM hop
+    count (0 for seeds) for every node reachable within ``max_hops``.
+
+    Beyond-reference tier (no graph surface in gudwls215/vectordb-etl).
+    The Spark shape is the textbook frontier expansion: each round is ONE
+    src-keyed join (frontier × edges) plus ONE anti join against the
+    visited set — two shuffles per hop, and the frontier is the only
+    growing input, so a 1000-executor run is bounded by the largest
+    frontier, never by re-scanning the graph (edges are distinct-ed and
+    lineage-truncated once up front, same rationale as :func:`pagerank`:
+    without truncation Catalyst re-evaluates shared subplans under every
+    round's joins). Hop-minimality is by construction (a node enters
+    visited the first round it is reached), so the result is exact
+    integer set algebra — engine-portable, and the DuckDB twin
+    (:func:`bfs_hops_sql`) unrolls the identical rounds as chained CTEs.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0; got {max_hops}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(
+            visited.select("node"), "node", "left_anti"
+        ).withColumn("hop", F.lit(h).cast("int"))
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = visited.filter(F.col("hop") == h).select("node")
+    return visited
+
+
+def bfs_hops_sql(edges_sql: str, seeds_sql: str, max_hops: int) -> str:
+    """DuckDB twin of :func:`bfs_hops`: the frontier rounds unrolled as
+    chained CTEs v0..vN (aggregation/anti-join per round make a single
+    recursive CTE term illegal in standard SQL — same unrolling
+    technique as :func:`pagerank_sql`). ``edges_sql`` must expose
+    ``src, dst``; ``seeds_sql`` must expose ``node``."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0; got {max_hops}")
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst),
+v0 AS (SELECT DISTINCT node, CAST(0 AS INTEGER) AS hop
+       FROM ({seeds_sql}))"""
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(f""",
+v{h} AS (
+  SELECT * FROM v{h - 1}
+  UNION ALL
+  SELECT node, CAST({h} AS INTEGER) AS hop FROM (
+    SELECT DISTINCT e.dst AS node
+    FROM v{h - 1} f JOIN e ON e.src = f.node
+    WHERE f.hop = {h - 1}) r
+  WHERE node NOT IN (SELECT node FROM v{h - 1})
+)""")
+    parts.append(f"\nSELECT node, hop FROM v{max_hops}")
+    return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling)
+# --------------------------------------------------------------------------
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over an UNDIRECTED edge list
+    (duplicates/reversals/self-loops canonicalized away): repeatedly
+    drop nodes with degree < ``k`` and recompute degrees over the
+    surviving subgraph. Returns ``(node, deg)`` for survivors after
+    ``rounds`` peels, ``deg`` being the degree INSIDE the surviving
+    subgraph.
+
+    ``rounds`` is fixed up front — the same determinism contract as
+    :func:`pagerank`: peeling monotonically shrinks the node set, so
+    once a round removes nothing every later round is a no-op, and any
+    ``rounds`` >= the peel depth yields the true k-core. (Peel depth is
+    tiny in practice — it is the number of "onion layers" between the
+    raw graph and the core, typically < 10 even on web graphs.) A fixed
+    count keeps the whole computation one declarative plan and lets the
+    DuckDB twin (:func:`kcore_sql`) unroll the identical rounds.
+
+    Per round: one degree aggregation + two semi joins (edge endpoints
+    vs survivors) — three shuffles, none keyed by anything skewable
+    beyond true hub degree, which is exactly what peeling removes.
+    Lineage is truncated per round (see :func:`pagerank`)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1; got {rounds}")
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .filter(F.col("deg") >= k)
+    )
+
+
+def kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB twin of :func:`kcore`: the peel rounds unrolled as chained
+    CTEs e0..eN (degree recomputation per round needs aggregation —
+    illegal in one recursive term). Final degrees CAST to BIGINT."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1; got {rounds}")
+    parts = [
+        f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst)"""
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+keep{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS deg FROM (
+      SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i})
+    GROUP BY node) d
+  WHERE deg >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT node FROM keep{i})
+    AND b IN (SELECT node FROM keep{i}))""")
+    parts.append(f"""
+SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY node HAVING count(*) >= {k}""")
+    return "".join(parts)
