@@ -2257,7 +2257,7 @@ def _bloom_semi_revenue(spark: SparkSession, sf: str) -> DataFrame:
     suppliers' keys — two broadcast word-probes — BEFORE the exact
     left-semi join; the shuffle carries survivors only. The 100 TB case
     this models: a dimension too big to broadcast raw whose bloom words
-    still fit (m/64 rows), pruning ~86% of the fact pre-exchange here.
+    still fit (m/63 rows), pruning ~86% of the fact pre-exchange here.
     The result is EXACT (false positives die in the semi join), so the
     oracle is the plain IN-subquery statement; the revenue rollup uses
     the house decimal-sum canonicalization."""
@@ -4386,6 +4386,76 @@ _register(
 )
 
 
+def _streaming_bloom_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-maintained membership filter (streaming/ingest.py:
+    bloom_ingest_stream): orders arrive as four micro-batches and each
+    batch's (word, bits) bloom bitmap (operators/bloom.py) bit_or-merges
+    into a persisted word table. bit_or is idempotent, so the final
+    bitmap is BIT-EQUAL to the batch build over all orders regardless of
+    micro-batch boundaries or replays — the oracle is the DuckDB twin of
+    the batch build (bloom_build_sql), hashing the bitmap itself. The
+    100 TB story: "ever seen this customer?" forever with state =
+    ceil(m/63) word rows, feeding bloom_prune on future ingests."""
+    import tempfile
+
+    from vectordb_etl_spark.streaming.ingest import bloom_ingest_stream
+
+    od = _table(spark, sf, "orders").select("o_custkey")
+    with tempfile.TemporaryDirectory() as tmp:
+        od.repartition(4).write.parquet(f"{tmp}/landing")
+        stream = (
+            spark.readStream.schema(od.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/landing")
+        )
+        q = bloom_ingest_stream(
+            stream, f"{tmp}/bloom", f"{tmp}/ckpt",
+            key_col="o_custkey", m_bits=8192, k=2,
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(f"{tmp}/bloom").select("word", "bits")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+def _streaming_bloom_ingest_sql() -> str:
+    from vectordb_etl_spark.operators.bloom import bloom_build_sql
+
+    return bloom_build_sql(
+        "SELECT o_custkey FROM orders", "o_custkey", m_bits=8192, k=2
+    )
+
+
+_register(
+    "streaming_bloom_ingest",
+    _streaming_bloom_ingest,
+    _streaming_bloom_ingest_sql(),
+)
+
+
+def _bitmap_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT distinct users per event type via the fixed-domain word
+    bitmap (functions/sketches.py:bitmap_distinct) — the zero-error
+    sibling of hll_distinct_orders for surrogate-integer domains: one
+    bit per user id in 63-bit words, shuffle bounded by touched WORDS
+    per type (not user rows), mergeable/persistable like every sketch
+    tier. The oracle is the independent restatement COUNT(DISTINCT) —
+    the equality IS the exactness claim."""
+    from vectordb_etl_spark.functions.sketches import bitmap_distinct
+
+    ev = _events(spark, sf).select("event_type", "user_id")
+    return bitmap_distinct(ev, "user_id", ["event_type"])
+
+
+_register(
+    "bitmap_distinct_users",
+    _bitmap_distinct_users,
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+    "FROM events GROUP BY event_type",
+)
+
+
 def _streaming_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """NEAR-dup screen as a REAL stream (streaming/ingest.py:
     lsh_screen_stream): docs < 250 arrive as the stream, docs >= 250 are
@@ -6339,6 +6409,8 @@ _PRIORITY = [
     "bloom_semi_revenue",
     "bfs_part_reach",
     "kcore_copurchase",
+    "streaming_bloom_ingest",
+    "bitmap_distinct_users",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

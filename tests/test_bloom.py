@@ -47,17 +47,42 @@ def test_prune_actually_prunes(spark):
 
 
 def test_bitmap_bounded_and_mergeable(spark):
+    from vectordb_etl_spark.operators.bloom import bloom_merge
+
     a = spark.createDataFrame([(i,) for i in range(100)], ["k"])
     b = spark.createDataFrame([(i,) for i in range(100, 200)], ["k"])
     ba, bb = bloom_build(a, "k", m_bits=256), bloom_build(b, "k", m_bits=256)
-    assert ba.count() <= 4  # 256 bits = 4 words max
-    merged = (
-        ba.unionByName(bb).groupBy("word").agg(F.bit_or("bits").alias("bits"))
-    )
+    assert ba.count() <= 5  # ceil(256 / 63) = 5 words max
+    merged = bloom_merge(ba, bb)
     whole = bloom_build(a.unionByName(b), "k", m_bits=256)
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+    # idempotence: re-merging one side changes nothing (replay safety)
+    again = bloom_merge(merged, ba)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_build_matches_duckdb_bit_for_bit(spark):
+    import duckdb
+
+    from vectordb_etl_spark.operators.bloom import bloom_build_sql
+
+    dim = spark.createDataFrame(
+        [(i * 7,) for i in range(300)] + [(None,)], "k bigint"
+    )
+    got = sorted(map(tuple, bloom_build(dim, "k", m_bits=1024, k=3).collect()))
+    sql = bloom_build_sql(
+        "SELECT (x - 1) * 7 AS k FROM range(1, 301) t(x) "
+        "UNION ALL SELECT NULL",
+        "k",
+        m_bits=1024,
+        k=3,
+    )
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
 
 
 def test_null_keys_ignored(spark):

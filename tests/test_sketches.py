@@ -386,3 +386,57 @@ def test_heavy_hitters_null_keys_excluded(spark):
     # NULLs are not items on either engine; 'a' qualifies vs the
     # non-null total (30*4 > 32)
     assert [i for i, _ in got] == ["a"]
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_etl_spark.functions.sketches import bitmap_distinct
+
+    rows = [(g, v % 97) for g in ("a", "b") for v in range(500)] + [
+        ("a", None),
+        ("b", 10_000_000),  # far word — sparse domain still exact
+    ]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in bitmap_distinct(df, "v", ["g"]).collect()
+    }
+    want = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g")
+        .agg(F.count_distinct("v").alias("n"))
+        .collect()
+    }
+    assert got == want == {"a": 97, "b": 98}
+
+
+def test_bitmap_merge_is_union_and_idempotent(spark):
+    from vectordb_etl_spark.functions.sketches import (
+        bitmap_merge,
+        bitmap_registers,
+    )
+
+    a = spark.createDataFrame([(v,) for v in range(0, 150)], "v bigint")
+    b = spark.createDataFrame([(v,) for v in range(100, 250)], "v bigint")
+    ra, rb = bitmap_registers(a, "v"), bitmap_registers(b, "v")
+    merged = bitmap_merge(ra.unionByName(rb))
+    whole = bitmap_registers(a.unionByName(b).distinct(), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    again = bitmap_merge(merged.unionByName(ra))
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_bitmap_rejects_negative_values(spark):
+    import pytest as _pt
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from vectordb_etl_spark.functions.sketches import bitmap_distinct
+
+    df = spark.createDataFrame([(1,), (-5,)], "v bigint")
+    with _pt.raises(SparkRuntimeException, match="negative value"):
+        bitmap_distinct(df, "v").collect()

@@ -578,3 +578,36 @@ def test_sketch_sink_recovers_from_crashed_swap(spark, tmp_path):
         map(tuple, hll_registers(ev, "user_id", ["event_type"]).collect())
     )
     assert got == want
+
+
+def test_bloom_ingest_stream_equals_batch_and_absorbs_redelivery(spark, tmp_path):
+    """Word bit_or is order-insensitive and idempotent: the
+    stream-maintained bitmap equals the batch build, and re-delivering
+    already-merged batches leaves the words unchanged."""
+    from tests.conftest import SF_TINY
+    from vectordb_etl_spark.operators.bloom import bloom_build
+    from vectordb_etl_spark.streaming.ingest import bloom_ingest_stream
+
+    od = spark.read.parquet(f"{SF_TINY}/orders.parquet").select("o_custkey")
+    landing = str(tmp_path / "landing")
+    bloom_path = str(tmp_path / "bloom")
+    od.repartition(3).write.parquet(landing)
+
+    def _run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(od.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = bloom_ingest_stream(
+            stream, bloom_path, str(tmp_path / ckpt),
+            key_col="o_custkey", m_bits=2048, k=2,
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+
+    _run("ckpt")
+    batch = sorted(map(tuple, bloom_build(od, "o_custkey", 2048, 2).collect()))
+    assert sorted(map(tuple, spark.read.parquet(bloom_path).collect())) == batch
+    _run("ckpt2")  # full replay into the same bitmap: or(or) == or
+    assert sorted(map(tuple, spark.read.parquet(bloom_path).collect())) == batch

@@ -653,3 +653,81 @@ FROM hh_src CROSS JOIN hh_n
 GROUP BY item, n HAVING count(*) * {k} > n
 ORDER BY cnt DESC, item ASC
 """
+
+
+# --------------------------------------------------------------------------
+# Fixed-domain bitmap — EXACT distinct counting
+# --------------------------------------------------------------------------
+#
+# The exact sibling of the HLL register table, for the case where the
+# value domain is bounded non-negative integers (surrogate user/order
+# ids): set bit v in a word table, count bits. Same lifecycle as the
+# sketches — mergeable (bit_or), persistable as parquet, streamable —
+# but zero error. The 100 TB trade: COUNT(DISTINCT) shuffles every
+# (group, value) pair; the bitmap shuffles at most the TOUCHED words per
+# group after map-side combine (domain/63 worst case, dense-domain ids
+# in practice collapse thousands of values into one word row each), and
+# unlike exact-distinct state it re-aggregates across grains for free.
+# Words carry 63 bits — bit 63 is the bigint sign bit and DuckDB errors
+# on 1<<63 (see operators/bloom.py) — keeping every engine bit-equal.
+
+
+def bitmap_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group_cols..., word, bits) word table with bit ``v mod 63`` of
+    word ``v div 63`` set for every distinct NON-NEGATIVE integer value
+    v (a negative value raises at execution — a bitmap cannot represent
+    it). NULLs contribute nothing, matching COUNT(DISTINCT)."""
+    group_cols = group_cols or []
+    v = F.col(value_col)
+    checked = F.when(
+        v < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("bitmap_registers: negative value "), v.cast("string")
+            )
+        ).cast("bigint"),
+    ).otherwise(v.cast("bigint"))
+    return (
+        df.where(v.isNotNull())
+        .select(*group_cols, checked.alias("__v"))
+        .select(
+            *group_cols,
+            F.expr("__v DIV 63").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__v % 63 AS INT))").alias("b"),
+        )
+        .groupBy(*group_cols, "word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bitmap_merge(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge word tables built by :func:`bitmap_registers` (union of the
+    underlying value sets): word-wise bit_or — commutative, associative,
+    idempotent, so incremental/streamed maintenance absorbs replays."""
+    group_cols = group_cols or []
+    return registers.groupBy(*group_cols, "word").agg(
+        F.bit_or("bits").alias("bits")
+    )
+
+
+def bitmap_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT distinct count per group via the word bitmap: build
+    registers, then sum bit_count(word). Result column ``n_distinct``
+    (bigint) equals COUNT(DISTINCT value_col) — the registered oracle
+    states exactly that, an independent restatement rather than the same
+    arithmetic twice."""
+    group_cols = group_cols or []
+    regs = bitmap_registers(df, value_col, group_cols)
+    return regs.groupBy(*group_cols).agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct")
+    )

@@ -9,7 +9,7 @@ that the exact semi join needs. Spark's own runtime row-level filtering
 does this internally but is planner-triggered and opaque; this operator
 is the explicit, testable form: the bitmap is a (word, bits) DataFrame —
 buildable by ordinary aggregation at any scale, broadcastable in words
-(m/64 rows), mergeable by bit_or (union of key sets), persistable as
+(m/63 rows), mergeable by bit_or (union of key sets), persistable as
 parquet like every other index tier in this package.
 
 Everything is integer md5 double-hashing (Kirsch–Mitzenhenner style:
@@ -47,24 +47,65 @@ def bloom_build(
     dim: DataFrame, key_col: str, m_bits: int = 4096, k: int = 2
 ) -> DataFrame:
     """Build the bitmap as a ``(word, bits)`` table: position p sets bit
-    ``p mod 64`` of word ``p div 64``; one explode + one
-    map-side-combined bit_or aggregation, ≤ m/64 rows out regardless of
-    dim size. NULL keys contribute nothing (they never match an equi
-    join anyway)."""
-    if m_bits % 64:
-        raise ValueError(f"m_bits must be a multiple of 64; got {m_bits}")
+    ``p mod 63`` of word ``p div 63``; one explode + one
+    map-side-combined bit_or aggregation, ≤ ceil(m/63) rows out
+    regardless of dim size. Words carry 63 bits, not 64: bit 63 is the
+    bigint sign bit, and ``1 << 63`` is an overflow ERROR in DuckDB (vs
+    Java wraparound in Spark) — staying below it keeps the bitmap
+    bit-identical cross-engine, which is what lets a persisted or
+    stream-maintained bloom be hash-checked against
+    :func:`bloom_build_sql`. NULL keys contribute nothing (they never
+    match an equi join anyway)."""
+    if m_bits < 63:
+        raise ValueError(f"m_bits must be >= 63; got {m_bits}")
     key = F.col(key_col)
     pos = F.explode(F.array(*_hash_cols(key, m_bits, k))).alias("pos")
     return (
         dim.where(key.isNotNull())
         .select(pos)
         .select(
-            F.expr("pos DIV 64").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
+            F.expr("pos DIV 63").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("b"),
         )
         .groupBy("word")
         .agg(F.bit_or("b").alias("bits"))
     )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of the key sets behind two same-(m, k) blooms: word-wise
+    bit_or. Commutative, associative, and IDEMPOTENT (or of an or), so
+    re-merging the same batch is absorbed for free — the property the
+    streaming ingest (streaming/ingest.py:bloom_ingest_stream) leans on
+    for replay safety."""
+    return (
+        a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_build_sql(
+    source_sql: str, key_col: str, m_bits: int = 4096, k: int = 2
+) -> str:
+    """DuckDB twin of :func:`bloom_build` — the identical md5
+    double-hash, position, and 63-bit word arithmetic, so the (word,
+    bits) table hash-matches the Spark build bit-for-bit."""
+    if m_bits < 63:
+        raise ValueError(f"m_bits must be >= 63; got {m_bits}")
+    h = (
+        f"CAST('0x' || substring(md5(CAST({key_col} AS VARCHAR)), 1, "
+        f"{_HEX}) AS BIGINT)"
+    )
+    probes = ", ".join(
+        f"(h % 1073741824 + {j} * ((h // 1073741824) | 1)) % {m_bits}"
+        for j in range(k)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {h} AS h FROM ({source_sql}) WHERE {key_col} IS NOT NULL),
+pos AS (SELECT unnest([{probes}]) AS pos FROM hashed)
+SELECT pos // 63 AS word,
+       bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+FROM pos GROUP BY pos // 63"""
 
 
 def bloom_prune(
@@ -76,7 +117,7 @@ def bloom_prune(
 ) -> DataFrame:
     """Drop fact rows whose key is definitely not in the bloom — the
     map-side pre-shuffle filter. Each of the k probes is a BROADCAST
-    join against the word table (m/64 rows) + a bit test; rows missing
+    join against the word table (m/63 rows) + a bit test; rows missing
     their word or bit are eliminated. No false negatives: every key the
     bloom was built from survives (tested property). Output column set
     is unchanged."""
@@ -90,12 +131,12 @@ def bloom_prune(
             out.withColumn(f"__bp{j}", pos)
             .join(
                 F.broadcast(w),
-                F.expr(f"__bp{j} DIV 64") == F.col(f"__bw{j}"),
+                F.expr(f"__bp{j} DIV 63") == F.col(f"__bw{j}"),
             )
             .where(
                 F.expr(
                     f"(shiftrightunsigned(__bb{j}, "
-                    f"CAST(__bp{j} % 64 AS INT)) & 1) = 1"
+                    f"CAST(__bp{j} % 63 AS INT)) & 1) = 1"
                 )
             )
             .drop(f"__bp{j}", f"__bw{j}", f"__bb{j}")

@@ -717,3 +717,62 @@ def kmv_ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bloom_ingest_stream(
+    stream_df: DataFrame,
+    bloom_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 2,
+    trigger_available_now: bool = False,
+):
+    """Continuous membership-filter maintenance — the Bloom sibling of
+    :func:`hll_ingest_stream`: each micro-batch's (word, bits) bitmap
+    (operators/bloom.py:bloom_build) bit_or-merges into a persisted word
+    table. bit_or is commutative/associative/IDEMPOTENT, so the final
+    bitmap is BIT-EQUAL to the batch build over all rows regardless of
+    micro-batch boundaries, and CDC re-deliveries are absorbed for free
+    (or of an or) — no batch-id bookkeeping needed, same contract as the
+    HLL sink and unlike the additive Count-Min one.
+
+    The 100 TB story: "have we ever seen this key" forever with state
+    = ceil(m/63) word rows — the filter that lets an ingest pipeline
+    pre-prune joins against the full history (bloom_prune) without ever
+    scanning it. Same staging + rename-swap publish and crash-recovery
+    rule as the other sketch sinks."""
+    from vectordb_etl_spark.operators.bloom import bloom_build, bloom_merge
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_words = bloom_build(batch_df, key_col, m_bits, k)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        fs = jvm_path(bloom_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        _restore_sketch_if_crashed(fs, jvm_path, bloom_path)
+        if fs.exists(jvm_path(bloom_path)):
+            merged = bloom_merge(new_words, spark.read.parquet(bloom_path))
+        else:
+            merged = new_words
+        staging = f"{bloom_path}.staging"
+        aside = f"{bloom_path}.old"
+        merged.write.mode("overwrite").parquet(staging)
+        if fs.exists(jvm_path(aside)):
+            fs.delete(jvm_path(aside), True)
+        if fs.exists(jvm_path(bloom_path)):
+            fs.rename(jvm_path(bloom_path), jvm_path(aside))
+        fs.rename(jvm_path(staging), jvm_path(bloom_path))
+        fs.delete(jvm_path(aside), True)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
