@@ -2893,6 +2893,88 @@ _register(
 )
 
 
+def _bpe_first_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-pair merge statistics for tokenizer training
+    (functions/text.py:bpe_pair_counts): the corpus-wide adjacent-pair
+    histogram whose argmax is BPE's first learned merge. One map-local
+    window explode + one map-side-combined count keyed by the symbol
+    alphabet squared — the 100 TB shape is a word-count, not a join."""
+    from vectordb_etl_spark.functions.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf), "text", top_n=30)
+
+
+def _bpe_first_merges_sql() -> str:
+    from vectordb_etl_spark.functions.text import bpe_pair_counts_sql
+
+    return bpe_pair_counts_sql("SELECT text FROM documents", "text", top_n=30)
+
+
+_register(
+    "bpe_first_merges",
+    _bpe_first_merges,
+    _bpe_first_merges_sql(),
+)
+
+
+def _open_orders_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Concurrent-interval counting by SWEEP LINE: how many orders are
+    in flight (placed, not yet fully shipped) on each calendar day. The
+    naive form is an interval×calendar range join — quadratic blowup at
+    100 TB; the sweep line instead emits +1 at each order's open and -1
+    the day after its close (close = max lineitem ship day), folds
+    to per-day deltas (bounded key space: ~2.5k days regardless of data
+    size — same collapse-then-window contract as
+    cumulative_unique_users), and a running sum over days is the
+    concurrency. Exact integer algebra; the oracle restates it."""
+    li = _table(spark, sf, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(
+        F.max(F.date_trunc("day", "l_shipdate")).alias("close_day")
+    )
+    od = _table(spark, sf, "orders").join(
+        closes, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    deltas = (
+        od.select(
+            F.date_trunc("day", "o_orderdate").alias("day"),
+            F.lit(1).alias("delta"),
+        )
+        .unionByName(
+            od.select(
+                F.expr("close_day + INTERVAL 1 DAY").alias("day"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deltas.withColumn("n_open", F.sum("net").over(w).cast("bigint"))
+        .select("day", F.col("net").cast("bigint").alias("net"), "n_open")
+        .orderBy("day")
+    )
+
+
+_register(
+    "open_orders_daily",
+    _open_orders_daily,
+    "WITH closes AS (SELECT l_orderkey, "
+    "CAST(max(date_trunc('day', l_shipdate)) AS TIMESTAMP) AS close_day "
+    "FROM lineitem GROUP BY 1), "
+    "od AS (SELECT o_orderdate, close_day FROM orders "
+    "JOIN closes ON o_orderkey = l_orderkey), "
+    "deltas AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM ("
+    "  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day, "
+    "  1 AS delta FROM od "
+    "  UNION ALL "
+    "  SELECT close_day + INTERVAL 1 DAY, -1 FROM od) GROUP BY day) "
+    "SELECT day, net, CAST(sum(net) OVER (ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open "
+    "FROM deltas ORDER BY day",
+)
+
+
 # -- UDF-tier operators: rows-only driver checks (no SQL equivalent) ---------
 
 
@@ -6411,6 +6493,8 @@ _PRIORITY = [
     "kcore_copurchase",
     "streaming_bloom_ingest",
     "bitmap_distinct_users",
+    "bpe_first_merges",
+    "open_orders_daily",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -122,3 +122,48 @@ def test_bigram_logprob_single_token_doc_null_score(spark):
     out = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
     assert out[1]["n_bigrams"] == 0 and out[1]["avg_neg_logprob"] is None
     assert out[2]["n_bigrams"] == 1
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from vectordb_etl_spark.functions.text import bpe_pair_counts
+
+    # "abab" -> ab, ba, ab ; "ab" -> ab ; single-char "x" contributes none
+    df = spark.createDataFrame([("abab ab x",), ("AB",)], ["text"])
+    got = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, "text").collect()]
+    assert got == [("ab", 4), ("ba", 1)]  # lowercased; count desc, pair asc
+
+
+def test_bpe_pair_counts_matches_duckdb(spark):
+    import duckdb
+
+    from vectordb_etl_spark.functions.text import (
+        bpe_pair_counts,
+        bpe_pair_counts_sql,
+    )
+
+    texts = [
+        ("the quick brown fox jumps over the lazy dog",),
+        ("pack my box with five dozen liquor jugs",),
+        ("a bb ccc dddd eeeee",),
+    ]
+    df = spark.createDataFrame(texts, ["text"])
+    got = sorted(map(tuple, bpe_pair_counts(df, "text", top_n=200).collect()))
+    src = " UNION ALL ".join(f"SELECT '{t[0]}' AS text" for t in texts)
+    sql = bpe_pair_counts_sql(src, "text", top_n=200)
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
+
+
+def test_bpe_pair_counts_rejects_bad_top_n(spark):
+    import pytest as _pt
+
+    from vectordb_etl_spark.functions.text import (
+        bpe_pair_counts,
+        bpe_pair_counts_sql,
+    )
+
+    df = spark.createDataFrame([("ab",)], ["text"])
+    with _pt.raises(ValueError, match="top_n"):
+        bpe_pair_counts(df, "text", top_n=0)
+    with _pt.raises(ValueError, match="top_n"):
+        bpe_pair_counts_sql("SELECT 'x' AS text", top_n=-1)

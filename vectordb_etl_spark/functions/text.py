@@ -528,3 +528,69 @@ SELECT b.id AS {id_col},
        s.avg_neg_logprob
 FROM base b LEFT JOIN scored s USING (id)
 """
+
+
+# --------------------------------------------------------------------------
+# BPE merge statistics — tokenizer-training prep
+# --------------------------------------------------------------------------
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 30
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies at the CHARACTER level — the
+    statistic behind the first BPE merge (Sennrich et al. 2016: the
+    most frequent adjacent pair becomes the first learned merge), and
+    the corpus-level histogram a tokenizer-training pipeline materializes
+    before any merge round. Returns the ``top_n`` pairs as
+    ``(pair, n)``, count-desc then pair-asc (total order — LIMIT is
+    deterministic cross-engine).
+
+    Spark shape: house whitespace tokenization (lower + split, the same
+    rule as vocab_top_terms), then each token emits its length-1
+    two-char windows via ``transform(sequence(...))`` — one map-local
+    explode, no Python, no self-join on positions; the only exchange is
+    the map-side-combined pair count, whose key space is bounded by the
+    symbol alphabet squared, not by corpus size. Tokens shorter than 2
+    chars contribute nothing (sequence(1, 0) would run DESCENDING in
+    Spark — the length filter is load-bearing, not cosmetic)."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1; got {top_n}")
+    toks = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+        )
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), "
+                   "i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
+def bpe_pair_counts_sql(
+    source_sql: str, text_col: str = "text", top_n: int = 30
+) -> str:
+    """DuckDB twin of :func:`bpe_pair_counts`: identical tokenization,
+    windows via zipped ``unnest(range(length - 1))`` (DuckDB 1.0 has no
+    lateral range), identical total order."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1; got {top_n}")
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower({text_col}), '\\s+')) AS tok
+  FROM ({source_sql})),
+long_toks AS (SELECT tok FROM toks WHERE length(tok) >= 2),
+win AS (
+  SELECT tok, unnest(range(length(tok) - 1)) AS i FROM long_toks),
+pairs AS (SELECT substr(tok, CAST(i + 1 AS BIGINT), 2) AS pair FROM win)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {top_n}"""
