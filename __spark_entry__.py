@@ -2893,6 +2893,100 @@ _register(
 )
 
 
+def _column_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style per-column profile of orders (operators/profile.py:
+    profile_table): row/null/exact-distinct counts plus canonical
+    min/max, ALL columns in one aggregate pass over one scan (the
+    multi-DISTINCT rides a single Expand). The oracle is an independent
+    per-column restatement — one plain aggregate per column, unioned —
+    so the one-pass plan is checked against the obvious many-pass one.
+    Float min/max are integer micro-units (cross-engine float rendering
+    is the one divergent cast); n_rows repeats per row by design (the
+    profile is self-describing)."""
+    from vectordb_etl_spark.operators.profile import profile_table
+
+    return profile_table(_table(spark, sf, "orders"))
+
+
+def _column_profile_orders_sql() -> str:
+    from vectordb_etl_spark.operators.profile import profile_table_sql
+
+    cols = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ]
+    return profile_table_sql("orders", cols)
+
+
+_register(
+    "column_profile_orders",
+    _column_profile_orders,
+    _column_profile_orders_sql(),
+)
+
+
+def _order_status_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-style snapshot diff (store/snapshots.py:table_diff): classify
+    every order key as added/removed/changed/unchanged between two table
+    states via ONE null-safe full outer join — the "what did this commit
+    do" query over snapshot versions. The new state is derived from
+    orders by a deterministic mutation rule (keys %19==3 deleted, %19==5
+    status rewritten, %19==7 re-inserted shifted by 1e9), and the oracle
+    classifies straight FROM THE RULE, never joining — the diff operator
+    must rediscover the mutation exactly. Output: per-class row count
+    and key checksum."""
+    from vectordb_etl_spark.store.snapshots import table_diff
+
+    od = _table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        od.filter(k % 19 != 3)
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 19 == 5, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .unionByName(
+            od.filter(k % 19 == 7).select(
+                (k + 1_000_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    diff = table_diff(od, new, ["o_orderkey"])
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("change_type")
+    )
+
+
+_register(
+    "order_status_diff",
+    _order_status_diff,
+    # independent restatement: classify from the mutation rule itself
+    "SELECT change_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(k) AS BIGINT) AS key_sum FROM ("
+    "  SELECT CASE WHEN o_orderkey % 19 = 3 THEN 'removed' "
+    "              WHEN o_orderkey % 19 = 5 THEN 'changed' "
+    "              ELSE 'unchanged' END AS change_type, "
+    "         o_orderkey AS k FROM orders "
+    "  UNION ALL "
+    "  SELECT 'added', o_orderkey + 1000000000 FROM orders "
+    "  WHERE o_orderkey % 19 = 7) "
+    "GROUP BY change_type ORDER BY change_type",
+)
+
+
 def _bpe_first_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Character-pair merge statistics for tokenizer training
     (functions/text.py:bpe_pair_counts): the corpus-wide adjacent-pair
@@ -6495,6 +6589,8 @@ _PRIORITY = [
     "bitmap_distinct_users",
     "bpe_first_merges",
     "open_orders_daily",
+    "column_profile_orders",
+    "order_status_diff",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -247,6 +247,8 @@ def main() -> None:
         "bitmap_distinct_users",
         "bpe_first_merges",
         "open_orders_daily",
+        "column_profile_orders",
+        "order_status_diff",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

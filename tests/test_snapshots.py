@@ -84,3 +84,62 @@ def test_append_race_does_not_lose_rows(spark, tmp_path):
     before = st.read().count()
     st.append(_df(spark, 5, 9))
     assert st.read().count() == before + 4
+
+
+def test_table_diff_classifies_all_four(spark):
+    from vectordb_etl_spark.store.snapshots import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k bigint, s string, v bigint",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, None, 40), (5, "e", 50)],
+        "k bigint, s string, v bigint",
+    )
+    got = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
+    # 4 has NULL s on both sides: null-safe compare -> unchanged
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",
+        5: "added",
+    }
+
+
+def test_table_diff_respects_compare_cols_subset(spark):
+    from vectordb_etl_spark.store.snapshots import table_diff
+
+    old = spark.createDataFrame([(1, "a", 10)], "k bigint, s string, v bigint")
+    new = spark.createDataFrame([(1, "a", 99)], "k bigint, s string, v bigint")
+    only_s = table_diff(old, new, ["k"], compare_cols=["s"]).first()
+    assert only_s["change_type"] == "unchanged"
+    full = table_diff(old, new, ["k"]).first()
+    assert full["change_type"] == "changed"
+
+
+def test_table_diff_guards(spark):
+    import pytest as _pt
+
+    from vectordb_etl_spark.store.snapshots import table_diff
+
+    df = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    with _pt.raises(ValueError, match="key_cols"):
+        table_diff(df, df, [])
+    with _pt.raises(ValueError, match="missing"):
+        table_diff(df, df, ["k"], compare_cols=["nope"])
+
+
+def test_table_diff_plan_single_join_no_python(spark):
+    from vectordb_etl_spark.store.snapshots import table_diff
+
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(100)], "k bigint, s string")
+    plan = (
+        table_diff(df, df, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin") == 1
+    assert "BatchEvalPython" not in plan

@@ -38,6 +38,7 @@ import json
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotStore:
@@ -214,3 +215,72 @@ class SnapshotStore:
                 self._fs.delete(sub_path, True)
                 deleted.extend(full for _p, full, _n in members)
         return deleted
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC-style diff of two table states (the companion to the snapshot
+    log: ``table_diff(store.read(v1), store.read(v2), keys)`` explains a
+    commit): classify every key as ``added`` (new only), ``removed``
+    (old only), ``changed`` (present in both, any compare column
+    differs, NULL-safe), or ``unchanged``. Returns key columns +
+    ``change_type``.
+
+    Shape: ONE full outer join keyed by ``key_cols`` — sort-merge at
+    scale, no collect, no per-row Python; comparisons are null-safe
+    ``<=>`` column expressions (engine twin: IS NOT DISTINCT FROM). At
+    100 TB both sides shuffle once on the same key — if the states are
+    snapshot versions of a bucketed table, even that exchange drops out.
+    ``compare_cols`` defaults to all shared non-key columns; keys must
+    be unique per side (enforce upstream with integrity checks — a dup
+    key would fan the join out)."""
+    if not key_cols:
+        raise ValueError("table_diff: key_cols must be non-empty")
+    shared = [c for c in old.columns if c in set(new.columns)]
+    compare_cols = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in shared if c not in set(key_cols)]
+    )
+    missing = [
+        c
+        for c in (*key_cols, *compare_cols)
+        if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(f"table_diff: columns missing from a side: {missing}")
+    o = old.select(
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__ov_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__ok_{c}") == F.col(f"__nk_{c}")
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__ok_{c}"), F.col(f"__nk_{c}")).alias(c)
+            for c in key_cols
+        ],
+        change.alias("change_type"),
+    )
