@@ -2929,6 +2929,99 @@ _register(
 )
 
 
+def _price_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth price histogram (operators/profile.py:
+    equi_depth_histogram): 10 equal-height buckets of l_extendedprice —
+    the CBO statistic that stays informative under skew where
+    equi-width bars collapse. One exact percentile aggregate broadcast
+    back over the scan, then a count keyed by ≤10 bucket ids; bucket
+    extents in micro-units. Spark percentile ≡ DuckDB quantile_cont
+    bit-for-bit (the sample_quantiles-verified parity), so the whole
+    histogram hash-matches."""
+    from vectordb_etl_spark.operators.profile import equi_depth_histogram
+
+    li = _table(spark, sf, "lineitem")
+    return equi_depth_histogram(li, "l_extendedprice", buckets=10)
+
+
+def _price_depth_histogram_sql() -> str:
+    from vectordb_etl_spark.operators.profile import equi_depth_histogram_sql
+
+    return equi_depth_histogram_sql("lineitem", "l_extendedprice", buckets=10)
+
+
+_register(
+    "price_depth_histogram",
+    _price_depth_histogram,
+    _price_depth_histogram_sql(),
+)
+
+
+def _kmv_returned_only_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set-DIFFERENCE estimate (functions/sketches.py:
+    kmv_difference): how many distinct parts appear ONLY on returned
+    lineitems (returnflag R) and never on a clean line — the
+    "quarantine catalog" cardinality, |A \\ B| from two 256-hash
+    register sets. HLL cannot subtract; KMV order statistics can. Both
+    register sets are TakeOrdered scans (partkeys never shuffle); the
+    difference math runs on ≤ 2k register rows. The oracle restates the
+    identical register sets and integer arithmetic in DuckDB."""
+    from vectordb_etl_spark.functions.sketches import (
+        kmv_difference,
+        kmv_registers,
+    )
+
+    k = 256
+    li = _table(spark, sf, "lineitem").select("l_partkey", "l_returnflag")
+    a = kmv_registers(
+        li.filter(F.col("l_returnflag") == "R"), "l_partkey", k=k
+    ).localCheckpoint(eager=True)
+    b = kmv_registers(
+        li.filter(F.col("l_returnflag") != "R"), "l_partkey", k=k
+    ).localCheckpoint(eager=True)
+    return kmv_difference(a, b, k=k)
+
+
+def _kmv_returned_only_parts_sql() -> str:
+    from vectordb_etl_spark.functions.sketches import kmv_registers_sql
+
+    k = 256
+    two60 = 1 << 60
+    a = kmv_registers_sql(
+        "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'",
+        "l_partkey",
+        k=k,
+    )
+    b = kmv_registers_sql(
+        "SELECT l_partkey FROM lineitem WHERE l_returnflag <> 'R'",
+        "l_partkey",
+        k=k,
+    )
+    return (
+        f"WITH a AS MATERIALIZED ({a}), "
+        f"b AS MATERIALIZED ({b}), "
+        f"m AS MATERIALIZED (SELECT h FROM (SELECT h FROM a UNION "
+        f"SELECT h FROM b) ORDER BY h LIMIT {k}), "
+        f"u AS (SELECT CAST(count(*) AS BIGINT) AS n_regs, "
+        f"CASE WHEN count(*) < {k} THEN CAST(count(*) AS BIGINT) "
+        f"ELSE CAST(floor(CAST({k - 1} AS DOUBLE) * "
+        f"CAST({two60} AS DOUBLE) / CAST(max(h) AS DOUBLE)) AS BIGINT) "
+        f"END AS n_distinct_est FROM m), "
+        f"oa AS (SELECT CAST(count(*) AS BIGINT) AS n_only_a FROM m "
+        f"WHERE h IN (SELECT h FROM a) AND h NOT IN (SELECT h FROM b)) "
+        f"SELECT u.n_regs AS n_union_regs, oa.n_only_a, "
+        f"(oa.n_only_a * u.n_distinct_est) // u.n_regs AS diff_est "
+        f"FROM u, oa"
+    )
+
+
+_register(
+    "kmv_returned_only_parts",
+    _kmv_returned_only_parts,
+    _kmv_returned_only_parts_sql(),
+)
+
+
 def _order_status_diff(spark: SparkSession, sf: str) -> DataFrame:
     """CDC-style snapshot diff (store/snapshots.py:table_diff): classify
     every order key as added/removed/changed/unchanged between two table
@@ -6591,6 +6684,8 @@ _PRIORITY = [
     "open_orders_daily",
     "column_profile_orders",
     "order_status_diff",
+    "kmv_returned_only_parts",
+    "price_depth_histogram",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -249,6 +249,8 @@ def main() -> None:
         "open_orders_daily",
         "column_profile_orders",
         "order_status_diff",
+        "kmv_returned_only_parts",
+        "price_depth_histogram",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

@@ -65,3 +65,65 @@ def test_profile_rejects_unknown_columns(spark):
 
     with _pt.raises(ValueError, match="unknown columns"):
         profile_table(_sample(spark), ["k", "nope"])
+
+
+def test_equi_depth_histogram_uniform_depths(spark):
+    from vectordb_etl_spark.operators.profile import equi_depth_histogram
+
+    # 0..99 in 4 buckets: 25 rows each, contiguous extents, NULL skipped
+    rows = [(float(i),) for i in range(100)] + [(None,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = equi_depth_histogram(df, "v", buckets=4).collect()
+    assert [r["bucket"] for r in got] == [0, 1, 2, 3]
+    assert [r["n"] for r in got] == [25, 25, 25, 25]
+    assert got[0]["lo_micro"] == 0
+    assert got[3]["hi_micro"] == 99_000_000
+
+
+def test_equi_depth_histogram_skew_still_bounded(spark):
+    from vectordb_etl_spark.operators.profile import equi_depth_histogram
+
+    # 90% of mass on one hot value: equi-depth collapses the hot value
+    # into few buckets but NEVER produces more than `buckets` rows
+    rows = [(5.0,)] * 900 + [(float(i),) for i in range(100)]
+    df = spark.createDataFrame(rows, "v double")
+    got = equi_depth_histogram(df, "v", buckets=5).collect()
+    assert len(got) <= 5
+    assert sum(r["n"] for r in got) == 1000
+
+
+def test_equi_depth_histogram_matches_duckdb(spark):
+    import duckdb
+
+    from vectordb_etl_spark.operators.profile import (
+        equi_depth_histogram,
+        equi_depth_histogram_sql,
+    )
+
+    vals = [((i * 37) % 101 + i / 7.0,) for i in range(500)]
+    df = spark.createDataFrame(vals, "v double")
+    got = sorted(map(tuple, equi_depth_histogram(df, "v", 7).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT (i * 37) % 101 + i / 7.0 AS v "
+        "FROM range(500) r(i)"
+    )
+    want = sorted(map(tuple, con.execute(
+        equi_depth_histogram_sql("t", "v", 7)
+    ).fetchall()))
+    assert got == want
+
+
+def test_equi_depth_histogram_rejects_bad_buckets(spark):
+    import pytest as _pt
+
+    from vectordb_etl_spark.operators.profile import (
+        equi_depth_histogram,
+        equi_depth_histogram_sql,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pt.raises(ValueError, match="buckets"):
+        equi_depth_histogram(df, "v", buckets=1)
+    with _pt.raises(ValueError, match="buckets"):
+        equi_depth_histogram_sql("t", "v", buckets=0)

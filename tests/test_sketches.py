@@ -440,3 +440,35 @@ def test_bitmap_rejects_negative_values(spark):
     df = spark.createDataFrame([(1,), (-5,)], "v bigint")
     with _pt.raises(SparkRuntimeException, match="negative value"):
         bitmap_distinct(df, "v").collect()
+
+
+def test_kmv_difference_exact_under_k(spark):
+    from vectordb_etl_spark.functions.sketches import (
+        kmv_difference,
+        kmv_registers,
+    )
+
+    # |A ∪ B| = 150 < k=256: estimator bypassed, difference is EXACT
+    a_vals = spark.createDataFrame([(v,) for v in range(100)], ["v"])
+    b_vals = spark.createDataFrame([(v,) for v in range(50, 150)], ["v"])
+    a = kmv_registers(a_vals, "v", k=256)
+    b = kmv_registers(b_vals, "v", k=256)
+    row = kmv_difference(a, b, k=256).first()
+    assert row["n_union_regs"] == 150
+    assert row["n_only_a"] == 50
+    assert row["diff_est"] == 50
+
+
+def test_kmv_difference_estimates_at_scale(spark):
+    from vectordb_etl_spark.functions.sketches import (
+        kmv_difference,
+        kmv_registers,
+    )
+
+    # 5000 union values, 1000 only in A: estimate within 35% at k=256
+    a_vals = spark.createDataFrame([(v,) for v in range(5000)], ["v"])
+    b_vals = spark.createDataFrame([(v,) for v in range(1000, 5000)], ["v"])
+    a = kmv_registers(a_vals, "v", k=256).localCheckpoint(eager=True)
+    b = kmv_registers(b_vals, "v", k=256).localCheckpoint(eager=True)
+    row = kmv_difference(a, b, k=256).first()
+    assert 650 <= row["diff_est"] <= 1350

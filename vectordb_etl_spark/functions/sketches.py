@@ -332,6 +332,34 @@ def kmv_jaccard(
     )
 
 
+def kmv_difference(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-count estimate of the set DIFFERENCE |A \\ B| — the
+    multiset operation HLL registers cannot answer and KMV order
+    statistics can (Beyer et al. 2007): among the union's k smallest
+    hashes, the fraction present in A but NOT in B, scaled by the
+    union-cardinality estimate. Returns one row
+    ``(n_union_regs, n_only_a, diff_est)`` with
+    ``diff_est = (n_only_a · est(|A∪B|)) DIV n_union_regs`` — the one
+    float step is inside the union estimator (pinned as everywhere);
+    the rest is integer counting, hash-exact cross-engine.
+
+    Same consumer caveat as :func:`kmv_jaccard`: ``a``/``b`` feed three
+    plan branches — localCheckpoint lazy register pipelines first."""
+    merged = kmv_merge(a, b, k)
+    only_a = merged.join(a, "h", "left_semi").join(b, "h", "left_anti")
+    u = merged.agg(*kmv_estimate_cols(k))
+    na = only_a.agg(F.count("*").cast("bigint").alias("n_only_a"))
+    return u.crossJoin(na).select(
+        F.col("n_regs").alias("n_union_regs"),
+        "n_only_a",
+        F.expr("(n_only_a * n_distinct_est) DIV n_regs").alias("diff_est"),
+    )
+
+
 def kmv_hash_sql(value_expr: str) -> str:
     """The hash expression as DuckDB SQL (identical to Spark's conv)."""
     return (

@@ -95,3 +95,70 @@ def profile_table_sql(
             f"{vmin} AS min_repr, {vmax} AS max_repr FROM {table}"
         )
     return " UNION ALL ".join(selects)
+
+
+def equi_depth_histogram(
+    df: DataFrame, value_col: str, buckets: int = 10
+) -> DataFrame:
+    """Equi-depth (equal-height) histogram — the optimizer statistic
+    that survives skew where equi-WIDTH buckets collapse into one hot
+    bar: boundaries are the exact interpolated ``i/buckets`` percentiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` bit-for-bit — the
+    same verified parity sample_quantiles leans on), and every row lands
+    in ``bucket = #{boundaries strictly below its value}``. Returns
+    ``(bucket, n, lo_micro, hi_micro)`` — bucket extents in integer
+    micro-units (the house float canonicalization).
+
+    Shape: ONE percentile aggregate (1 row), broadcast to the scan by a
+    literal-free crossJoin, then a map-side-combined count keyed by at
+    most ``buckets`` values — two passes over the column, no sort, no
+    per-row Python; skew-proof because bucket ids are near-uniform BY
+    CONSTRUCTION (that is what equi-depth means)."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2; got {buckets}")
+    probs = ", ".join(str(i / buckets) for i in range(1, buckets))
+    bnd = df.agg(
+        F.expr(f"percentile({value_col}, array({probs}))").alias("__bnds")
+    )
+    assigned = (
+        df.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(bnd))
+        .select(
+            F.expr(
+                f"aggregate(__bnds, 0, (a, b) -> a + CASE WHEN {value_col} > b "
+                "THEN 1 ELSE 0 END)"
+            ).alias("bucket"),
+            F.col(value_col).alias("__v"),
+        )
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("__v") * 1_000_000).cast("bigint").alias("lo_micro"),
+            F.round(F.max("__v") * 1_000_000).cast("bigint").alias("hi_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def equi_depth_histogram_sql(
+    table: str, value_col: str, buckets: int = 10
+) -> str:
+    """DuckDB twin of :func:`equi_depth_histogram` — quantile_cont
+    boundaries, identical strict-compare assignment and micro-units."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2; got {buckets}")
+    probs = ", ".join(str(i / buckets) for i in range(1, buckets))
+    return f"""
+WITH bnd AS (
+  SELECT quantile_cont({value_col}, [{probs}]) AS bnds FROM {table}),
+assigned AS (
+  SELECT list_sum(list_transform(bnds,
+           b -> CASE WHEN {value_col} > b THEN 1 ELSE 0 END)) AS bucket,
+         {value_col} AS v
+  FROM {table}, bnd WHERE {value_col} IS NOT NULL)
+SELECT CAST(bucket AS INTEGER) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(min(v) * 1000000) AS BIGINT) AS lo_micro,
+       CAST(round(max(v) * 1000000) AS BIGINT) AS hi_micro
+FROM assigned GROUP BY bucket ORDER BY bucket"""
