@@ -117,3 +117,50 @@ def test_manifest_rowcounts_and_full_range_box(spark, tmp_path):
         prune_candidate_files(man, {"a": (0, 2000), "b": (500, 600)}).count()
         == 0
     )
+
+
+def test_file_bloom_manifest_prunes_point_lookups(spark, tmp_path):
+    from vectordb_etl_spark.store.layout import (
+        bloom_prune_files,
+        file_bloom_manifest,
+    )
+
+    # 8 files of disjoint key ranges; keys are HIGH-cardinality and the
+    # layout is hash-ish per file, so a point lookup should hit ~1 file
+    p = str(tmp_path / "t")
+    df = spark.range(8000).select(F.col("id").alias("k"))
+    df.repartitionByRange(8, "k").write.parquet(p)
+    man = file_bloom_manifest(spark, p, "k", m_bits=65536, k=3)
+    n_files = man.select("file").distinct().count()
+    assert n_files == 8
+    # no false negatives: for any member key, the file holding it survives
+    survivors = bloom_prune_files(man, [4242], m_bits=65536, k=3)
+    holder = (
+        spark.read.parquet(p)
+        .where(F.col("k") == 4242)
+        .select(F.input_file_name().alias("file"))
+        .distinct()
+    )
+    assert holder.join(survivors, "file").count() == 1
+    # pruning: at 65536 bits / ~1000 keys per file the FP rate is tiny,
+    # so a point probe touches far fewer than all 8 files
+    assert survivors.count() <= 2
+    # absent key: every survivor (if any) is a false positive — bounded
+    assert bloom_prune_files(man, [999_999], m_bits=65536, k=3).count() <= 2
+
+
+def test_file_bloom_manifest_guards(spark, tmp_path):
+    import pytest as _pt
+
+    from vectordb_etl_spark.store.layout import (
+        bloom_prune_files,
+        file_bloom_manifest,
+    )
+
+    p = str(tmp_path / "t2")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(p)
+    with _pt.raises(ValueError, match="m_bits"):
+        file_bloom_manifest(spark, p, "k", m_bits=10)
+    man = file_bloom_manifest(spark, p, "k")
+    with _pt.raises(ValueError, match="keys"):
+        bloom_prune_files(man, [])

@@ -361,3 +361,88 @@ def prune_candidate_files(
         for c, (lo, hi) in box.items()
     ]
     return manifest.filter(_reduce(lambda a, b: a & b, conds))
+
+
+def file_bloom_manifest(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 2,
+) -> DataFrame:
+    """Per-FILE Bloom bitmap manifest ``(file, word, bits)`` — the
+    data-skipping index for POINT lookups on high-cardinality keys,
+    where the min/max zone map (:func:`file_stats_manifest`) is useless
+    because every file's [min, max] spans the whole domain unless the
+    layout is sorted by that key (Parquet column bloom filters / Delta
+    bloom indexes are this exact structure). One aggregation keyed by
+    (file, word) with map-side combine; ≤ ceil(m/63) rows per file
+    regardless of file size. Same portable 63-bit word layout as
+    operators/bloom.py, so manifests merge with bloom_merge and remain
+    engine-checkable."""
+    from pyspark.sql import functions as F
+
+    from vectordb_etl_spark.operators.bloom import _hash_cols
+
+    if m_bits < 63:
+        raise ValueError(f"m_bits must be >= 63; got {m_bits}")
+    df = spark.read.parquet(path)
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_hash_cols(key, m_bits, k))).alias("pos")
+    return (
+        df.where(key.isNotNull())
+        .select(F.input_file_name().alias("file"), pos)
+        .select(
+            "file",
+            F.expr("pos DIV 63").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("file", "word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_prune_files(
+    manifest: DataFrame,
+    keys: list,
+    m_bits: int = 4096,
+    k: int = 2,
+) -> DataFrame:
+    """Candidate files for a POINT-lookup key set: a file survives iff
+    some probe key has ALL k of its bits set in that file's bitmap —
+    no false negatives (a file holding the key always survives), false
+    positives bounded by the bloom rate. The probe set is a handful of
+    literals: it broadcasts, the manifest joins on ``word``, and the
+    all-k rule is a count-distinct over probe indexes — manifest-only
+    arithmetic, the data files are never touched (same contract as
+    :func:`prune_candidate_files`, for the predicate shape zone maps
+    cannot skip)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_etl_spark.operators.bloom import _hash_cols
+
+    if not keys:
+        raise ValueError("bloom_prune_files: keys must be non-empty")
+    spark = manifest.sparkSession
+    probe = spark.createDataFrame([(v,) for v in keys], ["key"])
+    probes = probe.select(
+        "key",
+        F.posexplode(F.array(*_hash_cols(F.col("key"), m_bits, k))).alias(
+            "j", "pos"
+        ),
+    ).select(
+        "key",
+        "j",
+        F.expr("pos DIV 63").alias("word"),
+        F.expr("CAST(pos % 63 AS INT)").alias("bit"),
+    )
+    hits = (
+        manifest.join(F.broadcast(probes), "word")
+        .where(F.expr("(shiftrightunsigned(bits, bit) & 1) = 1"))
+        .groupBy("file", "key")
+        .agg(F.count_distinct("j").alias("n_set"))
+        .where(F.col("n_set") == k)
+    )
+    return hits.select("file").distinct()
