@@ -2957,6 +2957,37 @@ _register(
 )
 
 
+def _price_quantity_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise-column correlation as a pinned ppm statistic
+    (operators/profile.py:pearson_corr_ppm) — does line revenue track
+    quantity? Built-in corr() float-sums in aggregation order and can
+    never hash cross-engine; here the five moment sums are EXACT
+    DECIMAL(38,0) integers over cent/unit-quantized values and the only
+    float work is one fixed expression over six scalars (the HLL
+    estimator contract). One map-side-combined aggregate, one row out."""
+    from vectordb_etl_spark.operators.profile import pearson_corr_ppm
+
+    li = _table(spark, sf, "lineitem")
+    return pearson_corr_ppm(
+        li, "l_extendedprice", "l_quantity", x_scale=100, y_scale=1
+    )
+
+
+def _price_quantity_corr_sql() -> str:
+    from vectordb_etl_spark.operators.profile import pearson_corr_ppm_sql
+
+    return pearson_corr_ppm_sql(
+        "lineitem", "l_extendedprice", "l_quantity", x_scale=100, y_scale=1
+    )
+
+
+_register(
+    "price_quantity_corr",
+    _price_quantity_corr,
+    _price_quantity_corr_sql(),
+)
+
+
 def _kmv_returned_only_parts(spark: SparkSession, sf: str) -> DataFrame:
     """KMV set-DIFFERENCE estimate (functions/sketches.py:
     kmv_difference): how many distinct parts appear ONLY on returned
@@ -6686,6 +6717,7 @@ _PRIORITY = [
     "order_status_diff",
     "kmv_returned_only_parts",
     "price_depth_histogram",
+    "price_quantity_corr",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

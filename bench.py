@@ -251,6 +251,7 @@ def main() -> None:
         "order_status_diff",
         "kmv_returned_only_parts",
         "price_depth_histogram",
+        "price_quantity_corr",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

@@ -127,3 +127,48 @@ def test_equi_depth_histogram_rejects_bad_buckets(spark):
         equi_depth_histogram(df, "v", buckets=1)
     with _pt.raises(ValueError, match="buckets"):
         equi_depth_histogram_sql("t", "v", buckets=0)
+
+
+def test_pearson_corr_ppm_known_values(spark):
+    from vectordb_etl_spark.operators.profile import pearson_corr_ppm
+
+    # perfect positive: y = 2x -> corr_ppm = 1_000_000 (floor exact)
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i)) for i in range(50)], "x double, y double"
+    )
+    row = pearson_corr_ppm(df, "x", "y", x_scale=1, y_scale=1).first()
+    assert row["n"] == 50 and row["corr_ppm"] == 1_000_000
+    # perfect negative
+    df2 = spark.createDataFrame(
+        [(float(i), float(-3 * i)) for i in range(50)], "x double, y double"
+    )
+    assert pearson_corr_ppm(df2, "x", "y", 1, 1).first()["corr_ppm"] == -1_000_000
+
+
+def test_pearson_corr_ppm_degenerate_and_nulls(spark):
+    from vectordb_etl_spark.operators.profile import pearson_corr_ppm
+
+    # constant x: zero variance -> NULL; NULL pairs dropped from n
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (1.0, 5.0), (None, 9.0), (1.0, None)],
+        "x double, y double",
+    )
+    row = pearson_corr_ppm(df, "x", "y", 1, 1).first()
+    assert row["n"] == 2 and row["corr_ppm"] is None
+
+
+def test_pearson_corr_ppm_matches_numpy_sign_and_magnitude(spark):
+    import numpy as np
+
+    from vectordb_etl_spark.operators.profile import pearson_corr_ppm
+
+    xs = [(i * 17) % 23 + 0.25 * i for i in range(200)]
+    ys = [((i * 11) % 19) - 0.1 * i for i in range(200)]
+    df = spark.createDataFrame(
+        list(zip(map(float, xs), map(float, ys))), "x double, y double"
+    )
+    got = pearson_corr_ppm(df, "x", "y", x_scale=100, y_scale=100).first()
+    want = np.corrcoef(
+        np.round(np.array(xs) * 100), np.round(np.array(ys) * 100)
+    )[0, 1]
+    assert abs(got["corr_ppm"] / 1e6 - want) < 2e-6

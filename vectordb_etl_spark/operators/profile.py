@@ -162,3 +162,106 @@ SELECT CAST(bucket AS INTEGER) AS bucket, CAST(count(*) AS BIGINT) AS n,
        CAST(round(min(v) * 1000000) AS BIGINT) AS lo_micro,
        CAST(round(max(v) * 1000000) AS BIGINT) AS hi_micro
 FROM assigned GROUP BY bucket ORDER BY bucket"""
+
+
+def pearson_corr_ppm(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 100,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Pearson correlation as a PINNED integer-ppm statistic — the
+    pairwise-column profile stat (CBO correlated-column detection, drift
+    dashboards). Built-in ``corr()`` is a float SUM whose value depends
+    on aggregation order — useless under the cross-engine hash. Here the
+    five moment sums are EXACT integers: quantize once
+    (``round(x·x_scale)``), aggregate in DECIMAL(38,0) (sum of squares
+    overflows bigint at ~1e6 rows of 1e7-unit values — the decimal
+    aggregate is the load-bearing part), then ONE fixed float expression
+    over six scalars (the HLL-estimator pattern: a short pinned
+    sequence over aggregate outputs is deterministic; a float
+    accumulation over rows is not). Returns
+    ``(n, corr_ppm)`` — ``corr_ppm = floor(1e6·cov/√(varx·vary))``,
+    NULL when either variance is zero. NULL pairs are dropped
+    (count only complete pairs)."""
+    x = F.round(F.col(x_col) * x_scale).cast("bigint")
+    y = F.round(F.col(y_col) * y_scale).cast("bigint")
+    q = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        x.alias("__x"),
+        y.alias("__y"),
+        (x.cast("decimal(38,0)") * y.cast("decimal(38,0)")).alias("__xy"),
+        (x.cast("decimal(38,0)") * x.cast("decimal(38,0)")).alias("__xx"),
+        (y.cast("decimal(38,0)") * y.cast("decimal(38,0)")).alias("__yy"),
+    )
+    sums = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("decimal(38,0)").alias("sx"),
+        F.sum("__y").cast("decimal(38,0)").alias("sy"),
+        F.sum("__xy").cast("decimal(38,0)").alias("sxy"),
+        F.sum("__xx").cast("decimal(38,0)").alias("sxx"),
+        F.sum("__yy").cast("decimal(38,0)").alias("syy"),
+    )
+    return sums.select(
+        "n",
+        F.expr(
+            "CASE WHEN n < 2 THEN NULL ELSE "
+            "  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0 "
+            "         OR (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+            "          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0 "
+            "  THEN NULL ELSE CAST(floor("
+            "    1000000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+            "    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+            "         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+            "            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            "  ) AS BIGINT) END END"
+        ).alias("corr_ppm"),
+    )
+
+
+def pearson_corr_ppm_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 100,
+    y_scale: int = 1,
+) -> str:
+    """DuckDB twin of :func:`pearson_corr_ppm`: identical quantization,
+    exact DECIMAL(38,0) moment sums, identical pinned final expression."""
+    return f"""
+WITH q AS (
+  SELECT CAST(round({x_col} * {x_scale}) AS BIGINT) AS x,
+         CAST(round({y_col} * {y_scale}) AS BIGINT) AS y
+  FROM {table}
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS syy
+  FROM q)
+SELECT n,
+       CASE WHEN n < 2 THEN NULL ELSE
+         CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0
+                OR (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0
+         THEN NULL ELSE CAST(floor(
+           1000000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         ) AS BIGINT) END END AS corr_ppm
+FROM s"""
