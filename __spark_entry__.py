@@ -2957,6 +2957,114 @@ _register(
 )
 
 
+def _events_daily_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type traffic trend (operators/profile.py:ols_slope_ppm): the
+    least-squares slope of daily event counts over epoch-day index — the
+    "is this stream growing" monitor column. Daily counts collapse to
+    bounded keys first (days × types), then ONE grouped aggregate of
+    exact DECIMAL(38,0) moment sums with a single pinned float step per
+    group — no window, no sort, nothing float-accumulates row-wise."""
+    from vectordb_etl_spark.operators.profile import ols_slope_ppm
+
+    ev = _events(spark, sf)
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.count("*").alias("y"))
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("1970-01-01")).alias("x"),
+            "y",
+        )
+    )
+    return ols_slope_ppm(daily, "x", "y", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+def _events_daily_trend_sql() -> str:
+    from vectordb_etl_spark.operators.profile import ols_slope_ppm_sql
+
+    daily = (
+        "SELECT event_type, "
+        "date_diff('day', DATE '1970-01-01', "
+        "CAST(date_trunc('day', ts) AS DATE)) AS x, "
+        "CAST(count(*) AS BIGINT) AS y "
+        "FROM events GROUP BY 1, 2"
+    )
+    return (
+        ols_slope_ppm_sql(daily, "x", "y", ["event_type"])
+        + " ORDER BY event_type"
+    )
+
+
+_register(
+    "events_daily_trend",
+    _events_daily_trend,
+    _events_daily_trend_sql(),
+)
+
+
+def _critical_parts_share(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC / Pareto analysis: the minimal set of parts covering 80% of
+    total line value. Exact integer arithmetic end to end: per-part
+    value in cents (one fact-table aggregate — the only big shuffle),
+    a window cumulative sum over the value-desc/partkey-asc total order
+    of the PARTS dimension (bounded: |parts|, never |lineitem|), total
+    via a broadcast 1-row scalar, and the keep rule is
+    "previous cumulative ppm < 800000" so the crossing row is included.
+    The classic inventory-criticality shape a 100 TB warehouse runs on
+    the dimension, not the fact."""
+    li = _table(spark, sf, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents")
+    )
+    w = Window.orderBy(F.desc("value_cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = per_part.agg(
+        F.sum("value_cents").cast("bigint").alias("__total")
+    )
+    cum = (
+        per_part.withColumn("cum_cents", F.sum("value_cents").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "value_cents",
+            F.expr("(1000000 * cum_cents) DIV __total").alias("cum_ppm"),
+            F.expr(
+                "(1000000 * (cum_cents - value_cents)) DIV __total"
+            ).alias("prev_ppm"),
+        )
+    )
+    return (
+        cum.filter(F.col("prev_ppm") < 800_000)
+        .select("l_partkey", "value_cents", "cum_ppm")
+        .orderBy(F.desc("value_cents"), F.asc("l_partkey"))
+    )
+
+
+_register(
+    "critical_parts_share",
+    _critical_parts_share,
+    "WITH per_part AS (SELECT l_partkey, "
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS value_cents FROM lineitem GROUP BY 1), "
+    "t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM per_part), "
+    "cum AS (SELECT l_partkey, value_cents, "
+    "CAST(sum(value_cents) OVER (ORDER BY value_cents DESC, l_partkey ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_cents FROM per_part) "
+    "SELECT l_partkey, value_cents, "
+    "(1000000 * cum_cents) // total AS cum_ppm "
+    "FROM cum, t WHERE (1000000 * (cum_cents - value_cents)) // total "
+    "< 800000 ORDER BY value_cents DESC, l_partkey ASC",
+)
+
+
 def _price_quantity_corr(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise-column correlation as a pinned ppm statistic
     (operators/profile.py:pearson_corr_ppm) — does line revenue track
@@ -6718,6 +6826,8 @@ _PRIORITY = [
     "kmv_returned_only_parts",
     "price_depth_histogram",
     "price_quantity_corr",
+    "events_daily_trend",
+    "critical_parts_share",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -252,6 +252,8 @@ def main() -> None:
         "kmv_returned_only_parts",
         "price_depth_histogram",
         "price_quantity_corr",
+        "events_daily_trend",
+        "critical_parts_share",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

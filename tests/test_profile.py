@@ -172,3 +172,42 @@ def test_pearson_corr_ppm_matches_numpy_sign_and_magnitude(spark):
         np.round(np.array(xs) * 100), np.round(np.array(ys) * 100)
     )[0, 1]
     assert abs(got["corr_ppm"] / 1e6 - want) < 2e-6
+
+
+def test_ols_slope_known_lines(spark):
+    from vectordb_etl_spark.operators.profile import ols_slope_ppm
+
+    rows = [("up", i, 3 * i + 7) for i in range(20)] + [
+        ("down", i, 100 - 2 * i) for i in range(20)
+    ] + [("flat", i, 5) for i in range(20)] + [("one", 1, 9)]
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    got = {
+        r["g"]: (r["n"], r["slope_ppm"])
+        for r in ols_slope_ppm(df, "x", "y", ["g"]).collect()
+    }
+    assert got["up"] == (20, 3_000_000)
+    assert got["down"] == (20, -2_000_000)
+    assert got["flat"] == (20, 0)
+    assert got["one"] == (1, None)  # degenerate: single x
+
+
+def test_ols_slope_matches_duckdb(spark):
+    import duckdb
+
+    from vectordb_etl_spark.operators.profile import (
+        ols_slope_ppm,
+        ols_slope_ppm_sql,
+    )
+
+    rows = [("a", i, (i * 13) % 29) for i in range(50)] + [
+        ("b", i, 200 - (i * 7) % 31) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    got = sorted(map(tuple, ols_slope_ppm(df, "x", "y", ["g"]).collect()))
+    src = "SELECT * FROM (VALUES " + ", ".join(
+        f"('{g}', {x}, {y})" for g, x, y in rows
+    ) + ") t(g, x, y)"
+    want = sorted(map(tuple, duckdb.connect().execute(
+        ols_slope_ppm_sql(src, "x", "y", ["g"])
+    ).fetchall()))
+    assert got == want

@@ -265,3 +265,86 @@ SELECT n,
                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
          ) AS BIGINT) END END AS corr_ppm
 FROM s"""
+
+
+def ols_slope_ppm(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group least-squares trend slope in ppm — "is this series
+    rising" over dashboards/monitors, with the same pinned-float
+    contract as :func:`pearson_corr_ppm`: ``x``/``y`` must already be
+    INTEGER-valued columns (day indexes, counts, micro-units — quantize
+    upstream), the four moment sums aggregate exactly in DECIMAL(38,0),
+    and the only float work is one fixed expression per group:
+    ``slope_ppm = floor(1e6·(n·sxy − sx·sy) / (n·sxx − sx²))``, NULL
+    for degenerate x. One map-side-combined aggregate keyed by the
+    groups; no window, no sort."""
+    group_cols = group_cols or []
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    q = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *group_cols,
+        x.alias("__x"),
+        y.alias("__y"),
+        (x * y).alias("__xy"),
+        (x * x).alias("__xx"),
+    )
+    sums = q.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("decimal(38,0)").alias("sx"),
+        F.sum("__y").cast("decimal(38,0)").alias("sy"),
+        F.sum("__xy").cast("decimal(38,0)").alias("sxy"),
+        F.sum("__xx").cast("decimal(38,0)").alias("sxx"),
+    )
+    return sums.select(
+        *group_cols,
+        "n",
+        F.expr(
+            "CASE WHEN n < 2 OR (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0 "
+            "THEN NULL ELSE CAST(floor("
+            "  1000000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+            "  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            ") AS BIGINT) END"
+        ).alias("slope_ppm"),
+    )
+
+
+def ols_slope_ppm_sql(
+    source_sql: str,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`ols_slope_ppm` — identical exact moment
+    sums and pinned final expression."""
+    group_cols = group_cols or []
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gby = f"GROUP BY {', '.join(group_cols)}" if group_cols else ""
+    return f"""
+WITH src AS (SELECT * FROM ({source_sql})
+             WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL),
+s AS (
+  SELECT {gsel}CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST({x_col} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST({y_col} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST({x_col} AS DECIMAL(38,0)) *
+                  CAST({y_col} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST({x_col} AS DECIMAL(38,0)) *
+                  CAST({x_col} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+  FROM src {gby})
+SELECT {gsel}n,
+       CASE WHEN n < 2 OR (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0
+       THEN NULL ELSE CAST(floor(
+         1000000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       ) AS BIGINT) END AS slope_ppm
+FROM s"""
