@@ -2957,6 +2957,129 @@ _register(
 )
 
 
+def _frequent_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association mining, Apriori level 2: the top 20
+    co-purchased part pairs by order support, with integer-ppm LIFT
+    (does the pair co-occur more than independence predicts —
+    ``lift_ppm = 1e6·sup_pair·N DIV (sup_a·sup_b)``). Pair generation is
+    the order-bounded lineitem self-join (≤ items²/order, no hub
+    blowup); supports are distinct-order counts; singles join back by
+    part key — broadcastable (parts dimension). Top-k is
+    TakeOrderedAndProject on (support desc, pair asc) — a total order,
+    so LIMIT is deterministic cross-engine."""
+    li = _table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2")
+    )
+    pair_sup = (
+        li.join(l2, li.l_orderkey == l2.k2)
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .agg(F.count_distinct("l_orderkey").alias("sup_pair"))
+    )
+    single = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count_distinct("l_orderkey").alias("sup")
+    )
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("__n")
+    )
+    sa = single.select(F.col("p").alias("a"), F.col("sup").alias("sup_a"))
+    sb = single.select(F.col("p").alias("b"), F.col("sup").alias("sup_b"))
+    return (
+        pair_sup.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            F.col("sup_pair").cast("bigint").alias("sup_pair"),
+            F.expr("(1000000 * sup_pair * __n) DIV (sup_a * sup_b)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("sup_pair"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+_register(
+    "frequent_part_pairs",
+    _frequent_part_pairs,
+    "WITH pair_sup AS (SELECT x.l_partkey AS a, y.l_partkey AS b, "
+    "count(DISTINCT x.l_orderkey) AS sup_pair "
+    "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+    "WHERE x.l_partkey < y.l_partkey GROUP BY 1, 2), "
+    "single AS (SELECT l_partkey AS p, count(DISTINCT l_orderkey) AS sup "
+    "FROM lineitem GROUP BY 1), "
+    "n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders "
+    "FROM lineitem) "
+    "SELECT a, b, CAST(sup_pair AS BIGINT) AS sup_pair, "
+    "(1000000 * sup_pair * n_orders) // (sa.sup * sb.sup) AS lift_ppm "
+    "FROM pair_sup JOIN single sa ON sa.p = a JOIN single sb ON sb.p = b, n "
+    "ORDER BY sup_pair DESC, a ASC, b ASC LIMIT 20",
+)
+
+
+def _session_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """First-touch attribution: every 'purchase' event credits the
+    event type that OPENED its user's session (30-minute inactivity
+    sessions — the same windowing rule as events_sessionize). Two
+    window passes over user-keyed partitions (session id by gap
+    cumsum, then first_value per session) and one count — the
+    marketing-attribution shape; all keys user-bounded, no self-joins."""
+    ev = _events(spark, sf).select("user_id", "event_type", "ts")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    # integer MICROSECONDS (unix_micros ≡ DuckDB epoch_us) — sub-second
+    # exact, the same parity rule as events_sessionize
+    gap = F.when(
+        F.unix_micros(F.col("ts"))
+        - F.lag(F.unix_micros(F.col("ts"))).over(w_user)
+        > 1_800_000_000,
+        1,
+    ).otherwise(0)
+    with_sess = ev.withColumn(
+        "sess",
+        F.sum(gap).over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w_sess = (
+        Window.partitionBy("user_id", "sess")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    attributed = with_sess.withColumn(
+        "first_touch", F.first("event_type").over(w_sess)
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+        .orderBy("first_touch")
+    )
+
+
+_register(
+    "session_attribution",
+    _session_attribution,
+    "WITH marked AS (SELECT user_id, event_type, ts, "
+    "CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_type)) > 1800000000 "
+    "THEN 1 ELSE 0 END AS gap FROM events), "
+    "sess AS (SELECT user_id, event_type, ts, "
+    "sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_type "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess "
+    "FROM marked), "
+    "ft AS (SELECT event_type, first_value(event_type) OVER "
+    "(PARTITION BY user_id, sess ORDER BY ts, event_type "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch "
+    "FROM sess) "
+    "SELECT first_touch, CAST(count(*) AS BIGINT) AS n_purchases "
+    "FROM ft WHERE event_type = 'purchase' "
+    "GROUP BY first_touch ORDER BY first_touch",
+)
+
+
 def _events_daily_trend(spark: SparkSession, sf: str) -> DataFrame:
     """Per-type traffic trend (operators/profile.py:ols_slope_ppm): the
     least-squares slope of daily event counts over epoch-day index — the
@@ -6828,6 +6951,8 @@ _PRIORITY = [
     "price_quantity_corr",
     "events_daily_trend",
     "critical_parts_share",
+    "frequent_part_pairs",
+    "session_attribution",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",
