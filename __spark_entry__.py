@@ -2730,6 +2730,36 @@ _register(
 )
 
 
+def _part_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic label-propagation communities (operators/
+    graph_analytics.py:label_propagation, 4 synchronous rounds) over the
+    support-2 bundle graph — "which parts cluster into baskets", the
+    assortment-segmentation shape. Majority adoption with the
+    (count desc, label asc) total-order tie-break makes every round —
+    and therefore the whole run — engine-reproducible; the oracle
+    unrolls identical rounds."""
+    from vectordb_etl_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    return label_propagation(_part_bundle_edges(spark, sf), rounds=4)
+
+
+def _part_communities_sql() -> str:
+    from vectordb_etl_spark.operators.graph_analytics import (
+        label_propagation_sql,
+    )
+
+    return label_propagation_sql(_BUNDLE_EDGES_SQL, rounds=4)
+
+
+_register(
+    "part_communities",
+    _part_communities,
+    _part_communities_sql(),
+)
+
+
 def _kcore_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     """k-core of the raw part co-purchase graph (operators/
     graph_analytics.py:kcore, k=60, 4 peel rounds): the
@@ -6953,6 +6983,7 @@ _PRIORITY = [
     "critical_parts_share",
     "frequent_part_pairs",
     "session_attribution",
+    "part_communities",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -190,3 +190,49 @@ def test_traversal_guards(spark):
         kcore(e, k=0, rounds=1)
     with _pt.raises(ValueError, match="rounds"):
         kcore_sql("x", k=1, rounds=0)
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from vectordb_etl_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    # two K4s joined by one bridge edge: majority voting keeps each
+    # clique on its own min label; the bridge cannot flip anyone
+    k1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k2 = [(a + 10, b + 10) for a, b in k1]
+    edges = spark.createDataFrame(k1 + k2 + [(3, 10)], ["src", "dst"])
+    got = {r["node"]: r["label"] for r in label_propagation(edges, 4).collect()}
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i + 10] for i in range(4)} == {10}
+
+
+def test_label_propagation_matches_duckdb_bit_for_bit(spark):
+    import duckdb as _dk
+
+    from vectordb_etl_spark.operators.graph_analytics import (
+        label_propagation,
+        label_propagation_sql,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (7, 8)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    got = sorted(map(tuple, label_propagation(edges, 3).collect()))
+    sql = label_propagation_sql(_values_sql(pairs, ["src", "dst"]), 3)
+    want = sorted(map(tuple, _dk.connect().execute(sql).fetchall()))
+    assert got == want
+
+
+def test_label_propagation_guard(spark):
+    import pytest as _pt
+
+    from vectordb_etl_spark.operators.graph_analytics import (
+        label_propagation,
+        label_propagation_sql,
+    )
+
+    e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    with _pt.raises(ValueError, match="rounds"):
+        label_propagation(e, 0)
+    with _pt.raises(ValueError, match="rounds"):
+        label_propagation_sql("x", -2)

@@ -446,3 +446,99 @@ SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
   SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
 GROUP BY node HAVING count(*) >= {k}""")
     return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# label propagation communities (synchronous, deterministic)
+# --------------------------------------------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over an
+    UNDIRECTED edge list (canonicalized, then mirrored internally):
+    every node starts labeled with its own id; each round it adopts the
+    most frequent label among its neighbors, ties broken by SMALLEST
+    label — a total order, which is what makes this deterministic where
+    textbook async LPA is run-order-dependent. Fixed ``rounds`` (same
+    contract as :func:`pagerank`); returns ``(node, label)``.
+
+    Unlike connected components (which this degenerates to on disjoint
+    cliques), majority adoption can split a connected graph into dense
+    cores — the community structure. Per round: one frontier join
+    (labels × mirrored edges), one (node, label) count, one
+    argmax-by-(count desc, label asc) window over per-node label
+    multisets — three shuffles, keys bounded by node degree. Lineage
+    truncated per round."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1; got {rounds}")
+    a, b = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    e = (
+        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    from pyspark.sql import Window as _W
+
+    for _ in range(rounds):
+        votes = (
+            labels.join(e, labels["node"] == e["src"])
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = _W.partitionBy("n2").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            votes.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(F.col("n2").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, rounds: int) -> str:
+    """DuckDB twin of :func:`label_propagation`: identical rounds
+    unrolled as chained CTEs, identical (count desc, label asc) argmax
+    via row_number."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1; got {rounds}")
+    parts = [
+        f"""
+WITH canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst),
+e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM canon
+  UNION ALL SELECT b, a FROM canon),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+v{i} AS (
+  SELECT e.dst AS node, l.label, count(*) AS c
+  FROM l{i} l JOIN e ON e.src = l.node
+  GROUP BY e.dst, l.label),
+l{i + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS r
+    FROM v{i}) WHERE r = 1
+)""")
+    parts.append(f"\nSELECT node, label FROM l{rounds}")
+    return "".join(parts)
