@@ -5295,6 +5295,86 @@ def _multimodal_decoded_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _image_ahash_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """IMAGE near-duplicate detection by perceptual average-hash
+    (multimodal.py:image_ahash): documents synthesize REAL 24-bpp BMPs
+    seeded by ``doc_id % 97`` — so ~n/97 docs share each image — and the
+    dedup key is the 64-bit aHash (floor-map 8×8 downsample → integer
+    gray → above-mean bits), computed by actually DECODING the bytes.
+    Hash-equal groups contain every planted duplicate class (same seed
+    ⇒ same hash; distinct seeds MAY collide — aHash is perceptual, and
+    similar gradients hashing together is the point); the oracle
+    restates downsample/gray/mean/bit arithmetic over
+    generate_series and string_aggs the same row-major bit string. The
+    100 TB story: image corpus dedup as a hash groupBy, pixels never
+    shuffle — only 64-char keys do."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from vectordb_etl_spark.multimodal import encode_bmp, image_ahash
+
+    @F.pandas_udf(BinaryType())
+    def synth_bmp_seeded(doc_id):
+        def mk(i):
+            s = int(i) % 97
+            w, h = s % 8 + 9, s % 6 + 9
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            r = (s + xx + yy) % 256
+            g = (s + 2 * xx) % 256
+            b = (s + 3 * yy) % 256
+            return encode_bmp(np.stack([r, g, b], axis=-1).astype(np.uint8))
+
+        return doc_id.map(mk)
+
+    docs = _docs(spark, sf).select(
+        "doc_id", synth_bmp_seeded("doc_id").alias("content")
+    )
+    hashed = image_ahash(docs, id_col="doc_id", grid=8)
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("ahash")
+    )
+
+
+_register(
+    "image_ahash_dups",
+    _image_ahash_dups,
+    # the identical downsample/gray/mean/bit arithmetic over
+    # generate_series; bits string_agg in the same row-major order
+    "WITH g AS ("
+    "  SELECT doc_id, doc_id % 97 AS s, "
+    "         doc_id % 97 % 8 + 9 AS w, doc_id % 97 % 6 + 9 AS h"
+    "  FROM documents"
+    "), oy AS ("
+    "  SELECT doc_id, s, w, h, unnest(generate_series(0, 7)) AS oy FROM g"
+    "), cell AS ("
+    "  SELECT doc_id, s, w, h, oy, unnest(generate_series(0, 7)) AS ox"
+    "  FROM oy"
+    "), gray AS ("
+    "  SELECT doc_id, oy, ox, "
+    "         ((s + (ox * w) // 8 + (oy * h) // 8) % 256 "
+    "          + (s + 2 * ((ox * w) // 8)) % 256 "
+    "          + (s + 3 * ((oy * h) // 8)) % 256) // 3 AS v"
+    "  FROM cell"
+    "), m AS ("
+    "  SELECT doc_id, CAST(sum(v) // 64 AS BIGINT) AS mean FROM gray "
+    "  GROUP BY doc_id"
+    "), bits AS ("
+    "  SELECT gray.doc_id, "
+    "         string_agg(CASE WHEN v > mean THEN '1' ELSE '0' END, '' "
+    "                    ORDER BY oy, ox) AS ahash"
+    "  FROM gray JOIN m ON m.doc_id = gray.doc_id GROUP BY gray.doc_id"
+    ") "
+    "SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(min(doc_id) AS BIGINT) AS min_doc "
+    "FROM bits GROUP BY ahash ORDER BY ahash",
+)
+
+
 _register(
     "multimodal_decoded_features",
     _multimodal_decoded_features,
@@ -6984,6 +7064,7 @@ _PRIORITY = [
     "frequent_part_pairs",
     "session_attribution",
     "part_communities",
+    "image_ahash_dups",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -318,3 +318,39 @@ def test_resize_and_resample_respect_string_id_column(spark):
     outa = resample_audio(dfa, out_rate=4000, id_col="uri")
     assert outa.schema["uri"].dataType.simpleString() == "string"
     assert outa.collect()[0]["uri"] == "wav-b"
+
+
+def test_ahash_identical_images_same_hash_different_differ(spark):
+    import numpy as np
+
+    from vectordb_etl_spark.multimodal import ahash_bits, encode_bmp, image_ahash
+
+    def img(seed, w=12, h=10):
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        return encode_bmp(
+            np.stack(
+                [(seed + 5 * xx) % 256, (seed + yy) % 256, (xx * yy) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+        )
+
+    rows = [(1, img(0)), (2, img(0)), (3, img(140)), (4, img(0, w=30, h=4))]
+    df = spark.createDataFrame(rows, "media_id bigint, content binary")
+    got = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert got[1] == got[2]                    # byte-identical -> equal
+    assert got[1] != got[3]                    # different gradient -> differs
+    assert all(len(v) == 64 for v in got.values())
+    # pure-python parity with the array-level function
+    from vectordb_etl_spark.multimodal import decode_bmp_pixels
+
+    assert got[1] == ahash_bits(decode_bmp_pixels(img(0)))
+
+
+def test_ahash_constant_image_is_all_zeros(spark):
+    import numpy as np
+
+    from vectordb_etl_spark.multimodal import ahash_bits
+
+    # constant gray: nothing exceeds the mean -> all '0' (the > rule)
+    px = np.full((9, 9, 3), 77, dtype=np.uint8)
+    assert ahash_bits(px) == "0" * 64

@@ -654,3 +654,56 @@ def resample_audio(
         ]
     )
     return df.mapInPandas(_gen, schema)
+
+
+def ahash_bits(px: "np.ndarray", grid: int = 8) -> str:
+    """Average-hash (aHash) perceptual fingerprint of a decoded pixel
+    array, as a row-major '0'/'1' string of ``grid²`` bits: floor-map
+    nearest-neighbor downsample to grid×grid (:func:`resize_pixels` —
+    the rule a SQL oracle can state exactly), integer grayscale
+    ``(r+g+b) DIV 3``, floor mean over the grid, bit = gray > mean.
+    Every step is integer arithmetic, so the hash is engine/platform
+    reproducible — unlike DCT-based pHash, whose float transform can't
+    be cross-checked. The string form keeps the sign-bit/bigint issues
+    out entirely (64 chars vs the 1<<63 DuckDB overflow, see
+    operators/bloom.py)."""
+    small = resize_pixels(px, grid, grid)
+    gray = small.astype(np.int64).sum(axis=-1) // 3
+    mean = int(gray.sum()) // (grid * grid)
+    return "".join(
+        "1" if int(v) > mean else "0" for v in gray.reshape(-1)
+    )
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    grid: int = 8,
+) -> DataFrame:
+    """Per-image aHash over an opaque binary column — the IMAGE
+    near-duplicate key of the dedup suite (web-scale image corpus dedup
+    groups by perceptual hash exactly like text dedup groups by
+    MinHash band). mapInPandas streams Arrow batches; output is
+    ``(id, ahash)`` with the id column's name and type passed through.
+    Group on ``ahash`` for exact-tier dedup, or compare bit strings
+    within hash-prefix blocks for a Hamming tier (the SimHash
+    pigeonhole technique in operators/dedup.py applies verbatim)."""
+    id_field = df.schema[id_col]
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                px = decode_pixels(bytes(blob or b""))
+                ids.append(mid)
+                hashes.append(ahash_bits(px, grid))
+            yield pd.DataFrame({id_field.name: ids, "ahash": hashes})
+
+    schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("ahash", StringType()),
+        ]
+    )
+    return df.mapInPandas(_gen, schema)
