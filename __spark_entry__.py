@@ -5375,6 +5375,118 @@ _register(
 )
 
 
+def _image_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-duplicate image classes: pairs of distinct aHash values
+    within Hamming distance 3, found EXACTLY by the pigeonhole block
+    join (operators/dedup.py:simhash_near_dup_pairs technique, applied
+    to the 64-char bit string: 4 blocks of 16 — any pair ≤ 3 apart
+    agrees on ≥ 1 whole block, so the 4 equi-joins lose nothing). The
+    join runs on DISTINCT hashes (exact-dup classes collapse first —
+    the real pipeline order), candidates dedup before the 64-position
+    Hamming verify, all JVM string expressions. Same synthesized corpus
+    as image_ahash_dups; oracle restates hash construction AND the
+    blocked join."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from vectordb_etl_spark.multimodal import encode_bmp, image_ahash
+
+    @F.pandas_udf(BinaryType())
+    def synth_bmp_seeded2(doc_id):
+        def mk(i):
+            s = int(i) % 97
+            w, h = s % 8 + 9, s % 6 + 9
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            r = (s + xx + yy) % 256
+            g = (s + 2 * xx) % 256
+            b = (s + 3 * yy) % 256
+            return encode_bmp(np.stack([r, g, b], axis=-1).astype(np.uint8))
+
+        return doc_id.map(mk)
+
+    docs = _docs(spark, sf).select(
+        "doc_id", synth_bmp_seeded2("doc_id").alias("content")
+    )
+    hashes = (
+        image_ahash(docs, id_col="doc_id", grid=8)
+        .select("ahash")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds 4 block joins
+    )
+    cands = None
+    for j in range(4):
+        blk = F.substring("ahash", j * 16 + 1, 16)
+        a = hashes.select(
+            F.col("ahash").alias("ha"), blk.alias("__blk")
+        )
+        b = hashes.select(
+            F.col("ahash").alias("hb"), blk.alias("__blk")
+        )
+        pair = a.join(b, "__blk").where(F.col("ha") < F.col("hb")).select(
+            "ha", "hb"
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    ham = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
+        "CASE WHEN substring(ha, i, 1) <> substring(hb, i, 1) "
+        "THEN 1 ELSE 0 END)"
+    )
+    return (
+        cands.distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= 3)
+        .orderBy("ha", "hb")
+    )
+
+
+_register(
+    "image_near_dup_pairs",
+    _image_near_dup_pairs,
+    # hash construction as in image_ahash_dups, then the same blocked
+    # join + Hamming verify over distinct hashes
+    "WITH g AS ("
+    "  SELECT doc_id, doc_id % 97 AS s, "
+    "         doc_id % 97 % 8 + 9 AS w, doc_id % 97 % 6 + 9 AS h"
+    "  FROM documents"
+    "), oy AS ("
+    "  SELECT doc_id, s, w, h, unnest(generate_series(0, 7)) AS oy FROM g"
+    "), cell AS ("
+    "  SELECT doc_id, s, w, h, oy, unnest(generate_series(0, 7)) AS ox"
+    "  FROM oy"
+    "), gray AS ("
+    "  SELECT doc_id, oy, ox, "
+    "         ((s + (ox * w) // 8 + (oy * h) // 8) % 256 "
+    "          + (s + 2 * ((ox * w) // 8)) % 256 "
+    "          + (s + 3 * ((oy * h) // 8)) % 256) // 3 AS v"
+    "  FROM cell"
+    "), m AS ("
+    "  SELECT doc_id, CAST(sum(v) // 64 AS BIGINT) AS mean FROM gray "
+    "  GROUP BY doc_id"
+    "), hs AS ("
+    "  SELECT DISTINCT string_agg("
+    "    CASE WHEN v > mean THEN '1' ELSE '0' END, '' ORDER BY oy, ox) "
+    "    AS ahash"
+    "  FROM gray JOIN m ON m.doc_id = gray.doc_id GROUP BY gray.doc_id"
+    "), cand AS ("
+    "  SELECT DISTINCT a.ahash AS ha, b.ahash AS hb"
+    "  FROM hs a JOIN hs b ON a.ahash < b.ahash, "
+    "       generate_series(0, 3) blk(j)"
+    "  WHERE substr(a.ahash, CAST(j * 16 + 1 AS BIGINT), 16) "
+    "      = substr(b.ahash, CAST(j * 16 + 1 AS BIGINT), 16)"
+    ") "
+    "SELECT ha, hb, CAST(list_sum(list_transform(range(64), "
+    "  i -> CASE WHEN substr(ha, CAST(i + 1 AS BIGINT), 1) "
+    "           <> substr(hb, CAST(i + 1 AS BIGINT), 1) "
+    "       THEN 1 ELSE 0 END)) AS INTEGER) AS hamming "
+    "FROM cand "
+    "WHERE list_sum(list_transform(range(64), "
+    "  i -> CASE WHEN substr(ha, CAST(i + 1 AS BIGINT), 1) "
+    "           <> substr(hb, CAST(i + 1 AS BIGINT), 1) "
+    "       THEN 1 ELSE 0 END)) <= 3 "
+    "ORDER BY ha, hb",
+)
+
+
 _register(
     "multimodal_decoded_features",
     _multimodal_decoded_features,
@@ -7065,6 +7177,7 @@ _PRIORITY = [
     "session_attribution",
     "part_communities",
     "image_ahash_dups",
+    "image_near_dup_pairs",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",
