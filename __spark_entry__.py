@@ -584,6 +584,51 @@ _register(
     "> 1800000000 THEN 1 ELSE 0 END AS new_s FROM events)) GROUP BY user_id",
 )
 
+def _session_window_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's NATIVE session-window operator (F.session_window — the
+    merging-interval aggregate Catalyst plans without any manual
+    lag/cumsum) checked against the gaps-and-islands restatement: per
+    (user, session) the window START (= first event ts) and event
+    count. Boundary semantics differ from events_sessionize's lag rule
+    in exactly one place — a session window is END-EXCLUSIVE, so a gap
+    of EXACTLY 30:00.000000 starts a new session (the oracle's >= where
+    the lag rule says >) — which is precisely what a cross-engine
+    hash check pins down."""
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_register(
+    "session_window_stats",
+    _session_window_stats,
+    # gaps-and-islands with the END-EXCLUSIVE rule (>=): new session
+    # when the micro-exact gap reaches 30 minutes
+    "WITH marked AS (SELECT user_id, ts, "
+    "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "OR epoch_us(ts) - epoch_us(lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts)) >= 1800000000 "
+    "THEN 1 ELSE 0 END AS new_s FROM events), "
+    "sess AS (SELECT user_id, ts, sum(new_s) OVER "
+    "(PARTITION BY user_id ORDER BY ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid "
+    "FROM marked) "
+    "SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, "
+    "CAST(count(*) AS BIGINT) AS n_events "
+    "FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start",
+)
+
+
 def _conversion_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered conversion funnel on first occurrences: signup → view →
     click → purchase, a stage counting only users whose first event of
@@ -5487,6 +5532,76 @@ _register(
 )
 
 
+def _audio_ahash_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """AUDIO near-duplicate detection by energy fingerprint
+    (multimodal.py:audio_ahash) — the WAV twin of image_ahash_dups:
+    documents synthesize REAL 16-bit PCM WAVs seeded by ``doc_id % 89``
+    and the dedup key is the 64-slot energy-profile bit string computed
+    by actually decoding the RIFF bytes (floor-map slot sampling,
+    integer |sample| metric, above-mean bits). The oracle restates the
+    slot/abs/mean/bit arithmetic over generate_series. Clips never
+    shuffle — only 64-char keys do."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from vectordb_etl_spark.multimodal import audio_ahash, encode_wav
+
+    @F.pandas_udf(BinaryType())
+    def synth_wav_seeded(doc_id):
+        def mk(i):
+            s = int(i) % 89
+            k = np.arange(s % 50 + 80)
+            # burst train whose period (and clip length) depend on the
+            # seed — the energy PROFILE, not just the values, varies
+            samples = np.where(
+                (k // 4) % (s % 6 + 2) == 0, 30000 + s, s * 50
+            ).astype(np.int16)
+            return encode_wav(samples.reshape(-1, 1), 16000)
+
+        return doc_id.map(mk)
+
+    docs = _docs(spark, sf).select(
+        "doc_id", synth_wav_seeded("doc_id").alias("content")
+    )
+    hashed = audio_ahash(docs, id_col="doc_id", windows=64)
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("ahash")
+    )
+
+
+_register(
+    "audio_ahash_dups",
+    _audio_ahash_dups,
+    "WITH g AS ("
+    "  SELECT doc_id, doc_id % 89 AS s, doc_id % 89 % 50 + 80 AS n"
+    "  FROM documents"
+    "), slot AS ("
+    "  SELECT doc_id, s, n, unnest(generate_series(0, 63)) AS j FROM g"
+    "), vals AS ("
+    "  SELECT doc_id, j, "
+    "         abs(CASE WHEN (((j * n) // 64) // 4) % (s % 6 + 2) = 0 "
+    "             THEN 30000 + s ELSE s * 50 END) AS v"
+    "  FROM slot"
+    "), m AS ("
+    "  SELECT doc_id, CAST(sum(v) // 64 AS BIGINT) AS mean FROM vals "
+    "  GROUP BY doc_id"
+    "), bits AS ("
+    "  SELECT vals.doc_id, "
+    "         string_agg(CASE WHEN v > mean THEN '1' ELSE '0' END, '' "
+    "                    ORDER BY j) AS ahash"
+    "  FROM vals JOIN m ON m.doc_id = vals.doc_id GROUP BY vals.doc_id"
+    ") "
+    "SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(min(doc_id) AS BIGINT) AS min_doc "
+    "FROM bits GROUP BY ahash ORDER BY ahash",
+)
+
+
 _register(
     "multimodal_decoded_features",
     _multimodal_decoded_features,
@@ -7178,6 +7293,8 @@ _PRIORITY = [
     "part_communities",
     "image_ahash_dups",
     "image_near_dup_pairs",
+    "audio_ahash_dups",
+    "session_window_stats",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -259,6 +259,8 @@ def main() -> None:
         "part_communities",
         "image_ahash_dups",
         "image_near_dup_pairs",
+        "audio_ahash_dups",
+        "session_window_stats",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

@@ -354,3 +354,27 @@ def test_ahash_constant_image_is_all_zeros(spark):
     # constant gray: nothing exceeds the mean -> all '0' (the > rule)
     px = np.full((9, 9, 3), 77, dtype=np.uint8)
     assert ahash_bits(px) == "0" * 64
+
+
+def test_audio_energy_bits_bursts_and_parity(spark):
+    import numpy as np
+
+    from vectordb_etl_spark.multimodal import (
+        audio_ahash,
+        audio_energy_bits,
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    # loud burst in the middle third -> those slots read '1'
+    quiet, loud = np.full(40, 10), np.full(20, 20000)
+    samples = np.concatenate([quiet, loud, quiet]).astype(np.int16)
+    bits = audio_energy_bits(samples.reshape(-1, 1), windows=10)
+    assert bits == "0000110000"
+    # UDF path parity with the array-level function, stereo collapse
+    stereo = np.stack([samples, samples], axis=1).astype(np.int16)
+    blob = encode_wav(stereo, 8000)
+    df = spark.createDataFrame([(1, blob)], "media_id bigint, content binary")
+    got = audio_ahash(df, windows=10).first()["ahash"]
+    dec, _ = decode_wav_samples(blob)
+    assert got == audio_energy_bits(dec, windows=10) == bits

@@ -707,3 +707,54 @@ def image_ahash(
         ]
     )
     return df.mapInPandas(_gen, schema)
+
+
+def audio_energy_bits(samples: "np.ndarray", windows: int = 64) -> str:
+    """Energy-profile fingerprint of decoded PCM samples — the AUDIO
+    twin of :func:`ahash_bits`: frames collapse to mono (integer mean
+    across channels), the floor-map rule assigns each of ``windows``
+    output slots a source frame index (same
+    ``src = (dst · n) // windows`` arithmetic as :func:`resize_pixels`,
+    so a SQL oracle can state every sampled value), the per-slot metric
+    is |sample|, and bit = metric > floor-mean over the slots. Pure
+    integer arithmetic, '0'/'1' string out; group equal strings for the
+    exact tier, pigeonhole blocks for a Hamming tier."""
+    if samples.ndim == 1:
+        samples = samples.reshape(-1, 1)
+    mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+    n = mono.shape[0]
+    idx = (np.arange(windows) * n) // windows
+    vals = np.abs(mono[idx])
+    mean = int(vals.sum()) // windows
+    return "".join("1" if int(v) > mean else "0" for v in vals)
+
+
+def audio_ahash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    windows: int = 64,
+) -> DataFrame:
+    """Per-clip energy fingerprint over an opaque WAV binary column —
+    decode (RIFF walk, real PCM samples), fingerprint, emit
+    ``(id, ahash)`` with the id column's name/type passed through;
+    mapInPandas Arrow batches, clips never shuffle — only 64-char
+    keys do."""
+    id_field = df.schema[id_col]
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                samples, _rate = decode_wav_samples(bytes(blob or b""))
+                ids.append(mid)
+                hashes.append(audio_energy_bits(samples, windows))
+            yield pd.DataFrame({id_field.name: ids, "ahash": hashes})
+
+    schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("ahash", StringType()),
+        ]
+    )
+    return df.mapInPandas(_gen, schema)
