@@ -163,3 +163,46 @@ def test_corpus_observability_dashboard(spark):
     }
     second = run()
     assert first == second  # bit-deterministic dashboard
+
+
+def test_warehouse_health_dashboard(spark):
+    """Table-side health dashboard: sections present and byte-identical
+    across two runs (every number integer / pinned arithmetic)."""
+    import json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent.parent / "examples" / (
+        "warehouse_health.py"
+    )
+
+    def run():
+        p = subprocess.run(
+            [_sys.executable, str(script), "/root/testdata/sf0.001"],
+            capture_output=True, text=True, timeout=420,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        return [
+            json.loads(line)
+            for line in p.stdout.splitlines()
+            if line.startswith("{")
+        ]
+
+    first = run()
+    sections = {k for d in first for k in d}
+    assert sections == {
+        "column_profile",
+        "price_histogram",
+        "price_quantity_corr",
+        "daily_trend",
+        "snapshot_diff",
+        "bloom_file_skipping",
+    }
+    by_name = {k: v for d in first for k, v in d.items()}
+    # skipping actually skips: a point probe touches < half the files
+    bf = by_name["bloom_file_skipping"]
+    assert bf["n_files"] == 8
+    assert bf["candidates_for_min_key"] <= 3
+    assert by_name["snapshot_diff"]["removed"] > 0
+    assert run() == first  # deterministic end to end
