@@ -2775,6 +2775,53 @@ _register(
 )
 
 
+def _part_affinity_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank / random walk with restart (operators/
+    graph_analytics.py:personalized_pagerank): affinity of every part
+    to the deterministic 1%-seed assortment over the support-2 bundle
+    graph — the "customers also bought" recommendation score, where
+    plain PageRank would rank global hubs instead. 4 integer micro-unit
+    rounds, teleport mass returning only to seeds; the oracle unrolls
+    identical rounds. Non-seed parts with rank 0 are filtered (they
+    carry no affinity signal and would bloat the result)."""
+    from vectordb_etl_spark.operators.graph_analytics import (
+        personalized_pagerank,
+    )
+
+    edges = _part_bundle_edges(spark, sf)
+    seeds = (
+        _table(spark, sf, "part")
+        .filter(F.col("p_partkey") % 100 == 1)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    out = personalized_pagerank(edges, seeds, iterations=4)
+    return out.filter(F.col("rank_micro") > 0).orderBy(
+        F.desc("rank_micro"), F.asc("node")
+    )
+
+
+def _part_affinity_ppr_sql() -> str:
+    from vectordb_etl_spark.operators.graph_analytics import (
+        personalized_pagerank_sql,
+    )
+
+    return (
+        personalized_pagerank_sql(
+            _BUNDLE_EDGES_SQL,
+            "SELECT p_partkey AS node FROM part WHERE p_partkey % 100 = 1",
+            iterations=4,
+        )
+        + " WHERE rank_micro > 0 ORDER BY rank_micro DESC, node ASC"
+    )
+
+
+_register(
+    "part_affinity_ppr",
+    _part_affinity_ppr,
+    _part_affinity_ppr_sql(),
+)
+
+
 def _part_communities(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic label-propagation communities (operators/
     graph_analytics.py:label_propagation, 4 synchronous rounds) over the
@@ -7295,6 +7342,7 @@ _PRIORITY = [
     "image_near_dup_pairs",
     "audio_ahash_dups",
     "session_window_stats",
+    "part_affinity_ppr",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -261,6 +261,7 @@ def main() -> None:
         "image_near_dup_pairs",
         "audio_ahash_dups",
         "session_window_stats",
+        "part_affinity_ppr",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

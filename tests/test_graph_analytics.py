@@ -236,3 +236,64 @@ def test_label_propagation_guard(spark):
         label_propagation(e, 0)
     with _pt.raises(ValueError, match="rounds"):
         label_propagation_sql("x", -2)
+
+
+def test_personalized_pagerank_affinity_decays_with_distance(spark):
+    from vectordb_etl_spark.operators.graph_analytics import (
+        personalized_pagerank,
+    )
+
+    # chain 0-1-2-3 (undirected) + far pair 8-9; seed = {0}
+    pairs = [(0, 1), (1, 2), (2, 3), (8, 9)]
+    both = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(both, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in personalized_pagerank(edges, seeds, iterations=6).collect()
+    }
+    # every chain member carries affinity, the far end least (the seed
+    # itself need NOT rank first: a degree-1 seed pushes all its mass to
+    # its neighbor each round); the disconnected pair gets ZERO
+    assert min(got[0], got[1], got[2]) > got[3] > 0
+    assert got[8] == 0 and got[9] == 0
+
+
+def test_personalized_pagerank_matches_duckdb_bit_for_bit(spark):
+    import duckdb as _dk
+
+    from vectordb_etl_spark.operators.graph_analytics import (
+        personalized_pagerank,
+        personalized_pagerank_sql,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2)]
+    both = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(both, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (4,)], ["node"])
+    got = sorted(
+        map(tuple, personalized_pagerank(edges, seeds, iterations=5).collect())
+    )
+    sql = personalized_pagerank_sql(
+        _values_sql(both, ["src", "dst"]),
+        "SELECT 0 AS node UNION ALL SELECT 4",
+        iterations=5,
+    )
+    want = sorted(map(tuple, _dk.connect().execute(sql).fetchall()))
+    assert got == want
+
+
+def test_personalized_pagerank_guard(spark):
+    import pytest as _pt
+
+    from vectordb_etl_spark.operators.graph_analytics import (
+        personalized_pagerank,
+        personalized_pagerank_sql,
+    )
+
+    e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    s = spark.createDataFrame([(0,)], ["node"])
+    with _pt.raises(ValueError, match="damping_ppm"):
+        personalized_pagerank(e, s, damping_ppm=0)
+    with _pt.raises(ValueError, match="damping_ppm"):
+        personalized_pagerank_sql("x", "y", damping_ppm=1_000_000)

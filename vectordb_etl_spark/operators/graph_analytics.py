@@ -542,3 +542,130 @@ l{i + 1} AS (
 )""")
     parts.append(f"\nSELECT node, label FROM l{rounds}")
     return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# personalized PageRank (random walk with restart)
+# --------------------------------------------------------------------------
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping_ppm: int = 850_000,
+    iterations: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Random walk with RESTART — the recommendation twin of
+    :func:`pagerank`: the teleport term returns mass only to the SEED
+    set, so ranks measure affinity to the seeds rather than global
+    centrality ("customers also bought" from a seed assortment). Same
+    integer micro-unit contract: seeds start at 1e6 (others 0), each
+    round every node keeps ``(1−d)`` of its seed allowance plus ``d``
+    times the incoming share — all floor division, bit-identical on any
+    engine/partitioning, so :func:`personalized_pagerank_sql` can
+    hash-check it. Same two-shuffles-per-round shape and per-round
+    lineage truncation as pagerank; seed mass normalizes per seed (each
+    seed contributes 1e6, total mass ≤ |seeds|·1e6)."""
+    if not 0 < damping_ppm < _ONE:
+        raise ValueError(f"damping_ppm must be in (0, 1e6); got {damping_ppm}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ewd = (
+        e.join(deg, "src").select("src", "dst", "deg")
+        .localCheckpoint(eager=True)
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        ewd.select(F.col("src").alias("node"))
+        .unionByName(ewd.select(F.col("dst").alias("node")))
+        .unionByName(sd)
+        .distinct()
+    )
+    base = nodes.join(
+        sd.withColumn("__s", F.lit(1)), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("__s").isNotNull(), F.lit(_ONE))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("seed_micro"),
+    ).localCheckpoint(eager=True)
+    teleport = _ONE - damping_ppm
+    ranks = base.select(
+        "node", F.col("seed_micro").alias("rank_micro"), "seed_micro"
+    )
+    for _ in range(iterations):
+        incoming = (
+            ranks.join(ewd, ranks["node"] == ewd["src"], "inner")
+            .select(F.col("dst"), F.expr("rank_micro DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            base.join(incoming, base["node"] == incoming["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"({teleport} * seed_micro) DIV {_ONE}")
+                    + F.expr(
+                        f"({damping_ppm} * coalesce(s, CAST(0 AS BIGINT)))"
+                        f" DIV {_ONE}"
+                    )
+                ).cast("bigint").alias("rank_micro"),
+                "seed_micro",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank_micro")
+
+
+def personalized_pagerank_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    damping_ppm: int = 850_000,
+    iterations: int = 6,
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank` — identical integer
+    rounds unrolled as chained CTEs. ``seeds_sql`` must expose
+    ``node``."""
+    if not 0 < damping_ppm < _ONE:
+        raise ValueError(f"damping_ppm must be in (0, 1e6); got {damping_ppm}")
+    teleport = _ONE - damping_ppm
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+sd AS MATERIALIZED (SELECT DISTINCT node FROM ({seeds_sql})),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+  UNION SELECT node FROM sd),
+base AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN s.node IS NULL THEN 0 ELSE {_ONE} END AS BIGINT)
+           AS seed_micro
+  FROM nodes n LEFT JOIN sd s ON s.node = n.node),
+r0 AS (SELECT node, seed_micro AS rank_micro, seed_micro FROM base)"""
+    ]
+    for i in range(iterations):
+        parts.append(f""",
+inc_{i} AS (
+  SELECT e.dst AS node,
+         CAST(sum(r.rank_micro // d.deg) AS BIGINT) AS s
+  FROM r{i} r JOIN deg d ON d.src = r.node JOIN e ON e.src = r.node
+  GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT b.node,
+         CAST(({teleport} * b.seed_micro) // {_ONE}
+              + ({damping_ppm} * coalesce(i.s, 0)) // {_ONE}
+              AS BIGINT) AS rank_micro,
+         b.seed_micro
+  FROM base b LEFT JOIN inc_{i} i ON i.node = b.node
+)""")
+    parts.append(f"\nSELECT node, rank_micro FROM r{iterations}")
+    return "".join(parts)
