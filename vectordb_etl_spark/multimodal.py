@@ -723,6 +723,8 @@ def audio_energy_bits(samples: "np.ndarray", windows: int = 64) -> str:
         samples = samples.reshape(-1, 1)
     mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
     n = mono.shape[0]
+    if n == 0:  # zero-frame clip: nothing exceeds the mean
+        return "0" * windows
     idx = (np.arange(windows) * n) // windows
     vals = np.abs(mono[idx])
     mean = int(vals.sum()) // windows
