@@ -7276,73 +7276,55 @@ _register(
 # `list(queries())[:50]` after registering anything new.
 
 _PRIORITY = [
-    # r06 rotation: the three r05 driver-reds lead (all were the DuckDB
-    # HUGEINT->pandas-float64 canonicalization class, fixed this round by
-    # CAST(... AS BIGINT) in their oracles — they MUST re-check green),
-    # then the 12 never-driver-checked r06 queries, then the r03-last
-    # tier (43 rows), then the r04 set, alphabetical within each tier.
-    # The driver caps at 50: 3 reds + 12 new + the first ~35 r03 rows
-    # fit; the alphabetical tail of the r03 tier (~8 rows from
-    # streaming_windowed_counts onward) slips to r07 — all are locally
-    # 3-SF green this round, so the risk is bookkeeping, not coverage.
-    # r07 NOTE: lead r07 with that r03 tail + the whole r04 tier
-    # (recompute last-checked rounds from CORRECTNESS_r0*.json as r06
-    # did; the r06-endgame memory records the recipe).
     "corpus_drift",
-    "json_props_stats",
     "embedding_drift",
-    # new-in-r06 queries (never driver-checked) ride directly after the
-    # re-check reds; with 5 of them, the alphabetical tail of the r03
-    # tier (top_terms_per_language, user_event_windows, video_frame_
-    # fanout) slips past the 50-cap to lead r07 with the r04 tier
-    "hll_distinct_orders",
-    "zorder_locality",
-    "bipartite_pagerank",
-    "scd2_order_status",
-    "idle_rich_customers",
-    "kmv_corpus_overlap",
-    "streaming_hll_ingest",
-    "cm_token_freq",
-    "skew_report_events",
-    "streaming_cm_ingest",
-    "events_daily_anomalies",
-    "corpus_drift_chi2",
-    "join_size_estimate",
-    "sample_quantiles_prices",
-    "hll_multigrain_users",
-    "inverted_term_lookup",
-    # late-r06 additions (also never driver-checked) — each slot here
-    # pushes one more r03-tier row past the 50-cap into the r07 lead
-    "dedup_aware_split",
-    "incremental_agg_merge",
-    "part_copurchase_triangles",
-    "ewma_daily_events",
-    "dominant_part_suppliers",
-    "bm25_ranked_lookup",
-    "heavy_hitter_terms",
-    "prefix_jaccard_pairs",
-    "bloom_semi_revenue",
+    "json_props_stats",
+    "audio_ahash_dups",
     "bfs_part_reach",
-    "kcore_copurchase",
-    "streaming_bloom_ingest",
+    "bipartite_pagerank",
     "bitmap_distinct_users",
+    "bloom_semi_revenue",
+    "bm25_ranked_lookup",
     "bpe_first_merges",
-    "open_orders_daily",
+    "cm_token_freq",
     "column_profile_orders",
-    "order_status_diff",
-    "kmv_returned_only_parts",
-    "price_depth_histogram",
-    "price_quantity_corr",
-    "events_daily_trend",
+    "corpus_drift_chi2",
     "critical_parts_share",
+    "dedup_aware_split",
+    "dominant_part_suppliers",
+    "events_daily_anomalies",
+    "events_daily_trend",
+    "ewma_daily_events",
     "frequent_part_pairs",
-    "session_attribution",
-    "part_communities",
+    "heavy_hitter_terms",
+    "hll_distinct_orders",
+    "hll_multigrain_users",
+    "idle_rich_customers",
     "image_ahash_dups",
     "image_near_dup_pairs",
-    "audio_ahash_dups",
-    "session_window_stats",
+    "incremental_agg_merge",
+    "inverted_term_lookup",
+    "join_size_estimate",
+    "kcore_copurchase",
+    "kmv_corpus_overlap",
+    "kmv_returned_only_parts",
+    "open_orders_daily",
+    "order_status_diff",
     "part_affinity_ppr",
+    "part_communities",
+    "part_copurchase_triangles",
+    "prefix_jaccard_pairs",
+    "price_depth_histogram",
+    "price_quantity_corr",
+    "sample_quantiles_prices",
+    "scd2_order_status",
+    "session_attribution",
+    "session_window_stats",
+    "skew_report_events",
+    "streaming_bloom_ingest",
+    "streaming_cm_ingest",
+    "streaming_hll_ingest",
+    "zorder_locality",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",
