@@ -5087,6 +5087,49 @@ _register(
 )
 
 
+def _streaming_bitmap_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-maintained EXACT distinct users per type (streaming/
+    ingest.py:bitmap_ingest_stream) — the zero-error closer of the
+    sketch-sink family: events arrive as four micro-batches, each
+    batch's word bitmap bit_or-merges into the persisted register
+    table (idempotent — replays free, the bloom contract), and
+    sum(bit_count) per type IS COUNT(DISTINCT) — which is exactly what
+    the independent oracle states. Forever-running distinct counting
+    with state = touched words per type, zero error, no user ids held."""
+    import tempfile
+
+    from vectordb_etl_spark.streaming.ingest import bitmap_ingest_stream
+
+    ev = _events(spark, sf).select("event_type", "user_id")
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.repartition(4).write.parquet(f"{tmp}/landing")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/landing")
+        )
+        q = bitmap_ingest_stream(
+            stream, f"{tmp}/regs", f"{tmp}/ckpt",
+            value_col="user_id", group_cols=["event_type"],
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+        regs = spark.read.parquet(f"{tmp}/regs")
+        out = regs.groupBy("event_type").agg(
+            F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "streaming_bitmap_ingest",
+    _streaming_bitmap_ingest,
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+    "FROM events GROUP BY event_type",
+)
+
+
 def _bitmap_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT distinct users per event type via the fixed-domain word
     bitmap (functions/sketches.py:bitmap_distinct) — the zero-error
@@ -7276,6 +7319,7 @@ _register(
 # `list(queries())[:50]` after registering anything new.
 
 _PRIORITY = [
+    "streaming_bitmap_ingest",
     "corpus_drift",
     "embedding_drift",
     "json_props_stats",

@@ -262,6 +262,7 @@ def main() -> None:
         "audio_ahash_dups",
         "session_window_stats",
         "part_affinity_ppr",
+        "streaming_bitmap_ingest",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape

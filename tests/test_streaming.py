@@ -611,3 +611,51 @@ def test_bloom_ingest_stream_equals_batch_and_absorbs_redelivery(spark, tmp_path
     assert sorted(map(tuple, spark.read.parquet(bloom_path).collect())) == batch
     _run("ckpt2")  # full replay into the same bitmap: or(or) == or
     assert sorted(map(tuple, spark.read.parquet(bloom_path).collect())) == batch
+
+
+def test_bitmap_ingest_stream_exact_and_replay_safe(spark, tmp_path):
+    """Word bit_or is idempotent: the stream-maintained registers give
+    EXACT distinct counts equal to batch COUNT(DISTINCT), and a full
+    replay changes nothing."""
+    from tests.conftest import SF_TINY
+    from vectordb_etl_spark.streaming.ingest import bitmap_ingest_stream
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    landing = str(tmp_path / "landing")
+    regs_path = str(tmp_path / "regs")
+    ev.repartition(3).write.parquet(landing)
+
+    def _run(ckpt):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = bitmap_ingest_stream(
+            stream, regs_path, str(tmp_path / ckpt),
+            value_col="user_id", group_cols=["event_type"],
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+
+    def _counts():
+        return {
+            r["event_type"]: r["n"]
+            for r in spark.read.parquet(regs_path)
+            .groupBy("event_type")
+            .agg(F.sum(F.bit_count("bits")).alias("n"))
+            .collect()
+        }
+
+    _run("ckpt")
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert _counts() == want
+    _run("ckpt2")  # replay everything
+    assert _counts() == want

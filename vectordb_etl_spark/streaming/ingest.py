@@ -776,3 +776,64 @@ def bloom_ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bitmap_ingest_stream(
+    stream_df: DataFrame,
+    registers_path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    trigger_available_now: bool = False,
+):
+    """Stream-maintained EXACT distinct counting — the zero-error member
+    of the sketch-sink family (HLL approximates, this one is exact for
+    bounded non-negative integer domains): each micro-batch's word
+    bitmap (functions/sketches.py:bitmap_registers) bit_or-merges into a
+    persisted register table. bit_or is idempotent, so replays are
+    absorbed with no batch-id bookkeeping (the bloom contract, not the
+    Count-Min one), and the final table is BIT-EQUAL to the batch build
+    over all rows — `sum(bit_count(bits))` per group IS
+    COUNT(DISTINCT), forever, with state = touched words per group.
+    Same staging + rename-swap publish and crash recovery as the other
+    sketch sinks."""
+    from vectordb_etl_spark.functions.sketches import (
+        bitmap_merge,
+        bitmap_registers,
+    )
+
+    group_cols = group_cols or []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_regs = bitmap_registers(batch_df, value_col, group_cols)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        fs = jvm_path(registers_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        _restore_sketch_if_crashed(fs, jvm_path, registers_path)
+        if fs.exists(jvm_path(registers_path)):
+            old = spark.read.parquet(registers_path)
+            merged = bitmap_merge(new_regs.unionByName(old), group_cols)
+        else:
+            merged = new_regs
+        staging = f"{registers_path}.staging"
+        aside = f"{registers_path}.old"
+        merged.write.mode("overwrite").parquet(staging)
+        if fs.exists(jvm_path(aside)):
+            fs.delete(jvm_path(aside), True)
+        if fs.exists(jvm_path(registers_path)):
+            fs.rename(jvm_path(registers_path), jvm_path(aside))
+        fs.rename(jvm_path(staging), jvm_path(registers_path))
+        fs.delete(jvm_path(aside), True)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
