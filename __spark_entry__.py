@@ -3086,7 +3086,9 @@ def _frequent_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ``lift_ppm = 1e6·sup_pair·N DIV (sup_a·sup_b)``). Pair generation is
     the order-bounded lineitem self-join (≤ items²/order, no hub
     blowup); supports are distinct-order counts; singles join back by
-    part key — broadcastable (parts dimension). Top-k is
+    part key with NO forced broadcast — the parts dimension grows with
+    the data (20e9 parts at 100 TB), so AQE picks broadcast only when
+    the side actually fits. Top-k is
     TakeOrderedAndProject on (support desc, pair asc) — a total order,
     so LIMIT is deterministic cross-engine."""
     li = _table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
@@ -3108,8 +3110,8 @@ def _frequent_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sa = single.select(F.col("p").alias("a"), F.col("sup").alias("sup_a"))
     sb = single.select(F.col("p").alias("b"), F.col("sup").alias("sup_b"))
     return (
-        pair_sup.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        pair_sup.join(sa, "a")
+        .join(sb, "b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "a",
@@ -3255,26 +3257,36 @@ def _critical_parts_share(spark: SparkSession, sf: str) -> DataFrame:
     """ABC / Pareto analysis: the minimal set of parts covering 80% of
     total line value. Exact integer arithmetic end to end: per-part
     value in cents (one fact-table aggregate — the only big shuffle),
-    a window cumulative sum over the value-desc/partkey-asc total order
-    of the PARTS dimension (bounded: |parts|, never |lineitem|), total
-    via a broadcast 1-row scalar, and the keep rule is
+    a TWO-PHASE prefix sum over the value-desc/partkey-asc total order
+    (global_cumsum: range partitions run their windows in parallel,
+    only the ≤num_partitions partition totals pass through one task —
+    the parts dimension grows with the data, so no single-partition
+    window), total via a broadcast 1-row scalar, and the keep rule is
     "previous cumulative ppm < 800000" so the crossing row is included.
     The classic inventory-criticality shape a 100 TB warehouse runs on
     the dimension, not the fact."""
+    from vectordb_etl_spark.operators.rollup import global_cumsum
+
     li = _table(spark, sf, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("value_cents")
     )
-    w = Window.orderBy(F.desc("value_cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     total = per_part.agg(
         F.sum("value_cents").cast("bigint").alias("__total")
     )
+    # two-phase prefix sum (operators/rollup.py:global_cumsum) — the
+    # parts dimension GROWS with the data, so a bare global-ordered
+    # window (one task holds every part) is not acceptable here the way
+    # it is for bounded calendar keys
     cum = (
-        per_part.withColumn("cum_cents", F.sum("value_cents").over(w))
+        global_cumsum(
+            per_part,
+            [F.desc("value_cents"), F.asc("l_partkey")],
+            "value_cents",
+            out_col="cum_cents",
+        )
         .crossJoin(F.broadcast(total))
         .select(
             "l_partkey",

@@ -235,3 +235,41 @@ def test_ewma_int_rejects_bad_alpha(spark):
     df = spark.createDataFrame([("a", 1, 1)], ["k", "t", "x"])
     with _pytest.raises(ValueError):
         ewma_int(df, ["k"], "t", "x", num=4, den=4)
+
+
+def test_global_cumsum_matches_single_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    from vectordb_etl_spark.operators.rollup import global_cumsum
+
+    # mixed-sign values, duplicate sort values (key tiebreaker), many
+    # partitions so the offsets phase actually fires
+    rows = [(i, (i * 37) % 11 - 5) for i in range(500)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    got = {
+        r["k"]: r["cum"]
+        for r in global_cumsum(
+            df, [F.desc("v"), F.asc("k")], "v", num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("k")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_no_global_single_partition_window(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_etl_spark.operators.rollup import global_cumsum
+
+    df = spark.createDataFrame([(i, i) for i in range(100)], "k bigint, v bigint")
+    out = global_cumsum(df, [F.asc("k")], "v", num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the big-side window is keyed by the range-partition id; the only
+    # unkeyed window runs over the <=num_partitions totals
+    assert "partitionBy=[__pid]" in plan.replace(" ", "") or "__pid" in plan

@@ -321,3 +321,58 @@ ewma_fold AS (
     ON s.rn = f.rn + 1 AND {' AND '.join(f's.{k} = f.{k}' for k in key_cols)})
 SELECT {keys}, {order_col}, v AS {value_col}, CAST(ewma AS BIGINT) AS ewma
 FROM ewma_fold"""
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum over a GLOBAL total order without the single-partition
+    window (`Window.orderBy(...)` with no partition key moves the whole
+    relation through one task — fine for bounded key spaces like
+    calendar days, a scale-killer when the ordered set grows with the
+    data, e.g. a cumulative share over a dimension table). The classic
+    two-phase parallel prefix sum instead:
+
+      1. ``repartitionByRange`` on the order — ranges are contiguous, so
+         every partition holds an interval of the total order;
+      2. within-partition running sums (window PARTITIONED by the range
+         partition id — parallel);
+      3. per-partition totals (≤ num_partitions rows) get their own
+         tiny cumulative pass and broadcast back as offsets.
+
+    Exact for integer/decimal ``value_col`` (the arithmetic regroups but
+    never reorders additions of exact types — callers summing floats
+    would lose order-determinism, so don't). ``order_cols`` must be a
+    TOTAL order (add a key tiebreaker) — equal-rank rows landing in
+    different range partitions would otherwise make within-partition
+    ranks ambiguous."""
+    from pyspark.sql import Window as _W
+
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = (
+        _W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    within = ranged.withColumn("__run", F.sum(value_col).over(w_in))
+    # partition total = plain sum (NOT max of the running column — with
+    # negative values the running sum is not monotone)
+    totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    w_tot = _W.orderBy("__pid").rowsBetween(
+        _W.unboundedPreceding, -1
+    )  # ≤ num_partitions rows — the single-partition window is bounded here
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_tot), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        within.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__run") + F.col("__off"))
+        .drop("__pid", "__run", "__off")
+    )
