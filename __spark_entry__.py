@@ -1901,9 +1901,13 @@ def _events_daily_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     and broadcast back."""
     from vectordb_etl_spark.operators.rollup import robust_anomalies
 
+    # date_trunc (midnight timestamp), not to_date: DATE reaches pandas
+    # as object-dtype datetime.date from Spark but datetime64 from DuckDB
+    # — the r05 driver hash-red dtype-split class (BASELINE.md §8).
+    # Timestamps land kind-'M' on both conversion paths.
     daily = (
         _events(spark, sf)
-        .select("event_type", F.to_date("ts").alias("day"))
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count("*").alias("n"))
     )
@@ -1914,7 +1918,7 @@ def _events_daily_anomalies_sql() -> str:
     from vectordb_etl_spark.operators.rollup import robust_anomalies_sql
 
     daily = (
-        "SELECT event_type, CAST(ts AS DATE) AS day, "
+        "SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
         "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
     )
     return robust_anomalies_sql(daily, "event_type", "day", "n")
@@ -1936,9 +1940,10 @@ def _ewma_daily_events(spark: SparkSession, sf: str) -> DataFrame:
     division lets DuckDB's recursive-CTE twin hash-match."""
     from vectordb_etl_spark.operators.rollup import ewma_int
 
+    # date_trunc, not to_date — see _events_daily_anomalies
     daily = (
         _events(spark, sf)
-        .select("event_type", F.to_date("ts").alias("day"))
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
@@ -1951,7 +1956,7 @@ def _ewma_daily_events_sql() -> str:
     from vectordb_etl_spark.operators.rollup import ewma_int_sql
 
     daily = (
-        "SELECT event_type, CAST(ts AS DATE) AS day, "
+        "SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
         "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
     )
     return (
@@ -2085,7 +2090,13 @@ def _hll_multigrain_users(spark: SparkSession, sf: str) -> DataFrame:
             "hll_est",
         )
     )
-    return daily.unionByName(total)
+    # ISO-string day: Spark DATE reaches pandas object-dtype while DuckDB
+    # DATE arrives datetime64 (the r05 driver dtype-split class), and the
+    # 9999-12-31 total-row sentinel rules out the timestamp normalization
+    return (
+        daily.unionByName(total)
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+    )
 
 
 def _hll_multigrain_users_sql() -> str:
@@ -2102,9 +2113,9 @@ def _hll_multigrain_users_sql() -> str:
     est = hll_estimate_sql_exprs(8)
     return f"""
 WITH day_regs AS MATERIALIZED ({regs})
-SELECT day, {est} FROM day_regs GROUP BY day
+SELECT strftime(day, '%Y-%m-%d') AS day, {est} FROM day_regs GROUP BY day
 UNION ALL
-SELECT DATE '9999-12-31' AS day, {est} FROM (
+SELECT '9999-12-31' AS day, {est} FROM (
   SELECT __hll_bucket, max(max_rho) AS max_rho
   FROM day_regs GROUP BY __hll_bucket
 )
@@ -2258,9 +2269,10 @@ def _cm_token_freq(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("exact_n"), "tok")
         .limit(10)
     )
-    est = cm_lookup(sk, top.select("tok"), "tok", d=d, w=w)
+    # cm_lookup keeps every candidate column (contract shared with the
+    # SQL twin's `c.*, cm_est`), so exact_n rides along — no re-join
     return (
-        top.join(est, "tok")
+        cm_lookup(sk, top, "tok", d=d, w=w)
         .select("tok", "exact_n", "cm_est")
         .orderBy(F.desc("exact_n"), "tok")
     )
@@ -2570,20 +2582,34 @@ def _scd2_order_status(spark: SparkSession, sf: str) -> DataFrame:
         F.to_date("o_orderdate").alias("d"),
         "o_orderkey",
     )
-    return scd2_intervals(
+    out = scd2_intervals(
         o, key_col="o_custkey", attr_col="o_orderstatus",
         time_col="d", tie_col="o_orderkey",
     )
+    # ISO strings, not DATE: Spark DATE reaches pandas as object-dtype
+    # datetime.date vs DuckDB's datetime64 (the r05 driver dtype-split
+    # class), and the 9999-12-31 open-interval sentinel overflows
+    # nanosecond timestamps, so the timestamp normalization used by the
+    # daily-rollup queries is not available here.
+    return out.withColumn(
+        "valid_from", F.date_format("valid_from", "yyyy-MM-dd")
+    ).withColumn("valid_to", F.date_format("valid_to", "yyyy-MM-dd"))
 
 
 def _scd2_order_status_sql() -> str:
     from vectordb_etl_spark.operators.temporal import scd2_intervals_sql
 
-    return scd2_intervals_sql(
+    inner = scd2_intervals_sql(
         "SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, "
         "o_orderkey FROM orders",
         key_col="o_custkey", attr_col="o_orderstatus",
         time_col="d", tie_col="o_orderkey",
+    )
+    return (
+        "SELECT o_custkey, o_orderstatus, "
+        "strftime(valid_from, '%Y-%m-%d') AS valid_from, "
+        "strftime(valid_to, '%Y-%m-%d') AS valid_to, "
+        f"n_rows, is_current FROM ({inner}) t"
     )
 
 
@@ -2890,6 +2916,96 @@ _register(
     "kcore_copurchase",
     _kcore_copurchase,
     _kcore_copurchase_sql(),
+)
+
+
+# Converged-mode cap shared by the Spark query and its oracle: peeling is
+# monotone and idempotent past the fixpoint, so Spark-stops-at-depth-d and
+# SQL-unrolls-all-N produce the same survivors whenever d <= N, and when
+# the guard trips both sides ran exactly N rounds — hash-equal either way.
+_KCORE_CONVERGED_MAX_ROUNDS = 24
+
+
+def _kcore_converged(spark: SparkSession, sf: str) -> DataFrame:
+    """THE k-core (run-to-convergence; operators/graph_analytics.py:kcore
+    with rounds=None): peel until a round removes nothing, bounded by a
+    shared cap. What a user means by "the 60-core" — no round count in
+    the contract (reference analogue: the fixed-round kcore_copurchase
+    is the bounded variant; this closes VERDICT r06 item 2). The
+    convergence probe is a count() on the already-materialized per-round
+    edge table, so the only extra cost over fixed rounds is one cached
+    count per round."""
+    from vectordb_etl_spark.operators.graph_analytics import kcore
+
+    li = _table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(l2, li.l_orderkey == l2.k2)
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    return kcore(
+        edges, k=60, rounds=None, max_rounds=_KCORE_CONVERGED_MAX_ROUNDS
+    )
+
+
+def _kcore_converged_sql() -> str:
+    from vectordb_etl_spark.operators.graph_analytics import kcore_sql
+
+    edges = (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "WHERE a.l_partkey < b.l_partkey"
+    )
+    return kcore_sql(edges, k=60, rounds=_KCORE_CONVERGED_MAX_ROUNDS)
+
+
+_register(
+    "kcore_converged",
+    _kcore_converged,
+    _kcore_converged_sql(),
+)
+
+
+_LPA_CONVERGED_MAX_ROUNDS = 12
+
+
+def _communities_converged(spark: SparkSession, sf: str) -> DataFrame:
+    """Converged label-propagation communities (operators/
+    graph_analytics.py:label_propagation with rounds=None) over the
+    support-2 bundle graph: iterate until no label changes, bounded by
+    a cap shared with the oracle. Synchronous LPA is stable at a
+    fixpoint (same labels -> same votes -> same argmax), so the
+    cap-unrolled oracle reproduces the converged labeling exactly; if
+    the guard trips (possible 2-cycle on bipartite structure) both
+    engines ran exactly the cap — still hash-equal."""
+    from vectordb_etl_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    return label_propagation(
+        _part_bundle_edges(spark, sf),
+        rounds=None,
+        max_rounds=_LPA_CONVERGED_MAX_ROUNDS,
+    )
+
+
+def _communities_converged_sql() -> str:
+    from vectordb_etl_spark.operators.graph_analytics import (
+        label_propagation_sql,
+    )
+
+    return label_propagation_sql(
+        _BUNDLE_EDGES_SQL, rounds=_LPA_CONVERGED_MAX_ROUNDS
+    )
+
+
+_register(
+    "communities_converged",
+    _communities_converged,
+    _communities_converged_sql(),
 )
 
 
@@ -3730,6 +3846,44 @@ _register(
     "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score "
     "FROM embeddings WHERE label = 2 "
     "ORDER BY score DESC, vec_id ASC LIMIT 10",
+)
+
+
+def _ivf_fanout_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2 THROUGH the IVF index tier (VERDICT r06 item 6): per-label
+    top-3 hit lists served from one partition-pruned probe scan
+    (operators/ann.py IVFIndex.search_per_group — the probe filter and
+    the per-group window rank stack on the same read; reference fan-out
+    shape milvus_store.py:301-325). nprobe=nlist probes every partition,
+    so the result provably equals the exact per-label top-3 — the same
+    oracle as fanout_topk_per_label. The per-collection-index variant is
+    CollectionStore.fanout_search_indexed (tests/test_store_search.py)."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IVFIndex(spark, f"{tmp}/ivf").build(emb, nlist=16, seed=42, max_iter=4)
+        out = idx.search_per_group(
+            list(q), k=3, nprobe=16, group_col="label", tie_break=["vec_id"],
+        ).select("vec_id", "label", "score")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+    return out
+
+
+_register(
+    "ivf_fanout_topk",
+    _ivf_fanout_topk,
+    "SELECT vec_id, label, score FROM ("
+    "SELECT vec_id, label, "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score, "
+    "row_number() OVER (PARTITION BY label ORDER BY "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) DESC, "
+    "vec_id ASC) AS rnk FROM embeddings) WHERE rnk <= 3",
 )
 
 
@@ -7181,6 +7335,13 @@ def _retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_users"))
+        # midnight-UTC timestamp, not DATE: Spark DATE reaches pandas as
+        # object-dtype datetime.date while DuckDB DATE arrives datetime64 —
+        # the exact dtype-split class behind the r05 driver hash-reds
+        # (BASELINE.md §8). TIMESTAMP lands kind-'M' on BOTH conversion
+        # paths, making the driver_sim repr-strict with no exception.
+        .withColumn("cohort_day", F.col("cohort_day").cast("timestamp"))
+        .select("cohort_day", "day_offset", "n_users")
     )
 
 
@@ -7192,7 +7353,8 @@ _register(
     "cells AS (SELECT DISTINCT cohort_day, "
     "  date_diff('day', cohort_day, d) AS day_offset, ev.user_id "
     "  FROM ev JOIN first USING (user_id)) "
-    "SELECT cohort_day, CAST(day_offset AS INT) AS day_offset, "
+    "SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, "
+    "CAST(day_offset AS INT) AS day_offset, "
     "count(*) AS n_users FROM cells GROUP BY 1, 2",
 )
 
@@ -7320,67 +7482,19 @@ _register(
 )
 
 
-# The driver verifies the FIRST 50 registered queries only. The rotation
-# flips each round so every query is driver-checked at least every other
-# round (VERDICT r03 item 1): rows OUTSIDE the r03 cap lead this round;
-# the rows green in CORRECTNESS_r03.json rotate behind. Newly registered
-# queries land in the middle band — inside the cap by construction. As
-# r04 queries were added, the cheapest long-green head rows (3× driver/
-# judge-verified scalar or small-agg surfaces) were demoted one-for-one
-# so every never-driver-checked addition stays inside the cap; audit with
-# `list(queries())[:50]` after registering anything new.
-
+# The driver verifies the FIRST 50 registered queries only.
+# Full rotation regenerated per-round from every CORRECTNESS_r*.json via
+# `python tools/plan_rotation.py --python` (VERDICT r06 item 1): driver-RED
+# rows first, then never-driver-checked (new queries), then oldest
+# last-driver-check first — so the driver's 50-query cap always lands on
+# the stalest tier and every query's last driver-green stays <=3 rounds
+# old. Newly registered queries auto-sort into tier 2 on the next regen;
+# until then, append them by hand right after the reds.
 _PRIORITY = [
-    "streaming_bitmap_ingest",
-    "corpus_drift",
-    "embedding_drift",
-    "json_props_stats",
-    "audio_ahash_dups",
-    "bfs_part_reach",
-    "bipartite_pagerank",
-    "bitmap_distinct_users",
-    "bloom_semi_revenue",
-    "bm25_ranked_lookup",
-    "bpe_first_merges",
-    "cm_token_freq",
-    "column_profile_orders",
-    "corpus_drift_chi2",
-    "critical_parts_share",
-    "dedup_aware_split",
-    "dominant_part_suppliers",
-    "events_daily_anomalies",
-    "events_daily_trend",
-    "ewma_daily_events",
-    "frequent_part_pairs",
-    "heavy_hitter_terms",
-    "hll_distinct_orders",
-    "hll_multigrain_users",
-    "idle_rich_customers",
-    "image_ahash_dups",
-    "image_near_dup_pairs",
-    "incremental_agg_merge",
-    "inverted_term_lookup",
-    "join_size_estimate",
-    "kcore_copurchase",
-    "kmv_corpus_overlap",
-    "kmv_returned_only_parts",
-    "open_orders_daily",
-    "order_status_diff",
-    "part_affinity_ppr",
-    "part_communities",
-    "part_copurchase_triangles",
-    "prefix_jaccard_pairs",
-    "price_depth_histogram",
-    "price_quantity_corr",
-    "sample_quantiles_prices",
-    "scd2_order_status",
-    "session_attribution",
-    "session_window_stats",
-    "skew_report_events",
-    "streaming_bloom_ingest",
-    "streaming_cm_ingest",
-    "streaming_hll_ingest",
-    "zorder_locality",
+    # never-driver-checked r07 additions first
+    "kcore_converged",
+    "communities_converged",
+    "ivf_fanout_topk",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",
@@ -7514,56 +7628,61 @@ _PRIORITY = [
     "vector_topk",
     "vector_topk_filtered",
     "vocab_top_terms",
+    "audio_ahash_dups",
+    "bfs_part_reach",
+    "bipartite_pagerank",
+    "bitmap_distinct_users",
+    "bloom_semi_revenue",
+    "bm25_ranked_lookup",
+    "bpe_first_merges",
+    "cm_token_freq",
+    "column_profile_orders",
+    "corpus_drift",
+    "corpus_drift_chi2",
+    "critical_parts_share",
+    "dedup_aware_split",
+    "dominant_part_suppliers",
+    "embedding_drift",
+    "events_daily_anomalies",
+    "events_daily_trend",
+    "ewma_daily_events",
+    "frequent_part_pairs",
+    "heavy_hitter_terms",
+    "hll_distinct_orders",
+    "hll_multigrain_users",
+    "idle_rich_customers",
+    "image_ahash_dups",
+    "image_near_dup_pairs",
+    "incremental_agg_merge",
+    "inverted_term_lookup",
+    "join_size_estimate",
+    "json_props_stats",
+    "kcore_copurchase",
+    "kmv_corpus_overlap",
+    "kmv_returned_only_parts",
+    "open_orders_daily",
+    "order_status_diff",
+    "part_affinity_ppr",
+    "part_communities",
+    "part_copurchase_triangles",
+    "prefix_jaccard_pairs",
+    "price_depth_histogram",
+    "price_quantity_corr",
+    "sample_quantiles_prices",
+    "scd2_order_status",
+    "session_attribution",
+    "session_window_stats",
+    "skew_report_events",
+    "streaming_bitmap_ingest",
+    "streaming_bloom_ingest",
+    "streaming_cm_ingest",
+    "streaming_hll_ingest",
+    "zorder_locality",
 ]
 
-# Green in CORRECTNESS_r04.json (driver-checked last round) and not touched
-# by this round's code changes — rotate behind the cap; flip again in r06
-# (the ~21 r03-last queries that miss the r05 cap lead then).
-_DEMOTE = [
-    "clean_text",
-    "detect_language",
-    "exact_dedup",
-    "language_distribution",
-    "quality_report",
-    "embedding_norms",
-    "conversion_funnel",
-    "dedup_rate_report",
-    "lsh_incremental_candidates",
-    "ngram_jaccard_pairs",
-    "simhash_near_dups",
-    "pii_redaction",
-    "stratified_sample",
-    "strip_common_lines",
-    "dsir_log_weights",
-    "weighted_sample",
-    "length_outlier_screen",
-    "tfidf_top_terms",
-    "contamination_check",
-    "boilerplate_fraction",
-    "substring_dup_incremental",
-    "substring_dup_stats",
-    "bigram_logprob",
-    "fuzzy_prefix_pairs",
-    "salted_distinct_users_by_type",
-    "salted_join_enrichment",
-    "chunk_metadata",
-    "ivf_topk",
-    "ivf_topk_filtered",
-    "ivf_sq8_topk",
-    "graph_topk_filtered",
-    "graph_topk_batch",
-    "streaming_sessionize",
-    "streaming_exact_dedup",
-    "multimodal_decoded_features",
-    "regional_supplier_volume",
-    "market_share",
-    "returned_item_customers",
-    "customer_order_distribution",
-    "top_revenue_suppliers",
-    "suppliers_kept_waiting",
-    "events_gap_interpolate",
-    "retention_cohorts",
-]
+# Retired: the old two-list head/tail scheme. plan_rotation.py now emits the
+# complete order, so _DEMOTE stays empty and _ordered reduces to the head.
+_DEMOTE: list[str] = []
 
 
 def _ordered(mapping: dict) -> dict:

@@ -602,6 +602,33 @@ def main() -> None:
         fn().write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
+    # Graph-family probe edges (VERDICT r06 item 5): base = the part
+    # co-purchase graph of 1/10 of orders; 10x = ten DISJOINT id-offset
+    # replicas of that base. Replicas (not "all orders") keep the degree
+    # distribution fixed while edges grow 10x, so the exponent isolates
+    # the operators' scaling — triangle counting's O(m^1.5) wedge bound
+    # with degree-ordered orientation, and kcore/LPA's
+    # bounded-shuffles-per-round — from density drift.
+    from vectordb_etl_spark.operators import graph_analytics as graph_ops
+
+    _sp_li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey") % 10 == 0)
+    )
+    _sp_li2 = _sp_li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2")
+    )
+    _sp_edges1 = (
+        _sp_li.join(_sp_li2, _sp_li.l_orderkey == _sp_li2.k2)
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+    _sp_edges10 = _sp_edges1.crossJoin(_sp_reps).select(
+        (F.col("src") + F.col("rep").cast("long") * 10_000_000).alias("src"),
+        (F.col("dst") + F.col("rep").cast("long") * 10_000_000).alias("dst"),
+    )
+
     _sp_cases = {
         "substring_dup_stats": (
             lambda: dedup_ops.substring_dup_stats(_sp_docs1, width=40, stride=20),
@@ -614,6 +641,18 @@ def main() -> None:
         "bigram_logprob": (
             lambda: text_fns.bigram_logprob_scores(_sp_docs1),
             lambda: text_fns.bigram_logprob_scores(_sp_docs10),
+        ),
+        "triangle_count": (
+            lambda: graph_ops.triangle_count(_sp_edges1),
+            lambda: graph_ops.triangle_count(_sp_edges10),
+        ),
+        "kcore": (
+            lambda: graph_ops.kcore(_sp_edges1, k=10, rounds=4),
+            lambda: graph_ops.kcore(_sp_edges10, k=10, rounds=4),
+        ),
+        "label_propagation": (
+            lambda: graph_ops.label_propagation(_sp_edges1, rounds=2),
+            lambda: graph_ops.label_propagation(_sp_edges10, rounds=2),
         ),
     }
     scale_probe = {}

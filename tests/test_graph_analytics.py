@@ -297,3 +297,120 @@ def test_personalized_pagerank_guard(spark):
         personalized_pagerank(e, s, damping_ppm=0)
     with _pt.raises(ValueError, match="damping_ppm"):
         personalized_pagerank_sql("x", "y", damping_ppm=1_000_000)
+
+
+# --------------------------------------------------------------------------
+# run-to-convergence (rounds/iterations = None) — VERDICT r06 item 2
+# --------------------------------------------------------------------------
+
+
+def test_kcore_converged_equals_deep_fixed_run(spark):
+    """rounds=None peels to the fixpoint; any fixed run >= the peel
+    depth gives the identical survivor table (monotone idempotence —
+    the property the registered kcore_converged oracle relies on)."""
+    from vectordb_etl_spark.operators.graph_analytics import kcore
+
+    # K4 + pendant chain needing 2 cascading peels + a far tail
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(3, 10), (10, 11), (11, 12), (12, 13)], ["src", "dst"]
+    )
+    conv = sorted(map(tuple, kcore(edges, k=2, rounds=None).collect()))
+    deep = sorted(map(tuple, kcore(edges, k=2, rounds=10).collect()))
+    assert conv == deep
+    assert {n for n, _ in conv} == {0, 1, 2, 3}
+
+
+def test_kcore_converged_respects_max_rounds_cap(spark):
+    """With max_rounds=1 only ONE peel happens — identical to
+    rounds=1 (the capped case the shared-cap oracle depends on)."""
+    from vectordb_etl_spark.operators.graph_analytics import kcore
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(3, 10), (10, 11)], ["src", "dst"]
+    )
+    capped = sorted(
+        map(tuple, kcore(edges, k=2, rounds=None, max_rounds=1).collect())
+    )
+    one = sorted(map(tuple, kcore(edges, k=2, rounds=1).collect()))
+    assert capped == one
+    # the single peel only removed node 11; the final deg >= k output
+    # filter then hides 10 (degree 1 in the surviving subgraph), so the
+    # capped result is exactly the fixed-1-round result, K4 only
+    assert {n for n, _ in capped} == {0, 1, 2, 3}
+
+
+def test_label_propagation_converged_is_stable(spark):
+    """rounds=None labeling equals a deep fixed run AND re-running one
+    more round changes nothing (sync-LPA fixpoint stability)."""
+    from vectordb_etl_spark.operators.graph_analytics import (
+        label_propagation,
+    )
+
+    k4a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k4b = [(a + 10, b + 10) for a, b in k4a]
+    edges = spark.createDataFrame(k4a + k4b + [(3, 10)], ["src", "dst"])
+    conv = sorted(
+        map(tuple, label_propagation(edges, rounds=None).collect())
+    )
+    deep = sorted(map(tuple, label_propagation(edges, rounds=8).collect()))
+    assert conv == deep
+    # two communities, labeled by each clique's smallest node id
+    labels = {lab for _, lab in conv}
+    assert labels == {0, 10}
+
+
+def test_pagerank_converged_equals_deep_fixed_run(spark):
+    """iterations=None reaches the exact integer fixpoint; a fixed run
+    past the reached depth reproduces it bit-for-bit."""
+    from vectordb_etl_spark.operators.graph_analytics import pagerank
+
+    pairs = [(0, i) for i in range(1, 6)] + [(6, 7)]
+    both = pairs + [(b, a) for a, b in pairs]
+    e = spark.createDataFrame(both, ["src", "dst"])
+    conv = sorted(map(tuple, pagerank(e, iterations=None).collect()))
+    deep = sorted(map(tuple, pagerank(e, iterations=40).collect()))
+    assert conv == deep
+
+
+def test_personalized_pagerank_converged_equals_deep_fixed_run(spark):
+    from vectordb_etl_spark.operators.graph_analytics import (
+        personalized_pagerank,
+    )
+
+    chain = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    both = chain + [(b, a) for a, b in chain]
+    e = spark.createDataFrame(both, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    conv = sorted(
+        map(tuple, personalized_pagerank(e, seeds, iterations=None).collect())
+    )
+    deep = sorted(
+        map(tuple, personalized_pagerank(e, seeds, iterations=40).collect())
+    )
+    assert conv == deep
+
+
+def test_converged_mode_guards(spark):
+    import pytest as _pt
+
+    from vectordb_etl_spark.operators.graph_analytics import (
+        kcore,
+        label_propagation,
+        pagerank,
+        personalized_pagerank,
+    )
+
+    e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    s = spark.createDataFrame([(0,)], ["node"])
+    with _pt.raises(ValueError, match="max_rounds"):
+        kcore(e, k=1, rounds=None, max_rounds=0)
+    with _pt.raises(ValueError, match="max_rounds"):
+        label_propagation(e, rounds=None, max_rounds=0)
+    with _pt.raises(ValueError, match="max_iterations"):
+        pagerank(e, iterations=None, max_iterations=0)
+    with _pt.raises(ValueError, match="max_iterations"):
+        personalized_pagerank(e, s, iterations=None, max_iterations=0)
+    with _pt.raises(ValueError, match="iterations"):
+        pagerank(e, iterations=0)

@@ -245,6 +245,43 @@ def test_cm_merge_equals_whole_and_absent_is_zero(spark):
     assert cm_lookup(empty, cand, "v", d=3, w=128).collect()[0]["cm_est"] == 0
 
 
+def test_cm_lookup_keeps_candidate_columns(spark):
+    """cm_lookup returns the candidate rows PLUS cm_est (the documented
+    contract and cm_lookup_sql's `c.*, cm_est` shape) — extra candidate
+    columns must survive and match the SQL twin."""
+    from vectordb_etl_spark.functions.sketches import (
+        cm_lookup,
+        cm_lookup_sql,
+        cm_sketch,
+        cm_sketch_sql,
+    )
+
+    rows = [(v,) for v in range(1, 21) for _ in range(v)]
+    df = spark.createDataFrame(rows, ["v"])
+    sk = cm_sketch(df, "v", d=3, w=64)
+    cands = spark.createDataFrame(
+        [(5, "five", 5), (17, "seventeen", 17)], ["v", "name", "truth"]
+    )
+    got = sorted(
+        map(tuple, cm_lookup(sk, cands, "v", d=3, w=64).collect())
+    )
+    assert all(len(r) == 4 for r in got)  # v, name, truth, cm_est
+    vals = ", ".join(f"({v})" for v, in rows)
+    want = sorted(
+        duckdb.connect().execute(
+            cm_lookup_sql(
+                cm_sketch_sql(f"SELECT * FROM (VALUES {vals}) t(v)", "v", d=3, w=64),
+                "SELECT * FROM (VALUES (5, 'five', 5), (17, 'seventeen', 17)) "
+                "c(v, name, truth)",
+                "v",
+                d=3,
+                w=64,
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_cm_rejects_bad_shape(spark):
     import pytest as _pytest
 

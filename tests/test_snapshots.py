@@ -70,7 +70,10 @@ def test_vacuum_keeps_referenced_files_only(spark, tmp_path):
     assert st.read(version=0).count() == 10
     # drop version-0's manifest (retention policy) -> its files become dead
     st._fs.delete(st._jvm_path(f"{st.root}/_log/0.json"), False)
-    deleted = st.vacuum()
+    # default grace window protects just-written dirs (an in-flight commit
+    # writes files before it publishes the manifest) — nothing deleted yet
+    assert st.vacuum() == []
+    deleted = st.vacuum(grace_s=0)
     assert deleted, "expected the unreferenced commit dir to be deleted"
     assert st.read().count() == 10  # latest still intact
 

@@ -167,6 +167,42 @@ def test_store_index_lifecycle_ivf_and_graph(spark, tmp_path):
     assert [h["doc_id"] for h in hits2] == [h["doc_id"] for h in hits]
 
 
+def test_fanout_search_indexed_matches_exact_merge(spark, tmp_path):
+    """Q2 through per-collection IVF indexes (VERDICT r06 item 6): union
+    of per-index probes + global merge equals the exact fan-out at the
+    probe-all edge; un-indexed collections raise instead of silently
+    falling back to a scan."""
+    import pyspark.sql.functions as F
+
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(tmp_path / "w")))
+    rows = [
+        (i, "s", f"f{i % 3}", f"document number {i} talks about {i % 7}",
+         "english", 0)
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["doc_id", "source", "folder_name", "text", "language", "chunk_index"],
+    )
+    store.insert_documents(df, embedding_config=EMB)
+    q = list(
+        store.read().filter(F.col("doc_id") == 0).select("embedding").head()[0]
+    )
+    with pytest.raises(ValueError, match="no ivf index"):
+        store.fanout_search_indexed(q, k=3, nprobe=4)
+    for c in store.list_collections():
+        store.build_index(c, kind="ivf", nlist=4, max_iter=3)
+    got = store.fanout_search_indexed(
+        q, k=3, nprobe=4, tie_break=["doc_id"], output_cols=["doc_id"]
+    ).collect()
+    exact = topk_search(
+        store.read(), q, k=3, tie_break=["doc_id"], output_cols=["doc_id"]
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in exact
+    ]
+
+
 def test_sql_surface_over_collections(spark, store):
     views = store.create_views()
     assert "collections" in views

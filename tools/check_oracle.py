@@ -65,14 +65,21 @@ _SPARK_FLOAT_TYPES = ("float", "double")
 
 
 def _spark_pandas_kind(spark_type: str, has_null: bool) -> str | None:
-    """Kind ('i' or 'f') the column takes after Spark toPandas (arrow off):
-    integral types stay int64 unless NULLs force float64; floats are
-    float64. Non-numeric types return None (exempt from the parity check).
-    """
+    """Kind the column takes after Spark toPandas (arrow off): integral
+    types stay int64 ('i') unless NULLs force float64 ('f'); floats are
+    float64; DATE becomes object-dtype datetime.date ('O') while
+    TIMESTAMP becomes datetime64 ('M') — the date-vs-timestamp split is
+    the same hash-red class as int-vs-float (DuckDB DATE arrives 'M'),
+    so it is flagged too (closes the r06 retention_cohorts exception).
+    Other types return None (exempt from the parity check)."""
     if spark_type in _SPARK_INT_TYPES:
         return "f" if has_null else "i"
     if spark_type in _SPARK_FLOAT_TYPES:
         return "f"
+    if spark_type == "date":
+        return "O"
+    if spark_type.startswith("timestamp"):
+        return "M"
     return None
 
 
@@ -93,6 +100,13 @@ def kind_mismatches(
         sk = _spark_pandas_kind(styp, has_null)
         dkind = duck_df[col].dtype.kind
         dk = "i" if dkind in "iu" else ("f" if dkind == "f" else None)
+        if sk in ("O", "M"):
+            # temporal parity: only the DATE-vs-datetime64 split is a
+            # driver risk; Spark 'O' (date) vs DuckDB anything-not-'M'
+            # is out of scope for this check
+            dk = "M" if dkind == "M" else None
+            if sk == "M":
+                sk = None if dk is None else "M"
         if sk and dk and sk != dk:
             out.append(f"{col} (spark {styp}->{sk} vs duckdb {dk})")
     return out

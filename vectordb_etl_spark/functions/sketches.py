@@ -127,7 +127,16 @@ def hll_estimate_expr(p: int = 8) -> Column:
     two_w = 1 << w
     alpha = _alpha_ppm(m)
     s_scaled = (
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({w} - max_rho AS INT))"))
+        # greatest(..., 0): rho saturates at W+1 when the rank bits are all
+        # zero (~2^-52/value), which would shift by -1 — Spark wraps that to
+        # 1<<63 (negative) and DuckDB errors; both twins clamp identically so
+        # the saturated register contributes 2^0, a <=1-count estimate skew
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" greatest(CAST({w} - max_rho AS INT), 0))"
+            )
+        )
         + (F.lit(m) - F.count("*")).cast("bigint") * F.lit(two_w)
     )
     s = s_scaled.cast("double") / F.lit(float(two_w))
@@ -230,7 +239,7 @@ def hll_estimate_sql_exprs(p: int = 8) -> str:
        CAST(floor(
          CAST({alpha} AS DOUBLE) * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE)
          / CAST(1000000 AS DOUBLE)
-         / (CAST(sum(CAST(1 AS BIGINT) << ({w} - max_rho))
+         / (CAST(sum(CAST(1 AS BIGINT) << greatest({w} - max_rho, 0))
                  + ({m} - count(*)) * CAST({two_w} AS BIGINT) AS DOUBLE)
             / CAST({two_w} AS DOUBLE))
        ) AS BIGINT) AS hll_est"""
@@ -478,7 +487,11 @@ def cm_lookup(
     hit = ex.join(F.broadcast(sketch), ["row", "pos"], "left").select(
         value_col, F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("c")
     )
-    return hit.groupBy(value_col).agg(F.min("c").alias("cm_est"))
+    est = hit.groupBy(value_col).agg(F.min("c").alias("cm_est"))
+    # join the estimates back so every candidate column survives — the
+    # declared contract, and the shape cm_lookup_sql's `c.*, cm_est`
+    # returns; est is ≤ one row per candidate value, so broadcast it
+    return candidates.join(F.broadcast(est), value_col)
 
 
 def cm_sketch_sql(source_sql: str, value_col: str, d: int = 4, w: int = 256) -> str:

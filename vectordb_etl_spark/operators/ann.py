@@ -632,6 +632,40 @@ class IVFIndex:
             df, query, k=k, metric=self.metric, predicate=predicate, **topk_kwargs
         )
 
+    def search_per_group(
+        self,
+        query: list[float],
+        k: int = 3,
+        nprobe: int = 16,
+        group_col: str = "collection",
+        predicate: Column | None = None,
+        probe_round_dp: int | None = None,
+        **topk_kwargs,
+    ) -> DataFrame:
+        """Q2 THROUGH the index tier: per-group top-k hit lists (the
+        reference's multi-collection fan-out, milvus_store.py:301-325)
+        over ONE partition-pruned probe scan — the ``centroid_id IN
+        (probes)`` partition filter and the per-group window rank stack
+        on the same read, so fan-out costs one pruned scan + one
+        group-keyed shuffle, never one scan per collection. With
+        ``nprobe >= nlist`` (probe-all) the result provably equals the
+        exact per-group top-k — the registered ``ivf_fanout_topk``
+        oracle edge. Approximate caveat vs per-collection indexes: one
+        shared cell layout means a group concentrated far from the
+        probed cells can under-fill its list at small nprobe; size
+        nprobe accordingly (or give hot collections their own index via
+        CollectionStore.fanout_search_indexed)."""
+        from vectordb_etl_spark.operators.topk import search_per_group_topk
+
+        probes = self.probe_ids(query, nprobe, round_dp=probe_round_dp)
+        df = self._read_data().filter(F.col("centroid_id").isin(probes))
+        if predicate is not None:
+            df = df.filter(predicate)
+        return search_per_group_topk(
+            df, query, k=k, metric=self.metric, group_col=group_col,
+            **topk_kwargs,
+        )
+
 
 def lsh_bucket_col(
     emb_col: Column | str,

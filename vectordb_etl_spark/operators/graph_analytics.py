@@ -40,10 +40,11 @@ _ONE = 1_000_000
 def pagerank(
     edges: DataFrame,
     damping_ppm: int = 850_000,
-    iterations: int = 6,
+    iterations: int | None = 6,
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_dir: str | None = None,
+    max_iterations: int = 40,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list (pass both
     directions for an undirected graph). Returns ``(node, rank_micro)``
@@ -59,9 +60,24 @@ def pagerank(
     4 rounds vs ~3 per round truncated — and the plan tree grows
     super-linearly). ``checkpoint_dir`` switches from executor-local
     blocks to a RELIABLE checkpoint so a cluster run survives executor
-    loss mid-iteration."""
+    loss mid-iteration.
+
+    ``iterations=None`` = RUN-TO-CONVERGENCE bounded by
+    ``max_iterations``: stop when the integer micro-rank vector is
+    unchanged — EXACT equality, reachable because all arithmetic is
+    bigint with truncating DIV, so the iteration is a map on a finite
+    lattice. A converged vector is a true fixpoint (identical input ->
+    identical update), so a fixed-iteration oracle with iterations >=
+    the reached depth — or == ``max_iterations`` if the guard trips
+    (truncation can in principle 2-cycle) — reproduces it exactly.
+    The probe is one anti-join emptiness check per iteration between
+    two already-materialized rank tables."""
     if not 0 < damping_ppm < _ONE:
         raise ValueError(f"damping_ppm must be in (0, 1e6); got {damping_ppm}")
+    if iterations is not None and iterations < 1:
+        raise ValueError(f"iterations must be >= 1; got {iterations}")
+    if iterations is None and max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1; got {max_iterations}")
     if checkpoint_dir is not None:
         def truncate(df: DataFrame) -> DataFrame:
             df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -83,14 +99,14 @@ def pagerank(
     )
     teleport = _ONE - damping_ppm
     ranks = nodes.withColumn("rank_micro", F.lit(_ONE).cast("bigint"))
-    for _ in range(iterations):
+    for _ in range(max_iterations if iterations is None else iterations):
         incoming = (
             ranks.join(ewd, ranks["node"] == ewd["src"], "inner")
             .select(F.col("dst"), F.expr("rank_micro DIV deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = truncate(
+        new_ranks = truncate(
             nodes.join(
                 incoming, nodes["node"] == incoming["dst"], "left"
             ).select(
@@ -104,6 +120,9 @@ def pagerank(
                 ).cast("bigint").alias("rank_micro"),
             )
         )
+        if iterations is None and new_ranks.exceptAll(ranks).isEmpty():
+            return new_ranks
+        ranks = new_ranks
     return ranks
 
 
@@ -358,9 +377,10 @@ v{h} AS (
 def kcore(
     edges: DataFrame,
     k: int,
-    rounds: int,
+    rounds: int | None,
     src_col: str = "src",
     dst_col: str = "dst",
+    max_rounds: int = 30,
 ) -> DataFrame:
     """Fixed-round k-core peeling over an UNDIRECTED edge list
     (duplicates/reversals/self-loops canonicalized away): repeatedly
@@ -378,14 +398,28 @@ def kcore(
     count keeps the whole computation one declarative plan and lets the
     DuckDB twin (:func:`kcore_sql`) unroll the identical rounds.
 
+    ``rounds=None`` = RUN-TO-CONVERGENCE (what a user asking for "the
+    k-core" means): peel until a round removes nothing, bounded by
+    ``max_rounds``. Each round's edge table is already materialized by
+    the lineage truncation, so the convergence probe is a near-free
+    ``count()`` on cached blocks (edges shrink monotonically, and a
+    peel removes a node only by removing its edges, so unchanged edge
+    count <=> fixpoint). Because extra peels past the fixpoint are
+    no-ops, a fixed-round oracle with ``rounds >= the reached depth``
+    — and, when the guard trips, ``rounds == max_rounds`` — produces
+    the identical survivor table, which is how the converged query is
+    oracled without recursive-CTE aggregation (illegal in DuckDB).
+
     Per round: one degree aggregation + two semi joins (edge endpoints
     vs survivors) — three shuffles, none keyed by anything skewable
     beyond true hub degree, which is exactly what peeling removes.
     Lineage is truncated per round (see :func:`pagerank`)."""
     if k < 1:
         raise ValueError(f"k must be >= 1; got {k}")
-    if rounds < 1:
+    if rounds is not None and rounds < 1:
         raise ValueError(f"rounds must be >= 1; got {rounds}")
+    if rounds is None and max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1; got {max_rounds}")
     a, b = F.col(src_col), F.col(dst_col)
     e = (
         edges.filter(a != b)
@@ -393,7 +427,8 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
+    n_edges = e.count() if rounds is None else -1
+    for _ in range(max_rounds if rounds is None else rounds):
         deg = (
             e.select(F.col("a").alias("node"))
             .unionByName(e.select(F.col("b").alias("node")))
@@ -406,6 +441,11 @@ def kcore(
             .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
+        if rounds is None:
+            now = e.count()
+            if now == n_edges:
+                break
+            n_edges = now
     return (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -455,9 +495,10 @@ GROUP BY node HAVING count(*) >= {k}""")
 
 def label_propagation(
     edges: DataFrame,
-    rounds: int,
+    rounds: int | None,
     src_col: str = "src",
     dst_col: str = "dst",
+    max_rounds: int = 20,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation over an
     UNDIRECTED edge list (canonicalized, then mirrored internally):
@@ -473,9 +514,21 @@ def label_propagation(
     (labels × mirrored edges), one (node, label) count, one
     argmax-by-(count desc, label asc) window over per-node label
     multisets — three shuffles, keys bounded by node degree. Lineage
-    truncated per round."""
-    if rounds < 1:
+    truncated per round.
+
+    ``rounds=None`` = RUN-TO-CONVERGENCE bounded by ``max_rounds``:
+    stop when a round changes no label. Synchronous LPA is STABLE at a
+    fixpoint (identical labels -> identical votes -> identical argmax),
+    so extra rounds past convergence are no-ops and a fixed-round
+    oracle with rounds >= the reached depth — or == ``max_rounds``
+    when the guard trips (sync LPA can 2-cycle on bipartite structure;
+    the cap makes that case deterministic too) — returns the identical
+    labeling. The probe is one anti-join count between two already-
+    materialized label tables (both localCheckpointed)."""
+    if rounds is not None and rounds < 1:
         raise ValueError(f"rounds must be >= 1; got {rounds}")
+    if rounds is None and max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1; got {max_rounds}")
     a, b = F.col(src_col), F.col(dst_col)
     canon = (
         edges.filter(a != b)
@@ -495,19 +548,22 @@ def label_propagation(
     labels = nodes.withColumn("label", F.col("node"))
     from pyspark.sql import Window as _W
 
-    for _ in range(rounds):
+    for _ in range(max_rounds if rounds is None else rounds):
         votes = (
             labels.join(e, labels["node"] == e["src"])
             .groupBy(F.col("dst").alias("n2"), "label")
             .agg(F.count("*").alias("c"))
         )
         w = _W.partitionBy("n2").orderBy(F.desc("c"), F.asc("label"))
-        labels = (
+        new_labels = (
             votes.withColumn("r", F.row_number().over(w))
             .filter(F.col("r") == 1)
             .select(F.col("n2").alias("node"), "label")
             .localCheckpoint(eager=True)
         )
+        if rounds is None and new_labels.exceptAll(labels).isEmpty():
+            return new_labels
+        labels = new_labels
     return labels
 
 
@@ -553,10 +609,11 @@ def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,
     damping_ppm: int = 850_000,
-    iterations: int = 6,
+    iterations: int | None = 6,
     src_col: str = "src",
     dst_col: str = "dst",
     seed_col: str = "node",
+    max_iterations: int = 40,
 ) -> DataFrame:
     """Random walk with RESTART — the recommendation twin of
     :func:`pagerank`: the teleport term returns mass only to the SEED
@@ -568,9 +625,17 @@ def personalized_pagerank(
     engine/partitioning, so :func:`personalized_pagerank_sql` can
     hash-check it. Same two-shuffles-per-round shape and per-round
     lineage truncation as pagerank; seed mass normalizes per seed (each
-    seed contributes 1e6, total mass ≤ |seeds|·1e6)."""
+    seed contributes 1e6, total mass ≤ |seeds|·1e6).
+
+    ``iterations=None`` = RUN-TO-CONVERGENCE bounded by
+    ``max_iterations`` — same exact-integer-fixpoint contract and
+    oracle equivalence as :func:`pagerank`."""
     if not 0 < damping_ppm < _ONE:
         raise ValueError(f"damping_ppm must be in (0, 1e6); got {damping_ppm}")
+    if iterations is not None and iterations < 1:
+        raise ValueError(f"iterations must be >= 1; got {iterations}")
+    if iterations is None and max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1; got {max_iterations}")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -599,14 +664,14 @@ def personalized_pagerank(
     ranks = base.select(
         "node", F.col("seed_micro").alias("rank_micro"), "seed_micro"
     )
-    for _ in range(iterations):
+    for _ in range(max_iterations if iterations is None else iterations):
         incoming = (
             ranks.join(ewd, ranks["node"] == ewd["src"], "inner")
             .select(F.col("dst"), F.expr("rank_micro DIV deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
+        new_ranks = (
             base.join(incoming, base["node"] == incoming["dst"], "left")
             .select(
                 "node",
@@ -621,6 +686,9 @@ def personalized_pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if iterations is None and new_ranks.exceptAll(ranks).isEmpty():
+            return new_ranks.select("node", "rank_micro")
+        ranks = new_ranks
     return ranks.select("node", "rank_micro")
 
 

@@ -1,4 +1,4 @@
-"""Graph ANN — per-shard navigable-small-world index (operator X2-analog).
+"""Graph ANN — per-shard hierarchical navigable-small-world index (X2).
 
 The reference's non-default index is Milvus HNSW with M=16,
 efConstruction=200, ef_search=100 (modules/milvus_store.py:115-124, params
@@ -7,16 +7,22 @@ mapping is the standard SHARDED graph index:
 
 - **build**: rows are hashed into shards (``num_shards`` ≈ executor
   parallelism); one ``applyInPandas`` group per shard builds an in-memory
-  NSW graph (greedy insert: each node links to its M nearest among already-
-  inserted nodes, links are bidirectional) and emits the adjacency as a
-  plain ``array<int>`` column. The index IS a parquet table partitioned by
+  HNSW graph — greedy insert with md5-deterministic geometric level
+  assignment; each node links to its M nearest among already-inserted
+  nodes at every level it occupies, links are bidirectional — and emits
+  the adjacency as plain array columns (level 0 in ``neighbors``, upper
+  levels in ``upper``). The index IS a parquet table partitioned by
   ``shard`` — same "index as data layout" stance as IVFIndex.
-- **search**: every shard runs best-first beam search (result heap of
-  ``ef``, expand the closest unexpanded candidate's neighbors, stop when
-  the closest candidate is worse than the worst of a full heap) over its
-  local graph — one ``applyInPandas`` over the index table, no shuffle of
-  vectors — and emits its local top-k; a global ``orderBy().limit(k)``
-  (TakeOrderedAndProject over shards×k tiny rows) merges.
+- **search**: every shard greedily descends the upper levels from the
+  shard's entry point (ef=1 per level), then runs best-first beam search
+  (result heap of ``ef``, expand the closest unexpanded candidate's
+  neighbors, stop when the closest candidate is worse than the worst of a
+  full heap) over the level-0 graph — one ``applyInPandas`` over the
+  index table, no shuffle of vectors — and emits its local top-k; a
+  global ``orderBy().limit(k)`` (TakeOrderedAndProject over shards×k tiny
+  rows) merges. The descent replaces the flat variant's blind start at
+  position 0 and cuts level-0 distance evals at the design point
+  (asserted with an eval counter in tests/test_ann.py).
 
 Scale shape: sharded HNSW searches ALL shards (no cross-shard routing —
 exactly how Milvus distributes HNSW across segments); the win over brute
@@ -37,7 +43,9 @@ driver's ``graph_topk`` query runs that edge; recall at the design point
 
 from __future__ import annotations
 
+import hashlib
 import heapq
+import math
 
 import numpy as np
 import pandas as pd
@@ -90,15 +98,20 @@ def beam_search(
     ef: int,
     n_nodes: int | None = None,
     entry: int = 0,
+    stats: dict | None = None,
 ) -> list[tuple[float, int]]:
     """Best-first search: returns up to ``ef`` (score, node) pairs sorted by
     descending dot score. Visits only reachable nodes; with ``ef >= n`` it
-    visits the entire connected component (exactness edge)."""
+    visits the entire connected component (exactness edge). ``stats``
+    (optional dict) accumulates ``evals`` — one per dot product — so tests
+    can assert the hierarchical descent really does less work."""
     n = n_nodes if n_nodes is not None else mat.shape[0]
     if n == 0:
         return []
     start = min(entry, n - 1)
     s0 = float(mat[start] @ query)
+    if stats is not None:
+        stats["evals"] = stats.get("evals", 0) + 1
     visited = {start}
     # candidates: max-heap by score (python heapq is min-heap → negate)
     candidates = [(-s0, start)]
@@ -113,6 +126,8 @@ def beam_search(
                 continue
             visited.add(nb)
             s = float(mat[nb] @ query)
+            if stats is not None:
+                stats["evals"] += 1
             if len(results) < ef:
                 heapq.heappush(results, (s, nb))
                 heapq.heappush(candidates, (-s, nb))
@@ -124,11 +139,219 @@ def beam_search(
     return sorted(results, key=lambda t: (-t[0], t[1]))
 
 
+# --------------------------------------------------------------------------
+# hierarchical layer (HNSW; Malkov & Yashunin 2016) over the NSW base
+# --------------------------------------------------------------------------
+#
+# The reference contract is Milvus HNSW (milvus_store.py:115-124). The flat
+# NSW above matches it at the exact edge but pays ~ef·M distance evals from
+# a random entry; the standard fix is the hierarchy: node i also lives on
+# levels 1..l_i where P(l_i >= l) = (1/M)^l, upper levels form sparser NSW
+# graphs, and a query greedily descends coarse-to-fine so the level-0 beam
+# starts next to the answer instead of at position 0. Level assignment is
+# DETERMINISTIC here — the uniform draw comes from md5 of the global vector
+# id, not an RNG — so rebuilds, `add` segments, and both engines of a test
+# see the same structure (same rebuild-reproducibility stance as IVF's
+# seeded k-means).
+
+_HNSW_MAX_LEVEL = 8
+
+
+def hnsw_levels(ids: np.ndarray, m: int = 16) -> np.ndarray:
+    """Per-node top level: floor(-ln(u) / ln(m)), u in (0, 1] derived
+    from md5 of the id — the textbook geometric distribution, capped at
+    ``_HNSW_MAX_LEVEL`` (P(cap) < m^-8, irrelevant below ~4B rows)."""
+    if m < 2:
+        raise ValueError(f"m must be >= 2 for the level distribution; got {m}")
+    inv_ln_m = 1.0 / math.log(m)
+    out = np.zeros(len(ids), dtype=np.int32)
+    for idx, vid in enumerate(ids):
+        h = int.from_bytes(
+            hashlib.md5(f"hnswlvl|{int(vid)}".encode()).digest()[:8], "big"
+        )
+        u = ((h >> 11) + 1) / float(1 << 53)  # uniform in (0, 1]
+        out[idx] = min(int(-math.log(u) * inv_ln_m), _HNSW_MAX_LEVEL)
+    return out
+
+
+def _greedy_descend(
+    mat: np.ndarray,
+    adj: list[list[int]],
+    query: np.ndarray,
+    entry: int,
+    n_nodes: int,
+    stats: dict | None = None,
+) -> int:
+    """ef=1 greedy walk at one level: hop to the best-scoring neighbor
+    until no neighbor improves. Returns the local optimum node."""
+    cur = entry
+    cur_s = float(mat[cur] @ query)
+    if stats is not None:
+        stats["evals"] = stats.get("evals", 0) + 1
+    improved = True
+    while improved:
+        improved = False
+        for nb in adj[cur]:
+            if nb >= n_nodes:
+                continue
+            s = float(mat[nb] @ query)
+            if stats is not None:
+                stats["evals"] += 1
+            if s > cur_s or (s == cur_s and nb < cur):
+                cur, cur_s = nb, s
+                improved = True
+    return cur
+
+
+def build_hnsw(
+    mat: np.ndarray,
+    levels: np.ndarray,
+    m: int = 16,
+    ef_construction: int = 200,
+) -> tuple[list[list[list[int]]], int]:
+    """Greedy HNSW construction over unit vectors: insert nodes in
+    position order; each insert descends from the current entry point
+    through levels above its own (ef=1), then beam-searches each of its
+    levels with ``ef_construction`` and links bidirectionally to its
+    ``m`` nearest. Level-0 links are always made, so level 0 is CONNECTED
+    — the flat-NSW exactness edge (ef >= n visits everything) survives
+    the hierarchy untouched. Returns ``(adjs, entry)`` where ``adjs[l]``
+    is the adjacency at level ``l`` and ``entry`` the top node."""
+    n = mat.shape[0]
+    if n == 0:
+        return [[]], 0
+    max_lev = int(levels.max())
+    adjs: list[list[list[int]]] = [
+        [[] for _ in range(n)] for _ in range(max_lev + 1)
+    ]
+    entry = 0
+    for i in range(1, n):
+        li = int(levels[i])
+        el = int(levels[entry])
+        cur = entry
+        for lev in range(el, li, -1):
+            cur = _greedy_descend(mat, adjs[lev], mat[i], cur, i)
+        for lev in range(min(li, el), -1, -1):
+            cand = beam_search(
+                mat,
+                adjs[lev],
+                mat[i],
+                ef=max(ef_construction, m),
+                n_nodes=i,
+                entry=cur,
+            )
+            for j in (node for _, node in cand[:m]):
+                adjs[lev][i].append(j)
+                adjs[lev][j].append(i)
+            if cand:
+                cur = cand[0][1]
+        if li > el:
+            entry = i
+    return adjs, entry
+
+
+def hnsw_search(
+    mat: np.ndarray,
+    adjs: list[list[list[int]]],
+    entry: int,
+    query: np.ndarray,
+    ef: int,
+    stats: dict | None = None,
+) -> list[tuple[float, int]]:
+    """Coarse-to-fine query: greedy ef=1 descent through the upper
+    levels, then the usual ef-beam at level 0 starting from the descent's
+    landing node. Same return contract (and tie rule) as
+    :func:`beam_search`; with ef >= n it is exact regardless of entry."""
+    n = mat.shape[0]
+    if n == 0:
+        return []
+    cur = min(entry, n - 1)
+    for lev in range(len(adjs) - 1, 0, -1):
+        cur = _greedy_descend(mat, adjs[lev], query, cur, n, stats)
+    return beam_search(mat, adjs[0], query, ef, entry=cur, stats=stats)
+
+
+def _hnsw_entry_pos(levels: np.ndarray) -> int:
+    """The search entry point implied by a stored shard: highest level,
+    smallest position on ties — derivable, so it is never stored."""
+    top = int(levels.max())
+    return int(np.nonzero(levels == top)[0][0])
+
+
+def _pack_upper(adjs: list[list[list[int]]], i: int, level: int) -> list:
+    return [
+        np.asarray(adjs[lev][i], dtype=np.int32)
+        for lev in range(1, level + 1)
+    ]
+
+
+def _unpack_adjs(
+    levels: np.ndarray, adj0: list, upper: list
+) -> list[list[list[int]]]:
+    n = len(levels)
+    max_lev = int(levels.max()) if n else 0
+    adjs: list[list[list[int]]] = [[list(a) for a in adj0]] + [
+        [[] for _ in range(n)] for _ in range(max_lev)
+    ]
+    for i in range(n):
+        for off, lst in enumerate(upper[i]):
+            adjs[off + 1][i] = list(lst)
+    return adjs
+
+
+_INDEX_META_COLS = ("shard", "id", "pos", "embedding", "node_level",
+                    "neighbors", "upper")
+
+
+def _index_schema(tagged: DataFrame, passthrough: list[str]) -> str:
+    pass_fields = ", ".join(
+        f"`{c}` {tagged.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+    return (
+        "shard int, id long, "
+        + (pass_fields + ", " if pass_fields else "")
+        + "pos int, embedding array<double>, node_level int, "
+        "neighbors array<int>, upper array<array<int>>"
+    )
+
+
+def _make_shard_builder(passthrough: list[str], m: int, ef_construction: int):
+    """The per-shard applyInPandas body shared by build() and add():
+    id-sorted positions, deterministic md5-derived levels, one in-memory
+    HNSW construction, adjacency emitted as plain array columns."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        mat = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
+        levels = hnsw_levels(pdf["id"].to_numpy(), m=m)
+        adjs, _entry = build_hnsw(
+            mat, levels, m=m, ef_construction=ef_construction
+        )
+        n = len(pdf)
+        out = {
+            "shard": pdf["shard"],
+            "id": pdf["id"],
+            **{c: pdf[c] for c in passthrough},
+            "pos": np.arange(n, dtype=np.int32),
+            "embedding": list(mat),
+            "node_level": levels,
+            "neighbors": [np.asarray(adjs[0][i], dtype=np.int32) for i in range(n)],
+            "upper": [_pack_upper(adjs, i, int(levels[i])) for i in range(n)],
+        }
+        return pd.DataFrame(out)
+
+    return _build
+
+
 class GraphANNIndex:
-    """Sharded NSW index as partitioned parquet:
-    ``<path>/shard=<i>/...`` rows ``(id, <passthrough...>, embedding,
-    neighbors array<int>)`` — neighbors are LOCAL row positions within the
-    shard (stable because search reloads the shard in one group)."""
+    """Sharded HIERARCHICAL NSW (HNSW) index as partitioned parquet:
+    ``<path>/shard=<i>/...`` rows ``(id, <passthrough...>, pos, embedding,
+    node_level, neighbors array<int>, upper array<array<int>>)`` —
+    ``neighbors`` is the level-0 adjacency, ``upper[j]`` the adjacency at
+    level ``j+1`` (empty past ``node_level``); all values are LOCAL row
+    positions within the shard (stable because search reloads the shard
+    in one group). The search entry point (max level, lowest pos) is
+    derived at load, never stored."""
 
     def __init__(self, spark: SparkSession, path: str, metric: str = "COSINE"):
         if metric.upper() != "COSINE":
@@ -167,29 +390,8 @@ class GraphANNIndex:
             F.col(emb_col).cast("array<double>").alias("embedding"),
             F.pmod(F.hash(F.col(id_col)), F.lit(num_shards)).alias("shard"),
         )
-        pass_fields = ", ".join(
-            f"`{c}` {tagged.schema[c].dataType.simpleString()}" for c in passthrough
-        )
-        out_schema = (
-            "shard int, id long, "
-            + (pass_fields + ", " if pass_fields else "")
-            + "pos int, embedding array<double>, neighbors array<int>"
-        )
-
-        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("id").reset_index(drop=True)
-            mat = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
-            adj = build_nsw(mat, m=m, ef_construction=ef_construction)
-            out = {
-                "shard": pdf["shard"],
-                "id": pdf["id"],
-                **{c: pdf[c] for c in passthrough},
-                "pos": np.arange(len(pdf), dtype=np.int32),
-                "embedding": list(mat),
-                "neighbors": [np.asarray(a, dtype=np.int32) for a in adj],
-            }
-            return pd.DataFrame(out)
-
+        out_schema = _index_schema(tagged, passthrough)
+        _build = _make_shard_builder(passthrough, m, ef_construction)
         tagged.groupBy("shard").applyInPandas(_build, out_schema).write.mode(
             "overwrite"
         ).partitionBy("shard").parquet(self.path)
@@ -222,8 +424,7 @@ class GraphANNIndex:
         passthrough = passthrough or []
         existing = self.spark.read.parquet(self.path)
         expected = [
-            c for c in existing.columns
-            if c not in ("shard", "id", "pos", "embedding", "neighbors")
+            c for c in existing.columns if c not in _INDEX_META_COLS
         ]
         if sorted(expected) != sorted(passthrough):
             raise ValueError(
@@ -241,29 +442,8 @@ class GraphANNIndex:
                 "shard"
             ),
         )
-        pass_fields = ", ".join(
-            f"`{c}` {tagged.schema[c].dataType.simpleString()}" for c in passthrough
-        )
-        out_schema = (
-            "shard int, id long, "
-            + (pass_fields + ", " if pass_fields else "")
-            + "pos int, embedding array<double>, neighbors array<int>"
-        )
-
-        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("id").reset_index(drop=True)
-            mat = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
-            adj = build_nsw(mat, m=m, ef_construction=ef_construction)
-            out = {
-                "shard": pdf["shard"],
-                "id": pdf["id"],
-                **{c: pdf[c] for c in passthrough},
-                "pos": np.arange(len(pdf), dtype=np.int32),
-                "embedding": list(mat),
-                "neighbors": [np.asarray(a, dtype=np.int32) for a in adj],
-            }
-            return pd.DataFrame(out)
-
+        out_schema = _index_schema(tagged, passthrough)
+        _build = _make_shard_builder(passthrough, m, ef_construction)
         tagged.groupBy("shard").applyInPandas(_build, out_schema).write.mode(
             "append"
         ).partitionBy("shard").parquet(self.path)
@@ -285,8 +465,7 @@ class GraphANNIndex:
         but many tiny segments waste task overhead and beam quality."""
         existing = self.spark.read.parquet(self.path)
         passthrough = [
-            c for c in existing.columns
-            if c not in ("shard", "id", "pos", "embedding", "neighbors")
+            c for c in existing.columns if c not in _INDEX_META_COLS
         ]
         before = existing.select("shard").distinct().count()
         vectors = existing.select(
@@ -348,8 +527,11 @@ class GraphANNIndex:
         def _search(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("pos").reset_index(drop=True)
             mat = np.stack(pdf["embedding"].to_numpy())
-            adj = [list(a) for a in pdf["neighbors"]]
-            hits = beam_search(mat, adj, q, ef=max(ef_, k_))[:emit]
+            levels = pdf["node_level"].to_numpy()
+            adjs = _unpack_adjs(levels, pdf["neighbors"], pdf["upper"])
+            hits = hnsw_search(
+                mat, adjs, _hnsw_entry_pos(levels), q, ef=max(ef_, k_)
+            )[:emit]
             rows = [pdf.iloc[node] for _, node in hits]
             return pd.DataFrame(
                 {
@@ -394,10 +576,14 @@ class GraphANNIndex:
         def _search(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("pos").reset_index(drop=True)
             mat = np.stack(pdf["embedding"].to_numpy())
-            adj = [list(a) for a in pdf["neighbors"]]
+            levels = pdf["node_level"].to_numpy()
+            adjs = _unpack_adjs(levels, pdf["neighbors"], pdf["upper"])
+            entry = _hnsw_entry_pos(levels)
             frames = []
             for qi in range(qmat.shape[0]):
-                hits = beam_search(mat, adj, qmat[qi], ef=max(ef_, k_))[:k_]
+                hits = hnsw_search(
+                    mat, adjs, entry, qmat[qi], ef=max(ef_, k_)
+                )[:k_]
                 rows = [pdf.iloc[node] for _, node in hits]
                 frames.append(
                     pd.DataFrame(

@@ -366,6 +366,57 @@ class CollectionStore:
             )
         raise ValueError(f"unknown index kind {kind!r}")
 
+    def fanout_search_indexed(
+        self,
+        query: list[float],
+        k: int = 3,
+        nprobe: int = 16,
+        collections: list[str] | None = None,
+        kind: str = "ivf",
+        ef: int = 100,
+        **search_kwargs,
+    ) -> DataFrame:
+        """Q2 through PER-COLLECTION indexes (the exact Milvus fan-out
+        shape, milvus_store.py:301-325: loop collections, search each
+        index, concat + global sort): each named collection's previously
+        built index is probed independently — IVF partitions prune per
+        collection, graph shards beam per collection — results are
+        tagged with the collection name, unioned, and one global
+        TakeOrderedAndProject merges the ≤ |collections|·k candidate
+        rows. Collections without a built index raise (build_index
+        first — silently falling back to a scan would hide a 100×
+        cost cliff). Per-collection indexes beat one shared-layout
+        index (IVFIndex.search_per_group) when collections are hot/cold
+        skewed: each gets its own centroid budget and the probe cost is
+        per-collection, not corpus-wide."""
+        names = collections if collections is not None else self.list_collections()
+        if not names:
+            raise ValueError("fanout_search_indexed: no collections to search")
+        parts = []
+        for n in names:
+            ipath = self._index_path(n, kind)
+            if not self._fs(ipath).exists(self._jpath(ipath)):
+                raise ValueError(
+                    f"collection {n!r} has no {kind} index — build_index first"
+                )
+            idx = self.open_index(n, kind=kind)
+            if kind == "ivf":
+                hits = idx.search(query, k=k, nprobe=nprobe, **search_kwargs)
+            else:
+                hits = idx.search(query, k=k, ef=ef, **search_kwargs)
+            parts.append(hits.withColumn("collection", F.lit(n)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        score = search_kwargs.get("score_name", "score")
+        # deterministic merge: reuse the caller's within-collection tie
+        # rule before the collection tag, so the global order matches a
+        # single exact top-k over the union on score ties
+        order = [F.desc(score)]
+        order += [F.asc(c) for c in search_kwargs.get("tie_break") or []]
+        order.append(F.asc("collection"))
+        return out.orderBy(*order).limit(k)
+
     def open_index(self, collection: str | None = None, kind: str = "ivf"):
         """Reopen a previously built index (artifact is self-describing)."""
         if kind == "ivf":

@@ -188,19 +188,37 @@ class SnapshotStore:
 
     # -- maintenance ---------------------------------------------------------
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, grace_s: float = 900.0) -> list[str]:
         """Delete data files referenced by NO manifest (crashed commit
         leftovers, or overwritten history after manifests are pruned by
-        an outside retention policy). Returns the deleted paths."""
+        an outside retention policy). Returns the deleted paths.
+
+        ``grace_s``: skip subdirectories written within the last
+        ``grace_s`` seconds. ``_write_parts`` lands files BEFORE
+        ``_try_commit`` publishes the manifest, so an un-referenced
+        directory younger than the grace window may belong to an
+        in-flight commit — deleting it would corrupt that commit. The
+        ``c-<time_ns>-*`` name encodes the write time, so no extra
+        stat is needed. Pass ``grace_s=0`` only when no writer can be
+        active (mirrors CollectionStore.vacuum)."""
         live: set[str] = set()
         for v in self.versions():
             live.update(self._manifest(v)["files"])
         deleted = []
+        cutoff_ns = time.time_ns() - int(grace_s * 1e9)
         files_root = self._jvm_path(f"{self.root}/files")
         for sub in self._fs.listStatus(files_root):
             if not sub.isDirectory():
                 continue
             sub_path = sub.getPath()
+            parts = sub_path.getName().split("-")
+            if (
+                len(parts) >= 2
+                and parts[0] == "c"
+                and parts[1].isdigit()
+                and int(parts[1]) > cutoff_ns
+            ):
+                continue
             all_dead = True
             members = []
             for st in self._fs.listStatus(sub_path):
