@@ -225,3 +225,134 @@ def test_filter_parser_never_crashes_unexpectedly(spark, junk):
         parse_filter(junk)
     except FilterExprError:
         pass
+
+
+# --------------------------------------------------------------------------
+# semantic property tests (VERDICT r06 item 7): a generated AST rendered to
+# a filter string and parsed back must select EXACTLY the rows a direct
+# Python evaluation of the same AST selects — parser, precedence, operator
+# translation and literal handling all under one differential oracle.
+# --------------------------------------------------------------------------
+
+import operator as _op
+
+
+_FIELDS = {"n": "int", "score": "float", "language": "str"}
+_LANGS = ["korean", "english", "vietnamese", "thai"]
+_CMP = {
+    "==": _op.eq, "!=": _op.ne, ">": _op.gt,
+    ">=": _op.ge, "<": _op.lt, "<=": _op.le,
+}
+
+
+@st.composite
+def _ast(draw, depth=3):
+    kind = draw(st.sampled_from(
+        ["cmp", "in", "and", "or", "not"] if depth > 0 else ["cmp", "in"]
+    ))
+    if kind == "cmp":
+        field = draw(st.sampled_from(list(_FIELDS)))
+        op = draw(st.sampled_from(list(_CMP)))
+        if _FIELDS[field] == "int":
+            lit = draw(st.integers(-5, 5))
+        elif _FIELDS[field] == "float":
+            lit = float(draw(st.integers(-50, 50))) / 10.0
+        else:
+            op = draw(st.sampled_from(["==", "!="]))
+            lit = draw(st.sampled_from(_LANGS))
+        return ("cmp", field, op, lit)
+    if kind == "in":
+        vals = draw(st.lists(st.sampled_from(_LANGS), min_size=1, max_size=3))
+        return ("in", "language", draw(st.booleans()), vals)
+    if kind == "not":
+        return ("not", draw(_ast(depth=depth - 1)))
+    return (kind, draw(_ast(depth=depth - 1)), draw(_ast(depth=depth - 1)))
+
+
+def _render(node, parens_mode) -> str:
+    # parens_mode 'always' wraps every boolean node; 'never' leans on the
+    # grammar's precedence (and binds tighter than or) — both renderings
+    # of the same AST must agree with the Python evaluation, which is
+    # exactly the precedence property.
+    kind = node[0]
+    if kind == "cmp":
+        _, f, op, lit = node
+        lit_s = f'"{lit}"' if isinstance(lit, str) else repr(lit)
+        return f"{f} {op} {lit_s}"
+    if kind == "in":
+        _, f, neg, vals = node
+        vals_s = ", ".join(f'"{v}"' for v in vals)
+        return f"{f} {'not in' if neg else 'in'} [{vals_s}]"
+    if kind == "not":
+        inner = _render(node[1], parens_mode)
+        return f"not ({inner})"
+    a = _render(node[1], parens_mode)
+    b = _render(node[2], parens_mode)
+    word = node[0]
+    if parens_mode == "always":
+        return f"({a}) {word} ({b})"
+    # precedence-sensitive rendering: only wrap an OR child under AND
+    # (the one place the flat string would rebind)
+    if word == "and":
+        if node[1][0] == "or":
+            a = f"({a})"
+        if node[2][0] == "or":
+            b = f"({b})"
+    return f"{a} {word} {b}"
+
+
+def _eval(node, row) -> bool:
+    kind = node[0]
+    if kind == "cmp":
+        _, f, op, lit = node
+        return _CMP[op](row[f], lit)
+    if kind == "in":
+        _, f, neg, vals = node
+        return (row[f] not in vals) if neg else (row[f] in vals)
+    if kind == "not":
+        return not _eval(node[1], row)
+    if kind == "and":
+        return _eval(node[1], row) and _eval(node[2], row)
+    return _eval(node[1], row) or _eval(node[2], row)
+
+
+_PROP_ROWS = [
+    {"id": i, "n": n, "score": s / 10.0, "language": lang}
+    for i, (n, s, lang) in enumerate(
+        (n, s, lang)
+        for n in (-3, 0, 2, 5)
+        for s in (-15, 0, 25)
+        for lang in _LANGS[:3]
+    )
+]
+
+
+@pytest.fixture(scope="module")
+def prop_df(spark):
+    return spark.createDataFrame(
+        [(r["id"], r["n"], r["score"], r["language"]) for r in _PROP_ROWS],
+        "id long, n int, score double, language string",
+    )
+
+
+@given(_ast(), st.sampled_from(["always", "never"]))
+@settings(
+    max_examples=60, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filter_parser_differential_semantics(spark, prop_df, tree, parens):
+    expr = _render(tree, parens)
+    got = sorted(
+        r["id"] for r in prop_df.filter(parse_filter(expr)).select("id").collect()
+    )
+    want = sorted(r["id"] for r in _PROP_ROWS if _eval(tree, r))
+    assert got == want, expr
+
+
+def test_filter_precedence_and_binds_tighter_than_or(df):
+    # a == 1 or b and c must parse as a or (b and c); with (a or b) and c
+    # the result differs on this fixture — the classic rebinding probe
+    assert _ids(df, 'n == 1 or n == 7 and score > 2.0') == [1, 2]
+    assert _ids(df, '(n == 1 or n == 7) and score > 2.0') == [2]
+    # not binds tighter than and
+    assert _ids(df, 'not n == 1 and score < 3.0') == [0, 2]

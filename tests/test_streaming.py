@@ -659,3 +659,58 @@ def test_bitmap_ingest_stream_exact_and_replay_safe(spark, tmp_path):
     assert _counts() == want
     _run("ckpt2")  # replay everything
     assert _counts() == want
+
+
+def test_cm_sink_crash_replay_at_10x_state(spark, tmp_path):
+    """VERDICT r06 item 8: crash mid-swap + batch replay at 10x the
+    default sketch state (d·w = 4·2560 counter rows vs the 4·256
+    default). The sink must (a) restore the aside copy, (b) skip the
+    replayed batch via the committed-batch-id watermark (CM addition is
+    NOT idempotent — a double merge would double-count), and (c) keep
+    state scalar-bounded: <= d·w + 1 rows total and exactly ONE meta
+    row, no matter how many batches or how big the corpus."""
+    import shutil
+
+    from tests.conftest import SF_TINY
+    from vectordb_etl_spark.functions.sketches import cm_sketch
+    from vectordb_etl_spark.streaming.ingest import cm_ingest_stream
+
+    d, w = 4, 2560
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select("user_id")
+    landing = str(tmp_path / "landing")
+    sketch = str(tmp_path / "cm")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    def _run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = cm_ingest_stream(
+            stream, sketch, ckpt, value_col="user_id", d=d, w=w,
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+
+    _run()
+    # crash window: sketch renamed aside, staging lost, AND the stream
+    # will replay from the same checkpoint (at-least-once delivery)
+    shutil.move(sketch, f"{sketch}.old")
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    _run()
+
+    final = spark.read.parquet(sketch)
+    counters = sorted(
+        map(tuple, final.filter(F.col("row") >= 0).collect())
+    )
+    want = sorted(map(tuple, cm_sketch(ev, "user_id", d=d, w=w).collect()))
+    assert counters == want  # exactly-once: no double-merged half
+    # state is scalar-bounded: d·w counters max + exactly one meta row
+    assert final.count() <= d * w + 1
+    assert final.filter(F.col("row") == -1).count() == 1
