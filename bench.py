@@ -555,17 +555,17 @@ def main() -> None:
         "non_residual_recall_at_10": _raw_recall,
     }
 
-    # Graph tier at the REFERENCE design point (m=16, efc=100, ef=100 —
-    # milvus_store.py:115-124): one shard-sized slice of the jittered
+    # Graph tier at the REFERENCE design point (m=16, efc=200, ef=100 —
+    # milvus_store.py:115-124, config.py:26-27): one shard-sized slice of the jittered
     # corpus (≈2,500 rows ≈ a real shard after hashing), hierarchical HNSW
     # vs the flat NSW it replaced, recall@10 against exact numpy truth AND
     # total distance evaluations. Honest regime note: this corpus is
     # 10-clone replica clusters, where any beam locks onto the clone group
     # immediately — expect recall parity and near-equal evals (descent
     # overhead ~7%). The hierarchy's win is on SPREAD-cluster corpora where
-    # flat NSW actually struggles (0.847 -> 0.988 recall with 23% fewer
-    # evals at n=3000 — pinned deterministically in tests/test_ann.py::
-    # test_hnsw_exact_edge_and_recall_not_worse_with_fewer_evals); both
+    # flat NSW actually struggles (0.875 -> 0.992 recall with 17% fewer
+    # evals at n=3000, efc=200 — pinned deterministically in tests/test_ann.py
+    # ::test_hnsw_exact_edge_and_recall_not_worse_with_fewer_evals); both
     # numbers are recorded so the trade is visible per run.
     from vectordb_etl_spark.operators.graph_ann import (
         beam_search as _gbeam,
@@ -577,9 +577,12 @@ def main() -> None:
 
     _g_mat = _dp_unit[:2500]
     _g_adjs, _g_entry = _gbuild_h(
-        _g_mat, _glevels(_np.arange(2500), m=16), m=16, ef_construction=100
+        _g_mat,
+        _glevels(_np.arange(_g_mat.shape[0]), m=16),
+        m=16,
+        ef_construction=200,
     )
-    _g_flat = _gbuild_f(_g_mat, m=16, ef_construction=100)
+    _g_flat = _gbuild_f(_g_mat, m=16, ef_construction=200)
     _g_h = {"recall": 0, "evals": 0}
     _g_f = {"recall": 0, "evals": 0}
     for qv in _dp_queries:
@@ -599,7 +602,7 @@ def main() -> None:
         "corpus": "jittered_replica_shard",
         "n_rows": int(_g_mat.shape[0]),
         "m": 16,
-        "ef_construction": 100,
+        "ef_construction": 200,
         "ef": 100,
         "n_queries": len(_dp_queries),
         "hnsw_recall_at_10": round(_g_h["recall"] / _g_den, 4),
@@ -607,7 +610,7 @@ def main() -> None:
         "hnsw_evals": _g_h["evals"],
         "flat_nsw_evals": _g_f["evals"],
         "note": "replica-cluster corpus: parity expected; spread-cluster "
-                "win (0.847->0.988 recall, -23% evals) pinned in "
+                "win (0.875->0.992 recall, -17% evals) pinned in "
                 "tests/test_ann.py",
     }
 

@@ -829,11 +829,12 @@ def test_hnsw_exact_edge_and_recall_not_worse_with_fewer_evals():
     """The VERDICT done-bar, at a realistic shard size (n=3000 — where
     ef=100 is a small fraction of the shard, the regime the hierarchy
     exists for; at toy n≈ef the descent overhead cancels the gain): at
-    the reference design point (m=16, ef_construction=100, ef=100) the
-    hierarchical search must (a) beat-or-match flat NSW recall@k,
-    (b) spend FEWER distance evaluations, and (c) stay exact at the
-    ef >= n edge. Measured at commit time: hnsw recall 0.988 / 10.6k
-    evals vs flat 0.847 / 13.7k evals over 40 queries."""
+    the REFERENCE design point (m=16, ef_construction=200, ef=100 —
+    milvus_store.py:115-124) the hierarchical search must (a)
+    beat-or-match flat NSW recall@k, (b) spend FEWER distance
+    evaluations, and (c) stay exact at the ef >= n edge. Measured at
+    commit time: hnsw recall 0.992 / 10.9k evals vs flat 0.875 / 13.1k
+    evals over 40 queries."""
     import numpy as np
 
     from vectordb_etl_spark.operators.graph_ann import (
@@ -847,8 +848,8 @@ def test_hnsw_exact_edge_and_recall_not_worse_with_fewer_evals():
     mat = _clustered_mat(n_clusters=20, per=150)
     n = mat.shape[0]
     levels = hnsw_levels(np.arange(n), m=16)
-    adjs, entry = build_hnsw(mat, levels, m=16, ef_construction=100)
-    flat = build_nsw(mat, m=16, ef_construction=100)
+    adjs, entry = build_hnsw(mat, levels, m=16, ef_construction=200)
+    flat = build_nsw(mat, m=16, ef_construction=200)
 
     rng = np.random.RandomState(7)
     queries = mat[rng.choice(n, 40, replace=False)] + rng.standard_normal(
@@ -895,6 +896,34 @@ def test_hnsw_level0_connected_and_bidirectional():
                 seen.add(j)
                 stack.append(j)
     assert len(seen) == mat.shape[0]
+
+
+def test_hnsw_rejects_pre_hierarchy_layout(spark, embeddings_tiny, tmp_path):
+    """search/search_many/add on a flat-NSW-era index raise a clear
+    ValueError instead of failing inside an executor (and instead of
+    add() silently appending mixed-schema shards); compact() stays open
+    as the migration path."""
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    path = str(tmp_path / "old")
+    GraphANNIndex(spark, path).build(
+        embeddings_tiny, num_shards=2, m=4, ef_construction=20
+    )
+    # strip the hierarchy columns -> exactly the pre-change layout
+    old = spark.read.parquet(path).drop("node_level", "upper")
+    legacy = str(tmp_path / "legacy")
+    old.write.partitionBy("shard").parquet(legacy)
+    idx = GraphANNIndex(spark, legacy)
+    q = list(embeddings_tiny.head()["embedding"])
+    with pytest.raises(ValueError, match="pre-hierarchy"):
+        idx.search(q, k=3)
+    with pytest.raises(ValueError, match="pre-hierarchy"):
+        idx.search_many([q], k=3)
+    with pytest.raises(ValueError, match="pre-hierarchy"):
+        idx.add(embeddings_tiny)
+    # migration: compact() rebuilds into the hierarchical layout
+    idx.compact(num_shards=2, m=4, ef_construction=20)
+    assert idx.search(q, k=3, ef=10_000).count() == 3
 
 
 def test_hnsw_index_roundtrips_structure(spark, embeddings_tiny, tmp_path):

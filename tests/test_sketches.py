@@ -280,6 +280,14 @@ def test_cm_lookup_keeps_candidate_columns(spark):
         ).fetchall()
     )
     assert got == want
+    # a NULL candidate value never equi-joins and was never counted, but
+    # the ROW must survive with cm_est = 0 (one output row per candidate)
+    null_cands = spark.createDataFrame(
+        [(None, "missing")], "v int, name string"
+    )
+    null_row = cm_lookup(sk, null_cands, "v", d=3, w=64).collect()
+    assert len(null_row) == 1
+    assert null_row[0]["name"] == "missing" and null_row[0]["cm_est"] == 0
 
 
 def test_cm_rejects_bad_shape(spark):

@@ -201,6 +201,19 @@ def test_fanout_search_indexed_matches_exact_merge(spark, tmp_path):
     assert [(r["doc_id"], r["score"]) for r in got] == [
         (r["doc_id"], r["score"]) for r in exact
     ]
+    # graph kind: tie_break must be consumed at the merge (GraphANNIndex
+    # has no tie_break parameter — forwarding it used to TypeError), and
+    # the full-beam edge matches the same exact merge
+    for c in store.list_collections():
+        store.build_index(c, kind="graph", id_col="doc_id",
+                          num_shards=2, m=4, ef_construction=20)
+    ggot = store.fanout_search_indexed(
+        q, k=3, kind="graph", ef=100_000, tie_break=["id"],
+        output_cols=["id"],
+    ).collect()
+    assert [(r["id"], r["score"]) for r in ggot] == [
+        (r["doc_id"], r["score"]) for r in exact
+    ]
 
 
 def test_sql_surface_over_collections(spark, store):

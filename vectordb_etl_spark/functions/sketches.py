@@ -490,8 +490,13 @@ def cm_lookup(
     est = hit.groupBy(value_col).agg(F.min("c").alias("cm_est"))
     # join the estimates back so every candidate column survives — the
     # declared contract, and the shape cm_lookup_sql's `c.*, cm_est`
-    # returns; est is ≤ one row per candidate value, so broadcast it
-    return candidates.join(F.broadcast(est), value_col)
+    # returns; est is ≤ one row per candidate value, so broadcast it.
+    # LEFT join + coalesce: a NULL candidate value never equi-joins (and
+    # the sketch never counted NULLs), but the row itself must survive
+    # with cm_est = 0 — one output row per candidate row, no silent drop
+    return candidates.join(F.broadcast(est), value_col, "left").withColumn(
+        "cm_est", F.coalesce(F.col("cm_est"), F.lit(0).cast("bigint"))
+    )
 
 
 def cm_sketch_sql(source_sql: str, value_col: str, d: int = 4, w: int = 256) -> str:
@@ -541,7 +546,9 @@ est AS (
   FROM probe LEFT JOIN sk ON sk.row = probe.row AND sk.pos = probe.pos
   GROUP BY {value_col}
 )
-SELECT c.*, est.cm_est FROM cands c JOIN est USING ({value_col})
+SELECT c.{value_col}, c.* EXCLUDE ({value_col}),
+       CAST(coalesce(est.cm_est, 0) AS BIGINT) AS cm_est
+FROM cands c LEFT JOIN est USING ({value_col})
 """
 
 

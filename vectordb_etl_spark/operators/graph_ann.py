@@ -303,6 +303,19 @@ _INDEX_META_COLS = ("shard", "id", "pos", "embedding", "node_level",
                     "neighbors", "upper")
 
 
+def _require_hnsw_format(df: DataFrame, path: str) -> None:
+    """Refuse to operate on a pre-hierarchy (flat-NSW) index layout —
+    the alternative is a mixed-schema parquet table that fails, or
+    silently nulls columns, deep inside an executor."""
+    missing = [c for c in ("node_level", "upper") if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"graph index at {path} lacks {missing} — it was built with "
+            "the pre-hierarchy flat-NSW layout; rebuild with build() "
+            "(or compact()) before searching or appending segments"
+        )
+
+
 def _index_schema(tagged: DataFrame, passthrough: list[str]) -> str:
     pass_fields = ", ".join(
         f"`{c}` {tagged.schema[c].dataType.simpleString()}" for c in passthrough
@@ -423,6 +436,7 @@ class GraphANNIndex:
         built with (schema is checked against the existing layout)."""
         passthrough = passthrough or []
         existing = self.spark.read.parquet(self.path)
+        _require_hnsw_format(existing, self.path)
         expected = [
             c for c in existing.columns if c not in _INDEX_META_COLS
         ]
@@ -463,6 +477,9 @@ class GraphANNIndex:
         ``(shards_before, shards_after)``. Run when small segments
         accumulate — per-segment beam searches stay correct regardless,
         but many tiny segments waste task overhead and beam quality."""
+        # no format guard here: compact() reads only id/passthrough/
+        # embedding, so it doubles as the MIGRATION path for an index
+        # persisted in the pre-hierarchy flat-NSW layout
         existing = self.spark.read.parquet(self.path)
         passthrough = [
             c for c in existing.columns if c not in _INDEX_META_COLS
@@ -517,6 +534,7 @@ class GraphANNIndex:
         q = q / max(float(np.linalg.norm(q)), 1e-12)
         out_cols = output_cols or ["id"]
         idx = self.spark.read.parquet(self.path)
+        _require_hnsw_format(idx, self.path)
         pass_fields = ", ".join(
             f"`{c}` {idx.schema[c].dataType.simpleString()}" for c in out_cols
         )
@@ -567,6 +585,7 @@ class GraphANNIndex:
         qmat = _normalize_rows(np.asarray(queries, dtype=np.float64))
         out_cols = output_cols or ["id"]
         idx = self.spark.read.parquet(self.path)
+        _require_hnsw_format(idx, self.path)
         pass_fields = ", ".join(
             f"`{c}` {idx.schema[c].dataType.simpleString()}" for c in out_cols
         )

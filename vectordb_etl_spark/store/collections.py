@@ -389,9 +389,16 @@ class CollectionStore:
         index (IVFIndex.search_per_group) when collections are hot/cold
         skewed: each gets its own centroid budget and the probe cost is
         per-collection, not corpus-wide."""
+        from vectordb_etl_spark.functions.vector import metric_ascending
+
         names = collections if collections is not None else self.list_collections()
         if not names:
             raise ValueError("fanout_search_indexed: no collections to search")
+        # tie_break drives BOTH the per-collection order and the global
+        # merge for IVF; GraphANNIndex.search has no tie_break parameter
+        # (it ties on output_cols ascending internally), so for the graph
+        # kind it is consumed here and applied only at the merge
+        tie_break = search_kwargs.pop("tie_break", None) or []
         parts = []
         for n in names:
             ipath = self._index_path(n, kind)
@@ -401,7 +408,10 @@ class CollectionStore:
                 )
             idx = self.open_index(n, kind=kind)
             if kind == "ivf":
-                hits = idx.search(query, k=k, nprobe=nprobe, **search_kwargs)
+                hits = idx.search(
+                    query, k=k, nprobe=nprobe, tie_break=tie_break,
+                    **search_kwargs,
+                )
             else:
                 hits = idx.search(query, k=k, ef=ef, **search_kwargs)
             parts.append(hits.withColumn("collection", F.lit(n)))
@@ -409,11 +419,13 @@ class CollectionStore:
         for p in parts[1:]:
             out = out.unionByName(p)
         score = search_kwargs.get("score_name", "score")
-        # deterministic merge: reuse the caller's within-collection tie
-        # rule before the collection tag, so the global order matches a
-        # single exact top-k over the union on score ties
-        order = [F.desc(score)]
-        order += [F.asc(c) for c in search_kwargs.get("tie_break") or []]
+        # metric-aware direction (L2 is a distance — ascending), matching
+        # topk_search/fanout_search; then the caller's within-collection
+        # tie rule before the collection tag, so the global order matches
+        # a single exact top-k over the union on score ties
+        asc = metric_ascending(self.config.metric_type)
+        order = [F.asc(score) if asc else F.desc(score)]
+        order += [F.asc(c) for c in tie_break]
         order.append(F.asc("collection"))
         return out.orderBy(*order).limit(k)
 
