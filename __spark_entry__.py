@@ -2969,6 +2969,60 @@ _register(
 )
 
 
+_PAGERANK_CONVERGED_MAX_ITERS = 40
+
+
+def _pagerank_converged(spark: SparkSession, sf: str) -> DataFrame:
+    """Converged integer PageRank (operators/graph_analytics.py:pagerank
+    with iterations=None) over the DIRECTED nation trade graph (supplier
+    nation → customer nation, distinct edges from the Q7-style snowflake
+    join): iterate until the bigint micro-rank vector repeats EXACTLY —
+    reachable because the whole update is integer floor arithmetic — or
+    the shared cap trips. The cap-unrolled oracle reproduces either case
+    (a true fixpoint is idempotent; the capped run is the same rounds on
+    both engines). Nation-sized rank table, so the 40-round unroll is
+    trivial for DuckDB while the edge build exercises the full
+    lineitem⋈orders⋈supplier⋈customer shuffle once."""
+    from vectordb_etl_spark.operators.graph_analytics import pagerank
+
+    li = _table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    supp = _table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(
+        edges, iterations=None, max_iterations=_PAGERANK_CONVERGED_MAX_ITERS
+    )
+
+
+def _pagerank_converged_sql() -> str:
+    from vectordb_etl_spark.operators.graph_analytics import pagerank_sql
+
+    edges = (
+        "SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey"
+    )
+    return pagerank_sql(edges, iterations=_PAGERANK_CONVERGED_MAX_ITERS)
+
+
+_register(
+    "pagerank_converged",
+    _pagerank_converged,
+    _pagerank_converged_sql(),
+)
+
+
 _LPA_CONVERGED_MAX_ROUNDS = 12
 
 
@@ -7495,6 +7549,7 @@ _PRIORITY = [
     "kcore_converged",
     "communities_converged",
     "ivf_fanout_topk",
+    "pagerank_converged",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

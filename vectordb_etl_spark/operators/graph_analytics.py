@@ -149,15 +149,18 @@ nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
 deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
 r0 AS (SELECT node, CAST({_ONE} AS BIGINT) AS rank_micro FROM nodes)"""
     ]
+    # each round MATERIALIZED: without it DuckDB inlines the whole round
+    # chain into one join tree and optimizer time explodes with the
+    # unroll depth (observed: iterations=40 never finished; 4 was fine)
     for i in range(iterations):
         parts.append(f""",
-inc_{i} AS (
+inc_{i} AS MATERIALIZED (
   SELECT e.dst AS node,
          CAST(sum(r.rank_micro // d.deg) AS BIGINT) AS s
   FROM r{i} r JOIN deg d ON d.src = r.node JOIN e ON e.src = r.node
   GROUP BY e.dst
 ),
-r{i + 1} AS (
+r{i + 1} AS MATERIALIZED (
   SELECT n.node,
          CAST({teleport} + ({damping_ppm} * coalesce(i.s, 0)) // {_ONE}
               AS BIGINT) AS rank_micro
@@ -585,11 +588,11 @@ l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""
     ]
     for i in range(rounds):
         parts.append(f""",
-v{i} AS (
+v{i} AS MATERIALIZED (
   SELECT e.dst AS node, l.label, count(*) AS c
   FROM l{i} l JOIN e ON e.src = l.node
   GROUP BY e.dst, l.label),
-l{i + 1} AS (
+l{i + 1} AS MATERIALIZED (
   SELECT node, label FROM (
     SELECT node, label,
            row_number() OVER (PARTITION BY node
@@ -721,13 +724,13 @@ r0 AS (SELECT node, seed_micro AS rank_micro, seed_micro FROM base)"""
     ]
     for i in range(iterations):
         parts.append(f""",
-inc_{i} AS (
+inc_{i} AS MATERIALIZED (
   SELECT e.dst AS node,
          CAST(sum(r.rank_micro // d.deg) AS BIGINT) AS s
   FROM r{i} r JOIN deg d ON d.src = r.node JOIN e ON e.src = r.node
   GROUP BY e.dst
 ),
-r{i + 1} AS (
+r{i + 1} AS MATERIALIZED (
   SELECT b.node,
          CAST(({teleport} * b.seed_micro) // {_ONE}
               + ({damping_ppm} * coalesce(i.s, 0)) // {_ONE}
