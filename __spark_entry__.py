@@ -2878,6 +2878,28 @@ _register(
 )
 
 
+def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw (unsupported-floor) part co-purchase edges: one directed row
+    per part pair sharing an order — shared by kcore_copurchase and
+    kcore_converged so the graph definition cannot silently diverge."""
+    li = _table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        li.join(l2, li.l_orderkey == l2.k2)
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    )
+
+
+_COPURCHASE_EDGES_SQL = (
+    "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "WHERE a.l_partkey < b.l_partkey"
+)
+
+
 def _kcore_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     """k-core of the raw part co-purchase graph (operators/
     graph_analytics.py:kcore, k=60, 4 peel rounds): the
@@ -2889,27 +2911,13 @@ def _kcore_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     survivor degrees hash-match exactly."""
     from vectordb_etl_spark.operators.graph_analytics import kcore
 
-    li = _table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2")
-    )
-    edges = (
-        li.join(l2, li.l_orderkey == l2.k2)
-        .filter(F.col("l_partkey") < F.col("p2"))
-        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
-    )
-    return kcore(edges, k=60, rounds=4)
+    return kcore(_copurchase_edges(spark, sf), k=60, rounds=4)
 
 
 def _kcore_copurchase_sql() -> str:
     from vectordb_etl_spark.operators.graph_analytics import kcore_sql
 
-    edges = (
-        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
-        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
-        "WHERE a.l_partkey < b.l_partkey"
-    )
-    return kcore_sql(edges, k=60, rounds=4)
+    return kcore_sql(_COPURCHASE_EDGES_SQL, k=60, rounds=4)
 
 
 _register(
@@ -2937,29 +2945,20 @@ def _kcore_converged(spark: SparkSession, sf: str) -> DataFrame:
     count per round."""
     from vectordb_etl_spark.operators.graph_analytics import kcore
 
-    li = _table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2")
-    )
-    edges = (
-        li.join(l2, li.l_orderkey == l2.k2)
-        .filter(F.col("l_partkey") < F.col("p2"))
-        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
-    )
     return kcore(
-        edges, k=60, rounds=None, max_rounds=_KCORE_CONVERGED_MAX_ROUNDS
+        _copurchase_edges(spark, sf),
+        k=60,
+        rounds=None,
+        max_rounds=_KCORE_CONVERGED_MAX_ROUNDS,
     )
 
 
 def _kcore_converged_sql() -> str:
     from vectordb_etl_spark.operators.graph_analytics import kcore_sql
 
-    edges = (
-        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
-        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
-        "WHERE a.l_partkey < b.l_partkey"
+    return kcore_sql(
+        _COPURCHASE_EDGES_SQL, k=60, rounds=_KCORE_CONVERGED_MAX_ROUNDS
     )
-    return kcore_sql(edges, k=60, rounds=_KCORE_CONVERGED_MAX_ROUNDS)
 
 
 _register(

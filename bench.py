@@ -555,6 +555,16 @@ def main() -> None:
         "non_residual_recall_at_10": _raw_recall,
     }
 
+    # pass 2: re-measure cheapest-first while under budget, keep the min
+    for name in sorted(timings, key=timings.get):
+        if time.time() - bench_t0 > SECOND_PASS_BUDGET_S:
+            break
+        fn, collect = _runners[name]
+        timings[name] = min(timings[name], _measure(fn, collect))
+
+    # (Runs AFTER pass 2 on purpose: this is minutes-free but not
+    # instant single-threaded numpy, and it must not eat the pass-2
+    # re-measure budget.)
     # Graph tier at the REFERENCE design point (m=16, efc=200, ef=100 —
     # milvus_store.py:115-124, config.py:26-27): one shard-sized slice of the jittered
     # corpus (≈2,500 rows ≈ a real shard after hashing), hierarchical HNSW
@@ -613,13 +623,6 @@ def main() -> None:
                 "win (0.875->0.992 recall, -17% evals) pinned in "
                 "tests/test_ann.py",
     }
-
-    # pass 2: re-measure cheapest-first while under budget, keep the min
-    for name in sorted(timings, key=timings.get):
-        if time.time() - bench_t0 > SECOND_PASS_BUDGET_S:
-            break
-        fn, collect = _runners[name]
-        timings[name] = min(timings[name], _measure(fn, collect))
 
     # Scale probe (untimed meta, not part of the suite metric): run the
     # r04 dedup family at 1x and a 10x deterministically-replicated corpus

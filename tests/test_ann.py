@@ -65,6 +65,43 @@ def test_ivf_probe_prunes_partitions(spark, ivf, query_vec):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_ivf_search_per_group_prunes_and_matches_exact_fanout(
+    spark, embeddings_tiny, ivf, query_vec
+):
+    """Q2 through the index: the probe filter must reach the scan as a
+    PartitionFilter with the per-group window stacked above it (one
+    pruned read, no per-collection scans), and the probe-all edge must
+    equal the exact per-group top-k."""
+    from vectordb_etl_spark.operators.topk import search_per_group_topk
+
+    out = ivf.search_per_group(
+        query_vec, k=3, nprobe=2, group_col="label", tie_break=["vec_id"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
+    # probe-all edge: equals the exact fan-out over the raw table
+    got = sorted(
+        map(
+            tuple,
+            ivf.search_per_group(
+                query_vec, k=3, nprobe=1_000, group_col="label",
+                tie_break=["vec_id"],
+            ).select("vec_id", "label", "score").collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            search_per_group_topk(
+                embeddings_tiny, query_vec, k=3, group_col="label",
+                tie_break=["vec_id"],
+            ).select("vec_id", "label", "score").collect(),
+        )
+    )
+    assert got == want
+
+
 def test_ivf_incremental_add(spark, embeddings_tiny, tmp_path_factory):
     # split the corpus; build on half, add() the rest: search must then see
     # everything, probe-all stays exact, and the centroid artifact is

@@ -360,7 +360,12 @@ class CollectionStore:
                 "passthrough",
                 [c for c in ("text", "language", "collection") if c in df.columns],
             )
-            return GraphANNIndex(self.spark, path).build(
+            # pass the store metric so a non-COSINE store fails here with
+            # the tier's clear contract error, not with silently-wrong
+            # cosine scores ranked under the store's metric
+            return GraphANNIndex(
+                self.spark, path, metric=self.config.metric_type
+            ).build(
                 df, id_col=params.pop("id_col", "chunk_id"),
                 passthrough=passthrough, **params,
             )
@@ -422,8 +427,11 @@ class CollectionStore:
         # metric-aware direction (L2 is a distance — ascending), matching
         # topk_search/fanout_search; then the caller's within-collection
         # tie rule before the collection tag, so the global order matches
-        # a single exact top-k over the union on score ties
-        asc = metric_ascending(self.config.metric_type)
+        # a single exact top-k over the union on score ties. The graph
+        # tier is COSINE-only (open_index raises for any other store
+        # metric before reaching this merge), so its scores always rank
+        # descending.
+        asc = kind == "ivf" and metric_ascending(self.config.metric_type)
         order = [F.asc(score) if asc else F.desc(score)]
         order += [F.asc(c) for c in tie_break]
         order.append(F.asc("collection"))
@@ -441,7 +449,10 @@ class CollectionStore:
         if kind == "graph":
             from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
 
-            return GraphANNIndex(self.spark, self._index_path(collection, kind))
+            return GraphANNIndex(
+                self.spark, self._index_path(collection, kind),
+                metric=self.config.metric_type,
+            )
         raise ValueError(f"unknown index kind {kind!r}")
 
     # -- A11: stats ------------------------------------------------------------
