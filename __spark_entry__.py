@@ -4319,6 +4319,49 @@ def _graph_topk(spark: SparkSession, sf: str) -> DataFrame:
 _register("graph_topk", _graph_topk, _ANN_ORACLE)
 
 
+def _graph_fanout_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2 fan-out through the GRAPH tier (graph_ann.py search_per_group —
+    the X2 twin of ivf_fanout_topk): per-label top-3 from one sharded
+    beam pass; each shard emits its full beam (group-blind, so minority
+    labels are never starved), one label-keyed window rank merges. Full
+    beam ⇒ every shard emits every row ⇒ provably the exact per-label
+    top-3 — same oracle as fanout_topk_per_label."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = GraphANNIndex(spark, f"{tmp}/graph").build(
+            emb, num_shards=8, m=16, ef_construction=64, passthrough=["label"]
+        )
+        out = (
+            idx.search_per_group(
+                list(q), k=3, ef=1_000_000, group_col="label",
+                output_cols=["id"],
+            )
+            .withColumnRenamed("id", "vec_id")
+            .select("vec_id", "label", "score")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "graph_fanout_topk",
+    _graph_fanout_topk,
+    "SELECT vec_id, label, score FROM ("
+    "SELECT vec_id, label, "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score, "
+    "row_number() OVER (PARTITION BY label ORDER BY "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) DESC, "
+    "vec_id ASC) AS rnk FROM embeddings) WHERE rnk <= 3",
+)
+
+
 def _graph_topk_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Graph segment-model maintenance (graph_ann.py add()): build on the
     even half, add() the odd half as NEW self-contained NSW segments
@@ -7549,6 +7592,7 @@ _PRIORITY = [
     "communities_converged",
     "ivf_fanout_topk",
     "pagerank_converged",
+    "graph_fanout_topk",
     "asof_join_events_orders",
     "bilateral_shipping_volume",
     "brand_revenue",

@@ -986,3 +986,30 @@ def test_hnsw_index_roundtrips_structure(spark, embeddings_tiny, tmp_path):
     q = list(embeddings_tiny.filter(F.col("vec_id") == 7).head()["embedding"])
     got = [r["id"] for r in idx.search(q, k=10, ef=10_000).collect()]
     assert got == _exact_ids(embeddings_tiny, q, k=10)
+
+
+def test_graph_search_per_group_exact_at_full_beam(spark, embeddings_tiny, graph_idx):
+    """Q2 through the graph tier: full-beam per-group lists equal the
+    exact per-group top-k (each shard emits its whole beam — group-blind
+    emission means minority labels are never starved)."""
+    from vectordb_etl_spark.operators.topk import search_per_group_topk
+
+    q = list(embeddings_tiny.filter(F.col("vec_id") == 5).head()["embedding"])
+    got = sorted(
+        map(
+            tuple,
+            graph_idx.search_per_group(
+                q, k=3, ef=1_000_000, group_col="label", output_cols=["id"]
+            ).select("id", "label", "score").collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            search_per_group_topk(
+                embeddings_tiny, q, k=3, group_col="label",
+                tie_break=["vec_id"],
+            ).select("vec_id", "label", "score").collect(),
+        )
+    )
+    assert got == want

@@ -565,6 +565,66 @@ class GraphANNIndex:
             F.desc(score_name), *[F.asc(c) for c in out_cols]
         ).limit(k)
 
+    def search_per_group(
+        self,
+        query: list[float],
+        k: int = 3,
+        ef: int = 100,
+        group_col: str = "label",
+        output_cols: list[str] | None = None,
+        score_name: str = "score",
+        round_dp: int = 6,
+    ) -> DataFrame:
+        """Q2 fan-out through the graph tier: per-``group_col`` top-k hit
+        lists (the IVF twin is IVFIndex.search_per_group). Each shard
+        emits its FULL ef-beam (the beam is group-blind — a group's best
+        hits may rank anywhere in it; emitting only the shard top-k would
+        starve minority groups), then one group-keyed window rank takes
+        each group's k best across shards. At the full-beam edge
+        (ef >= shard size) every shard emits every row, so the result
+        provably equals the exact per-group top-k — the registered
+        ``graph_fanout_topk`` oracle edge. Shuffle carries shards×ef tiny
+        candidate rows, never vectors. ``group_col`` must be a
+        passthrough column of the index; it is included in the output."""
+        from pyspark.sql.window import Window
+
+        q = np.asarray(query, dtype=np.float64)
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        out_cols = output_cols or ["id"]
+        emit_cols = list(dict.fromkeys([group_col, *out_cols]))
+        idx = self.spark.read.parquet(self.path)
+        _require_hnsw_format(idx, self.path)
+        pass_fields = ", ".join(
+            f"`{c}` {idx.schema[c].dataType.simpleString()}" for c in emit_cols
+        )
+        out_schema = f"{pass_fields}, {score_name} double"
+        k_, ef_ = k, ef
+
+        def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("pos").reset_index(drop=True)
+            mat = np.stack(pdf["embedding"].to_numpy())
+            levels = pdf["node_level"].to_numpy()
+            adjs = _unpack_adjs(levels, pdf["neighbors"], pdf["upper"])
+            hits = hnsw_search(
+                mat, adjs, _hnsw_entry_pos(levels), q, ef=max(ef_, k_)
+            )
+            rows = [pdf.iloc[node] for _, node in hits]
+            return pd.DataFrame(
+                {
+                    **{c: [r[c] for r in rows] for c in emit_cols},
+                    score_name: [round(s, round_dp) for s, _ in hits],
+                }
+            )
+
+        local = idx.groupBy("shard").applyInPandas(_search, out_schema)
+        order = [F.desc(score_name)] + [F.asc(c) for c in out_cols]
+        w = Window.partitionBy(group_col).orderBy(*order)
+        return (
+            local.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def search_many(
         self,
         queries: list[list[float]],
