@@ -250,3 +250,48 @@ def test_chunk_text_sql_matches_python_random(atoms):
     ).fetchall()
     got = [r[4] for r in rows]
     assert got == chunk_text(text, cfg)
+
+
+@given(
+    st.integers(5, 60),
+    st.integers(2, 8),
+    st.integers(0, 10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_hnsw_full_ef_is_exact_on_random_corpora(n, dim, seed):
+    """For ANY corpus shape/size/seed: level-0 stays connected and
+    bidirectional, and hnsw_search at ef >= n returns exactly the
+    brute-force ranking (score desc, position asc) — the randomized twin
+    of the deterministic exact-edge test."""
+    import numpy as np
+
+    from vectordb_etl_spark.operators.graph_ann import (
+        _normalize_rows,
+        build_hnsw,
+        hnsw_levels,
+        hnsw_search,
+    )
+
+    rng = np.random.RandomState(seed)
+    mat = _normalize_rows(rng.standard_normal((n, dim)))
+    levels = hnsw_levels(np.arange(n), m=4)
+    adjs, entry = build_hnsw(mat, levels, m=4, ef_construction=8)
+    # bidirectional at every level; level 0 connected
+    for adj in adjs:
+        for i, nbrs in enumerate(adj):
+            for j in nbrs:
+                assert i in adj[j]
+    seen, stack = {0}, [0]
+    while stack:
+        for j in adjs[0][stack.pop()]:
+            if j not in seen:
+                seen.add(j)
+                stack.append(j)
+    assert len(seen) == n
+    q = _normalize_rows(rng.standard_normal((1, dim)))[0]
+    got = [nd for _, nd in hnsw_search(mat, adjs, entry, q, ef=n)]
+    # per-row dots, NOT mat @ q: BLAS gemv may sum in a different order
+    # than the search's row-wise dot, and the tie rule needs exact floats
+    scores = [float(mat[i] @ q) for i in range(n)]
+    want = sorted(range(n), key=lambda i: (-scores[i], i))
+    assert got == want
