@@ -7587,57 +7587,6 @@ _register(
 # old. Newly registered queries auto-sort into tier 2 on the next regen;
 # until then, append them by hand right after the reds.
 _PRIORITY = [
-    # never-driver-checked r07 additions first
-    "kcore_converged",
-    "communities_converged",
-    "ivf_fanout_topk",
-    "pagerank_converged",
-    "graph_fanout_topk",
-    "asof_join_events_orders",
-    "bilateral_shipping_volume",
-    "brand_revenue",
-    "cumulative_unique_users",
-    "customers_without_big_orders",
-    "dedup_components",
-    "disjunctive_predicate_revenue",
-    "event_type_pivot",
-    "events_cube",
-    "events_gap_fill",
-    "events_multi_grain_rollup",
-    "filter_expr_search",
-    "gopher_pass_rate",
-    "gopher_quality_signals",
-    "graph_topk",
-    "html_parse_roundtrip",
-    "hwp_cfb_roundtrip",
-    "hwpx_extract_roundtrip",
-    "hybrid_rrf_search",
-    "ivf_topk_batch",
-    "ivf_topk_nprobe",
-    "large_order_customers",
-    "lsh_topk",
-    "multimodal_audio_meta",
-    "multimodal_image_meta",
-    "order_value_percentiles",
-    "priority_shipments",
-    "promo_revenue_ratio",
-    "purchasers_without_errors",
-    "range_join_purchase_followups",
-    "returned_orders",
-    "sequence_packing",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "sq8_topk",
-    "streaming_enriched_counts",
-    "streaming_interval_join",
-    "streaming_windowed_counts",
-    "supplier_balance_by_region",
-    "token_budget_mix",
-    "top_terms_per_language",
-    "user_event_windows",
-    "video_frame_fanout",
-    "bigram_logprob",
-    "boilerplate_fraction",
     "chunk_metadata",
     "clean_text",
     "contamination_check",
@@ -7776,6 +7725,56 @@ _PRIORITY = [
     "streaming_cm_ingest",
     "streaming_hll_ingest",
     "zorder_locality",
+    "asof_join_events_orders",
+    "bigram_logprob",
+    "bilateral_shipping_volume",
+    "boilerplate_fraction",
+    "brand_revenue",
+    "communities_converged",
+    "cumulative_unique_users",
+    "customers_without_big_orders",
+    "dedup_components",
+    "disjunctive_predicate_revenue",
+    "event_type_pivot",
+    "events_cube",
+    "events_gap_fill",
+    "events_multi_grain_rollup",
+    "filter_expr_search",
+    "gopher_pass_rate",
+    "gopher_quality_signals",
+    "graph_fanout_topk",
+    "graph_topk",
+    "html_parse_roundtrip",
+    "hwp_cfb_roundtrip",
+    "hwpx_extract_roundtrip",
+    "hybrid_rrf_search",
+    "ivf_fanout_topk",
+    "ivf_topk_batch",
+    "ivf_topk_nprobe",
+    "kcore_converged",
+    "large_order_customers",
+    "lsh_topk",
+    "multimodal_audio_meta",
+    "multimodal_image_meta",
+    "order_value_percentiles",
+    "pagerank_converged",
+    "priority_shipments",
+    "promo_revenue_ratio",
+    "purchasers_without_errors",
+    "range_join_purchase_followups",
+    "returned_orders",
+    "sequence_packing",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "sq8_topk",
+    "streaming_enriched_counts",
+    "streaming_interval_join",
+    "streaming_windowed_counts",
+    "supplier_balance_by_region",
+    "token_budget_mix",
+    "top_terms_per_language",
+    "user_event_windows",
+    "video_frame_fanout",
 ]
 
 # Retired: the old two-list head/tail scheme. plan_rotation.py now emits the
