@@ -2931,7 +2931,11 @@ _register(
 # monotone and idempotent past the fixpoint, so Spark-stops-at-depth-d and
 # SQL-unrolls-all-N produce the same survivors whenever d <= N, and when
 # the guard trips both sides ran exactly N rounds — hash-equal either way.
-_KCORE_CONVERGED_MAX_ROUNDS = 24
+# Cap sized at 4x the measured peel depth (2 rounds at sf0.001/0.01/0.1 —
+# the co-purchase graph has one thin onion layer around the 60-core); the
+# r07 cap of 24 made the unrolled oracle the most expensive check_oracle
+# row (25.5 s at sf0.1, VERDICT r07 item 3) for margin nobody uses.
+_KCORE_CONVERGED_MAX_ROUNDS = 8
 
 
 def _kcore_converged(spark: SparkSession, sf: str) -> DataFrame:

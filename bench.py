@@ -263,6 +263,15 @@ def main() -> None:
         "session_window_stats",
         "part_affinity_ppr",
         "streaming_bitmap_ingest",
+        # round-7 additions (VERDICT r07 item 2): the converged fixpoint
+        # trio surfaces round-count regressions (the max-round guard
+        # silently absorbing more rounds); the fan-out pair surfaces
+        # fan-out shuffle-volume regressions
+        "kcore_converged",
+        "communities_converged",
+        "pagerank_converged",
+        "ivf_fanout_topk",
+        "graph_fanout_topk",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape
