@@ -190,13 +190,26 @@ def test_fanout_search_indexed_matches_exact_merge(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no ivf index"):
         store.fanout_search_indexed(q, k=3, nprobe=4)
-    for c in store.list_collections():
+    exact = topk_search(
+        store.read(), q, k=3, tie_break=["doc_id"], output_cols=["doc_id"]
+    ).collect()
+    # MIXED index state (VERDICT r07 item 4): index two of the three
+    # collections, serve the third by exact scan via on_missing='exact' —
+    # at the probe-all edge the merged result equals the exact fan-out
+    names = store.list_collections()
+    for c in names[:2]:
+        store.build_index(c, kind="ivf", nlist=4, max_iter=3)
+    mixed = store.fanout_search_indexed(
+        q, k=3, nprobe=4, on_missing="exact",
+        tie_break=["doc_id"], output_cols=["doc_id"],
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in mixed] == [
+        (r["doc_id"], r["score"]) for r in exact
+    ]
+    for c in names[2:]:
         store.build_index(c, kind="ivf", nlist=4, max_iter=3)
     got = store.fanout_search_indexed(
         q, k=3, nprobe=4, tie_break=["doc_id"], output_cols=["doc_id"]
-    ).collect()
-    exact = topk_search(
-        store.read(), q, k=3, tie_break=["doc_id"], output_cols=["doc_id"]
     ).collect()
     assert [(r["doc_id"], r["score"]) for r in got] == [
         (r["doc_id"], r["score"]) for r in exact
@@ -204,7 +217,19 @@ def test_fanout_search_indexed_matches_exact_merge(spark, tmp_path):
     # graph kind: tie_break must be consumed at the merge (GraphANNIndex
     # has no tie_break parameter — forwarding it used to TypeError), and
     # the full-beam edge matches the same exact merge
-    for c in store.list_collections():
+    # graph mixed state first: two collections indexed, the third served
+    # exact (fallback surfaces doc_id as the graph tier's `id` column)
+    for c in names[:2]:
+        store.build_index(c, kind="graph", id_col="doc_id",
+                          num_shards=2, m=4, ef_construction=20)
+    gmixed = store.fanout_search_indexed(
+        q, k=3, kind="graph", ef=100_000, on_missing="exact",
+        fallback_id_col="doc_id", tie_break=["id"], output_cols=["id"],
+    ).collect()
+    assert [(r["id"], r["score"]) for r in gmixed] == [
+        (r["doc_id"], r["score"]) for r in exact
+    ]
+    for c in names[2:]:
         store.build_index(c, kind="graph", id_col="doc_id",
                           num_shards=2, m=4, ef_construction=20)
     ggot = store.fanout_search_indexed(

@@ -379,6 +379,8 @@ class CollectionStore:
         collections: list[str] | None = None,
         kind: str = "ivf",
         ef: int = 100,
+        on_missing: str = "raise",
+        fallback_id_col: str = "chunk_id",
         **search_kwargs,
     ) -> DataFrame:
         """Q2 through PER-COLLECTION indexes (the exact Milvus fan-out
@@ -388,14 +390,29 @@ class CollectionStore:
         collection, graph shards beam per collection — results are
         tagged with the collection name, unioned, and one global
         TakeOrderedAndProject merges the ≤ |collections|·k candidate
-        rows. Collections without a built index raise (build_index
-        first — silently falling back to a scan would hide a 100×
-        cost cliff). Per-collection indexes beat one shared-layout
-        index (IVFIndex.search_per_group) when collections are hot/cold
-        skewed: each gets its own centroid budget and the probe cost is
-        per-collection, not corpus-wide."""
-        from vectordb_etl_spark.functions.vector import metric_ascending
+        rows.
 
+        ``on_missing`` governs collections without a built index:
+        ``'raise'`` (default — an unexpected full scan hiding a 100×
+        cost cliff should be an explicit user decision) or ``'exact'``,
+        which serves the un-indexed collections by exact brute-force
+        ``topk_search`` over their partition-pruned scans and unions
+        them with the indexed probes — Milvus's own behavior, which
+        searches every loaded collection regardless of index state
+        (milvus_store.py:301-325 iterates collections uniformly). The
+        exact tier scores with the same metric/rounding as the index
+        tiers, so the merged order is consistent; for ``kind='graph'``
+        the scan's ``fallback_id_col`` is surfaced as ``id`` (the graph
+        index's id column) and ties follow the graph tier's rule
+        (``output_cols`` ascending). Per-collection indexes beat one
+        shared-layout index (IVFIndex.search_per_group) when collections
+        are hot/cold skewed: each gets its own centroid budget and the
+        probe cost is per-collection, not corpus-wide."""
+        from vectordb_etl_spark.functions.vector import metric_ascending
+        from vectordb_etl_spark.operators.topk import topk_search
+
+        if on_missing not in ("raise", "exact"):
+            raise ValueError(f"on_missing must be 'raise'|'exact'; got {on_missing!r}")
         names = collections if collections is not None else self.list_collections()
         if not names:
             raise ValueError("fanout_search_indexed: no collections to search")
@@ -408,17 +425,38 @@ class CollectionStore:
         for n in names:
             ipath = self._index_path(n, kind)
             if not self._fs(ipath).exists(self._jpath(ipath)):
-                raise ValueError(
-                    f"collection {n!r} has no {kind} index — build_index first"
-                )
-            idx = self.open_index(n, kind=kind)
-            if kind == "ivf":
-                hits = idx.search(
-                    query, k=k, nprobe=nprobe, tie_break=tie_break,
-                    **search_kwargs,
+                if on_missing == "raise":
+                    raise ValueError(
+                        f"collection {n!r} has no {kind} index — build_index "
+                        "first (or pass on_missing='exact' to serve it by "
+                        "brute-force scan, Milvus-style)"
+                    )
+                scan = self.read(n).drop("collection")
+                if kind == "graph":
+                    # graph tier contract: COSINE-only (open_index raises
+                    # for other metrics before any indexed probe merges)
+                    if self.config.metric_type.upper() != "COSINE":
+                        raise ValueError(
+                            "graph index tier is COSINE-only; store metric "
+                            f"is {self.config.metric_type!r}"
+                        )
+                    scan = scan.withColumnRenamed(fallback_id_col, "id")
+                    fb_ties = list(search_kwargs.get("output_cols") or ["id"])
+                else:
+                    fb_ties = tie_break
+                hits = topk_search(
+                    scan, query, k=k, metric=self.config.metric_type,
+                    tie_break=fb_ties, **search_kwargs,
                 )
             else:
-                hits = idx.search(query, k=k, ef=ef, **search_kwargs)
+                idx = self.open_index(n, kind=kind)
+                if kind == "ivf":
+                    hits = idx.search(
+                        query, k=k, nprobe=nprobe, tie_break=tie_break,
+                        **search_kwargs,
+                    )
+                else:
+                    hits = idx.search(query, k=k, ef=ef, **search_kwargs)
             parts.append(hits.withColumn("collection", F.lit(n)))
         out = parts[0]
         for p in parts[1:]:
