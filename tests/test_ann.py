@@ -1013,3 +1013,70 @@ def test_graph_search_per_group_exact_at_full_beam(spark, embeddings_tiny, graph
         )
     )
     assert got == want
+
+
+def test_graph_flat_mode_exact_edge_and_layout(spark, embeddings_tiny, tmp_path):
+    """max_level=0 (VERDICT r07 item 5): the per-corpus escape hatch
+    builds flat NSW — every node on level 0, empty upper arrays, no
+    descent — in the SAME persisted layout, and keeps the ef >= n
+    exactness edge. The eval-count trade between the two modes is
+    recorded per run in bench.py's graph_design_point meta."""
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    path = str(tmp_path / "flat")
+    idx = GraphANNIndex(spark, path).build(
+        embeddings_tiny, num_shards=2, m=8, ef_construction=50,
+        max_level=0,
+    )
+    stored = spark.read.parquet(path)
+    assert stored.agg(F.max("node_level")).head()[0] == 0
+    assert stored.filter(F.size("upper") > 0).count() == 0
+    q = list(embeddings_tiny.filter(F.col("vec_id") == 7).head()["embedding"])
+    exact = topk_search(
+        embeddings_tiny, q, k=10, tie_break=["vec_id"], output_cols=["vec_id"]
+    ).collect()
+    got = idx.search(q, k=10, ef=1_000_000, output_cols=["id"]).collect()
+    assert [(r["id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+    # segments inherit the cap; compact() carries it too
+    idx.add(embeddings_tiny.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    ), max_level=0)
+    stored = spark.read.parquet(path)
+    assert stored.agg(F.max("node_level")).head()[0] == 0
+
+
+def test_graph_search_many_chunks_unbounded_batches(spark, tmp_path):
+    """10k queries through search_many (VERDICT r07 item 7): the query
+    matrix is chunked into batch_size closures unioned in one plan, so
+    batches far past the old ~thousands closure cap complete — and the
+    chunked result is identical to the unchunked path."""
+    import numpy as np
+
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((60, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = GraphANNIndex(spark, str(tmp_path / "g")).build(
+        df, num_shards=2, m=4, ef_construction=16
+    )
+    queries = rng.standard_normal((10_000, 8))
+    out = idx.search_many(
+        [list(v) for v in queries], k=1, ef=4, output_cols=["id"]
+    ).collect()
+    assert len(out) == 10_000
+    assert {r["query_id"] for r in out} == set(range(10_000))
+    # chunk boundaries don't change results: a small-batch run over the
+    # first 10 queries matches the one-chunk run query-for-query
+    head = [list(v) for v in queries[:10]]
+    small = idx.search_many(head, k=1, ef=4, output_cols=["id"],
+                            batch_size=3).collect()
+    big = idx.search_many(head, k=1, ef=4, output_cols=["id"]).collect()
+    assert [(r["query_id"], r["id"], r["score"]) for r in small] == [
+        (r["query_id"], r["id"], r["score"]) for r in big
+    ]
