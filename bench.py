@@ -736,6 +736,48 @@ def main() -> None:
             "exponent": round(math.log10(max(t10, 1e-3) / max(t1, 1e-3)), 3),
         }
 
+    # ANN index BUILD probes (VERDICT r07 item 6): the 100 TB risk in the
+    # ANN tier is build, not probe — IVF is a bounded driver-sample train
+    # plus a linear assign scan, HNSW is hash-sharding plus per-shard
+    # in-memory construction at FIXED shard size (10x rows => 10x shards,
+    # not 10x-fatter shards), so both must probe sub-linear wall-clock on
+    # local[32]. build() writes its layout, which is the action being
+    # timed (no noop sink needed).
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex as _GIdx
+
+    def _build_time(fn) -> float:
+        t0 = time.time()
+        fn()
+        return round(time.time() - t0, 3)
+
+    _build_cases = {
+        "ivf_build": (
+            lambda: IVFIndex(spark, f"{_bench_tmp}/sp_ivf1").build(
+                emb, nlist=64, seed=42, max_iter=8
+            ),
+            lambda: IVFIndex(spark, f"{_bench_tmp}/sp_ivf10").build(
+                _sp_emb10, nlist=64, seed=42, max_iter=8
+            ),
+        ),
+        "hnsw_build": (
+            lambda: _GIdx(spark, f"{_bench_tmp}/sp_g1").build(
+                emb, target_rows_per_shard=250, m=16, ef_construction=64
+            ),
+            lambda: _GIdx(spark, f"{_bench_tmp}/sp_g10").build(
+                _sp_emb10, target_rows_per_shard=250, m=16,
+                ef_construction=64,
+            ),
+        ),
+    }
+    for name, (f1, f10) in _build_cases.items():
+        t1 = _build_time(f1)
+        t10 = _build_time(f10)
+        scale_probe[name] = {
+            "t_1x": t1,
+            "t_10x": t10,
+            "exponent": round(math.log10(max(t10, 1e-3) / max(t1, 1e-3)), 3),
+        }
+
     import shutil
 
     shutil.rmtree(_bench_tmp, ignore_errors=True)

@@ -100,13 +100,23 @@ def kind_mismatches(
         sk = _spark_pandas_kind(styp, has_null)
         dkind = duck_df[col].dtype.kind
         dk = "i" if dkind in "iu" else ("f" if dkind == "f" else None)
-        if sk in ("O", "M"):
-            # temporal parity: only the DATE-vs-datetime64 split is a
-            # driver risk; Spark 'O' (date) vs DuckDB anything-not-'M'
-            # is out of scope for this check
+        if sk == "M":
+            # Spark TIMESTAMP: only the datetime64 twin is comparable;
+            # other DuckDB kinds are out of scope for this check
             dk = "M" if dkind == "M" else None
-            if sk == "M":
-                sk = None if dk is None else "M"
+            sk = None if dk is None else "M"
+        elif sk == "O":
+            # Spark DATE ('O'): a DuckDB twin arriving datetime64 ('M')
+            # OR numeric ('i'/'u'/'f') is a guaranteed hash-red
+            # ('2020-01-01' never equals '2020-01-01 00:00:00' or an
+            # epoch number as canonical text) — flag both; only the
+            # O-vs-O case (both object dtype) is exempt (ADVICE r07)
+            if dkind == "M":
+                dk = "M"
+            elif dkind in "iuf":
+                dk = f"num:{dkind}"
+            else:
+                dk = None
         if sk and dk and sk != dk:
             out.append(f"{col} (spark {styp}->{sk} vs duckdb {dk})")
     return out

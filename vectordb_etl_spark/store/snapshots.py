@@ -198,8 +198,12 @@ class SnapshotStore:
         ``_try_commit`` publishes the manifest, so an un-referenced
         directory younger than the grace window may belong to an
         in-flight commit — deleting it would corrupt that commit. The
-        ``c-<time_ns>-*`` name encodes the write time, so no extra
-        stat is needed. Pass ``grace_s=0`` only when no writer can be
+        directory's age is the MAX of the ``c-<time_ns>-*`` name-encoded
+        writer clock and the filesystem's own modification time
+        (ADVICE r07): the name alone trusts the remote writer's clock,
+        so with multi-machine writers a skew larger than ``grace_s``
+        could delete an in-flight commit the local filesystem just saw
+        being written. Pass ``grace_s=0`` only when no writer can be
         active (mirrors CollectionStore.vacuum)."""
         live: set[str] = set()
         for v in self.versions():
@@ -212,12 +216,13 @@ class SnapshotStore:
                 continue
             sub_path = sub.getPath()
             parts = sub_path.getName().split("-")
-            if (
-                len(parts) >= 2
-                and parts[0] == "c"
-                and parts[1].isdigit()
-                and int(parts[1]) > cutoff_ns
-            ):
+            name_ns = (
+                int(parts[1])
+                if len(parts) >= 2 and parts[0] == "c" and parts[1].isdigit()
+                else 0
+            )
+            mtime_ns = sub.getModificationTime() * 1_000_000
+            if max(name_ns, mtime_ns) > cutoff_ns:
                 continue
             all_dead = True
             members = []
