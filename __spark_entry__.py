@@ -4366,6 +4366,53 @@ _register(
 )
 
 
+def _fanout_mixed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2 through MIXED index state (VERDICT r07 item 4): embeddings are
+    split into two collections by label parity, one gets a per-collection
+    IVF index, the other stays UN-indexed and is served by the exact
+    brute-force fallback (CollectionStore.fanout_search_indexed
+    on_missing='exact' — Milvus's own behavior: milvus_store.py:301-325
+    iterates loaded collections uniformly, index or not). Probing every
+    cell (nprobe=nlist) makes the indexed path exact too, so the merged
+    global top-10 provably equals one exact scan with a collection tag —
+    the oracle below."""
+    import tempfile
+
+    from vectordb_etl_spark.config import StoreConfig
+    from vectordb_etl_spark.store.collections import CollectionStore
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    docs = emb.select(
+        "vec_id",
+        "embedding",
+        F.concat(F.lit("g"), (F.col("label") % 2).cast("string")).alias(
+            "folder_name"
+        ),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CollectionStore(spark, StoreConfig(warehouse_dir=f"{tmp}/w"))
+        store.insert_documents(docs, embed=False)
+        store.build_index("html_g0", kind="ivf", nlist=4, seed=42, max_iter=4)
+        out = store.fanout_search_indexed(
+            list(q), k=10, nprobe=4, on_missing="exact",
+            tie_break=["vec_id"], output_cols=["vec_id"],
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "fanout_mixed_topk",
+    _fanout_mixed_topk,
+    "SELECT vec_id, 'html_g' || CAST(label % 2 AS VARCHAR) AS collection, "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score "
+    "FROM embeddings "
+    "ORDER BY score DESC, vec_id ASC, collection ASC LIMIT 10",
+)
+
+
 def _graph_topk_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Graph segment-model maintenance (graph_ann.py add()): build on the
     even half, add() the odd half as NEW self-contained NSW segments
@@ -7591,6 +7638,8 @@ _register(
 # old. Newly registered queries auto-sort into tier 2 on the next regen;
 # until then, append them by hand right after the reds.
 _PRIORITY = [
+    # never-driver-checked r08 additions first
+    "fanout_mixed_topk",
     "chunk_metadata",
     "clean_text",
     "contamination_check",

@@ -272,6 +272,9 @@ def main() -> None:
         "pagerank_converged",
         "ivf_fanout_topk",
         "graph_fanout_topk",
+        # round-8 addition: mixed index state (one IVF collection + one
+        # exact-fallback collection) through the store fan-out
+        "fanout_mixed_topk",
         # dedup_rate_report is deliberately NOT benched: it composes five
         # already-benched dedup operators into one dashboard, so its
         # wall-time is their sum (~50 s at sf0.1) with no new plan shape
