@@ -114,32 +114,37 @@ def hll_estimate_expr(p: int = 8) -> Column:
     """Aggregate Column turning grouped registers into the estimate.
 
     Integer part first: S_scaled = sum over present buckets of
-    2^(W - max_rho) plus 2^W per EMPTY bucket (empty contributes
-    2^-0 = 1 to the harmonic sum) — exact bigint, max m·2^W = 2^60.
+    2^(W+1 - max_rho) plus 2^(W+1) per EMPTY bucket (empty contributes
+    2^-0 = 1 to the harmonic sum) — exact bigint, max m·2^(W+1) = 2^61.
+    The accumulator is scaled by 2^(W+1), not 2^W, so the saturated
+    rank rho = W+1 (all rank bits zero, ~2^-52/value) shifts by 0
+    instead of the illegal -1 — this IS the canonical textbook
+    2^-rho sum with no clamp (ADVICE r07; the previous greatest(...,0)
+    clamp mapped rho=W+1 to the rho=W contribution, a tiny downward-
+    variance bias). For every non-saturated register the new S_scaled
+    is exactly 2x the old one — a power-of-two scale that cancels in
+    the divide — so estimates only move in the saturated case.
     Then the one float step, authored operation-for-operation the same
-    in :func:`hll_estimate_sql_expr`: S = S_scaled / 2^W (double; the
-    bigint→double cast and the power-of-two divide are IEEE-identical
-    cross-engine), estimate = floor(alpha_ppm · m · m / 1e6 / S), all
-    left-associated double ops on identical operands → identical bits →
-    identical floor."""
+    in :func:`hll_estimate_sql_exprs`: S = S_scaled / 2^(W+1) (double;
+    the bigint→double cast and the power-of-two divide are
+    IEEE-identical cross-engine), estimate =
+    floor(alpha_ppm · m · m / 1e6 / S), all left-associated double ops
+    on identical operands → identical bits → identical floor."""
     m = 1 << p
     w = _HASH_BITS - p
-    two_w = 1 << w
+    two_w1 = 1 << (w + 1)
     alpha = _alpha_ppm(m)
     s_scaled = (
-        # greatest(..., 0): rho saturates at W+1 when the rank bits are all
-        # zero (~2^-52/value), which would shift by -1 — Spark wraps that to
-        # 1<<63 (negative) and DuckDB errors; both twins clamp identically so
-        # the saturated register contributes 2^0, a <=1-count estimate skew
+        # rho ∈ [1, W+1] by construction, so the shift W+1-rho ∈ [0, W]
         F.sum(
             F.expr(
                 f"shiftleft(CAST(1 AS BIGINT),"
-                f" greatest(CAST({w} - max_rho AS INT), 0))"
+                f" CAST({w + 1} - max_rho AS INT))"
             )
         )
-        + (F.lit(m) - F.count("*")).cast("bigint") * F.lit(two_w)
+        + (F.lit(m) - F.count("*")).cast("bigint") * F.lit(two_w1)
     )
-    s = s_scaled.cast("double") / F.lit(float(two_w))
+    s = s_scaled.cast("double") / F.lit(float(two_w1))
     est = F.floor(
         F.lit(float(alpha)) * F.lit(float(m)) * F.lit(float(m))
         / F.lit(1000000.0)
@@ -233,15 +238,18 @@ def hll_estimate_sql_exprs(p: int = 8) -> str:
     (merged/rolled-up/streamed register tables)."""
     m = 1 << p
     w = _HASH_BITS - p
-    two_w = 1 << w
+    two_w1 = 1 << (w + 1)
     alpha = _alpha_ppm(m)
+    # 2^(W+1) accumulator scaling — rho <= W+1 keeps the shift
+    # non-negative with no clamp (the canonical 2^-rho sum; see
+    # hll_estimate_expr)
     return f"""CAST(count(*) AS BIGINT) AS n_buckets_used,
        CAST(floor(
          CAST({alpha} AS DOUBLE) * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE)
          / CAST(1000000 AS DOUBLE)
-         / (CAST(sum(CAST(1 AS BIGINT) << greatest({w} - max_rho, 0))
-                 + ({m} - count(*)) * CAST({two_w} AS BIGINT) AS DOUBLE)
-            / CAST({two_w} AS DOUBLE))
+         / (CAST(sum(CAST(1 AS BIGINT) << ({w + 1} - max_rho))
+                 + ({m} - count(*)) * CAST({two_w1} AS BIGINT) AS DOUBLE)
+            / CAST({two_w1} AS DOUBLE))
        ) AS BIGINT) AS hll_est"""
 
 
