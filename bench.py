@@ -779,6 +779,11 @@ def main() -> None:
             "t_1x": t1,
             "t_10x": t10,
             "exponent": round(math.log10(max(t10, 1e-3) / max(t1, 1e-3)), 3),
+            # at bench scale the 1x corpus builds fewer shards than the
+            # host has cores, so the 10x run gains parallelism the 1x run
+            # never used — exponents can land near (even below) zero;
+            # the claim probed is "<= 1", not a specific slope
+            "note": "fixed shard/sample size; 10x adds shards not shard rows",
         }
 
     import shutil
