@@ -517,3 +517,39 @@ def test_kmv_difference_estimates_at_scale(spark):
     b = kmv_registers(b_vals, "v", k=256).localCheckpoint(eager=True)
     row = kmv_difference(a, b, k=256).first()
     assert 650 <= row["diff_est"] <= 1350
+
+
+def test_hll_saturated_register_matches_duckdb_and_canonical(spark):
+    """The rho = W+1 saturated rank (all rank bits zero; the case the old
+    greatest(...,0) clamp distorted — ADVICE r07): hand-built register
+    tables containing the saturated rank must (a) produce the same
+    estimate on both engines and (b) differ from a rho=W table — the
+    canonical 2^-rho sum distinguishes them where the clamp mapped both
+    to the same contribution."""
+    from vectordb_etl_spark.functions.sketches import (
+        _HASH_BITS,
+        hll_estimate_expr,
+        hll_estimate_sql_exprs,
+    )
+
+    p = 8
+    w = _HASH_BITS - p
+    con = duckdb.connect()
+    ests = {}
+    for rho in (w, w + 1):
+        # every bucket at the extreme rank: the 2x harmonic-sum gap
+        # survives floor() (a single saturated register among normal
+        # ones is a ~2^-52 relative change, invisible after floor)
+        rows = [(b, rho) for b in range(256)]
+        sdf = spark.createDataFrame(rows, "__hll_bucket int, max_rho int")
+        got = sdf.agg(hll_estimate_expr(p).alias("hll_est")).head()
+        vals = ", ".join(f"({b}, {r})" for b, r in rows)
+        want = con.execute(
+            f"SELECT {hll_estimate_sql_exprs(p)} FROM "
+            f"(VALUES {vals}) AS t(__hll_bucket, max_rho)"
+        ).fetchone()
+        assert got["hll_est"] == want[1], rho
+        ests[rho] = got["hll_est"]
+    # a saturated register contributes 2^-(W+1) < 2^-W: strictly larger
+    # estimate than the rho=W table (the clamp made these equal)
+    assert ests[w + 1] > ests[w], ests

@@ -146,3 +146,31 @@ def test_table_diff_plan_single_join_no_python(spark):
     )
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_vacuum_skewed_writer_clock_protected_by_fs_mtime(spark, tmp_path):
+    """A writer whose clock runs far BEHIND names its commit dir with an
+    old time_ns; the vacuuming process's local filesystem nonetheless
+    just saw the directory appear. The grace window must honor the fs
+    mtime (ADVICE r07) — deleting on the name alone would destroy an
+    in-flight commit's only copy of its files."""
+    st = SnapshotStore(spark, str(tmp_path / "tbl"))
+    st.append(_df(spark, 0, 10))
+    # simulate a skewed writer: an unreferenced commit dir whose NAME
+    # says it is an hour old, but which was created on disk just now
+    import time
+
+    skew_ns = time.time_ns() - 3_600 * 10**9
+    stale_named = f"{st.root}/files/c-{skew_ns}-deadbeef"
+    fs = st._fs
+    fs.mkdirs(st._jvm_path(stale_named))
+    _df(spark, 90, 95).coalesce(1).write.mode("overwrite").parquet(
+        f"{stale_named}/part"
+    )
+    # name-encoded age is past any sane grace window, fs mtime is fresh:
+    # the default grace must SKIP it
+    assert st.vacuum() == []
+    assert fs.exists(st._jvm_path(stale_named))
+    # once genuinely old by both clocks (grace 0), it is collectible
+    assert st.vacuum(grace_s=0)
+    assert not fs.exists(st._jvm_path(stale_named))
