@@ -52,3 +52,21 @@ def test_no_collect_outside_sanctioned_files():
             line = src[: m.start()].count("\n") + 1
             offenders.append(f"{path.relative_to(PKG.parent)}:{line}")
     assert not offenders, f"driver-side materialization found: {offenders}"
+
+
+def test_rotation_covers_every_registered_query_exactly_once():
+    """_PRIORITY IS the driver-check order: a registered query missing
+    from it silently sorts into the unordered middle and can dodge the
+    head-50 window for rounds (the r06/r07 staleness defect); a
+    duplicate would double-spend the window. Registering a query
+    therefore REQUIRES adding it to the rotation (by hand right after
+    the reds mid-round, or via tools/plan_rotation.py --python after a
+    CORRECTNESS file lands)."""
+    import __spark_entry__ as em
+
+    names = list(em.queries())
+    assert len(em._PRIORITY) == len(set(em._PRIORITY)), "duplicate in _PRIORITY"
+    missing = set(names) - set(em._PRIORITY)
+    stale = set(em._PRIORITY) - set(names)
+    assert not missing, f"registered but not in rotation: {sorted(missing)}"
+    assert not stale, f"in rotation but not registered: {sorted(stale)}"
