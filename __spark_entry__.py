@@ -7638,57 +7638,6 @@ _register(
 # old. Newly registered queries auto-sort into tier 2 on the next regen;
 # until then, append them by hand right after the reds.
 _PRIORITY = [
-    # never-driver-checked r08 additions first
-    "fanout_mixed_topk",
-    "chunk_metadata",
-    "clean_text",
-    "contamination_check",
-    "conversion_funnel",
-    "customer_order_distribution",
-    "dedup_rate_report",
-    "detect_language",
-    "dsir_log_weights",
-    "embedding_norms",
-    "events_gap_interpolate",
-    "exact_dedup",
-    "fuzzy_prefix_pairs",
-    "graph_topk_batch",
-    "graph_topk_filtered",
-    "ivf_sq8_topk",
-    "ivf_topk",
-    "ivf_topk_filtered",
-    "language_distribution",
-    "length_outlier_screen",
-    "lsh_incremental_candidates",
-    "market_share",
-    "multimodal_decoded_features",
-    "ngram_jaccard_pairs",
-    "pii_redaction",
-    "quality_report",
-    "regional_supplier_volume",
-    "retention_cohorts",
-    "returned_item_customers",
-    "salted_distinct_users_by_type",
-    "salted_join_enrichment",
-    "simhash_near_dups",
-    "stratified_sample",
-    "streaming_exact_dedup",
-    "streaming_sessionize",
-    "strip_common_lines",
-    "substring_dup_incremental",
-    "substring_dup_stats",
-    "suppliers_kept_waiting",
-    "tfidf_top_terms",
-    "top_revenue_suppliers",
-    "weighted_sample",
-    "chunk_id",
-    "chunk_pipeline",
-    "chunk_stats",
-    "clean_hwp_text",
-    "corpus_health",
-    "doc_fingerprint",
-    "domain_cap_sample",
-    "embedding_topk_pairs",
     "events_distinct_users",
     "events_hourly",
     "events_moving_avg",
@@ -7828,6 +7777,56 @@ _PRIORITY = [
     "top_terms_per_language",
     "user_event_windows",
     "video_frame_fanout",
+    "chunk_id",
+    "chunk_metadata",
+    "chunk_pipeline",
+    "chunk_stats",
+    "clean_hwp_text",
+    "clean_text",
+    "contamination_check",
+    "conversion_funnel",
+    "corpus_health",
+    "customer_order_distribution",
+    "dedup_rate_report",
+    "detect_language",
+    "doc_fingerprint",
+    "domain_cap_sample",
+    "dsir_log_weights",
+    "embedding_norms",
+    "embedding_topk_pairs",
+    "events_gap_interpolate",
+    "exact_dedup",
+    "fanout_mixed_topk",
+    "fuzzy_prefix_pairs",
+    "graph_topk_batch",
+    "graph_topk_filtered",
+    "ivf_sq8_topk",
+    "ivf_topk",
+    "ivf_topk_filtered",
+    "language_distribution",
+    "length_outlier_screen",
+    "lsh_incremental_candidates",
+    "market_share",
+    "multimodal_decoded_features",
+    "ngram_jaccard_pairs",
+    "pii_redaction",
+    "quality_report",
+    "regional_supplier_volume",
+    "retention_cohorts",
+    "returned_item_customers",
+    "salted_distinct_users_by_type",
+    "salted_join_enrichment",
+    "simhash_near_dups",
+    "stratified_sample",
+    "streaming_exact_dedup",
+    "streaming_sessionize",
+    "strip_common_lines",
+    "substring_dup_incremental",
+    "substring_dup_stats",
+    "suppliers_kept_waiting",
+    "tfidf_top_terms",
+    "top_revenue_suppliers",
+    "weighted_sample",
 ]
 
 # Retired: the old two-list head/tail scheme. plan_rotation.py now emits the
