@@ -70,3 +70,43 @@ def test_rotation_covers_every_registered_query_exactly_once():
     stale = set(em._PRIORITY) - set(names)
     assert not missing, f"registered but not in rotation: {sorted(missing)}"
     assert not stale, f"in rotation but not registered: {sorted(stale)}"
+
+
+def test_rotation_head50_is_the_stalest_tier():
+    """The driver only gates the FIRST 50 rotation entries, so a rotation
+    whose head re-checks already-fresh queries lets the stale tail age
+    unbounded (the defect recurred r06-r08: each round's regen was a
+    manual step). This lint recomputes the canonical staleness order from
+    the committed CORRECTNESS_r*.json files (reds, then never-checked,
+    then oldest-last-driver-green) and asserts _PRIORITY's head-50 is
+    exactly that set — so the moment a new CORRECTNESS file lands, the
+    lint goes red until `python tools/plan_rotation.py --python` output
+    is pasted back into __spark_entry__._PRIORITY.
+
+    Set (not sequence) equality: within the head, hand-inserting a new
+    query right after the reds mid-round is fine — new queries are
+    tier-2 (never-checked) in the canonical order too.
+    """
+    import sys
+
+    import __spark_entry__ as em
+
+    tools = str(Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from plan_rotation import rotation_order
+
+    names = list(em.queries())
+    order, last, red = rotation_order(names)
+    cap = min(50, len(order))
+    want = set(order[:cap])
+    got = set(em._PRIORITY[:cap])
+    if want != got:
+        should = sorted(want - got, key=lambda n: (n in red and -red[n], last[n], n))
+        extra = sorted(got - want, key=lambda n: (last[n], n))
+        raise AssertionError(
+            "rotation head-50 is not the stalest tier — regenerate with "
+            "`python tools/plan_rotation.py --python`.\n"
+            f"  stale queries dodging the window: {should}\n"
+            f"  fresh queries wasting window slots: {extra}"
+        )

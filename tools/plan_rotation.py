@@ -21,10 +21,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main() -> int:
-    import __spark_entry__ as em
+def rotation_order(names: list[str]) -> tuple[list[str], dict[str, int], dict[str, int]]:
+    """Canonical rotation for the given registered-query names.
 
-    names = list(em.queries())
+    Returns (order, last_checked_round, red_round). Used by both the CLI
+    below and tests/test_lint.py's staleness lint, so the ordering the
+    lint enforces IS the ordering the regen tool emits.
+    """
     last: dict[str, int] = {n: 0 for n in names}
     red: dict[str, int] = {}
     repo = Path(__file__).resolve().parent.parent
@@ -51,7 +54,17 @@ def main() -> int:
         (n for n in names if last[n] > 0 and n not in red),
         key=lambda n: (last[n], n),
     )
-    order = reds + never + rest
+    return reds + never + rest, last, red
+
+
+def main() -> int:
+    import __spark_entry__ as em
+
+    names = list(em.queries())
+    order, last, red = rotation_order(names)
+    reds = [n for n in order if n in red]
+    never = [n for n in order if last[n] == 0 and n not in red]
+    rest = [n for n in order if last[n] > 0 and n not in red]
     if "--python" in sys.argv:
         print("_PRIORITY = [")
         for n in order:
