@@ -2972,7 +2972,15 @@ _register(
 )
 
 
-_PAGERANK_CONVERGED_MAX_ITERS = 40
+# Measured convergence depth (graph_analytics.convergence_stats, r09):
+# 13 iterations at sf0.001 (sparsest nation graph), 1 at sf0.01/sf0.1
+# (the trade graph is complete there, so uniform rank is an immediate
+# fixpoint). Cap = observed max + 50% margin; the r08 cap of 40 paid a
+# 40-round oracle unroll for margin nobody used (same trick as
+# _KCORE_CONVERGED_MAX_ROUNDS 24->8, VERDICT r08 item 4). Cap-trip is
+# loud now: graph_analytics warns RuntimeWarning instead of silently
+# returning a truncated-but-oracle-matching result.
+_PAGERANK_CONVERGED_MAX_ITERS = 20
 
 
 def _pagerank_converged(spark: SparkSession, sf: str) -> DataFrame:
@@ -3026,18 +3034,28 @@ _register(
 )
 
 
+# NOT tightenable (measured r09, VERDICT r08 item 4): sf0.001 converges
+# at round 5, but at sf0.01/sf0.1 synchronous LPA enters a period-2 limit
+# cycle (labels at round 40 == round 42 != round 41) and NEVER converges;
+# at sf0.01 the labels are still transient at round 12 (hash(10 rounds)
+# != hash(12 rounds)), so ANY cap change changes the result hash. The cap
+# stays 12 and the guard-trip is loud (RuntimeWarning from
+# graph_analytics._cap_tripped) instead of silently labeling a truncated
+# unroll 'converged'.
 _LPA_CONVERGED_MAX_ROUNDS = 12
 
 
 def _communities_converged(spark: SparkSession, sf: str) -> DataFrame:
-    """Converged label-propagation communities (operators/
+    """Converged-OR-capped label-propagation communities (operators/
     graph_analytics.py:label_propagation with rounds=None) over the
     support-2 bundle graph: iterate until no label changes, bounded by
     a cap shared with the oracle. Synchronous LPA is stable at a
     fixpoint (same labels -> same votes -> same argmax), so the
-    cap-unrolled oracle reproduces the converged labeling exactly; if
-    the guard trips (possible 2-cycle on bipartite structure) both
-    engines ran exactly the cap — still hash-equal."""
+    cap-unrolled oracle reproduces the converged labeling exactly; when
+    the guard trips (MEASURED at sf0.01/sf0.1: the bipartite-ish bundle
+    graph oscillates in a period-2 limit cycle, so there is no fixpoint
+    to reach) both engines ran exactly the cap — still hash-equal, and
+    the operator now emits a RuntimeWarning naming the truncation."""
     from vectordb_etl_spark.operators.graph_analytics import (
         label_propagation,
     )

@@ -729,10 +729,16 @@ def main() -> None:
             lambda: graph_ops.label_propagation(_sp_edges10, rounds=2),
         ),
     }
+    # MIN-of-2 per leg (VERDICT r08 item 3): single-shot 1x/10x timings
+    # swung the measured exponent by ~0.5 run-to-run (bigram_logprob
+    # 0.461 vs 0.927 on identical code) — GC pauses / first-touch page
+    # faults on one leg shift log10(t10/t1) directly. Same policy as the
+    # main suite rows: best-of-N is the low-noise estimator of the
+    # code's cost, and the exponent needs BOTH legs de-noised.
     scale_probe = {}
     for name, (f1, f10) in _sp_cases.items():
-        t1 = _noop_time(f1)
-        t10 = _noop_time(f10)
+        t1 = min(_noop_time(f1), _noop_time(f1))
+        t10 = min(_noop_time(f10), _noop_time(f10))
         scale_probe[name] = {
             "t_1x": t1,
             "t_10x": t10,
@@ -773,8 +779,8 @@ def main() -> None:
         ),
     }
     for name, (f1, f10) in _build_cases.items():
-        t1 = _build_time(f1)
-        t10 = _build_time(f10)
+        t1 = min(_build_time(f1), _build_time(f1))
+        t10 = min(_build_time(f10), _build_time(f10))
         scale_probe[name] = {
             "t_1x": t1,
             "t_10x": t10,

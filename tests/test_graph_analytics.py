@@ -414,3 +414,52 @@ def test_converged_mode_guards(spark):
         personalized_pagerank(e, s, iterations=None, max_iterations=0)
     with _pt.raises(ValueError, match="iterations"):
         pagerank(e, iterations=0)
+
+
+def test_convergence_stats_and_loud_cap_trip(spark):
+    """r09 instrumentation (ADVICE r08): run-to-convergence records its
+    reached depth in graph_analytics.convergence_stats, and an exhausted
+    cap warns RuntimeWarning instead of silently returning a truncated
+    result that an identically-truncated oracle would still match."""
+    import warnings as _w
+
+    import pytest as _pt
+
+    from vectordb_etl_spark.operators import graph_analytics as ga
+
+    # converged: depth recorded, NO warning
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(3, 10), (10, 11), (11, 12), (12, 13)], ["src", "dst"]
+    )
+    ga.convergence_stats.clear()
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        ga.kcore(edges, k=2, rounds=None).collect()
+    assert ga.convergence_stats["kcore"] >= 2  # cascading peel + confirm
+
+    # capped mid-shrink: loud
+    with _pt.warns(RuntimeWarning, match="kcore.*cap \\(1 rounds\\) tripped"):
+        ga.kcore(edges, k=2, rounds=None, max_rounds=1).collect()
+    assert ga.convergence_stats["kcore"] == 1
+
+    # sync-LPA period-2 oscillation (two nodes swap labels forever):
+    # rounds=None must trip the cap loudly, and the result must still
+    # equal the fixed-rounds=cap run (the shared-cap oracle contract)
+    osc = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+    with _pt.warns(RuntimeWarning, match="label_propagation.*cap \\(3 rounds\\)"):
+        capped = sorted(
+            map(
+                tuple,
+                ga.label_propagation(osc, rounds=None, max_rounds=3).collect(),
+            )
+        )
+    fixed = sorted(map(tuple, ga.label_propagation(osc, rounds=3).collect()))
+    assert capped == fixed
+
+    # pagerank: converged depth recorded, no warning
+    ga.convergence_stats.clear()
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        ga.pagerank(edges, iterations=None).collect()
+    assert ga.convergence_stats["pagerank"] >= 1
