@@ -339,6 +339,41 @@ def test_graph_search_many_matches_per_query(spark, embeddings_tiny, graph_idx):
             assert by_q[qi] == single, f"query {qi} ef {ef}"
 
 
+def test_graph_search_many_empty_queries(spark, graph_idx):
+    """Empty query list: empty DataFrame with the declared result schema
+    (matching the IVF batched path), not an AttributeError from the
+    never-run batch loop (ADVICE r08)."""
+    out = graph_idx.search_many([], k=5, output_cols=["id"])
+    assert out.columns == ["query_id", "id", "score"]
+    assert out.count() == 0
+
+
+def test_beam_search_entry_score_ignored_when_entry_clamped():
+    """entry >= n clamps the start node; the caller's entry_score belongs
+    to a node we are not starting from, so it must be recomputed, not
+    attributed to the clamped start (ADVICE r08)."""
+    import numpy as np
+
+    from vectordb_etl_spark.operators.graph_ann import beam_search
+
+    mat = np.asarray([[1.0, 0.0], [0.0, 1.0], [0.7, 0.7]])
+    adj = [[1, 2], [0, 2], [0, 1]]
+    q = np.asarray([1.0, 0.0])
+    honest = beam_search(mat, adj, q, ef=3, entry=2)
+    # bogus score for an out-of-range entry must change nothing
+    poisoned = beam_search(
+        mat, adj, q, ef=3, entry=99, entry_score=123.0
+    )
+    assert poisoned == honest
+    # in-range entry with a caller-provided score is still trusted
+    stats = {}
+    trusted = beam_search(
+        mat, adj, q, ef=3, entry=2, entry_score=float(mat[2] @ q),
+        stats=stats,
+    )
+    assert trusted == honest
+
+
 def test_graph_derived_shards_bound_group_size(spark, embeddings_tiny, tmp_path_factory, query_vec):
     # num_shards=None derives the shard count from target_rows_per_shard so
     # a 10× larger corpus builds 10× more shards, not 10× bigger ones —

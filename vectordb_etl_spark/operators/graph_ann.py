@@ -115,9 +115,13 @@ def beam_search(
     if stats is not None:
         stats.setdefault("evals", 0)
     start = min(entry, n - 1)
-    if entry_score is not None:
+    if entry_score is not None and start == entry:
         s0 = entry_score
     else:
+        # entry was clamped (caller passed an out-of-range node): the
+        # caller's score belongs to a node we are NOT starting from, so
+        # recompute rather than attribute it to the clamped start
+        # (ADVICE r08)
         s0 = float(mat[start] @ query)
         if stats is not None:
             stats["evals"] += 1
@@ -708,7 +712,7 @@ class GraphANNIndex:
         rows per query, query_id indexing the ORIGINAL list."""
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1; got {batch_size}")
-        qmat_all = _normalize_rows(np.asarray(queries, dtype=np.float64))
+        arr = np.asarray(queries, dtype=np.float64)
         out_cols = output_cols or ["id"]
         idx = self.spark.read.parquet(self.path)
         _require_hnsw_format(idx, self.path)
@@ -716,6 +720,13 @@ class GraphANNIndex:
             f"`{c}` {idx.schema[c].dataType.simpleString()}" for c in out_cols
         )
         out_schema = f"query_id int, {pass_fields}, {score_name} double"
+        if arr.shape[0] == 0:
+            # the batch loop below would never run, leaving `local = None`
+            # and an opaque AttributeError downstream (ADVICE r08); match
+            # the IVF tier's batched path: empty in -> empty DataFrame
+            # with the declared result schema
+            return self.spark.createDataFrame([], out_schema)
+        qmat_all = _normalize_rows(arr)
         k_, ef_ = k, ef
 
         def _make_search(qmat: np.ndarray, offset: int):
