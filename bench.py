@@ -495,6 +495,46 @@ def main() -> None:
             for i in _np.argsort(-(_des_recon @ _qv), kind="stable")[:10]
         )
         _des_hits += len(_ex & _des_adc)
+    # Recall-grade plain-PQ design point (VERDICT r08 item 5): on this
+    # near-uniform synthetic corpus there is no variance structure for an
+    # OPQ-style rotation to exploit (the data is already isotropic), so
+    # the recall lever is CODE BUDGET — finer subspaces. Measured curve
+    # (trained codebooks, same 10-query protocol): m=8 -> 0.48,
+    # m=16 -> 0.67, m=32 -> 0.87. m=8 (64x compression of float64) is the
+    # storage-size play; m=32 (16x compression) is the recall-grade plain
+    # -PQ point; ivf_pq_residual remains the recall-grade tier when the
+    # corpus is clustered (0.80 at a 16-code budget).
+    def _pq_trained_recall(n_subs: int) -> float:
+        cb_m = train_pq_codebook(emb, spark, n_codes=256, n_subs=n_subs)
+        cw_m = {
+            (r["sub"], r["code"]): _np.asarray(r["cw"], dtype=float)
+            for r in cb_m.collect()
+        }
+        sw_m = _emb_mat.shape[1] // n_subs
+        recon_m = _np.zeros_like(_emb_mat)
+        for r in pq_encode(
+            emb.select("vec_id", "embedding"), cb_m, n_subs=n_subs
+        ).collect():
+            i = _pos[r["id"]]
+            recon_m[i, r["sub"] * sw_m : (r["sub"] + 1) * sw_m] = cw_m[
+                (r["sub"], r["code"])
+            ]
+        hits_m = 0
+        for qi in range(10):
+            qv = _emb_mat[_pos[_emb_ids[qi]]]
+            qn = qv / max(float(_np.linalg.norm(qv)), 1e-12)
+            ex = set(
+                _emb_ids[i]
+                for i in _np.argsort(-(_emb_unit @ qn), kind="stable")[:10]
+            )
+            adc = set(
+                _emb_ids[i]
+                for i in _np.argsort(-(recon_m @ qv), kind="stable")[:10]
+            )
+            hits_m += len(ex & adc)
+        return round(hits_m / 100.0, 4)
+
+    _r16, _r32 = _pq_trained_recall(16), _pq_trained_recall(32)
     pq_design_point_meta = {
         "n_codes": 256,
         "n_subs": 8,
@@ -502,6 +542,18 @@ def main() -> None:
         "n_queries": 10,
         "recall_at_10": round(_hits / 100.0, 4),
         "designated_recall_at_10": round(_des_hits / 100.0, 4),
+        "recall_grade_n_subs": 32,
+        "recall_grade_recall_at_10": _r32,
+        "recall_curve_by_n_subs": {
+            "8": round(_hits / 100.0, 4),
+            "16": _r16,
+            "32": _r32,
+        },
+        "note": "near-uniform corpus: isotropic, so OPQ rotation has no "
+                "structure to exploit; recall lever is code budget. m=8 "
+                "(64x compression) is the storage-size play, m=32 (16x) "
+                "the recall-grade plain-PQ point; clustered corpora "
+                "should use ivf_pq_residual.",
     }
 
     # IVF_PQ RESIDUAL design point (storage='pq_residual', pq_train=True —
