@@ -241,6 +241,64 @@ def test_fanout_search_indexed_matches_exact_merge(spark, tmp_path):
     ]
 
 
+def test_search_facade_index_kind_both_tiers(spark, tmp_path):
+    """VERDICT r08 item 6 — the facade's index_kind routes through the
+    store's per-collection indexes (fanout_search_indexed,
+    on_missing='exact'), closing the API-shape gap vs the reference whose
+    search always goes through the index (milvus_store.py:254-299).
+    At the probe-all / full-beam edge both index tiers must return the
+    exact facade's hits even in MIXED index state (one collection
+    un-indexed, served by brute-force fallback)."""
+    store = CollectionStore(spark, StoreConfig(warehouse_dir=str(tmp_path / "w")))
+    rows = [
+        (i, f"c{i:03d}", "s", f"f{i % 3}",
+         f"document number {i} talks about {i % 7}", "english", 0)
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["doc_id", "chunk_id", "source", "folder_name", "text",
+         "language", "chunk_index"],
+    )
+    store.insert_documents(df, embedding_config=EMB)
+    q = "document number 5 talks about 5"
+    exact = search_with_scores(store, q, k=3, embedding_config=EMB)
+    assert len(exact) == 3
+    exact_key = [(h.text, round(h.score, 6)) for h in exact]
+
+    names = store.list_collections()
+    # mixed state: two collections indexed, the third exact-fallback
+    for c in names[:2]:
+        store.build_index(c, kind="ivf", nlist=4, max_iter=3)
+    ivf = search_with_scores(
+        store, q, k=3, embedding_config=EMB, index_kind="ivf", nprobe=4
+    )
+    assert [(h.text, round(h.score, 6)) for h in ivf] == exact_key
+    # metadata keeps user columns, drops the IVF partition key
+    assert all("centroid_id" not in h.metadata for h in ivf)
+
+    for c in names[:2]:
+        store.build_index(c, kind="graph", m=4, ef_construction=64,
+                          num_shards=1)
+    graph = search_with_scores(
+        store, q, k=3, embedding_config=EMB, index_kind="graph",
+        ef=1_000_000,
+    )
+    assert [(h.text, round(h.score, 6)) for h in graph] == exact_key
+
+    # the language predicate still applies on the indexed path
+    ivf_f = search_with_scores(
+        store, q, k=3, embedding_config=EMB, index_kind="ivf", nprobe=4,
+        filter='language == "english"',
+    )
+    assert [(h.text, round(h.score, 6)) for h in ivf_f] == exact_key
+
+    with pytest.raises(ValueError, match="index_kind"):
+        search_with_scores(
+            store, q, k=3, embedding_config=EMB, index_kind="flat"
+        )
+
+
 def test_sql_surface_over_collections(spark, store):
     views = store.create_views()
     assert "collections" in views

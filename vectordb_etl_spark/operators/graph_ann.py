@@ -179,8 +179,17 @@ def hnsw_levels(ids: np.ndarray, m: int = 16) -> np.ndarray:
     inv_ln_m = 1.0 / math.log(m)
     out = np.zeros(len(ids), dtype=np.int32)
     for idx, vid in enumerate(ids):
+        # integral ids hash via int() so numpy int64 and Python int agree
+        # bit-for-bit with the r05 oracles; STRING ids (the store's
+        # md5 chunk_id) hash as-is instead of crashing (r09) — for an
+        # all-digits string the two forms coincide, so the mapping stays
+        # unambiguous per column type
+        try:
+            key = str(int(vid))
+        except (TypeError, ValueError):
+            key = str(vid)
         h = int.from_bytes(
-            hashlib.md5(f"hnswlvl|{int(vid)}".encode()).digest()[:8], "big"
+            hashlib.md5(f"hnswlvl|{key}".encode()).digest()[:8], "big"
         )
         u = ((h >> 11) + 1) / float(1 << 53)  # uniform in (0, 1]
         out[idx] = min(int(-math.log(u) * inv_ln_m), _HNSW_MAX_LEVEL)
@@ -359,8 +368,12 @@ def _index_schema(tagged: DataFrame, passthrough: list[str]) -> str:
     pass_fields = ", ".join(
         f"`{c}` {tagged.schema[c].dataType.simpleString()}" for c in passthrough
     )
+    # id keeps the caller's type: vec_id-style bigints stay `long`
+    # (bit-identical to the r05 layouts), the store's md5 chunk_id is a
+    # string (r09 — the facade's graph tier indexes chunk_id by default)
+    id_t = tagged.schema["id"].dataType.simpleString()
     return (
-        "shard int, id long, "
+        f"shard int, id {id_t}, "
         + (pass_fields + ", " if pass_fields else "")
         + "pos int, embedding array<double>, node_level int, "
         "neighbors array<int>, upper array<array<int>>"

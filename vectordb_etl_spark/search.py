@@ -39,6 +39,9 @@ def search_with_scores(
     metric: str = "COSINE",
     embedding_config: EmbeddingConfig | None = None,
     filter: "str | Column | None" = None,
+    index_kind: str | None = None,
+    nprobe: int = 16,
+    ef: int = 100,
 ) -> list[SearchHit]:
     """Q4 — language-filtered search facade
     (reference: modules/search_utils.py:70-98).
@@ -53,7 +56,21 @@ def search_with_scores(
     language AUTO-detection entirely, mirroring the reference's
     filter-string precedence; an EXPLICIT ``filter_language`` passed
     alongside a filter is ANDed into it — the caller asked for both, and
-    silently discarding one is worse than either precedence."""
+    silently discarding one is worse than either precedence.
+
+    ``index_kind`` (VERDICT r08 item 6 — the reference's search path
+    always goes through the index, milvus_store.py:254-299):
+    ``None`` (default) serves by exact partition-pruned scan, exactly the
+    pre-r09 behavior; ``'ivf'``/``'graph'`` route through the store's
+    per-collection indexes via ``fanout_search_indexed(
+    on_missing='exact')``, so un-indexed collections are still served
+    (brute-force, Milvus-style) rather than erroring. The indexed path
+    ranks under the STORE's configured metric (the index artifact's
+    contract), not this function's ``metric`` argument; ``nprobe``/``ef``
+    are the IVF/graph serving knobs. Graph-kind filtered search is
+    post-filter over the beam and the predicate may only reference the
+    surfaced columns (``id``/``text``/``language`` — build_index's
+    default passthrough); size ``ef`` to the filter's selectivity."""
     # a blank filter string parses to None and must behave like "no filter
     # given" (auto-detect still applies), not like "filter everything off"
     predicate = parse_filter(filter) if filter is not None else None
@@ -65,22 +82,56 @@ def search_with_scores(
         )
     elif filter_language:
         predicate = predicate & (F.col("language") == filter_language)
-    df = store.read(None if search_all_collections else collection_name)
     vec = query_vector(query, embedding_config)
-    rows = topk_search(
-        df,
-        vec,
-        k=k,
-        metric=metric,
-        predicate=predicate,
-        tie_break=["chunk_id"] if "chunk_id" in df.columns else None,
-    ).collect()
+    if index_kind is not None:
+        if index_kind not in ("ivf", "graph"):
+            raise ValueError(
+                f"index_kind must be 'ivf'|'graph'|None; got {index_kind!r}"
+            )
+        names = (
+            None
+            if search_all_collections or collection_name is None
+            else [collection_name]
+        )
+        kwargs: dict = {}
+        if predicate is not None:
+            kwargs["predicate"] = predicate
+        if index_kind == "graph":
+            kwargs["output_cols"] = ["id", "text", "language"]
+            kwargs["ef"] = ef
+        else:
+            kwargs["nprobe"] = nprobe
+            data_cols = store.read(None).columns  # schema-only, no scan
+            # explicit user-facing projection: aligns the indexed side
+            # (whose stored rows carry the centroid_id partition key)
+            # with the exact-fallback side for the union, and prunes the
+            # embedding column out of the merge shuffle
+            kwargs["output_cols"] = [
+                c for c in data_cols if c not in ("collection", "embedding")
+            ]
+            if "chunk_id" in data_cols:
+                kwargs["tie_break"] = ["chunk_id"]
+        rows = store.fanout_search_indexed(
+            vec, k=k, kind=index_kind, collections=names,
+            on_missing="exact", **kwargs,
+        ).collect()
+    else:
+        df = store.read(None if search_all_collections else collection_name)
+        rows = topk_search(
+            df,
+            vec,
+            k=k,
+            metric=metric,
+            predicate=predicate,
+            tie_break=["chunk_id"] if "chunk_id" in df.columns else None,
+        ).collect()
     hits = []
     for r in rows:
         d = r.asDict()
         text = d.pop("text", "")
         score = d.pop("score")
         d.pop("embedding", None)
+        d.pop("centroid_id", None)  # IVF partition key, not user metadata
         hits.append(SearchHit(text=text, score=score, metadata=d))
     return hits
 
