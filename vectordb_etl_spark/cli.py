@@ -88,6 +88,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="search: Milvus-style filter expression, e.g. "
         "'language == \"korean\" and chunk_index < 3'",
     )
+    p.add_argument(
+        "--index-kind",
+        choices=["ivf", "graph"],
+        default=None,
+        help="search: serve through the store's per-collection indexes "
+        "(un-indexed collections fall back to exact scan); default is "
+        "the exact partition-pruned scan",
+    )
     p.add_argument("--chunk-size", type=int, default=300)
     p.add_argument("--chunk-overlap", type=int, default=60)
     p.add_argument("--dimension", type=int, default=1024)
@@ -115,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         hits = runner.search(
             args.query, k=args.k, collection=args.collection,
             filter_language=args.language, filter=args.filter,
+            index_kind=args.index_kind,
         )
         print(format_search_results(hits))
         return 0

@@ -289,6 +289,7 @@ class PipelineRunner:
         collection: str | None = None,
         filter_language: str | None = None,
         filter: str | None = None,
+        index_kind: str | None = None,
     ):
         from vectordb_etl_spark.search import search_with_scores
 
@@ -301,6 +302,7 @@ class PipelineRunner:
             filter_language=filter_language,
             embedding_config=self.config.embedding,
             filter=filter,
+            index_kind=index_kind,
         )
 
     # -- reset (main.py:243-277) ---------------------------------------------
