@@ -861,6 +861,14 @@ def main() -> None:
                 "pq_residual_design_point": pq_residual_design_point_meta,
                 "graph_design_point": graph_design_point_meta,
                 "scale_probe": scale_probe,
+                # observed run-to-convergence depths from the converged
+                # trio's timed rows (r09): label_propagation reporting ==
+                # its 12-round cap is EXPECTED — the bundle graph is a
+                # period-2 limit cycle at sf>=0.01 (see
+                # _LPA_CONVERGED_MAX_ROUNDS) — but a kcore/pagerank depth
+                # creeping toward its cap is the early signal to re-size
+                # before the loud cap-trip fires
+                "convergence_depths": dict(graph_ops.convergence_stats),
                 "sf": _sf_from_dir(SF_DIR),
             }
         )
