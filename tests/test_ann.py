@@ -339,6 +339,34 @@ def test_graph_search_many_matches_per_query(spark, embeddings_tiny, graph_idx):
             assert by_q[qi] == single, f"query {qi} ef {ef}"
 
 
+def test_graph_index_string_ids_roundtrip(spark, embeddings_tiny, tmp_path_factory):
+    """The store indexes its md5 STRING chunk_id by default (r09): the
+    layout keeps the caller's id type, levels hash the string form, and
+    the ef>=n exactness edge still matches brute force on the ids."""
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    sdf = embeddings_tiny.select(
+        F.concat(F.lit("chunk-"), F.format_string("%04d", "vec_id")).alias("sid"),
+        "vec_id",
+        "embedding",
+    )
+    path = str(tmp_path_factory.mktemp("gann_str") / "graph")
+    idx = GraphANNIndex(spark, path).build(
+        sdf, id_col="sid", num_shards=2, m=8, ef_construction=50,
+        passthrough=["vec_id"],
+    )
+    assert dict(spark.read.parquet(path).dtypes)["id"] == "string"
+    q = list(embeddings_tiny.orderBy("vec_id").head()["embedding"])
+    got = idx.search(q, k=5, ef=1_000_000, output_cols=["id", "vec_id"]).collect()
+    exact = topk_search(
+        embeddings_tiny, q, k=5, tie_break=["vec_id"], output_cols=["vec_id"]
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+    assert all(r["id"] == f"chunk-{r['vec_id']:04d}" for r in got)
+
+
 def test_graph_search_many_empty_queries(spark, graph_idx):
     """Empty query list: empty DataFrame with the declared result schema
     (matching the IVF batched path), not an AttributeError from the

@@ -85,6 +85,25 @@ def test_topk_plans_as_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan_of(df)
 
 
+def test_fanout_search_indexed_plan_prunes_and_takes_ordered(store, spark):
+    """The facade's index_kind='ivf' path (VERDICT r08 item 6) must keep
+    the IVF tier's plan economics: the probe reaches the parquet scan as a
+    centroid_id PARTITION filter (only ~nprobe/nlist of the index read),
+    and the global cross-collection merge is a TakeOrderedAndProject, not
+    a global sort."""
+    store.build_index("html_even", kind="ivf", nlist=4, max_iter=3)
+    q = list(store.read().select("embedding").head()[0])
+    df = store.fanout_search_indexed(
+        q, k=3, nprobe=2, collections=["html_even"], tie_break=["chunk_id"],
+        output_cols=["chunk_id", "language"],
+    )
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    frag = plan.split("PartitionFilters")[1][:300]
+    assert "centroid_id" in frag
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_star_join_broadcasts_dimensions(spark):
     import __spark_entry__ as e
 
