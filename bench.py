@@ -848,31 +848,90 @@ def main() -> None:
 
     shutil.rmtree(_bench_tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "plans": plan_fps,
-                "ivf_design_point": ivf_design_point_meta,
-                "pq_design_point": pq_design_point_meta,
-                "pq_residual_design_point": pq_residual_design_point_meta,
-                "graph_design_point": graph_design_point_meta,
-                "scale_probe": scale_probe,
-                # observed run-to-convergence depths from the converged
-                # trio's timed rows (r09): label_propagation reporting ==
-                # its 12-round cap is EXPECTED — the bundle graph is a
-                # period-2 limit cycle at sf>=0.01 (see
-                # _LPA_CONVERGED_MAX_ROUNDS) — but a kcore/pagerank depth
-                # creeping toward its cap is the early signal to re-size
-                # before the loud cap-trip fires
-                "convergence_depths": dict(graph_ops.convergence_stats),
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
+    full = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "plans": plan_fps,
+        "ivf_design_point": ivf_design_point_meta,
+        "pq_design_point": pq_design_point_meta,
+        "pq_residual_design_point": pq_residual_design_point_meta,
+        "graph_design_point": graph_design_point_meta,
+        "scale_probe": scale_probe,
+        # observed run-to-convergence depths from the converged
+        # trio's timed rows (r09): label_propagation reporting ==
+        # its 12-round cap is EXPECTED — the bundle graph is a
+        # period-2 limit cycle at sf>=0.01 (see
+        # _LPA_CONVERGED_MAX_ROUNDS) — but a kcore/pagerank depth
+        # creeping toward its cap is the early signal to re-size
+        # before the loud cap-trip fires
+        "convergence_depths": dict(graph_ops.convergence_stats),
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    full_line = json.dumps(full)
+    # Full detail first (manual runs / CI logs see everything), and persist
+    # it next to this script: BENCH_r04–r08 all recorded parsed=null because
+    # the driver keeps only the LAST 2000 chars of stdout and parses the
+    # JSON line out of that window — the full line outgrew it at r04
+    # (r03's line was 1952 chars) and its head got cut off.
+    print(full_line)
+    Path(__file__).resolve().parent.joinpath("bench_full.json").write_text(
+        full_line + "\n"
     )
+    # The FINAL line is a compact record sized to survive the 2000-char
+    # window: suite total + the BASELINE.md §3 headline rows + the
+    # scale/recall/convergence signals the judge reads, full detail by
+    # reference. Headline rows drop from the end if the line ever outgrows
+    # the budget (never silently truncating the scalar fields).
+    _headline = [
+        "etl_pipeline",
+        "vector_topk",
+        "fanout_topk_per_label",
+        "minhash_lsh_candidates",
+        "simhash_near_dups",
+        "embedding_topk_pairs",
+        "ivf_topk",
+        "lsh_topk",
+        "graph_topk",
+        "asof_join_events_orders",
+        "range_join_purchase_followups",
+        "streaming_windowed_counts",
+        "salted_distinct_users_by_type",
+        "vocab_top_terms",
+        "multimodal_image_meta",
+        "pricing_summary",
+        "regional_revenue",
+        "top_customers",
+        "fanout_mixed_topk",
+        "pagerank_converged",
+        "kcore_converged",
+        "communities_converged",
+    ]
+    compact = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in _headline if k in timings},
+        "n_queries": len(timings),
+        "recall": {
+            "ivf@3": ivf_design_point_meta["recall_at_3"],
+            "pq@10": pq_design_point_meta["recall_at_10"],
+            "pq_res@10": pq_residual_design_point_meta["recall_at_10"],
+            "hnsw@10": graph_design_point_meta["hnsw_recall_at_10"],
+        },
+        "scale_probe_exponents": {
+            k: v["exponent"] for k, v in scale_probe.items()
+        },
+        "convergence_depths": dict(graph_ops.convergence_stats),
+        "detail": "bench_full.json",
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    out = json.dumps(compact)
+    while len(out) > 1800 and compact["queries"]:
+        compact["queries"].popitem()
+        out = json.dumps(compact)
+    print(out)
     spark.stop()
 
 
