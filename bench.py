@@ -917,6 +917,7 @@ def main() -> None:
         "recall": {
             "ivf@3": ivf_design_point_meta["recall_at_3"],
             "pq@10": pq_design_point_meta["recall_at_10"],
+            "pq_m32@10": pq_design_point_meta["recall_grade_recall_at_10"],
             "pq_res@10": pq_residual_design_point_meta["recall_at_10"],
             "hnsw@10": graph_design_point_meta["hnsw_recall_at_10"],
         },
