@@ -879,61 +879,75 @@ def main() -> None:
     Path(__file__).resolve().parent.joinpath("bench_full.json").write_text(
         full_line + "\n"
     )
-    # The FINAL line is a compact record sized to survive the 2000-char
-    # window: suite total + the BASELINE.md §3 headline rows + the
-    # scale/recall/convergence signals the judge reads, full detail by
-    # reference. Headline rows drop from the end if the line ever outgrows
-    # the budget (never silently truncating the scalar fields).
-    _headline = [
-        "etl_pipeline",
-        "vector_topk",
-        "fanout_topk_per_label",
-        "minhash_lsh_candidates",
-        "simhash_near_dups",
-        "embedding_topk_pairs",
-        "ivf_topk",
-        "lsh_topk",
-        "graph_topk",
-        "asof_join_events_orders",
-        "range_join_purchase_followups",
-        "streaming_windowed_counts",
-        "salted_distinct_users_by_type",
-        "vocab_top_terms",
-        "multimodal_image_meta",
-        "pricing_summary",
-        "regional_revenue",
-        "top_customers",
-        "fanout_mixed_topk",
-        "pagerank_converged",
-        "kcore_converged",
-        "communities_converged",
-    ]
+    print(compact_record(full))
+    spark.stop()
+
+
+# The FINAL stdout line is a compact record sized to survive the 2000-char
+# window: suite total + the BASELINE.md §3 headline rows + the
+# scale/recall/convergence signals the judge reads, full detail by
+# reference. Headline rows drop from the end if the line ever outgrows
+# the budget (never silently truncating the scalar fields).
+HEADLINE_QUERIES = [
+    "etl_pipeline",
+    "vector_topk",
+    "fanout_topk_per_label",
+    "minhash_lsh_candidates",
+    "simhash_near_dups",
+    "embedding_topk_pairs",
+    "ivf_topk",
+    "lsh_topk",
+    "graph_topk",
+    "asof_join_events_orders",
+    "range_join_purchase_followups",
+    "streaming_windowed_counts",
+    "salted_distinct_users_by_type",
+    "vocab_top_terms",
+    "multimodal_image_meta",
+    "pricing_summary",
+    "regional_revenue",
+    "top_customers",
+    "fanout_mixed_topk",
+    "pagerank_converged",
+    "kcore_converged",
+    "communities_converged",
+]
+
+COMPACT_BUDGET = 1800
+
+
+def compact_record(full: dict) -> str:
+    """Derive the driver-parseable final line from the full record.
+
+    Pure function of the full record so tests can pin the contract
+    (<= COMPACT_BUDGET chars, required keys present) without running
+    the suite."""
+    timings = full["queries"]
     compact = {
-        "metric": "suite_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: timings[k] for k in _headline if k in timings},
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": {k: timings[k] for k in HEADLINE_QUERIES if k in timings},
         "n_queries": len(timings),
         "recall": {
-            "ivf@3": ivf_design_point_meta["recall_at_3"],
-            "pq@10": pq_design_point_meta["recall_at_10"],
-            "pq_m32@10": pq_design_point_meta["recall_grade_recall_at_10"],
-            "pq_res@10": pq_residual_design_point_meta["recall_at_10"],
-            "hnsw@10": graph_design_point_meta["hnsw_recall_at_10"],
+            "ivf@3": full["ivf_design_point"]["recall_at_3"],
+            "pq@10": full["pq_design_point"]["recall_at_10"],
+            "pq_m32@10": full["pq_design_point"]["recall_grade_recall_at_10"],
+            "pq_res@10": full["pq_residual_design_point"]["recall_at_10"],
+            "hnsw@10": full["graph_design_point"]["hnsw_recall_at_10"],
         },
         "scale_probe_exponents": {
-            k: v["exponent"] for k, v in scale_probe.items()
+            k: v["exponent"] for k, v in full["scale_probe"].items()
         },
-        "convergence_depths": dict(graph_ops.convergence_stats),
+        "convergence_depths": full["convergence_depths"],
         "detail": "bench_full.json",
-        "sf": _sf_from_dir(SF_DIR),
+        "sf": full["sf"],
     }
     out = json.dumps(compact)
-    while len(out) > 1800 and compact["queries"]:
+    while len(out) > COMPACT_BUDGET and compact["queries"]:
         compact["queries"].popitem()
         out = json.dumps(compact)
-    print(out)
-    spark.stop()
+    return out
 
 
 if __name__ == "__main__":

@@ -110,3 +110,45 @@ def test_rotation_head50_is_the_stalest_tier():
             f"  stale queries dodging the window: {should}\n"
             f"  fresh queries wasting window slots: {extra}"
         )
+
+
+def test_bench_compact_line_fits_driver_window():
+    """The driver records only the last 2000 chars of bench stdout and
+    parses the JSON line out of that window — BENCH_r04–r08 recorded
+    parsed=null because the one-line record outgrew it. The final line
+    must stay under bench.COMPACT_BUDGET (1800) with the scalar signals
+    intact, for the committed real record AND a pathological one."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    import bench
+
+    required = {
+        "metric", "value", "unit", "queries", "n_queries", "recall",
+        "scale_probe_exponents", "convergence_depths", "detail", "sf",
+    }
+
+    real = json.loads((PKG.parent / "bench_full.json").read_text())
+    line = bench.compact_record(real)
+    assert len(line) <= bench.COMPACT_BUDGET
+    parsed = json.loads(line)
+    assert required <= set(parsed)
+    # every headline row present in the real suite survives the budget
+    assert set(parsed["queries"]) == {
+        q for q in bench.HEADLINE_QUERIES if q in real["queries"]
+    }
+
+    # pathological: absurd query names/counts must trim rows, never the
+    # scalar fields, and never emit an over-budget line
+    patho = dict(real)
+    patho["queries"] = {f"query_name_{'x' * 60}_{i}": 1.0 for i in range(400)}
+    patho["queries"].update({q: 1.0 for q in bench.HEADLINE_QUERIES})
+    patho["scale_probe"] = {
+        f"probe_{'y' * 40}_{i}": {"exponent": 0.5} for i in range(20)
+    }
+    line2 = bench.compact_record(patho)
+    assert len(line2) <= bench.COMPACT_BUDGET
+    parsed2 = json.loads(line2)
+    assert required <= set(parsed2)
+    assert parsed2["n_queries"] == len(patho["queries"])
