@@ -7647,14 +7647,14 @@ _register(
 )
 
 
-# The driver verifies the FIRST 50 registered queries only.
-# Full rotation regenerated per-round from every CORRECTNESS_r*.json via
-# `python tools/plan_rotation.py --python` (VERDICT r06 item 1): driver-RED
-# rows first, then never-driver-checked (new queries), then oldest
-# last-driver-check first — so the driver's 50-query cap always lands on
-# the stalest tier and every query's last driver-green stays <=3 rounds
-# old. Newly registered queries auto-sort into tier 2 on the next regen;
-# until then, append them by hand right after the reds.
+# The driver verifies the FIRST 50 registered queries only. Since r09 the
+# live order comes from _dynamic_rotation (recomputed from the committed
+# CORRECTNESS_r*.json files on every queries() call — reds first, then
+# never-driver-checked, then oldest last-driver-check), so the driver's
+# 50-query cap always lands on the freshly-stalest tier with NO per-round
+# regen step. This list is the static fallback snapshot for the case the
+# live computation is unavailable (last regenerated r09 via
+# `python tools/plan_rotation.py --python`).
 _PRIORITY = [
     "events_distinct_users",
     "events_hourly",
@@ -7852,7 +7852,39 @@ _PRIORITY = [
 _DEMOTE: list[str] = []
 
 
+def _dynamic_rotation(names: tuple[str, ...]) -> list[str] | None:
+    """Compute the driver-check order LIVE from the committed
+    CORRECTNESS_r*.json scoreboards (r09; supersedes the per-round manual
+    regen of ``_PRIORITY`` that was forgotten three rounds running): the
+    moment a new scoreboard lands in the tree, the next ``queries()``
+    call leads with the freshly-stalest tier — reds, then never-checked,
+    then oldest last-driver-green. Deterministic given the committed
+    files, and identical across the queries()/oracle_sql() pair.
+    Returns None (caller falls back to the static snapshot) if the tool
+    is unimportable or its output doesn't cover the registry exactly."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    try:
+        tools = str(_Path(__file__).resolve().parent / "tools")
+        if tools not in _sys.path:
+            _sys.path.insert(0, tools)
+        from plan_rotation import rotation_order
+
+        order, _, _ = rotation_order(list(names))
+        if sorted(order) == sorted(names):
+            return order
+    except Exception:
+        pass
+    return None
+
+
 def _ordered(mapping: dict) -> dict:
+    dyn = _dynamic_rotation(tuple(mapping))
+    if dyn is not None:
+        return {k: mapping[k] for k in dyn}
+    # static snapshot fallback (kept current as of the last manual regen;
+    # only reached if the live computation is unavailable)
     head = {k: mapping[k] for k in _PRIORITY if k in mapping}
     tail = {k: mapping[k] for k in _DEMOTE if k in mapping and k not in head}
     mid = {k: v for k, v in mapping.items() if k not in head and k not in tail}

@@ -55,13 +55,11 @@ def test_no_collect_outside_sanctioned_files():
 
 
 def test_rotation_covers_every_registered_query_exactly_once():
-    """_PRIORITY IS the driver-check order: a registered query missing
-    from it silently sorts into the unordered middle and can dodge the
-    head-50 window for rounds (the r06/r07 staleness defect); a
-    duplicate would double-spend the window. Registering a query
-    therefore REQUIRES adding it to the rotation (by hand right after
-    the reds mid-round, or via tools/plan_rotation.py --python after a
-    CORRECTNESS file lands)."""
+    """The static _PRIORITY fallback must still cover the registry: if the
+    live rotation ever falls back to it, a query missing from the list
+    silently sorts into the unordered middle and can dodge the head-50
+    window for rounds (the r06/r07 staleness defect); a duplicate would
+    double-spend the window."""
     import __spark_entry__ as em
 
     names = list(em.queries())
@@ -73,40 +71,41 @@ def test_rotation_covers_every_registered_query_exactly_once():
 
 
 def test_rotation_head50_is_the_stalest_tier():
-    """The driver only gates the FIRST 50 rotation entries, so a rotation
-    whose head re-checks already-fresh queries lets the stale tail age
-    unbounded (the defect recurred r06-r08: each round's regen was a
-    manual step). This lint recomputes the canonical staleness order from
-    the committed CORRECTNESS_r*.json files (reds, then never-checked,
-    then oldest-last-driver-green) and asserts _PRIORITY's head-50 is
-    exactly that set — so the moment a new CORRECTNESS file lands, the
-    lint goes red until `python tools/plan_rotation.py --python` output
-    is pasted back into __spark_entry__._PRIORITY.
-
-    Set (not sequence) equality: within the head, hand-inserting a new
-    query right after the reds mid-round is fine — new queries are
-    tier-2 (never-checked) in the canonical order too.
-    """
+    """The driver only gates the FIRST 50 queries() entries, so an
+    ordering whose head re-checks already-fresh queries lets the stale
+    tail age unbounded (the defect recurred r06-r08 while the order was a
+    manually-regenerated list). Since r09 queries()/oracle_sql() compute
+    the order LIVE from the committed CORRECTNESS_r*.json files
+    (__spark_entry__._dynamic_rotation); this lint asserts (a) the live
+    path is actually active — not silently falling back to the static
+    snapshot — and (b) the driver-visible head-50 equals the canonical
+    stalest tier (reds, then never-checked, then oldest
+    last-driver-green) recomputed here independently."""
     import sys
 
     import __spark_entry__ as em
+
+    names = list(em.queries())
+    assert em._dynamic_rotation(tuple(names)) is not None, (
+        "live rotation unavailable — queries() is serving the static "
+        "fallback snapshot, which goes stale the moment a new "
+        "CORRECTNESS_r*.json lands"
+    )
 
     tools = str(Path(__file__).resolve().parent.parent / "tools")
     if tools not in sys.path:
         sys.path.insert(0, tools)
     from plan_rotation import rotation_order
 
-    names = list(em.queries())
     order, last, red = rotation_order(names)
     cap = min(50, len(order))
     want = set(order[:cap])
-    got = set(em._PRIORITY[:cap])
+    got = set(names[:cap])
     if want != got:
         should = sorted(want - got, key=lambda n: (n in red and -red[n], last[n], n))
         extra = sorted(got - want, key=lambda n: (last[n], n))
         raise AssertionError(
-            "rotation head-50 is not the stalest tier — regenerate with "
-            "`python tools/plan_rotation.py --python`.\n"
+            "driver-visible head-50 is not the stalest tier.\n"
             f"  stale queries dodging the window: {should}\n"
             f"  fresh queries wasting window slots: {extra}"
         )
@@ -152,3 +151,59 @@ def test_bench_compact_line_fits_driver_window():
     parsed2 = json.loads(line2)
     assert required <= set(parsed2)
     assert parsed2["n_queries"] == len(patho["queries"])
+
+
+def test_rotation_auto_advances_when_next_scoreboard_lands(tmp_path):
+    """The point of the live rotation: the moment the driver's next
+    CORRECTNESS file is committed, the head-50 must move PAST the
+    just-checked queries to the next-stalest tier with no manual step.
+    Simulated by copying the real scoreboards to a temp dir and adding a
+    synthetic next-round file that marks the current head-50 green."""
+    import json
+    import shutil
+    import sys
+
+    import __spark_entry__ as em
+
+    tools = str(Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from plan_rotation import rotation_order
+
+    repo = Path(__file__).resolve().parent.parent
+    existing = sorted(repo.glob("CORRECTNESS_r*.json"))
+    assert existing, "no committed scoreboards to simulate from"
+    for f in existing:
+        shutil.copy(f, tmp_path / f.name)
+
+    names = list(em.queries())
+    order_now, _, _ = rotation_order(names, rounds_dir=tmp_path)
+    head_now = order_now[:50]
+
+    nxt = max(int(f.stem.split("_r")[1]) for f in existing) + 1
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    (tmp_path / f"CORRECTNESS_r{nxt:02d}.json").write_text(
+        json.dumps({q: green for q in head_now})
+    )
+
+    order_after, last_after, _ = rotation_order(names, rounds_dir=tmp_path)
+    head_after = set(order_after[:50])
+    # the freshly-checked queries leave the window entirely...
+    assert not (head_after & set(head_now)), (
+        "just-checked queries still occupy window slots"
+    )
+    # ...and the window now holds exactly the stalest survivors
+    survivors = sorted(
+        (n for n in names if n not in set(head_now)),
+        key=lambda n: (last_after[n], n),
+    )
+    assert head_after == set(survivors[:50])
+
+    # a RED result, by contrast, must jump the queue immediately
+    red_q = head_now[0]
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / f"CORRECTNESS_r{nxt:02d}.json").write_text(
+        json.dumps({**{q: green for q in head_now}, red_q: bad})
+    )
+    order_red, _, red_map = rotation_order(names, rounds_dir=tmp_path)
+    assert order_red[0] == red_q and red_q in red_map

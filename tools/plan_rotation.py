@@ -21,16 +21,21 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def rotation_order(names: list[str]) -> tuple[list[str], dict[str, int], dict[str, int]]:
+def rotation_order(
+    names: list[str], rounds_dir: Path | None = None
+) -> tuple[list[str], dict[str, int], dict[str, int]]:
     """Canonical rotation for the given registered-query names.
 
-    Returns (order, last_checked_round, red_round). Used by both the CLI
-    below and tests/test_lint.py's staleness lint, so the ordering the
-    lint enforces IS the ordering the regen tool emits.
+    Returns (order, last_checked_round, red_round). Used by the CLI
+    below, by __spark_entry__._dynamic_rotation (the LIVE queries()
+    ordering the driver sees), and by tests/test_lint.py's staleness
+    lint — one function so all three agree by construction.
+    ``rounds_dir`` overrides where CORRECTNESS_r*.json files are read
+    from (tests inject synthetic scoreboards; default = repo root).
     """
     last: dict[str, int] = {n: 0 for n in names}
     red: dict[str, int] = {}
-    repo = Path(__file__).resolve().parent.parent
+    repo = rounds_dir or Path(__file__).resolve().parent.parent
     rounds = sorted(repo.glob("CORRECTNESS_r*.json"))
     for path in rounds:
         rnd = int(path.stem.split("_r")[1])
