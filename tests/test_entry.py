@@ -57,10 +57,12 @@ def test_chunk_pipeline_golden_corpus_hash(spark):
 
 def test_unrotated_queries_stay_inside_driver_cap():
     """The driver oracle-checks only the FIRST 50 registered queries. Any
-    query in the middle band (not yet folded into the _PRIORITY/_DEMOTE
-    rotation — i.e. newly registered this round) must sit inside that cap,
-    or it ships without ever being driver-verified. Registering a query
-    without freeing a slot breaks this loudly instead of silently."""
+    newly registered query (absent from the committed CORRECTNESS files
+    AND the static fallback list) must sit inside that cap, or it ships
+    without ever being driver-verified. The live rotation puts
+    never-checked queries in tier 2 (right after reds), so this holds by
+    construction unless >50 queries land red/new at once — in which case
+    it breaks loudly instead of silently."""
     import __spark_entry__ as entrymod
 
     q = list(entrymod.queries())
@@ -70,8 +72,7 @@ def test_unrotated_queries_stay_inside_driver_cap():
     ]
     outside = [n for n in mid if q.index(n) >= 50]
     assert not outside, (
-        f"never-driver-checked queries outside the 50-query cap: {outside}; "
-        "demote long-green rows from _PRIORITY to free slots"
+        f"never-driver-checked queries outside the 50-query cap: {outside}"
     )
 
 
