@@ -844,6 +844,68 @@ def main() -> None:
             "note": "fixed shard/sample size; 10x adds shards not shard rows",
         }
 
+    # IVF SERVE scale probe (r09): the serving contract at scale is
+    # FAISS-standard nlist ∝ √n with nprobe fixed — probed rows per query
+    # grow as √n, so batched serve wall-clock should probe ~0.5, NOT ~1
+    # (fixed nlist on growing data is the serving anti-pattern: cells
+    # fatten linearly and every probe scans linearly more). Builds are
+    # untimed here (the build probes above own that claim); recall@10 vs
+    # exact numpy is recorded on BOTH legs to show the √n-nlist choice
+    # holds quality roughly flat while serve cost stays sub-linear.
+    _sv1 = IVFIndex(spark, f"{_bench_tmp}/sp_sv1").build(
+        emb, nlist=20, seed=42, max_iter=8
+    )
+    _sv10 = IVFIndex(spark, f"{_bench_tmp}/sp_sv10").build(
+        _sp_emb10, nlist=63, seed=42, max_iter=8
+    )
+
+    def _serve_out(idx):
+        return idx.search_many(
+            _dp_queries, k=10, nprobe=8, tie_break=["vec_id"],
+            output_cols=["vec_id"],
+        )
+
+    def _serve_time(idx) -> float:
+        t0 = time.time()
+        _serve_out(idx).collect()
+        return round(time.time() - t0, 3)
+
+    _sv_t1 = min(_serve_time(_sv1), _serve_time(_sv1))
+    _sv_t10 = min(_serve_time(_sv10), _serve_time(_sv10))
+
+    def _serve_recall(idx, unit, ids) -> float:
+        # ids maps a row position in `unit` to the corpus vec_id (the 1x
+        # corpus was collected in partition order, not vec_id order)
+        got: dict[int, set] = {}
+        for r in _serve_out(idx).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = 0
+        for qi, qv in enumerate(_dp_queries):
+            qn = _np.asarray(qv) / max(_np.linalg.norm(qv), 1e-12)
+            top = _np.argsort(-(unit @ qn), kind="stable")[:10]
+            ex = {int(ids[x]) for x in top}
+            hits += len(ex & got.get(qi, set()))
+        return round(hits / (10.0 * len(_dp_queries)), 4)
+
+    _base_unit = _dp_base / _np.maximum(
+        _np.linalg.norm(_dp_base, axis=1, keepdims=True), 1e-12
+    )
+    _base_ids = [r["vec_id"] for r in _dp_rows]
+    scale_probe["ivf_serve"] = {
+        "t_1x": _sv_t1,
+        "t_10x": _sv_t10,
+        "exponent": round(
+            math.log10(max(_sv_t10, 1e-3) / max(_sv_t1, 1e-3)), 3
+        ),
+        "recall_at_10_1x": _serve_recall(_sv1, _base_unit, _base_ids),
+        "recall_at_10_10x": _serve_recall(
+            _sv10, _dp_unit, list(range(_dp_big.shape[0]))
+        ),
+        "note": "nlist scales as sqrt(n) (20 -> 63), nprobe fixed at 8: "
+                "probed rows per query grow as sqrt(n); fixed nlist on "
+                "growing data is the serving anti-pattern",
+    }
+
     import shutil
 
     shutil.rmtree(_bench_tmp, ignore_errors=True)
