@@ -207,3 +207,60 @@ def test_rotation_auto_advances_when_next_scoreboard_lands(tmp_path):
     )
     order_red, _, red_map = rotation_order(names, rounds_dir=tmp_path)
     assert order_red[0] == red_q and red_q in red_map
+
+
+def test_rotation_order_invariants_on_random_histories(tmp_path):
+    """Property-fuzz the rotation mechanism the driver gate now rides on:
+    for ANY scoreboard history, the order must be (1) a permutation of
+    the registered names, (2) reds first sorted newest-red-first then
+    name, (3) never-checked next alphabetical, (4) the rest oldest
+    last-green first then name — and a red stays red until a LATER green
+    clears it."""
+    import json
+    import random
+    import sys
+
+    tools = str(Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from plan_rotation import rotation_order
+
+    rng = random.Random(7)
+    names = [f"q{i:03d}" for i in range(60)]
+    for trial in range(25):
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        # build a random history: 1-6 rounds, each checking a random
+        # subset with random verdicts (greens heavily favored)
+        expect_last: dict[str, int] = {n: 0 for n in names}
+        expect_red: dict[str, int] = {}
+        n_rounds = rng.randint(1, 6)
+        for rnd in range(1, n_rounds + 1):
+            window = rng.sample(names, rng.randint(0, 50))
+            body = {}
+            for q in window:
+                green = rng.random() < 0.85
+                body[q] = {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": green,
+                }
+                expect_last[q] = max(expect_last[q], rnd)
+                if green:
+                    expect_red.pop(q, None)
+                else:
+                    expect_red[q] = rnd
+            (d / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(body))
+
+        order, last, red = rotation_order(names, rounds_dir=d)
+        assert sorted(order) == sorted(names)
+        assert last == expect_last and red == expect_red
+        reds = sorted(expect_red, key=lambda n: (-expect_red[n], n))
+        never = sorted(
+            n for n in names if expect_last[n] == 0 and n not in expect_red
+        )
+        rest = sorted(
+            (n for n in names if expect_last[n] > 0 and n not in expect_red),
+            key=lambda n: (expect_last[n], n),
+        )
+        assert order == reds + never + rest
