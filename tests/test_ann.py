@@ -1143,3 +1143,42 @@ def test_graph_search_many_chunks_unbounded_batches(spark, tmp_path):
     assert [(r["query_id"], r["id"], r["score"]) for r in small] == [
         (r["query_id"], r["id"], r["score"]) for r in big
     ]
+
+
+def test_trained_residual_codebook_beats_trained_raw(spark, tmp_path):
+    """pq_train=True with storage='pq_residual' trains on driver-computed
+    residuals from a RAW-vector sample (no full-table assignment pass
+    just to sample — the 100 TB build contract). On clustered data the
+    residual codebook must reconstruct strictly better than the trained
+    raw-vector codebook at the same code budget."""
+    import numpy as np
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((4, 16)) * 10.0
+    pts = np.concatenate(
+        [centers[i] + rng.standard_normal((64, 16)) * 0.25 for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id int, embedding array<double>",
+    )
+
+    def recon_err(storage, path):
+        idx = IVFIndex(spark, path, metric="L2").build(
+            df, centroids=centers, storage=storage, pq_subs=4, pq_codes=8,
+            pq_train=True,
+        )
+        err = 0.0
+        for r in idx._read_data().select("vec_id", "embedding").collect():
+            err += float(
+                ((np.asarray(r["embedding"]) - pts[r["vec_id"]]) ** 2).sum()
+            )
+        return err
+
+    raw = recon_err("pq", str(tmp_path / "raw"))
+    res = recon_err("pq_residual", str(tmp_path / "res"))
+    assert res < raw
