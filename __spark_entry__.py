@@ -7861,22 +7861,40 @@ def _dynamic_rotation(names: tuple[str, ...]) -> list[str] | None:
     then oldest last-driver-green. Deterministic given the committed
     files, and identical across the queries()/oracle_sql() pair.
     Returns None (caller falls back to the static snapshot) if the tool
-    is unimportable or its output doesn't cover the registry exactly."""
-    import sys as _sys
+    is unimportable or its output doesn't cover the registry exactly.
+
+    The order is computed ONCE per process per registry (first call
+    wins) so a queries()/oracle_sql() pair in one driver run is always
+    served the identical order even if a scoreboard file lands between
+    the two calls; plan_rotation is loaded by file path (importlib) so
+    tools/ never enters sys.path and its generically-named modules
+    can't shadow other imports."""
     from pathlib import Path as _Path
 
     try:
-        tools = str(_Path(__file__).resolve().parent / "tools")
-        if tools not in _sys.path:
-            _sys.path.insert(0, tools)
-        from plan_rotation import rotation_order
+        cached = _ROTATION_CACHE.get(names)
+        if cached is not None:
+            return list(cached)
+        repo = _Path(__file__).resolve().parent
+        import importlib.util as _ilu
 
-        order, _, _ = rotation_order(list(names))
+        spec = _ilu.spec_from_file_location(
+            "_vdbetl_plan_rotation", repo / "tools" / "plan_rotation.py"
+        )
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        order, _, _ = mod.rotation_order(list(names))
         if sorted(order) == sorted(names):
+            _ROTATION_CACHE[names] = tuple(order)
             return order
     except Exception:
         pass
     return None
+
+
+# (names tuple) -> order. First computation in a process wins so the
+# queries()/oracle_sql() pair always agrees on the driver's head-50.
+_ROTATION_CACHE: dict[tuple[str, ...], tuple[str, ...]] = {}
 
 
 def _ordered(mapping: dict) -> dict:

@@ -1010,7 +1010,8 @@ HEADLINE_QUERIES = [
     "communities_converged",
 ]
 
-COMPACT_BUDGET = 1800
+# Strictly-under bound: the driver's stdout window parses null at >=1800.
+COMPACT_BUDGET = 1799
 
 
 def compact_record(full: dict) -> str:
@@ -1018,7 +1019,9 @@ def compact_record(full: dict) -> str:
 
     Pure function of the full record so tests can pin the contract
     (<= COMPACT_BUDGET chars, required keys present) without running
-    the suite."""
+    the suite. Raises if the line can't be brought under budget even
+    with every per-query timing dropped — better a loud failure here
+    than a silently null BENCH record."""
     timings = full["queries"]
     compact = {
         "metric": full["metric"],
@@ -1044,6 +1047,12 @@ def compact_record(full: dict) -> str:
     while len(out) > COMPACT_BUDGET and compact["queries"]:
         compact["queries"].popitem()
         out = json.dumps(compact)
+    if len(out) > COMPACT_BUDGET:
+        raise RuntimeError(
+            f"compact bench line is {len(out)} chars even with all "
+            f"queries dropped (budget {COMPACT_BUDGET}); trim "
+            "scale_probe_exponents/convergence_depths/recall keys"
+        )
     return out
 
 

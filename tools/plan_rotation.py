@@ -18,8 +18,6 @@ import json
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
 
 def rotation_order(
     names: list[str], rounds_dir: Path | None = None
@@ -36,22 +34,31 @@ def rotation_order(
     last: dict[str, int] = {n: 0 for n in names}
     red: dict[str, int] = {}
     repo = rounds_dir or Path(__file__).resolve().parent.parent
-    rounds = sorted(repo.glob("CORRECTNESS_r*.json"))
+    # Numeric round sort: lexicographic glob order would put r100 before
+    # r99 and let an older green clear a newer red.
+    rounds = sorted(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(p.stem.split("_r")[1]),
+    )
     for path in rounds:
         rnd = int(path.stem.split("_r")[1])
         data = json.loads(path.read_text())
         for q, v in data.items():
             if q not in last:
                 continue  # renamed/retired query
-            last[q] = max(last[q], rnd)
             ok = (
                 v.get("rows_match")
                 and v.get("schema_match")
                 and v.get("hash_match")
             )
+            # A verdict only updates state if it is at least as recent as
+            # the newest one seen for this query (guards duplicate files).
+            if rnd < last[q]:
+                continue
+            last[q] = rnd
             if ok:
                 red.pop(q, None)
-            elif rnd >= last[q]:
+            else:
                 red[q] = rnd
     reds = sorted(red, key=lambda n: (-red[n], n))
     never = sorted(n for n in names if last[n] == 0 and n not in red)
@@ -63,6 +70,11 @@ def rotation_order(
 
 
 def main() -> int:
+    # CLI-only: the library entry point (rotation_order) never touches
+    # sys.path; only the script needs the repo root importable.
+    repo = str(Path(__file__).resolve().parent.parent)
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     import __spark_entry__ as em
 
     names = list(em.queries())
