@@ -1182,3 +1182,109 @@ def test_trained_residual_codebook_beats_trained_raw(spark, tmp_path):
     raw = recon_err("pq", str(tmp_path / "raw"))
     res = recon_err("pq_residual", str(tmp_path / "res"))
     assert res < raw
+
+
+# --------------------------------------------------------------------------
+# Recall-grade PQ defaults (VERDICT r09 item 2)
+# --------------------------------------------------------------------------
+
+
+def test_recall_grade_pq_subs_derivation():
+    from vectordb_etl_spark.operators.ann import (
+        PQ_RECALL_GRADE_SUB_WIDTH,
+        recall_grade_pq_subs,
+    )
+
+    assert PQ_RECALL_GRADE_SUB_WIDTH == 2
+    assert recall_grade_pq_subs(64) == 32
+    assert recall_grade_pq_subs(1024) == 512
+    assert recall_grade_pq_subs(10) == 5
+    # non-divisible dims fall back to the largest divisor
+    assert recall_grade_pq_subs(6) == 3
+    assert recall_grade_pq_subs(7) == 1
+    assert recall_grade_pq_subs(1) == 1
+    with pytest.raises(ValueError):
+        recall_grade_pq_subs(0)
+
+
+def test_ivf_pq_below_recall_grade_warns(spark, embeddings_tiny, tmp_path):
+    """Explicitly choosing the storage-size play (m=8 at d=64, the Milvus
+    porting habit) must warn — measured recall@10 at that point is 0.48
+    vs 0.90 at the recall-grade default."""
+    import numpy as np
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    cents = np.array(
+        [r["embedding"] for r in embeddings_tiny.filter(F.col("vec_id") < 4)
+         .orderBy("vec_id").collect()], dtype=np.float64,
+    )
+    with pytest.warns(RuntimeWarning, match="recall-grade"):
+        IVFIndex(spark, str(tmp_path / "warn")).build(
+            embeddings_tiny, centroids=cents, assign_round_dp=6,
+            storage="pq", pq_subs=8, pq_codes=16,
+        )
+
+
+def test_ivf_pq_default_subs_is_recall_grade(spark, embeddings_tiny, tmp_path,
+                                             recwarn):
+    """Default config (pq_subs omitted) derives m from dim: d=64 -> m=32
+    codes on disk, and no recall warning fires."""
+    import warnings as _w
+
+    import numpy as np
+    from vectordb_etl_spark.operators.ann import IVFIndex
+
+    cents = np.array(
+        [r["embedding"] for r in embeddings_tiny.filter(F.col("vec_id") < 4)
+         .orderBy("vec_id").collect()], dtype=np.float64,
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        IVFIndex(spark, str(tmp_path / "dflt")).build(
+            embeddings_tiny, centroids=cents, assign_round_dp=6,
+            storage="pq", pq_codes=16,
+        )
+    stored = spark.read.parquet(f"{tmp_path}/dflt/data")
+    assert stored.select(F.size("__pq")).head()[0] == 32
+
+
+def test_pq_default_config_recall_at_bench_design_point(spark):
+    """VERDICT r09 done-criterion: DEFAULT-config trained PQ (n_subs
+    omitted -> recall-grade m, n_codes=256) must reach recall@10 >= 0.7
+    at the bench design point (sf0.1 embeddings, 10-query average vs
+    exact cosine) — a user taking the defaults gets recall-grade
+    retrieval, not the 0.48 storage-size play."""
+    import numpy as np
+    from vectordb_etl_spark.operators.ann import (
+        pq_encode,
+        recall_grade_pq_subs,
+        train_pq_codebook,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    cb = train_pq_codebook(emb, spark, n_codes=256)  # default n_subs
+    n_subs = cb.agg(F.max("sub")).head()[0] + 1
+    dim = len(emb.select("embedding").head()[0])
+    assert n_subs == recall_grade_pq_subs(dim)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.stack([r["embedding"] for r in rows]).astype(float)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cw = {(r["sub"], r["code"]): np.asarray(r["cw"], dtype=float)
+          for r in cb.collect()}
+    sw = dim // n_subs
+    pos = {vid: i for i, vid in enumerate(ids)}
+    recon = np.zeros_like(mat)
+    for r in pq_encode(emb.select("vec_id", "embedding"), cb,
+                       n_subs=n_subs).collect():
+        i = pos[r["id"]]
+        recon[i, r["sub"] * sw:(r["sub"] + 1) * sw] = cw[(r["sub"], r["code"])]
+    hits = 0
+    for qi in range(10):
+        qv = mat[pos[ids[qi]]]
+        qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
+        exact = set(ids[i] for i in np.argsort(-(unit @ qn), kind="stable")[:10])
+        adc = set(ids[i] for i in np.argsort(-(recon @ qv), kind="stable")[:10])
+        hits += len(exact & adc)
+    assert hits / 100.0 >= 0.7

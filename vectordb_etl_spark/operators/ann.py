@@ -164,7 +164,7 @@ class IVFIndex:
         centroids: np.ndarray | None = None,
         assign_round_dp: int | None = None,
         storage: str = "flat",
-        pq_subs: int = 8,
+        pq_subs: int | None = None,
         pq_codes: int = 16,
         pq_id_col: str = "vec_id",
         pq_codebook_df: DataFrame | None = None,
@@ -186,7 +186,10 @@ class IVFIndex:
 
         ``storage="pq"`` is the IVF_PQ tier: cell assignment on the RAW
         vectors, storage as ``pq_subs`` smallint codes per vector (d/m
-        compression — 32× at m=8, d=64 doubles) against a designated-vector
+        compression — 32× at m=8, d=64 doubles; ``pq_subs=None`` derives
+        the recall-grade default from dim — see
+        :func:`recall_grade_pq_subs` — and an explicit wider-subspace
+        choice emits a RuntimeWarning) against a designated-vector
         codebook (:func:`pq_codebook` over ``pq_id_col``; the codebook
         persists at ``<path>/pq_codebook``). Probe-time reconstruction
         concatenates codewords via a literal lookup (a pure column
@@ -226,6 +229,13 @@ class IVFIndex:
                 "__sq8", sq8_quantize_col(emb_col)
             ).drop(emb_col)
         if storage in ("pq", "pq_residual"):
+            # pq_subs=None -> recall-grade default derived from dim
+            # (sub-width PQ_RECALL_GRADE_SUB_WIDTH floats); an explicit
+            # wider-subspace choice warns (measured m=8 recall@10 is 0.48
+            # on the bench corpus vs 0.90 at the recall-grade point).
+            pq_subs = _resolve_pq_subs(
+                int(cents.shape[1]), pq_subs, "IVFIndex.build"
+            )
             src = assigned
             enc_col = emb_col
             if storage == "pq_residual":
@@ -753,6 +763,54 @@ def recall_at_k(exact_ids: list, approx_ids: list) -> float:
 # for Nearest Neighbor Search" — public paper)
 # --------------------------------------------------------------------------
 
+# Measured recall design points (bench.py pq_design_point, trained 256-code
+# codebooks, recall@10 vs exact cosine over the d=64 bench corpus):
+# sub-width 8 floats (m=8)  -> 0.48
+# sub-width 4 floats (m=16) -> 0.67
+# sub-width 2 floats (m=32) -> 0.90   <- recall-grade point
+# On an isotropic corpus the recall lever is code budget (finer subspaces);
+# defaults below derive m from dim at the recall-grade sub-width so a user
+# taking the defaults gets >=0.7 recall, not the 64x-compression play.
+PQ_RECALL_GRADE_SUB_WIDTH = 2
+
+
+def recall_grade_pq_subs(dim: int) -> int:
+    """Default PQ subspace count for a ``dim``-wide embedding: the largest
+    ``m`` dividing ``dim`` with sub-width >= PQ_RECALL_GRADE_SUB_WIDTH
+    floats per code (e.g. d=64 -> m=32, d=1024 -> m=512). Callers wanting
+    the storage-size play (wider subspaces, lower recall) must opt in
+    explicitly — and get a RuntimeWarning from :meth:`IVFIndex.build`."""
+    if dim < 1:
+        raise ValueError(f"dim must be positive, got {dim}")
+    m = max(1, dim // PQ_RECALL_GRADE_SUB_WIDTH)
+    while dim % m:
+        m -= 1
+    return m
+
+
+def _resolve_pq_subs(dim: int, n_subs: int | None, where: str) -> int:
+    """Resolve an explicit-or-None subspace count against ``dim``; warn
+    loudly when an explicit choice sits below the measured recall-grade
+    point so default-porting users (e.g. Milvus IVF_PQ m=8 habits) don't
+    silently ship 0.48-recall retrieval."""
+    if n_subs is None:
+        return recall_grade_pq_subs(dim)
+    if dim // max(n_subs, 1) > PQ_RECALL_GRADE_SUB_WIDTH:
+        import warnings
+
+        warnings.warn(
+            f"{where}: n_subs={n_subs} gives sub-width "
+            f"{dim // n_subs} floats at dim={dim} — below the measured "
+            f"recall-grade point (sub-width {PQ_RECALL_GRADE_SUB_WIDTH}, "
+            f"m={recall_grade_pq_subs(dim)}; bench curve m=8 -> 0.48, "
+            "m=32 -> 0.90 recall@10 at d=64). Pass n_subs=None for the "
+            "recall-grade default, or keep this value for the "
+            "storage-size play.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return n_subs
+
 
 def pq_codebook(
     df: DataFrame,
@@ -842,7 +900,7 @@ def pq_topk_adc(
     query: list,
     k: int = 10,
     n_codes: int = 16,
-    n_subs: int = 8,
+    n_subs: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     output_cols: list | None = None,
@@ -861,7 +919,12 @@ def pq_topk_adc(
     TakeOrderedAndProject. Serving never touches raw vectors — at 100 TB
     the scan reads m small-int codes per row instead of the d-float
     embedding (~1/16 of the raw bytes at m=8, d=64 before parquet's
-    dictionary/RLE encoding shrinks the code column further)."""
+    dictionary/RLE encoding shrinks the code column further).
+
+    ``n_subs=None`` derives the recall-grade default from the query's
+    dim (:func:`recall_grade_pq_subs`)."""
+    if n_subs is None:
+        n_subs = recall_grade_pq_subs(len(query))
     cb = (
         codebook
         if codebook is not None
@@ -1007,7 +1070,7 @@ def train_pq_codebook(
     spark: SparkSession,
     emb_col: str = "embedding",
     n_codes: int = 256,
-    n_subs: int = 8,
+    n_subs: int | None = None,
     seed: int = 42,
     max_iter: int = 10,
 ) -> DataFrame:
@@ -1027,6 +1090,8 @@ def train_pq_codebook(
         .limit(target)
     )
     mat = np.stack(sample.toPandas()[emb_col].to_numpy()).astype(np.float64)
+    if n_subs is None:  # recall-grade default (see PQ_RECALL_GRADE_SUB_WIDTH)
+        n_subs = recall_grade_pq_subs(mat.shape[1])
     return _pq_lloyds_codebook(mat, spark, n_codes, n_subs, seed, max_iter)
 
 
@@ -1101,7 +1166,7 @@ def train_pq_codebook_residual(
     emb_col: str = "embedding",
     metric: str = "COSINE",
     n_codes: int = 256,
-    n_subs: int = 8,
+    n_subs: int | None = None,
     seed: int = 42,
     max_iter: int = 10,
 ) -> DataFrame:
@@ -1139,6 +1204,8 @@ def train_pq_codebook_residual(
     else:  # IP
         assign = (mat @ cents.T).argmax(axis=1)
     residuals = mat - cents[assign]
+    if n_subs is None:  # recall-grade default (see PQ_RECALL_GRADE_SUB_WIDTH)
+        n_subs = recall_grade_pq_subs(residuals.shape[1])
     return _pq_lloyds_codebook(residuals, spark, n_codes, n_subs, seed, max_iter)
 
 
