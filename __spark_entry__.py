@@ -4543,6 +4543,44 @@ _register(
 )
 
 
+def _graph_topk_acorn(spark: SparkSession, sf: str) -> DataFrame:
+    """DURING-TRAVERSAL filtered graph search (graph_ann.py
+    search(filter_mode='traversal') — the ACORN-1 / hnswlib-IDSelector
+    stance; the reference's Milvus applies the filter inside index search,
+    modules/milvus_store.py:289-297): the ~1%-selective predicate is
+    evaluated JVM-side into a per-node bool, filtered-out nodes stay
+    navigable, only matching nodes enter the result heap — ef no longer
+    scales with 1/selectivity. Full-beam edge ⇒ exactly the filtered
+    brute force, hash-checked."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    emb = _table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = GraphANNIndex(spark, f"{tmp}/graph").build(
+            emb, num_shards=8, m=16, ef_construction=64, passthrough=["label"]
+        )
+        out = idx.search(
+            list(q), k=10, ef=1_000_000, output_cols=["id", "label"],
+            predicate=F.col("id") % 97 == 0, filter_mode="traversal",
+        ).withColumnRenamed("id", "vec_id")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "graph_topk_acorn",
+    _graph_topk_acorn,
+    "SELECT vec_id, label, "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score "
+    "FROM embeddings WHERE vec_id % 97 = 0 "
+    "ORDER BY score DESC, vec_id ASC LIMIT 10",
+)
+
+
 def _graph_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Batched graph serving (GraphANNIndex.search_many): 3 queries beam-
     searched in ONE applyInPandas pass — each shard loads its graph once
@@ -7656,56 +7694,7 @@ _register(
 # live computation is unavailable (last regenerated r09 via
 # `python tools/plan_rotation.py --python`).
 _PRIORITY = [
-    "events_distinct_users",
-    "events_hourly",
-    "events_moving_avg",
-    "events_sessionize",
-    "fanout_topk_per_label",
-    "forecast_revenue_change",
-    "graph_topk_incremental",
-    "integrity_report",
-    "ivf_pq_residual_topk",
-    "ivf_pq_topk",
-    "min_cost_supplier_per_part",
-    "minhash_lsh_candidates",
-    "minhash_signatures",
-    "multimodal_resample_roundtrip",
-    "multimodal_resize_roundtrip",
-    "ngram_novelty",
-    "order_priority_window",
-    "pq_topk",
-    "pricing_summary",
-    "product_type_profit",
-    "quality_classifier_scores",
-    "regional_revenue",
-    "sample_review",
-    "semantic_dedup",
-    "simhash_fingerprints",
-    "size_histogram",
-    "streaming_graph_ingest",
-    "streaming_ivf_ingest",
-    "streaming_lsh_dedup",
-    "supplier_part_counts",
-    "text_quality",
-    "token_counts",
-    "token_estimate",
-    "top_customers",
-    "top_sources",
-    "varchar_truncate",
-    "vector_topk",
-    "vector_topk_filtered",
-    "vocab_top_terms",
-    "audio_ahash_dups",
-    "bfs_part_reach",
-    "bipartite_pagerank",
-    "bitmap_distinct_users",
-    "bloom_semi_revenue",
-    "bm25_ranked_lookup",
-    "bpe_first_merges",
-    "cm_token_freq",
-    "column_profile_orders",
-    "corpus_drift",
-    "corpus_drift_chi2",
+    "graph_topk_acorn",
     "critical_parts_share",
     "dedup_aware_split",
     "dominant_part_suppliers",
@@ -7845,6 +7834,56 @@ _PRIORITY = [
     "tfidf_top_terms",
     "top_revenue_suppliers",
     "weighted_sample",
+    "audio_ahash_dups",
+    "bfs_part_reach",
+    "bipartite_pagerank",
+    "bitmap_distinct_users",
+    "bloom_semi_revenue",
+    "bm25_ranked_lookup",
+    "bpe_first_merges",
+    "cm_token_freq",
+    "column_profile_orders",
+    "corpus_drift",
+    "corpus_drift_chi2",
+    "events_distinct_users",
+    "events_hourly",
+    "events_moving_avg",
+    "events_sessionize",
+    "fanout_topk_per_label",
+    "forecast_revenue_change",
+    "graph_topk_incremental",
+    "integrity_report",
+    "ivf_pq_residual_topk",
+    "ivf_pq_topk",
+    "min_cost_supplier_per_part",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "multimodal_resample_roundtrip",
+    "multimodal_resize_roundtrip",
+    "ngram_novelty",
+    "order_priority_window",
+    "pq_topk",
+    "pricing_summary",
+    "product_type_profit",
+    "quality_classifier_scores",
+    "regional_revenue",
+    "sample_review",
+    "semantic_dedup",
+    "simhash_fingerprints",
+    "size_histogram",
+    "streaming_graph_ingest",
+    "streaming_ivf_ingest",
+    "streaming_lsh_dedup",
+    "supplier_part_counts",
+    "text_quality",
+    "token_counts",
+    "token_estimate",
+    "top_customers",
+    "top_sources",
+    "varchar_truncate",
+    "vector_topk",
+    "vector_topk_filtered",
+    "vocab_top_terms",
 ]
 
 # Retired: the old two-list head/tail scheme. plan_rotation.py now emits the

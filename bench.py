@@ -353,6 +353,19 @@ def main() -> None:
 
     run("graph_topk", graph, collect=True)
 
+    def graph_acorn():
+        # serve-only row over the index graph_topk just built: ~1%-selective
+        # predicate filtered DURING traversal at the same k-scaled ef the
+        # unfiltered row uses — the timed proof ef doesn't grow with
+        # 1/selectivity (the numpy design point below records recall/evals)
+        idx = GraphANNIndex(spark, f"{_bench_tmp}/graph")
+        return idx.search(
+            list(q), k=10, ef=100, output_cols=["id", "label"],
+            predicate=_F.col("id") % 97 == 0, filter_mode="traversal",
+        )
+
+    run("graph_acorn_topk", graph_acorn, collect=True)
+
     # IVF at the REFERENCE design point: nlist=128, nprobe=16 (12.5% scan
     # fraction — modules/config.py:24-25 of gudwls215/vectordb-etl). The
     # testdata tops out at 2,000 vectors (sf0.1), where 128 cells is
@@ -688,6 +701,67 @@ def main() -> None:
                 "tests/test_ann.py",
     }
 
+    # ACORN filtered-traversal design point (VERDICT r09 item 5): at a
+    # ~1%-selective predicate and a FIXED ef=100, compare the two filtered
+    # strategies on the same shard graph. Post-filter keeps ~ef×selectivity
+    # matching rows (≈1 of 100 — the beam must scale with 1/selectivity to
+    # fill k=10); during-traversal filtering keeps non-matching nodes
+    # navigable and expands until ef MATCHING hits bound the frontier, so
+    # the same ef fills k at any selectivity — the extra cost shows up as
+    # evals, not as a 100× beam. Both recalls + eval counts are recorded
+    # so the trade is visible per run.
+    _ac_mask = _np.zeros(_g_mat.shape[0], dtype=bool)
+    _ac_mask[::89] = True  # 29 of 2500 rows ~ 1.1% selectivity
+    _ac = {"recall": 0, "evals": 0}
+    _ac_post = {"recall": 0, "evals": 0}
+    for qv in _dp_queries:
+        qn = _np.asarray(qv) / max(_np.linalg.norm(qv), 1e-12)
+        scores = _g_mat @ qn
+        truth = set(
+            int(x)
+            for x in _np.argsort(
+                _np.where(_ac_mask, -scores, _np.inf), kind="stable"
+            )[:10]
+        )
+        a_s, p_s = {"evals": 0}, {"evals": 0}
+        a_hits = {
+            nd
+            for _, nd in _gsearch_h(
+                _g_mat, _g_adjs, _g_entry, qn, 100, stats=a_s,
+                allowed=_ac_mask,
+            )[:10]
+        }
+        p_hits = set(
+            [
+                nd
+                for _, nd in _gsearch_h(
+                    _g_mat, _g_adjs, _g_entry, qn, 100, stats=p_s
+                )
+                if _ac_mask[nd]
+            ][:10]
+        )
+        _ac["recall"] += len(truth & a_hits)
+        _ac_post["recall"] += len(truth & p_hits)
+        _ac["evals"] += a_s["evals"]
+        _ac_post["evals"] += p_s["evals"]
+    graph_acorn_meta = {
+        "corpus": "jittered_replica_shard",
+        "n_rows": int(_g_mat.shape[0]),
+        "selectivity": round(float(_ac_mask.mean()), 4),
+        "ef": 100,
+        "k": 10,
+        "n_queries": len(_dp_queries),
+        "acorn_recall_at_10": round(_ac["recall"] / _g_den, 4),
+        "post_filter_recall_at_10": round(_ac_post["recall"] / _g_den, 4),
+        "acorn_evals": _ac["evals"],
+        "post_filter_evals": _ac_post["evals"],
+        "post_filter_ef_for_k": int(10 / max(float(_ac_mask.mean()), 1e-9)),
+        "note": "fixed ef=100 at ~1% selectivity: post-filter keeps "
+                "~ef*sel matching rows (beam must scale with "
+                "1/selectivity, ef~900 for k=10); traversal filtering "
+                "fills k at the same ef, paying hops instead",
+    }
+
     # Scale probe (untimed meta, not part of the suite metric): run the
     # r04 dedup family at 1x and a 10x deterministically-replicated corpus
     # and record the measured scaling exponent log10(t10/t1) — the
@@ -955,6 +1029,7 @@ def main() -> None:
         "pq_design_point": pq_design_point_meta,
         "pq_residual_design_point": pq_residual_design_point_meta,
         "graph_design_point": graph_design_point_meta,
+        "graph_acorn_design_point": graph_acorn_meta,
         "scale_probe": scale_probe,
         # observed run-to-convergence depths from the converged
         # trio's timed rows (r09): label_propagation reporting ==
@@ -1035,6 +1110,7 @@ def compact_record(full: dict) -> str:
             "pq_m32@10": full["pq_design_point"]["recall_grade_recall_at_10"],
             "pq_res@10": full["pq_residual_design_point"]["recall_at_10"],
             "hnsw@10": full["graph_design_point"]["hnsw_recall_at_10"],
+            "acorn@10": full["graph_acorn_design_point"]["acorn_recall_at_10"],
         },
         "scale_probe_exponents": {
             k: v["exponent"] for k, v in full["scale_probe"].items()

@@ -298,6 +298,22 @@ def test_search_facade_index_kind_both_tiers(spark, tmp_path):
             store, q, k=3, embedding_config=EMB, index_kind="flat"
         )
 
+    # ACORN-style during-traversal filtering through the facade: at the
+    # full-beam edge it equals the exact filtered facade result, and the
+    # mode flag must not break the mixed-state exact fallback
+    exact_f = search_with_scores(
+        store, q, k=3, embedding_config=EMB,
+        filter='language == "english"',
+    )
+    acorn_f = search_with_scores(
+        store, q, k=3, embedding_config=EMB, index_kind="graph",
+        ef=1_000_000, filter='language == "english"',
+        filter_mode="traversal",
+    )
+    assert [(h.text, round(h.score, 6)) for h in acorn_f] == [
+        (h.text, round(h.score, 6)) for h in exact_f
+    ]
+
 
 def test_sql_surface_over_collections(spark, store):
     views = store.create_views()

@@ -96,6 +96,15 @@ def build_parser() -> argparse.ArgumentParser:
         "(un-indexed collections fall back to exact scan); default is "
         "the exact partition-pruned scan",
     )
+    p.add_argument(
+        "--filter-mode",
+        choices=["post", "traversal"],
+        default="post",
+        help="search with --index-kind graph and a filter: 'post' filters "
+        "the merged ef-beam (size ef to selectivity); 'traversal' filters "
+        "during the beam (ACORN-style — ef stays k-sized at any "
+        "selectivity)",
+    )
     p.add_argument("--chunk-size", type=int, default=300)
     p.add_argument("--chunk-overlap", type=int, default=60)
     p.add_argument("--dimension", type=int, default=1024)
@@ -123,7 +132,7 @@ def main(argv: list[str] | None = None) -> int:
         hits = runner.search(
             args.query, k=args.k, collection=args.collection,
             filter_language=args.language, filter=args.filter,
-            index_kind=args.index_kind,
+            index_kind=args.index_kind, filter_mode=args.filter_mode,
         )
         print(format_search_results(hits))
         return 0

@@ -100,6 +100,7 @@ def beam_search(
     entry: int = 0,
     stats: dict | None = None,
     entry_score: float | None = None,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[float, int]]:
     """Best-first search: returns up to ``ef`` (score, node) pairs sorted by
     descending dot score. Visits only reachable nodes; with ``ef >= n`` it
@@ -108,7 +109,21 @@ def beam_search(
     can assert the hierarchical descent really does less work.
     ``entry_score`` lets a caller that already scored the entry node (the
     hierarchical descent's landing node) hand the value over instead of
-    paying — and counting — a duplicate eval."""
+    paying — and counting — a duplicate eval.
+
+    ``allowed`` (optional bool mask over node positions) enables
+    DURING-TRAVERSAL filtering — the hnswlib IDSelector / ACORN-1 stance
+    (Patel et al. 2024, "ACORN: Performant and Predicate-Agnostic Search
+    Over Vector Embeddings and Structured Data" — public): every visited
+    node stays NAVIGABLE (it can enter the candidate heap and route the
+    beam through filtered-out regions, so the graph never disconnects),
+    but only ``allowed`` nodes enter the result heap. The beam keeps
+    expanding until ``ef`` MATCHING nodes bound the frontier, so ``ef``
+    no longer has to scale with 1/selectivity the way the post-filter
+    strategy's beam does. With ``allowed=None`` the behavior (including
+    eval counts) is exactly the unfiltered search. At ``ef >= n`` the
+    whole component is visited, so the result is the exact filtered
+    ranking — the oracle edge."""
     n = n_nodes if n_nodes is not None else mat.shape[0]
     if n == 0:
         return []
@@ -128,8 +143,11 @@ def beam_search(
     visited = {start}
     # candidates: max-heap by score (python heapq is min-heap → negate)
     candidates = [(-s0, start)]
-    # results: min-heap of (score, node), size-capped at ef
-    results = [(s0, start)]
+    # results: min-heap of (score, node), size-capped at ef; holds only
+    # allowed nodes — with no mask, every node is allowed
+    results = (
+        [(s0, start)] if allowed is None or bool(allowed[start]) else []
+    )
     while candidates:
         neg_s, node = heapq.heappop(candidates)
         if len(results) >= ef and -neg_s < results[0][0]:
@@ -141,12 +159,15 @@ def beam_search(
             s = float(mat[nb] @ query)
             if stats is not None:
                 stats["evals"] += 1
+            if len(results) >= ef and s <= results[0][0]:
+                continue  # can't improve; don't navigate through it
+            heapq.heappush(candidates, (-s, nb))
+            if allowed is not None and not bool(allowed[nb]):
+                continue  # navigable but filtered out: never a result
             if len(results) < ef:
                 heapq.heappush(results, (s, nb))
-                heapq.heappush(candidates, (-s, nb))
-            elif s > results[0][0]:
+            else:
                 heapq.heapreplace(results, (s, nb))
-                heapq.heappush(candidates, (-s, nb))
     # score desc, node ASC on ties (nodes are id-ordered positions, so this
     # matches the oracle's `ORDER BY score DESC, vec_id ASC` tie rule)
     return sorted(results, key=lambda t: (-t[0], t[1]))
@@ -298,11 +319,16 @@ def hnsw_search(
     query: np.ndarray,
     ef: int,
     stats: dict | None = None,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[float, int]]:
     """Coarse-to-fine query: greedy ef=1 descent through the upper
     levels, then the usual ef-beam at level 0 starting from the descent's
     landing node. Same return contract (and tie rule) as
-    :func:`beam_search`; with ef >= n it is exact regardless of entry."""
+    :func:`beam_search`; with ef >= n it is exact regardless of entry.
+
+    ``allowed`` filters DURING the level-0 beam (see :func:`beam_search`);
+    the upper-level descent is pure navigation and stays unfiltered —
+    filtered-out nodes still route the query toward its neighborhood."""
     n = mat.shape[0]
     if n == 0:
         return []
@@ -315,7 +341,7 @@ def hnsw_search(
         cur = _greedy_descend(mat, adjs[lev], query, cur, n, stats, cache)
     return beam_search(
         mat, adjs[0], query, ef, entry=cur, stats=stats,
-        entry_score=cache.get(cur),
+        entry_score=cache.get(cur), allowed=allowed,
     )
 
 
@@ -594,17 +620,36 @@ class GraphANNIndex:
         score_name: str = "score",
         round_dp: int = 6,
         predicate=None,
+        filter_mode: str = "post",
     ) -> DataFrame:
-        """``predicate`` enables FILTERED graph search with the standard
-        post-filter strategy (what HNSW libraries do for scalar filters:
-        traverse unfiltered — filtering during traversal disconnects the
-        graph — then filter the candidate set): each shard emits its full
-        ef-beam instead of just top-k, the predicate prunes the merged
-        candidates, and the global top-k ranks what passes. Size ``ef``
-        to the filter's selectivity (candidates ≈ ef × pass-rate); at the
-        full-beam edge (ef ≥ shard size) the result is EXACTLY the
-        filtered brute force, which is what the oracle checks. The
-        predicate may only reference ``output_cols``."""
+        """``predicate`` enables FILTERED graph search, two strategies:
+
+        ``filter_mode="post"`` (default) is the classic post-filter: each
+        shard emits its full ef-beam instead of just top-k, the predicate
+        prunes the merged candidates, and the global top-k ranks what
+        passes. Size ``ef`` to the filter's selectivity (candidates ≈
+        ef × pass-rate — at 1% selectivity the beam must be ~100×k). The
+        predicate may only reference ``output_cols``.
+
+        ``filter_mode="traversal"`` filters DURING the beam (ACORN-1 /
+        hnswlib-IDSelector stance; Milvus likewise applies the filter
+        inside index search — reference modules/milvus_store.py:289-297):
+        the predicate is evaluated JVM-side into a boolean column before
+        the shard UDF, filtered-out nodes stay navigable so the graph
+        never disconnects, and only matching nodes enter the result heap.
+        The beam expands until ``ef`` MATCHING hits bound the frontier —
+        ``ef`` stays ~k-sized at any selectivity (the traversal pays more
+        hops instead; bench's graph_acorn design point measures both).
+        Here the predicate may reference ANY stored index column, not
+        just ``output_cols``.
+
+        Either way, at the full-beam edge (ef ≥ shard size) the result is
+        EXACTLY the filtered brute force, which is what the oracle
+        checks."""
+        if filter_mode not in ("post", "traversal"):
+            raise ValueError(
+                f"filter_mode must be 'post' or 'traversal'; got {filter_mode!r}"
+            )
         q = np.asarray(query, dtype=np.float64)
         q = q / max(float(np.linalg.norm(q)), 1e-12)
         out_cols = output_cols or ["id"]
@@ -615,15 +660,25 @@ class GraphANNIndex:
         )
         out_schema = f"{pass_fields}, {score_name} double"
         k_, ef_ = k, ef
-        emit = max(ef, k) if predicate is not None else k
+        during = predicate is not None and filter_mode == "traversal"
+        if during:
+            # JVM-evaluated predicate lands in each shard's pandas frame
+            # as one bool per node — the UDF never re-implements it
+            idx = idx.withColumn("__allowed", predicate.cast("boolean"))
+        emit = max(ef, k) if predicate is not None and not during else k
 
         def _search(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("pos").reset_index(drop=True)
             mat = np.stack(pdf["embedding"].to_numpy())
             levels = pdf["node_level"].to_numpy()
             adjs = _unpack_adjs(levels, pdf["neighbors"], pdf["upper"])
+            mask = (
+                pdf["__allowed"].fillna(False).to_numpy(dtype=bool)
+                if during else None
+            )
             hits = hnsw_search(
-                mat, adjs, _hnsw_entry_pos(levels), q, ef=max(ef_, k_)
+                mat, adjs, _hnsw_entry_pos(levels), q, ef=max(ef_, k_),
+                allowed=mask,
             )[:emit]
             rows = [pdf.iloc[node] for _, node in hits]
             return pd.DataFrame(
@@ -634,7 +689,7 @@ class GraphANNIndex:
             )
 
         local = idx.groupBy("shard").applyInPandas(_search, out_schema)
-        if predicate is not None:
+        if predicate is not None and not during:
             local = local.filter(predicate)
         return local.orderBy(
             F.desc(score_name), *[F.asc(c) for c in out_cols]

@@ -290,6 +290,7 @@ class PipelineRunner:
         filter_language: str | None = None,
         filter: str | None = None,
         index_kind: str | None = None,
+        filter_mode: str = "post",
     ):
         from vectordb_etl_spark.search import search_with_scores
 
@@ -303,6 +304,7 @@ class PipelineRunner:
             embedding_config=self.config.embedding,
             filter=filter,
             index_kind=index_kind,
+            filter_mode=filter_mode,
         )
 
     # -- reset (main.py:243-277) ---------------------------------------------

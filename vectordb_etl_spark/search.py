@@ -42,6 +42,7 @@ def search_with_scores(
     index_kind: str | None = None,
     nprobe: int = 16,
     ef: int = 100,
+    filter_mode: str = "post",
 ) -> list[SearchHit]:
     """Q4 — language-filtered search facade
     (reference: modules/search_utils.py:70-98).
@@ -67,10 +68,14 @@ def search_with_scores(
     (brute-force, Milvus-style) rather than erroring. The indexed path
     ranks under the STORE's configured metric (the index artifact's
     contract), not this function's ``metric`` argument; ``nprobe``/``ef``
-    are the IVF/graph serving knobs. Graph-kind filtered search is
-    post-filter over the beam and the predicate may only reference the
-    surfaced columns (``id``/``text``/``language`` — build_index's
-    default passthrough); size ``ef`` to the filter's selectivity."""
+    are the IVF/graph serving knobs. Graph-kind filtered search defaults
+    to post-filter over the beam (predicate limited to the surfaced
+    columns ``id``/``text``/``language`` — build_index's default
+    passthrough; size ``ef`` to the filter's selectivity);
+    ``filter_mode='traversal'`` switches to the ACORN-style
+    during-traversal filter (operators/graph_ann.py), where ``ef`` stays
+    k-sized at any selectivity and the predicate may reference any
+    stored index column."""
     # a blank filter string parses to None and must behave like "no filter
     # given" (auto-detect still applies), not like "filter everything off"
     predicate = parse_filter(filter) if filter is not None else None
@@ -99,6 +104,8 @@ def search_with_scores(
         if index_kind == "graph":
             kwargs["output_cols"] = ["id", "text", "language"]
             kwargs["ef"] = ef
+            if predicate is not None:
+                kwargs["filter_mode"] = filter_mode
         else:
             kwargs["nprobe"] = nprobe
             data_cols = store.read(None).columns  # schema-only, no scan

@@ -432,6 +432,12 @@ class CollectionStore:
                         "brute-force scan, Milvus-style)"
                     )
                 scan = self.read(n).drop("collection")
+                # graph-only beam knob: the exact fallback applies the
+                # predicate exactly regardless of strategy
+                fb_kwargs = {
+                    k_: v for k_, v in search_kwargs.items()
+                    if k_ != "filter_mode"
+                }
                 if kind == "graph":
                     # graph tier contract: COSINE-only (open_index raises
                     # for other metrics before any indexed probe merges)
@@ -441,12 +447,12 @@ class CollectionStore:
                             f"is {self.config.metric_type!r}"
                         )
                     scan = scan.withColumnRenamed(fallback_id_col, "id")
-                    fb_ties = list(search_kwargs.get("output_cols") or ["id"])
+                    fb_ties = list(fb_kwargs.get("output_cols") or ["id"])
                 else:
                     fb_ties = tie_break
                 hits = topk_search(
                     scan, query, k=k, metric=self.config.metric_type,
-                    tie_break=fb_ties, **search_kwargs,
+                    tie_break=fb_ties, **fb_kwargs,
                 )
             else:
                 idx = self.open_index(n, kind=kind)
