@@ -682,7 +682,17 @@ def personalized_pagerank(
 
     ``iterations=None`` = RUN-TO-CONVERGENCE bounded by
     ``max_iterations`` — same exact-integer-fixpoint contract and
-    oracle equivalence as :func:`pagerank`."""
+    oracle equivalence as :func:`pagerank`.
+
+    ACTIVE-SET iteration (r10): mass only ever lives on seeds and nodes
+    the walk has reached, so each round joins/checkpoints ONLY the
+    ``rank_micro > 0`` frame (zero-rank rows contribute zero to every
+    incoming sum and receive zero teleport — dropping them is
+    bit-identical). From 1%-seed queries this keeps per-round volume at
+    the reached neighborhood instead of the whole node set — the same
+    property that bounds the shuffle at 100 TB — and the all-nodes
+    contract is restored by one final left join against the node
+    frame."""
     if not 0 < damping_ppm < _ONE:
         raise ValueError(f"damping_ppm must be in (0, 1e6); got {damping_ppm}")
     if iterations is not None and iterations < 1:
@@ -714,9 +724,26 @@ def personalized_pagerank(
         .alias("seed_micro"),
     ).localCheckpoint(eager=True)
     teleport = _ONE - damping_ppm
-    ranks = base.select(
+    # active frame: one row per node with rank_micro > 0 (canonical form
+    # — a node whose mass floors to zero is indistinguishable from one
+    # never reached, and seeds always hold >= teleport mass)
+    seeds_base = base.filter(F.col("seed_micro") > 0).select(
+        "node", "seed_micro"
+    )
+    ranks = seeds_base.select(
         "node", F.col("seed_micro").alias("rank_micro"), "seed_micro"
     )
+
+    def _restore_zeros(active: DataFrame) -> DataFrame:
+        return base.join(
+            active.select("node", "rank_micro"), "node", "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("rank_micro"), F.lit(0))
+            .cast("bigint")
+            .alias("rank_micro"),
+        )
+
     for _i in range(max_iterations if iterations is None else iterations):
         incoming = (
             ranks.join(ewd, ranks["node"] == ewd["src"], "inner")
@@ -724,28 +751,44 @@ def personalized_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        # full outer on the groupBy key: incoming's exchange is reused,
+        # only the tiny seed frame shuffles
         new_ranks = (
-            base.join(incoming, base["node"] == incoming["dst"], "left")
+            seeds_base.join(
+                incoming, seeds_base["node"] == incoming["dst"], "full_outer"
+            )
             .select(
-                "node",
+                F.coalesce(seeds_base["node"], incoming["dst"]).alias("node"),
                 (
-                    F.expr(f"({teleport} * seed_micro) DIV {_ONE}")
+                    F.expr(
+                        f"({teleport} * coalesce(seed_micro,"
+                        f" CAST(0 AS BIGINT))) DIV {_ONE}"
+                    )
                     + F.expr(
                         f"({damping_ppm} * coalesce(s, CAST(0 AS BIGINT)))"
                         f" DIV {_ONE}"
                     )
                 ).cast("bigint").alias("rank_micro"),
-                "seed_micro",
+                F.coalesce(F.col("seed_micro"), F.lit(0))
+                .cast("bigint")
+                .alias("seed_micro"),
             )
-            .localCheckpoint(eager=True)
+            .filter(F.col("rank_micro") > 0)
         )
-        if iterations is None and new_ranks.exceptAll(ranks).isEmpty():
+        # convergence mode materializes every round anyway (count +
+        # exceptAll); fixed-iteration runs keep the whole round chain in
+        # ONE job — shuffle boundaries already stage it — and truncate
+        # lineage only every 8th round so deep runs can't blow the plan
+        if iterations is None or (_i + 1) % 8 == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if iterations is None and new_ranks.count() == ranks.count() \
+                and new_ranks.exceptAll(ranks).isEmpty():
             _converged("personalized_pagerank", _i + 1)
-            return new_ranks.select("node", "rank_micro")
+            return _restore_zeros(new_ranks)
         ranks = new_ranks
     if iterations is None:
         _cap_tripped("personalized_pagerank", max_iterations)
-    return ranks.select("node", "rank_micro")
+    return _restore_zeros(ranks)
 
 
 def personalized_pagerank_sql(
