@@ -366,6 +366,77 @@ def main() -> None:
 
     run("graph_acorn_topk", graph_acorn, collect=True)
 
+    # facade serve rows (VERDICT r09 item 7): END-TO-END search_with_scores
+    # with index_kind — store open -> per-collection indexed probe -> merge
+    # -> SearchHit conversion — timed exactly as a user calls it. The
+    # facade collects internally (returns hits, not a DataFrame), so these
+    # rows are timed outside run()'s DataFrame contract but with the same
+    # MIN-of-2 policy; plan counters for the same serving path come from
+    # the underlying indexed fan-out frame so facade overhead regressions
+    # are visible in both wall-clock and plan shape. Store setup (insert +
+    # index builds) is serving-corpus preparation, not timed.
+    from vectordb_etl_spark.config import StoreConfig
+    from vectordb_etl_spark.search import search_with_scores
+    from vectordb_etl_spark.store.collections import CollectionStore
+
+    _fac_emb_cfg = EmbeddingConfig(dimension=64)
+    _fac_store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=f"{_bench_tmp}/facade_wh")
+    )
+    _fac_store.insert_documents(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id",
+            F.concat(F.lit("c"), F.col("doc_id")).alias("chunk_id"),
+            "source",
+            # 4 folder-derived collections (the reference's
+            # folder->collection split at a bench-sane fan-out)
+            F.concat(F.lit("f"), F.col("doc_id") % 4).alias("folder_name"),
+            "text",
+            F.coalesce(F.col("lang"), F.lit("english")).alias("language"),
+            F.lit(0).alias("chunk_index"),
+        ),
+        embedding_config=_fac_emb_cfg,
+    )
+    for _c in _fac_store.list_collections():
+        _fac_store.build_index(_c, kind="ivf", nlist=8, max_iter=4)
+        _fac_store.build_index(_c, kind="graph", m=16, ef_construction=64)
+    _FAC_Q = "shipping delays and supplier quality"
+
+    def _fac_time(kind: str, **kw) -> float:
+        t0 = time.time()
+        search_with_scores(
+            _fac_store, _FAC_Q, k=10, embedding_config=_fac_emb_cfg,
+            index_kind=kind, search_all_collections=True,
+            auto_detect_language=False, **kw,
+        )
+        return round(time.time() - t0, 3)
+
+    timings["facade_search_ivf"] = min(
+        _fac_time("ivf", nprobe=4), _fac_time("ivf", nprobe=4)
+    )
+    timings["facade_search_graph"] = min(
+        _fac_time("graph", ef=100), _fac_time("graph", ef=100)
+    )
+    from vectordb_etl_spark.embeddings import query_vector as _fac_qv
+
+    _fac_vec = _fac_qv(_FAC_Q, _fac_emb_cfg)
+    _fac_cols = [
+        c for c in _fac_store.read(None).columns
+        if c not in ("collection", "embedding")
+    ]
+    plan_fps["facade_search_ivf"] = plan_fingerprint(
+        _fac_store.fanout_search_indexed(
+            _fac_vec, k=10, kind="ivf", nprobe=4, on_missing="exact",
+            output_cols=_fac_cols, tie_break=["chunk_id"],
+        )
+    )
+    plan_fps["facade_search_graph"] = plan_fingerprint(
+        _fac_store.fanout_search_indexed(
+            _fac_vec, k=10, kind="graph", ef=100, on_missing="exact",
+            output_cols=["id", "text", "language"],
+        )
+    )
+
     # IVF at the REFERENCE design point: nlist=128, nprobe=16 (12.5% scan
     # fraction — modules/config.py:24-25 of gudwls215/vectordb-etl). The
     # testdata tops out at 2,000 vectors (sf0.1), where 128 cells is
@@ -633,9 +704,13 @@ def main() -> None:
     }
 
     # pass 2: re-measure cheapest-first while under budget, keep the min
+    # (rows timed outside run() — the facade serve rows — are already
+    # MIN-of-2 and have no registered runner)
     for name in sorted(timings, key=timings.get):
         if time.time() - bench_t0 > SECOND_PASS_BUDGET_S:
             break
+        if name not in _runners:
+            continue
         fn, collect = _runners[name]
         timings[name] = min(timings[name], _measure(fn, collect))
 
@@ -787,6 +862,25 @@ def main() -> None:
         [(int(i), [float(x) for x in v]) for i, v in enumerate(_dp_big)],
         "vec_id long, embedding array<double>",
     )
+    _etl_docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    _etl_docs10 = _etl_docs1.crossJoin(_sp_reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        "source",
+        F.concat("text", F.lit(" r"), F.col("rep")).alias("text"),
+    )
+
+    def _etl_probe(docs):
+        d = ensure_min_partitions(docs).select(
+            "doc_id",
+            "source",
+            cleaning.clean_text_col("text").alias("text"),
+            language.detect_language_content_col("text").alias("language"),
+        )
+        chunks = chunker.chunk_documents(d, ChunkerConfig())
+        deduped = chunker.remove_duplicate_chunks(chunks)
+        return with_embeddings(deduped, config=EmbeddingConfig(dimension=64))
     _sp_cents1 = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
     )
@@ -854,6 +948,18 @@ def main() -> None:
             lambda: graph_ops.label_propagation(_sp_edges1, rounds=2),
             lambda: graph_ops.label_propagation(_sp_edges10, rounds=2),
         ),
+        # flagship ETL probe (VERDICT r09 item 3): the clean -> chunk ->
+        # dedup -> hash-embed lifecycle was the one SURVEY §3.1 path with
+        # no measured exponent; its hot path is the chunk_text pandas UDF.
+        # Regime note: per-document parallelism (the three pandas UDFs map
+        # rows independently; the only exchange is the dedup window keyed
+        # by chunk md5) => expect ~1.0 LINEAR, no super-linear shuffle.
+        # Replica docs get distinct ids + a replica-token text suffix so
+        # dedup candidate volumes stay honest (near- not exact-dup).
+        "etl_pipeline": (
+            lambda: _etl_probe(_etl_docs1),
+            lambda: _etl_probe(_etl_docs10),
+        ),
     }
     # MIN-of-2 per leg (VERDICT r08 item 3): single-shot 1x/10x timings
     # swung the measured exponent by ~0.5 run-to-run (bigram_logprob
@@ -918,39 +1024,102 @@ def main() -> None:
             "note": "fixed shard/sample size; 10x adds shards not shard rows",
         }
 
-    # GRAPH serve scale probe (r09 companion to ivf_serve below): fixed
-    # shard size means per-QUERY work grows with shard count — every
-    # shard is beam-searched and merged — so the graph tier's serve
-    # contract is THROUGHPUT via shard parallelism (wall-clock flattens
-    # when executors scale with data), not per-query sublinearity. On
-    # fixed local[32] cores the 10x leg runs 80 shards over 32 slots
-    # (~2.5 waves): the honest expectation is an exponent below 1 (batch
-    # amortization + parallel slack) but above ivf_serve's (partition
-    # pruning scans a CONSTANT-fraction slice; shard fan-out does not).
-    # Reuses the layouts the build probes just persisted.
-    def _gserve_time(path) -> float:
-        idx = _GIdx(spark, path)
-        t0 = time.time()
-        idx.search_many(_dp_queries, k=10, ef=64).collect()
-        return round(time.time() - t0, 3)
+    # SERVE scale probes (r09 verdict item 1 rewrite): the r09 probes
+    # timed one 10-query batch per leg, and at 2k->20k vectors that is
+    # dominated by fixed Spark job overhead — the committed r09 record
+    # shows ivf_serve t_10x FASTER than t_1x (exponent -0.32 on a sqrt-n
+    # design; sign unstable run to run). The instrument now measures the
+    # MARGINAL per-batch cost: at each scale, time an N-query batch and a
+    # 1-query batch (same plan shape, same launch cost) and difference
+    # them — job overhead cancels, leaving the per-query scan/beam work
+    # the 100 TB claim is actually about. Each timing is run twice;
+    # the headline exponent uses MIN-of-2 marginals and the two raw runs
+    # yield an independent exponent apiece, recorded as exponent_runs so
+    # sign stability and the ±0.15 agreement are visible per record.
+    # batch sizes per tier, sized so the 1x leg's marginal work clears
+    # ~10x the 1-query job cost (the gate below records the measured
+    # ratio): IVF probes are CHEAP by design (constant-fraction pruned
+    # scan, one JVM job for any N) so N must be large; graph beams cost
+    # real python per query so a smaller N already dwarfs launch.
+    # (Measured at sf0.1: IVF N=6000 -> marginal_1x ~10 s vs ~0.8 s
+    # 1-query job; graph N=300 -> ~10 s vs ~0.4 s.)
+    _SV_NQ_IVF, _SV_NQ_GRAPH = 6_000, 300
 
-    _gs_t1 = min(
-        _gserve_time(f"{_bench_tmp}/sp_g1"),
-        _gserve_time(f"{_bench_tmp}/sp_g1"),
+    def _sv_queries(n: int) -> list:
+        stride = max(1, _dp_big.shape[0] // n)
+        return [
+            [float(x) for x in _dp_big[(i * stride) % _dp_big.shape[0]]]
+            for i in range(n)
+        ]
+
+    def _marginal_probe(serve_batch, queries) -> dict:
+        """serve_batch(queries) runs one batched serve job; returns the
+        marginal-cost legs: two (t_N, t_1) timing pairs."""
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            serve_batch(queries)
+            t_n = round(time.time() - t0, 3)
+            t0 = time.time()
+            serve_batch(queries[:1])
+            t_1 = round(time.time() - t0, 3)
+            runs.append((t_n, t_1))
+        return {
+            "t_batch": [r[0] for r in runs],
+            "t_one": [r[1] for r in runs],
+            "marginal": [round(max(r[0] - r[1], 1e-3), 3) for r in runs],
+        }
+
+    def _marginal_exponents(legs1, legs10, n_queries) -> dict:
+        m1 = min(legs1["marginal"])
+        m10 = min(legs10["marginal"])
+        per_run = [
+            round(math.log10(max(b, 1e-3) / max(a, 1e-3)), 3)
+            for a, b in zip(legs1["marginal"], legs10["marginal"])
+        ]
+        return {
+            "n_queries": n_queries,
+            "t_batch_1x": legs1["t_batch"], "t_one_1x": legs1["t_one"],
+            "t_batch_10x": legs10["t_batch"], "t_one_10x": legs10["t_one"],
+            "marginal_1x": m1,
+            "marginal_10x": m10,
+            "exponent": round(math.log10(max(m10, 1e-3) / max(m1, 1e-3)), 3),
+            "exponent_runs": per_run,
+            "exponent_spread": round(max(per_run) - min(per_run), 3),
+            # the instrument is only valid when the timed work dwarfs the
+            # launch cost it subtracts: marginal >= ~10x the 1-query job
+            "overhead_ratio_1x": round(
+                m1 / max(min(legs1["t_one"]), 1e-3), 2
+            ),
+            "overhead_ratio_10x": round(
+                m10 / max(min(legs10["t_one"]), 1e-3), 2
+            ),
+        }
+
+    # GRAPH serve: fixed shard size means per-QUERY work grows with shard
+    # count — every shard is beam-searched and merged — so the graph
+    # tier's serve contract is THROUGHPUT via shard parallelism
+    # (wall-clock flattens when executors scale with data), not per-query
+    # sublinearity. On fixed local[32] cores the 10x leg runs 80 shards
+    # over 32 slots (~2.5 waves): the honest expectation is an exponent
+    # near (or below) 1 from batch amortization + parallel slack, ABOVE
+    # ivf_serve's (partition pruning scans a constant fraction; shard
+    # fan-out does not). Reuses the layouts the build probes persisted.
+    _g1_idx = _GIdx(spark, f"{_bench_tmp}/sp_g1")
+    _g10_idx = _GIdx(spark, f"{_bench_tmp}/sp_g10")
+    _gq = _sv_queries(_SV_NQ_GRAPH)
+    _gs_legs1 = _marginal_probe(
+        lambda qs: _g1_idx.search_many(qs, k=10, ef=64).collect(), _gq
     )
-    _gs_t10 = min(
-        _gserve_time(f"{_bench_tmp}/sp_g10"),
-        _gserve_time(f"{_bench_tmp}/sp_g10"),
+    _gs_legs10 = _marginal_probe(
+        lambda qs: _g10_idx.search_many(qs, k=10, ef=64).collect(), _gq
     )
     scale_probe["graph_serve"] = {
-        "t_1x": _gs_t1,
-        "t_10x": _gs_t10,
-        "exponent": round(
-            math.log10(max(_gs_t10, 1e-3) / max(_gs_t1, 1e-3)), 3
-        ),
-        "note": "fixed shard size: per-query work grows with shard count "
-                "(8 -> 80 shards); serve scales by shard PARALLELISM — "
-                "throughput contract, cores fixed at 32 here",
+        **_marginal_exponents(_gs_legs1, _gs_legs10, _SV_NQ_GRAPH),
+        "note": "marginal cost of a 300-query batch (batch minus 1-query "
+                "job, min-of-2); fixed shard size: per-query work grows "
+                "with shard count (8 -> 80), served by shard PARALLELISM "
+                "— throughput contract, cores fixed at 32 here",
     }
 
     # IVF SERVE scale probe (r09): the serving contract at scale is
@@ -968,19 +1137,19 @@ def main() -> None:
         _sp_emb10, nlist=63, seed=42, max_iter=8
     )
 
-    def _serve_out(idx):
+    def _serve_out(idx, qs=None):
         return idx.search_many(
-            _dp_queries, k=10, nprobe=8, tie_break=["vec_id"],
-            output_cols=["vec_id"],
+            qs if qs is not None else _dp_queries, k=10, nprobe=8,
+            tie_break=["vec_id"], output_cols=["vec_id"],
         )
 
-    def _serve_time(idx) -> float:
-        t0 = time.time()
-        _serve_out(idx).collect()
-        return round(time.time() - t0, 3)
-
-    _sv_t1 = min(_serve_time(_sv1), _serve_time(_sv1))
-    _sv_t10 = min(_serve_time(_sv10), _serve_time(_sv10))
+    _ivq = _sv_queries(_SV_NQ_IVF)
+    _iv_legs1 = _marginal_probe(
+        lambda qs: _serve_out(_sv1, qs).collect(), _ivq
+    )
+    _iv_legs10 = _marginal_probe(
+        lambda qs: _serve_out(_sv10, qs).collect(), _ivq
+    )
 
     def _serve_recall(idx, unit, ids) -> float:
         # ids maps a row position in `unit` to the corpus vec_id (the 1x
@@ -1001,18 +1170,16 @@ def main() -> None:
     )
     _base_ids = [r["vec_id"] for r in _dp_rows]
     scale_probe["ivf_serve"] = {
-        "t_1x": _sv_t1,
-        "t_10x": _sv_t10,
-        "exponent": round(
-            math.log10(max(_sv_t10, 1e-3) / max(_sv_t1, 1e-3)), 3
-        ),
+        **_marginal_exponents(_iv_legs1, _iv_legs10, _SV_NQ_IVF),
         "recall_at_10_1x": _serve_recall(_sv1, _base_unit, _base_ids),
         "recall_at_10_10x": _serve_recall(
             _sv10, _dp_unit, list(range(_dp_big.shape[0]))
         ),
-        "note": "nlist scales as sqrt(n) (20 -> 63), nprobe fixed at 8: "
-                "probed rows per query grow as sqrt(n); fixed nlist on "
-                "growing data is the serving anti-pattern",
+        "note": "marginal cost of a 6k-query batch (batch minus 1-query "
+                "job, min-of-2); nlist scales as sqrt(n) (20 -> 63), "
+                "nprobe fixed at 8: probed rows per query grow as "
+                "sqrt(n); fixed nlist on growing data is the serving "
+                "anti-pattern",
     }
 
     import shutil
