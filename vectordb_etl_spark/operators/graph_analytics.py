@@ -138,7 +138,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        new_ranks = truncate(
+        new_ranks = (
             nodes.join(
                 incoming, nodes["node"] == incoming["dst"], "left"
             ).select(
@@ -152,6 +152,13 @@ def pagerank(
                 ).cast("bigint").alias("rank_micro"),
             )
         )
+        # `ranks` is referenced ONCE per round, so plan depth grows
+        # linearly — fixed-iteration runs keep the round chain in one
+        # job and truncate only every 8th round (same policy as
+        # personalized_pagerank, r10); convergence mode must
+        # materialize every round for the exceptAll probe
+        if iterations is None or (_i + 1) % 8 == 0:
+            new_ranks = truncate(new_ranks)
         if iterations is None and new_ranks.exceptAll(ranks).isEmpty():
             _converged("pagerank", _i + 1)
             return new_ranks
