@@ -4581,6 +4581,52 @@ _register(
 )
 
 
+def _graph_acorn_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """BATCHED during-traversal filtered graph serving
+    (GraphANNIndex.search_many(predicate=..., filter_mode='traversal')):
+    3 queries share one ~1%-selective predicate, evaluated JVM-side once
+    per shard; each shard answers every query over the same bool mask —
+    the production filtered-serving shape. Full-beam edge ⇒ each query's
+    exact filtered top-k, stated per query by the oracle window."""
+    import tempfile
+
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    emb = _table(spark, sf, "embeddings")
+    qs = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = GraphANNIndex(spark, f"{tmp}/graph").build(
+            emb, num_shards=8, m=16, ef_construction=64, passthrough=["label"]
+        )
+        out = idx.search_many(
+            qs, k=10, ef=1_000_000, output_cols=["id", "label"],
+            predicate=F.col("id") % 97 == 0, filter_mode="traversal",
+        ).withColumnRenamed("id", "vec_id")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "graph_acorn_batch",
+    _graph_acorn_batch,
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings WHERE vec_id < 3), "
+    "scored AS (SELECT q.query_id, e.vec_id, e.label, "
+    "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v), 6) AS score "
+    "FROM embeddings e CROSS JOIN q WHERE e.vec_id % 97 = 0), "
+    "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY score DESC, vec_id ASC) AS rn FROM scored) "
+    "SELECT CAST(query_id AS INT) AS query_id, vec_id, label, score "
+    "FROM ranked WHERE rn <= 10 ORDER BY query_id, score DESC, vec_id",
+)
+
+
 def _graph_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Batched graph serving (GraphANNIndex.search_many): 3 queries beam-
     searched in ONE applyInPandas pass — each shard loads its graph once
@@ -7694,6 +7740,7 @@ _register(
 # live computation is unavailable (last regenerated r09 via
 # `python tools/plan_rotation.py --python`).
 _PRIORITY = [
+    "graph_acorn_batch",
     "graph_topk_acorn",
     "critical_parts_share",
     "dedup_aware_split",

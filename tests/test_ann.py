@@ -1415,3 +1415,59 @@ def test_graph_search_rejects_unknown_filter_mode(graph_idx, query_vec):
         graph_idx.search(
             query_vec, k=3, predicate=F.col("id") > 0, filter_mode="during"
         )
+
+
+def test_graph_search_many_acorn_full_beam_matches_filtered_bruteforce(
+    spark, embeddings_tiny, graph_idx
+):
+    """Batched traversal filtering: one shared predicate, 3 queries,
+    full-beam edge ⇒ each query's exact filtered top-k."""
+    qs = [
+        list(r["embedding"])
+        for r in embeddings_tiny.filter(F.col("vec_id") < 3)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    got = graph_idx.search_many(
+        qs, k=5, ef=1_000_000, output_cols=["id"],
+        predicate=F.col("id") % 97 == 0, filter_mode="traversal",
+    ).collect()
+    filt = embeddings_tiny.filter(F.col("vec_id") % 97 == 0)
+    for qi, q in enumerate(qs):
+        exact = topk_search(
+            filt, q, k=5, tie_break=["vec_id"], output_cols=["vec_id"]
+        ).collect()
+        mine = [r for r in got if r["query_id"] == qi]
+        assert [(r["id"], r["score"]) for r in mine] == [
+            (r["vec_id"], r["score"]) for r in exact
+        ]
+
+
+def test_graph_search_many_post_filter_matches_filtered_bruteforce(
+    spark, embeddings_tiny, graph_idx
+):
+    """Batched POST filtering at the full-beam edge equals the same
+    exact filtered top-k (the two strategies agree where both are
+    exact)."""
+    qs = [
+        list(r["embedding"])
+        for r in embeddings_tiny.filter(F.col("vec_id") < 2)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    post = graph_idx.search_many(
+        qs, k=5, ef=1_000_000, output_cols=["id"],
+        predicate=F.col("id") % 97 == 0, filter_mode="post",
+    ).collect()
+    acorn = graph_idx.search_many(
+        qs, k=5, ef=1_000_000, output_cols=["id"],
+        predicate=F.col("id") % 97 == 0, filter_mode="traversal",
+    ).collect()
+    key = lambda rows: [(r["query_id"], r["id"], r["score"]) for r in rows]
+    assert key(post) == key(acorn)
+
+
+def test_graph_search_many_rejects_unknown_filter_mode(graph_idx):
+    with pytest.raises(ValueError, match="filter_mode"):
+        graph_idx.search_many(
+            [[0.0] * 64], k=3, predicate=F.col("id") > 0,
+            filter_mode="during",
+        )

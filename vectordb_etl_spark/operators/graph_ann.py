@@ -764,12 +764,24 @@ class GraphANNIndex:
         score_name: str = "score",
         round_dp: int = 6,
         batch_size: int = 2048,
+        predicate=None,
+        filter_mode: str = "post",
     ) -> DataFrame:
         """Batched serving: N queries beam-searched in ONE plan — each
         shard group loads its graph once and answers every query of a
         batch against it (amortizing the shard load + adjacency rebuild
         that dominate per-query jobs), then one rank-over-window takes
         each query's global top-k from the shards×N×k candidate rows.
+
+        ``predicate``/``filter_mode`` follow :meth:`search`'s contract —
+        one predicate shared by every query of the batch (the production
+        filtered-serving shape). ``'post'`` makes each shard emit its
+        full ef-beam per query and filters the merged candidates (size
+        ``ef`` to selectivity); ``'traversal'`` evaluates the predicate
+        JVM-side into a per-node bool once per shard and filters DURING
+        each beam (ACORN-style — ``ef`` stays k-sized at any
+        selectivity, and the predicate may reference any stored index
+        column). Full-beam edge ⇒ per-query exact filtered top-k.
 
         Each batch's query matrix ships in its UDF closure; batches of
         ``batch_size`` keep any single closure at serving size (2048×dim
@@ -780,10 +792,18 @@ class GraphANNIndex:
         rows per query, query_id indexing the ORIGINAL list."""
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1; got {batch_size}")
+        if filter_mode not in ("post", "traversal"):
+            raise ValueError(
+                f"filter_mode must be 'post' or 'traversal'; got {filter_mode!r}"
+            )
         arr = np.asarray(queries, dtype=np.float64)
         out_cols = output_cols or ["id"]
         idx = self.spark.read.parquet(self.path)
         _require_hnsw_format(idx, self.path)
+        during = predicate is not None and filter_mode == "traversal"
+        if during:
+            idx = idx.withColumn("__allowed", predicate.cast("boolean"))
+        emit = max(ef, k) if predicate is not None and not during else k
         pass_fields = ", ".join(
             f"`{c}` {idx.schema[c].dataType.simpleString()}" for c in out_cols
         )
@@ -804,11 +824,17 @@ class GraphANNIndex:
                 levels = pdf["node_level"].to_numpy()
                 adjs = _unpack_adjs(levels, pdf["neighbors"], pdf["upper"])
                 entry = _hnsw_entry_pos(levels)
+                # one predicate evaluation covers every query of the batch
+                mask = (
+                    pdf["__allowed"].fillna(False).to_numpy(dtype=bool)
+                    if during else None
+                )
                 frames = []
                 for qi in range(qmat.shape[0]):
                     hits = hnsw_search(
-                        mat, adjs, entry, qmat[qi], ef=max(ef_, k_)
-                    )[:k_]
+                        mat, adjs, entry, qmat[qi], ef=max(ef_, k_),
+                        allowed=mask,
+                    )[:emit]
                     rows = [pdf.iloc[node] for _, node in hits]
                     frames.append(
                         pd.DataFrame(
@@ -833,6 +859,9 @@ class GraphANNIndex:
                 _make_search(qmat_all[off : off + batch_size], off), out_schema
             )
             local = part if local is None else local.unionByName(part)
+        if predicate is not None and not during:
+            # post strategy: the predicate may only reference output_cols
+            local = local.filter(predicate)
         order = [F.desc(score_name)] + [F.asc(c) for c in out_cols]
         w = Window.partitionBy("query_id").orderBy(*order)
         return (
