@@ -976,6 +976,12 @@ def main() -> None:
             "t_10x": t10,
             "exponent": round(math.log10(max(t10, 1e-3) / max(t1, 1e-3)), 3),
         }
+    scale_probe["etl_pipeline"]["note"] = (
+        "clean->chunk->dedup->embed lifecycle; per-document parallelism "
+        "(three pandas UDFs map rows independently; the only exchange is "
+        "the dedup window keyed by chunk md5) => expect ~1.0 LINEAR, no "
+        "super-linear shuffle"
+    )
 
     # ANN index BUILD probes (VERDICT r07 item 6): the 100 TB risk in the
     # ANN tier is build, not probe — IVF is a bounded driver-sample train
