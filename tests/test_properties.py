@@ -295,3 +295,45 @@ def test_hnsw_full_ef_is_exact_on_random_corpora(n, dim, seed):
     scores = [float(mat[i] @ q) for i in range(n)]
     want = sorted(range(n), key=lambda i: (-scores[i], i))
     assert got == want
+
+
+@given(
+    st.integers(min_value=2, max_value=60),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=1, max_value=7),  # mask stride: ~14-100% pass
+)
+@settings(max_examples=25, deadline=None)
+def test_filtered_full_beam_is_exact_filtered_ranking(n, m, seed, stride):
+    # ACORN invariant (r10): with ef >= n, the allowed-mask beam must
+    # return exactly the brute-force ranking RESTRICTED to allowed nodes
+    # — for any graph, any query, any mask — and with an all-True mask it
+    # must equal the unfiltered beam result including eval counts.
+    import numpy as np
+
+    from vectordb_etl_spark.operators.graph_ann import (
+        _normalize_rows,
+        beam_search,
+        build_nsw,
+    )
+
+    rng = np.random.RandomState(seed)
+    mat = _normalize_rows(rng.standard_normal((n, 8)))
+    adj = build_nsw(mat, m=m, ef_construction=4 * m)
+    q = rng.standard_normal(8)
+    q = q / np.linalg.norm(q)
+    allowed = np.zeros(n, dtype=bool)
+    allowed[::stride] = True
+    got = [node for _, node in beam_search(mat, adj, q, ef=n, allowed=allowed)]
+    scores = mat @ q
+    want = sorted(
+        (i for i in range(n) if allowed[i]), key=lambda i: (-scores[i], i)
+    )
+    assert got == want
+    s_none, s_all = {}, {}
+    r_none = beam_search(mat, adj, q, ef=max(2, n // 2), stats=s_none)
+    r_all = beam_search(
+        mat, adj, q, ef=max(2, n // 2), stats=s_all,
+        allowed=np.ones(n, dtype=bool),
+    )
+    assert r_none == r_all and s_none["evals"] == s_all["evals"]
