@@ -1471,3 +1471,24 @@ def test_graph_search_many_rejects_unknown_filter_mode(graph_idx):
             [[0.0] * 64], k=3, predicate=F.col("id") > 0,
             filter_mode="during",
         )
+
+
+def test_graph_search_per_group_acorn_full_beam_exact(
+    spark, embeddings_tiny, graph_idx, query_vec
+):
+    """Per-group fan-out with during-traversal filtering at the full-beam
+    edge equals the exact filtered per-group top-k."""
+    from vectordb_etl_spark.operators.topk import search_per_group_topk
+
+    got = graph_idx.search_per_group(
+        query_vec, k=3, ef=1_000_000, group_col="label",
+        output_cols=["id"],
+        predicate=F.col("id") % 7 == 0, filter_mode="traversal",
+    ).collect()
+    want = search_per_group_topk(
+        embeddings_tiny.filter(F.col("vec_id") % 7 == 0)
+        .withColumnRenamed("vec_id", "id"),
+        query_vec, k=3, group_col="label", tie_break=["id"],
+    ).collect()
+    key = lambda rows: sorted((r["label"], r["id"], r["score"]) for r in rows)
+    assert key(got) == key(want)

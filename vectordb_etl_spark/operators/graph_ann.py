@@ -704,6 +704,8 @@ class GraphANNIndex:
         output_cols: list[str] | None = None,
         score_name: str = "score",
         round_dp: int = 6,
+        predicate=None,
+        filter_mode: str = "post",
     ) -> DataFrame:
         """Q2 fan-out through the graph tier: per-``group_col`` top-k hit
         lists (the IVF twin is IVFIndex.search_per_group). Each shard
@@ -715,15 +717,27 @@ class GraphANNIndex:
         provably equals the exact per-group top-k — the registered
         ``graph_fanout_topk`` oracle edge. Shuffle carries shards×ef tiny
         candidate rows, never vectors. ``group_col`` must be a
-        passthrough column of the index; it is included in the output."""
+        passthrough column of the index; it is included in the output.
+
+        ``predicate``/``filter_mode`` follow :meth:`search`'s contract
+        (post filters the emitted beams before the group rank;
+        'traversal' filters DURING each beam, ACORN-style, and may
+        reference any stored index column)."""
         from pyspark.sql.window import Window
 
+        if filter_mode not in ("post", "traversal"):
+            raise ValueError(
+                f"filter_mode must be 'post' or 'traversal'; got {filter_mode!r}"
+            )
         q = np.asarray(query, dtype=np.float64)
         q = q / max(float(np.linalg.norm(q)), 1e-12)
         out_cols = output_cols or ["id"]
         emit_cols = list(dict.fromkeys([group_col, *out_cols]))
         idx = self.spark.read.parquet(self.path)
         _require_hnsw_format(idx, self.path)
+        during = predicate is not None and filter_mode == "traversal"
+        if during:
+            idx = idx.withColumn("__allowed", predicate.cast("boolean"))
         pass_fields = ", ".join(
             f"`{c}` {idx.schema[c].dataType.simpleString()}" for c in emit_cols
         )
@@ -735,8 +749,13 @@ class GraphANNIndex:
             mat = np.stack(pdf["embedding"].to_numpy())
             levels = pdf["node_level"].to_numpy()
             adjs = _unpack_adjs(levels, pdf["neighbors"], pdf["upper"])
+            mask = (
+                pdf["__allowed"].fillna(False).to_numpy(dtype=bool)
+                if during else None
+            )
             hits = hnsw_search(
-                mat, adjs, _hnsw_entry_pos(levels), q, ef=max(ef_, k_)
+                mat, adjs, _hnsw_entry_pos(levels), q, ef=max(ef_, k_),
+                allowed=mask,
             )
             rows = [pdf.iloc[node] for _, node in hits]
             return pd.DataFrame(
@@ -747,6 +766,8 @@ class GraphANNIndex:
             )
 
         local = idx.groupBy("shard").applyInPandas(_search, out_schema)
+        if predicate is not None and not during:
+            local = local.filter(predicate)
         order = [F.desc(score_name)] + [F.asc(c) for c in out_cols]
         w = Window.partitionBy(group_col).orderBy(*order)
         return (
