@@ -6257,7 +6257,12 @@ def _hwp_cfb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     (compound-file writer in sources/cfb_fixtures.py — the write side of
     the spec whose read side is the production extractor), with zlib-raw
     section bytes on even doc_ids and uncompressed on odd; the extractor
-    must recover the paragraph text through the UTF-16 whitelist scan."""
+    must recover the paragraph text through the UTF-16 whitelist scan.
+    Every third document also carries a \\x05HwpSummaryInformation
+    property-set stream (MS-OLEPS, doc_id-arithmetic values) — the
+    extractor must parse title/author/subject/keywords out of it
+    (reference hwp_loader.py:112-113,146-147 via OLE SummaryInformation;
+    VERDICT r10 item 2) and return NULLs, not garbage, when absent."""
     from pyspark.sql.types import BinaryType
 
     from vectordb_etl_spark.sources.cfb_fixtures import make_hwp
@@ -6265,12 +6270,25 @@ def _hwp_cfb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     @F.pandas_udf(BinaryType())
     def synth_hwp(doc_id):
-        return doc_id.map(
-            lambda i: make_hwp(
-                [f"para {j} of doc {int(i)}" for j in range(int(i) % 3 + 1)],
-                compress=(int(i) % 2 == 0),
+        def build(i):
+            i = int(i)
+            meta = (
+                dict(
+                    title=f"title {i}",
+                    author=f"author {i % 7}",
+                    subject=f"subject {i % 5}",
+                    keywords=f"kw{i}, kw{i + 1}",
+                )
+                if i % 3 == 0
+                else {}
             )
-        )
+            return make_hwp(
+                [f"para {j} of doc {i}" for j in range(i % 3 + 1)],
+                compress=(i % 2 == 0),
+                **meta,
+            )
+
+        return doc_id.map(build)
 
     docs = _docs(spark, sf).select("doc_id", synth_hwp("doc_id").alias("blob"))
     parsed = docs.select("doc_id", extract_hwp_udf(F.col("blob")).alias("p"))
@@ -6285,6 +6303,10 @@ def _hwp_cfb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p.text").contains(
             F.concat(F.lit("para "), (F.col("doc_id") % 3).cast("string"))
         ).alias("last_para_ok"),
+        F.col("p.title").alias("title"),
+        F.col("p.author").alias("author"),
+        F.col("p.subject").alias("subject"),
+        F.col("p.keywords").alias("keywords"),
     )
 
 
@@ -6292,7 +6314,12 @@ _register(
     "hwp_cfb_roundtrip",
     _hwp_cfb_roundtrip,
     "SELECT doc_id, CAST(1 AS INT) AS n_sections, CAST(NULL AS VARCHAR) AS error, "
-    "true AS text_ok, true AS last_para_ok FROM documents",
+    "true AS text_ok, true AS last_para_ok, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'title ' || CAST(doc_id AS VARCHAR) END AS title, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'author ' || CAST(doc_id % 7 AS VARCHAR) END AS author, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'subject ' || CAST(doc_id % 5 AS VARCHAR) END AS subject, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'kw' || CAST(doc_id AS VARCHAR) || ', kw' || CAST(doc_id + 1 AS VARCHAR) END AS keywords "
+    "FROM documents",
 )
 
 
@@ -7731,6 +7758,61 @@ _register(
 )
 
 
+def _dynamic_meta_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """enable_dynamic_field parity END-TO-END (reference
+    modules/milvus_store.py:62-66; VERDICT r10 item 1): documents arrive
+    with loader-specific extra columns the fixed schema doesn't declare
+    (`rating`, `origin` — plus `lang`/`n_chars` themselves, which are not
+    store schema fields), fold into the `meta: map<string,string>` column
+    at insert (store.insert_documents(dynamic_meta=True) →
+    fold_dynamic_meta), round-trip through the partitioned parquet write,
+    and come back through a Milvus-style filter STRING that names the
+    dynamic fields DIRECTLY (`rating == "3" and n_chars > 300` — bare
+    identifiers resolve into the meta map with numeric cast-back,
+    functions/filter_expr.py). Output reads the dynamic values back out
+    of the map. Scale shape: the fold is pure map expressions (no UDF, no
+    shuffle); the write is the store's one partitioned job; the read-back
+    filter is a map access over the pruned scan."""
+    import tempfile
+
+    from vectordb_etl_spark.config import StoreConfig
+    from vectordb_etl_spark.functions.filter_expr import parse_filter
+    from vectordb_etl_spark.store.collections import CollectionStore
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") % 5).cast("string").alias("rating"),
+        F.upper(F.col("lang")).alias("origin"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        store = CollectionStore(spark, StoreConfig(warehouse_dir=f"{tmp}/w"))
+        store.insert_documents(docs, embed=False, dynamic_meta=True)
+        back = store.read()
+        pred = parse_filter(
+            'rating == "3" and n_chars > 300', columns=back.columns
+        )
+        out = back.filter(pred).select(
+            "doc_id",
+            F.col("meta")["rating"].alias("rating"),
+            F.col("meta")["origin"].alias("origin"),
+            F.col("meta")["n_chars"].cast("long").alias("n_chars"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "dynamic_meta_roundtrip",
+    _dynamic_meta_roundtrip,
+    "SELECT doc_id, CAST(n_chars % 5 AS VARCHAR) AS rating, "
+    "upper(lang) AS origin, n_chars "
+    "FROM documents WHERE n_chars % 5 = 3 AND n_chars > 300",
+)
+
+
 # The driver verifies the FIRST 50 registered queries only. Since r09 the
 # live order comes from _dynamic_rotation (recomputed from the committed
 # CORRECTNESS_r*.json files on every queries() call — reds first, then
@@ -7740,56 +7822,7 @@ _register(
 # live computation is unavailable (last regenerated r09 via
 # `python tools/plan_rotation.py --python`).
 _PRIORITY = [
-    "graph_acorn_batch",
-    "graph_topk_acorn",
-    "critical_parts_share",
-    "dedup_aware_split",
-    "dominant_part_suppliers",
-    "embedding_drift",
-    "events_daily_anomalies",
-    "events_daily_trend",
-    "ewma_daily_events",
-    "frequent_part_pairs",
-    "heavy_hitter_terms",
-    "hll_distinct_orders",
-    "hll_multigrain_users",
-    "idle_rich_customers",
-    "image_ahash_dups",
-    "image_near_dup_pairs",
-    "incremental_agg_merge",
-    "inverted_term_lookup",
-    "join_size_estimate",
-    "json_props_stats",
-    "kcore_copurchase",
-    "kmv_corpus_overlap",
-    "kmv_returned_only_parts",
-    "open_orders_daily",
-    "order_status_diff",
-    "part_affinity_ppr",
-    "part_communities",
-    "part_copurchase_triangles",
-    "prefix_jaccard_pairs",
-    "price_depth_histogram",
-    "price_quantity_corr",
-    "sample_quantiles_prices",
-    "scd2_order_status",
-    "session_attribution",
-    "session_window_stats",
-    "skew_report_events",
-    "streaming_bitmap_ingest",
-    "streaming_bloom_ingest",
-    "streaming_cm_ingest",
-    "streaming_hll_ingest",
-    "zorder_locality",
-    "asof_join_events_orders",
-    "bigram_logprob",
-    "bilateral_shipping_volume",
-    "boilerplate_fraction",
-    "brand_revenue",
-    "communities_converged",
-    "cumulative_unique_users",
-    "customers_without_big_orders",
-    "dedup_components",
+    "dynamic_meta_roundtrip",
     "disjunctive_predicate_revenue",
     "event_type_pivot",
     "events_cube",
@@ -7931,6 +7964,56 @@ _PRIORITY = [
     "vector_topk",
     "vector_topk_filtered",
     "vocab_top_terms",
+    "asof_join_events_orders",
+    "bigram_logprob",
+    "bilateral_shipping_volume",
+    "boilerplate_fraction",
+    "brand_revenue",
+    "communities_converged",
+    "critical_parts_share",
+    "cumulative_unique_users",
+    "customers_without_big_orders",
+    "dedup_aware_split",
+    "dedup_components",
+    "dominant_part_suppliers",
+    "embedding_drift",
+    "events_daily_anomalies",
+    "events_daily_trend",
+    "ewma_daily_events",
+    "frequent_part_pairs",
+    "graph_acorn_batch",
+    "graph_topk_acorn",
+    "heavy_hitter_terms",
+    "hll_distinct_orders",
+    "hll_multigrain_users",
+    "idle_rich_customers",
+    "image_ahash_dups",
+    "image_near_dup_pairs",
+    "incremental_agg_merge",
+    "inverted_term_lookup",
+    "join_size_estimate",
+    "json_props_stats",
+    "kcore_copurchase",
+    "kmv_corpus_overlap",
+    "kmv_returned_only_parts",
+    "open_orders_daily",
+    "order_status_diff",
+    "part_affinity_ppr",
+    "part_communities",
+    "part_copurchase_triangles",
+    "prefix_jaccard_pairs",
+    "price_depth_histogram",
+    "price_quantity_corr",
+    "sample_quantiles_prices",
+    "scd2_order_status",
+    "session_attribution",
+    "session_window_stats",
+    "skew_report_events",
+    "streaming_bitmap_ingest",
+    "streaming_bloom_ingest",
+    "streaming_cm_ingest",
+    "streaming_hll_ingest",
+    "zorder_locality",
 ]
 
 # Retired: the old two-list head/tail scheme. plan_rotation.py now emits the

@@ -1197,14 +1197,55 @@ def test_recall_grade_pq_subs_derivation():
 
     assert PQ_RECALL_GRADE_SUB_WIDTH == 2
     assert recall_grade_pq_subs(64) == 32
-    assert recall_grade_pq_subs(1024) == 512
+    # high-dim derivation is capped (ADVICE r10): d=1024 uncapped would be
+    # m=512 — 512 k-means problems and 512 codes/row for the CLI default dim
+    assert recall_grade_pq_subs(1024) == 64
+    assert recall_grade_pq_subs(128) == 64
     assert recall_grade_pq_subs(10) == 5
     # non-divisible dims fall back to the largest divisor
     assert recall_grade_pq_subs(6) == 3
     assert recall_grade_pq_subs(7) == 1
     assert recall_grade_pq_subs(1) == 1
+    # cap must still divide: d=96 -> min(48,64)=48 divides 96
+    assert recall_grade_pq_subs(96) == 48
     with pytest.raises(ValueError):
         recall_grade_pq_subs(0)
+
+
+def test_resolve_pq_subs_rejects_non_divisor():
+    """ADVICE r10: an explicit n_subs that does not divide dim must fail
+    fast at resolve time with the nearest valid divisors, not deep in
+    encode/decode with a slice-shape error."""
+    from vectordb_etl_spark.operators.ann import _resolve_pq_subs
+
+    with pytest.raises(ValueError, match="nearest valid.*32 and 64"):
+        _resolve_pq_subs(64, 48, "test")
+    with pytest.raises(ValueError, match="does not divide"):
+        _resolve_pq_subs(64, 7, "test")
+    with pytest.raises(ValueError, match="positive"):
+        _resolve_pq_subs(64, 0, "test")
+    # valid divisors pass through unchanged (below-recall-grade warning
+    # still fires — that contract is unchanged)
+    with pytest.warns(RuntimeWarning, match="recall-grade"):
+        assert _resolve_pq_subs(64, 16, "test") == 16
+
+
+def test_pq_topk_adc_codebook_subs_win(spark, embeddings_tiny):
+    """ADVICE r10: a supplied codebook's own subspace count wins over the
+    query-dim-derived default — a codebook trained at m=8 must be served
+    at m=8 (silent re-slicing would miss every (sub, code) lookup), and
+    an explicit disagreeing n_subs raises."""
+    from vectordb_etl_spark.operators.ann import pq_codebook, pq_topk_adc
+
+    df = embeddings_tiny.select("vec_id", "embedding")
+    cb = pq_codebook(df, n_codes=4, n_subs=8)
+    q = df.orderBy("vec_id").select("embedding").head()[0]
+    # n_subs=None + codebook: derived from the codebook (8), not from the
+    # query dim (recall_grade would give 32 at d=64); must return real rows
+    out = pq_topk_adc(df, q, k=3, codebook=cb)
+    assert out.count() == 3
+    with pytest.raises(ValueError, match="disagrees with the supplied"):
+        pq_topk_adc(df, q, k=3, n_subs=32, codebook=cb)
 
 
 def test_ivf_pq_below_recall_grade_warns(spark, embeddings_tiny, tmp_path):

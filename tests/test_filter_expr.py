@@ -356,3 +356,64 @@ def test_filter_precedence_and_binds_tighter_than_or(df):
     assert _ids(df, '(n == 1 or n == 7) and score > 2.0') == [2]
     # not binds tighter than and
     assert _ids(df, 'not n == 1 and score < 3.0') == [0, 2]
+
+
+# --------------------------------------------------------------------------
+# Dynamic-field resolution (enable_dynamic_field parity — reference
+# modules/milvus_store.py:62-66): with a known column list, bare
+# identifiers that aren't typed columns reach the `meta` map
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def meta_df(spark):
+    return spark.createDataFrame(
+        [
+            (0, "english", {"rating": "3", "origin": "WEB", "flag": "true"}),
+            (1, "korean", {"rating": "10", "origin": "PDF", "flag": "false"}),
+            (2, "english", {"rating": "7", "origin": "WEB"}),
+            (3, "english", None),
+        ],
+        "id long, language string, meta map<string,string>",
+    )
+
+
+def _mids(df, expr):
+    pred = parse_filter(expr, columns=df.columns)
+    return sorted(r["id"] for r in df.filter(pred).select("id").collect())
+
+
+def test_dynamic_field_string_equality(meta_df):
+    assert _mids(meta_df, 'origin == "WEB"') == [0, 2]
+    # typed columns still resolve typed, in the same expression
+    assert _mids(meta_df, 'origin == "WEB" and language == "english"') == [0, 2]
+
+
+def test_dynamic_field_numeric_comparison_casts(meta_df):
+    # "10" must compare as 10.0, not lexicographically below "3"
+    assert _mids(meta_df, "rating > 5") == [1, 2]
+    assert _mids(meta_df, "rating <= 3") == [0]
+    assert _mids(meta_df, "rating in [3, 7]") == [0, 2]
+    # string in-list stays string-compared
+    assert _mids(meta_df, 'origin in ["PDF"]') == [1]
+
+
+def test_dynamic_field_bool_and_like(meta_df):
+    assert _mids(meta_df, "flag == true") == [0]
+    assert _mids(meta_df, 'origin like "W%"') == [0, 2]
+
+
+def test_dynamic_field_missing_key_and_null_meta_never_match(meta_df):
+    # id=2 lacks `flag`, id=3 has NULL meta: both must drop out, not error
+    assert _mids(meta_df, 'flag == "false"') == [1]
+    assert _mids(meta_df, "not rating > 0") == []
+
+
+def test_without_columns_identifiers_stay_typed(meta_df):
+    # pre-dynamic behavior unchanged: no columns list -> F.col(name),
+    # which fails analysis on a non-column (the old contract)
+    from pyspark.errors import AnalysisException
+
+    pred = parse_filter('origin == "WEB"')
+    with pytest.raises(AnalysisException):
+        meta_df.filter(pred).collect()

@@ -272,3 +272,68 @@ def test_hwp_per_file_failure_is_recorded_not_fatal(spark):
     assert got[1] == ("", "unknown_format")
     assert got[2] == ("", "empty")
     assert got[3][0] == "" and got[3][1].startswith("parse_error:")
+
+
+# ---------------------------------------------------------------------------
+# HwpSummaryInformation property-set metadata (VERDICT r10 item 2;
+# reference hwp_loader.py:112-113,146-147 via OLE SummaryInformation)
+# ---------------------------------------------------------------------------
+
+
+def test_property_set_roundtrip_unicode_and_types():
+    from vectordb_etl_spark.sources.cfb_fixtures import property_set_bytes
+    from vectordb_etl_spark.sources.hwp import parse_ole_property_set
+
+    props = {2: "제목 Title", 3: "주제/subject", 4: "author-x", 5: "kw1, kw2"}
+    assert parse_ole_property_set(property_set_bytes(props)) == props
+    # malformed inputs never raise — per-row error contract
+    assert parse_ole_property_set(b"") == {}
+    assert parse_ole_property_set(b"\xfe\xff" + b"\x00" * 60) == {}
+    assert parse_ole_property_set(b"\xff" * 64) == {}
+
+
+def test_extract_hwp_summary_metadata():
+    data = make_hwp(
+        ["본문 첫 문단", "second paragraph"],
+        title="제목", author="저자", subject="주제", keywords="핵심어, key",
+    )
+    out = extract_hwp(data)
+    assert out["title"] == "제목" and out["author"] == "저자"
+    assert out["subject"] == "주제" and out["keywords"] == "핵심어, key"
+    assert "본문 첫 문단" in out["text"]  # body still decodes alongside meta
+    # absent stream -> all four None (no phantom values)
+    none = extract_hwp(make_hwp(["text only"]))
+    assert (
+        none["title"] is None and none["author"] is None
+        and none["subject"] is None and none["keywords"] is None
+    )
+
+
+def test_extract_hwpx_subject_keywords():
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("Contents/section0.xml", "<doc><p>hwpx body</p></doc>")
+        zf.writestr(
+            "Contents/meta.xml",
+            "<meta xmlns:dc='http://purl.org/dc/elements/1.1/'>"
+            "<dc:title>T</dc:title><dc:creator>C</dc:creator>"
+            "<dc:subject>S</dc:subject><keyword>K1</keyword></meta>",
+        )
+    out = extract_hwpx(buf.getvalue())
+    assert out["subject"] == "S" and out["keywords"] == "K1"
+
+
+def test_load_hwp_documents_projects_summary_fields(spark, tmp_path):
+    d = tmp_path / "hwp"
+    d.mkdir()
+    (d / "a.hwp").write_bytes(
+        make_hwp(
+            ["Document body with enough characters here"],
+            title="T1", author="A1", subject="S1", keywords="K1",
+        )
+    )
+    from vectordb_etl_spark.sources.scan import load_hwp_documents
+
+    row = load_hwp_documents(spark, str(d)).collect()[0]
+    assert row["title"] == "T1" and row["author"] == "A1"
+    assert row["subject"] == "S1" and row["keywords"] == "K1"

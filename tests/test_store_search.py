@@ -298,6 +298,19 @@ def test_search_facade_index_kind_both_tiers(spark, tmp_path):
             store, q, k=3, embedding_config=EMB, index_kind="flat"
         )
 
+    # ADVICE r10: a typo'd filter_mode must fail fast at the facade even
+    # on paths that would otherwise silently ignore it (no predicate,
+    # non-graph index_kind)
+    with pytest.raises(ValueError, match="filter_mode"):
+        search_with_scores(
+            store, q, k=3, embedding_config=EMB, filter_mode="during"
+        )
+    with pytest.raises(ValueError, match="filter_mode"):
+        search_with_scores(
+            store, q, k=3, embedding_config=EMB, index_kind="ivf",
+            filter_mode="traverse",
+        )
+
     # ACORN-style during-traversal filtering through the facade: at the
     # full-beam edge it equals the exact filtered facade result, and the
     # mode flag must not break the mixed-state exact fallback
@@ -588,3 +601,77 @@ def test_integrity_checks_fire_on_planted_violations(spark):
         "dups": 2,
         "clean": 0,
     }
+
+
+# --------------------------------------------------------------------------
+# Dynamic metadata fields — enable_dynamic_field parity (VERDICT r10 item 1;
+# reference modules/milvus_store.py:62-66)
+# --------------------------------------------------------------------------
+
+
+def test_fold_dynamic_meta_schema_and_precedence(spark):
+    from vectordb_etl_spark.store.collections import fold_dynamic_meta
+
+    df = spark.createDataFrame(
+        [(1, "a", "x", 3, {"k": "v", "rating": "stale"}), (2, "b", "y", 7, None)],
+        "doc_id long, text string, rating string, extra_n int, "
+        "meta map<string,string>",
+    )
+    out = fold_dynamic_meta(df)
+    assert set(out.columns) == {"doc_id", "text", "meta"}
+    assert dict(out.schema["meta"].dataType.jsonValue(),) == {
+        "type": "map", "keyType": "string", "valueType": "string",
+        "valueContainsNull": True,
+    }
+    rows = {r["doc_id"]: r["meta"] for r in out.collect()}
+    # typed column wins over a stale pre-existing meta key; existing
+    # non-colliding keys survive; NULL pre-existing meta coalesces
+    assert rows[1] == {"k": "v", "rating": "x", "extra_n": "3"}
+    assert rows[2] == {"rating": "y", "extra_n": "7"}
+    # no extras at all -> empty (not null) map, stable schema
+    none = fold_dynamic_meta(df.select("doc_id", "text"))
+    assert none.collect()[0]["meta"] == {}
+
+
+def test_dynamic_meta_store_roundtrip_and_facade(spark, docs_tiny, tmp_path):
+    """Insert docs carrying extra loader-specific fields with
+    dynamic_meta=True; the parquet schema stays fixed, a Milvus-style
+    filter string naming the dynamic field directly reaches the meta map,
+    and hits surface dynamic fields as top-level metadata keys."""
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    docs = docs_tiny.select(
+        "doc_id",
+        "source",
+        F.col("source").alias("folder_name"),
+        "text",
+        detect_language_content_col("text").alias("language"),
+        F.lit("crawler-7").alias("ingest_job"),      # dynamic
+        (F.col("doc_id") % 3).alias("shard_hint"),   # dynamic, numeric
+    ).limit(20)
+    store.insert_documents(
+        docs, embedding_config=EMB, mode="overwrite", dynamic_meta=True
+    )
+    back = store.read()
+    assert "ingest_job" not in back.columns and "meta" in back.columns
+
+    hits = search_with_scores(
+        store, "query", k=3, embedding_config=EMB,
+        filter='ingest_job == "crawler-7" and shard_hint >= 1',
+    )
+    assert len(hits) == 3
+    for h in hits:
+        assert h.metadata["ingest_job"] == "crawler-7"
+        assert int(h.metadata["shard_hint"]) >= 1
+        assert "meta" not in h.metadata  # flattened, not nested
+
+    # upsert path folds too and merges into the same stable schema
+    more = docs.limit(5).withColumn("ingest_job", F.lit("crawler-8"))
+    store.upsert_documents(
+        more, key_col="doc_id", embedding_config=EMB, dynamic_meta=True
+    )
+    re = store.read()
+    assert "ingest_job" not in re.columns
+    n8 = re.filter(F.col("meta")["ingest_job"] == "crawler-8").count()
+    assert n8 == 5

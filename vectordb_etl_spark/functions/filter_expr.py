@@ -91,10 +91,33 @@ def _tokenize(text: str) -> list[tuple[str, object]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, object]], text: str):
+    def __init__(
+        self,
+        tokens: list[tuple[str, object]],
+        text: str,
+        columns: list[str] | None = None,
+        meta_col: str = "meta",
+    ):
         self.tokens = tokens
         self.i = 0
         self.text = text
+        self.columns = set(columns) if columns is not None else None
+        self.meta_col = meta_col
+
+    def _field(self, name: str) -> tuple[Column, bool]:
+        """Resolve a field reference. With a known column list, a bare
+        identifier that is NOT a typed column resolves into the dynamic
+        ``meta`` map (Milvus enable_dynamic_field semantics: filters name
+        dynamic fields directly, the store resolves them into $meta —
+        milvus_store.py:62-66). Dotted names stay struct accesses."""
+        if (
+            self.columns is not None
+            and name not in self.columns
+            and "." not in name
+            and self.meta_col in self.columns
+        ):
+            return F.col(self.meta_col)[name], True
+        return F.col(name), False
 
     def _peek(self) -> tuple[str, object] | None:
         return self.tokens[self.i] if self.i < len(self.tokens) else None
@@ -161,10 +184,19 @@ class _Parser:
             raise FilterExprError(
                 f"expected a field name, got {name!r} in {self.text!r}"
             )
-        col = F.col(str(name))
+        col, dynamic = self._field(str(name))
         kind, op = self._next()
         if kind == "op":
             rhs = self._literal()
+            if dynamic:
+                # meta values are stored as strings; a numeric/boolean
+                # literal means the caller wants typed comparison — cast
+                # the map value back (NULL for non-numeric garbage, which
+                # correctly fails every comparison)
+                if isinstance(rhs, bool):
+                    col = col.cast("boolean")
+                elif isinstance(rhs, (int, float)):
+                    col = col.cast("double")
             if op == "==":
                 return col == rhs
             if op == "!=":
@@ -201,6 +233,11 @@ class _Parser:
                 self._next()
                 values.append(self._literal())
             self._expect("op", "]")
+            if dynamic and all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in values
+            ):
+                col = col.cast("double")
             pred = col.isin(values)
             return ~pred if negate else pred
         raise FilterExprError(
@@ -216,13 +253,24 @@ class _Parser:
         return tok[1]
 
 
-def parse_filter(expr: str | Column | None) -> Column | None:
+def parse_filter(
+    expr: str | Column | None,
+    columns: list[str] | None = None,
+    meta_col: str = "meta",
+) -> Column | None:
     """Parse a Milvus-style filter string into a Spark Column predicate.
 
-    Column and None pass through, so call sites accept either surface."""
+    Column and None pass through, so call sites accept either surface.
+
+    With ``columns`` (the target table's schema), bare identifiers that
+    are not typed columns resolve into the dynamic ``meta_col`` map —
+    the reference's enable_dynamic_field filter surface, where
+    ``my_extra_field == "x"`` transparently reaches the $meta blob
+    (milvus_store.py:62-66). Without ``columns`` every identifier is a
+    typed column reference (the pre-dynamic behavior)."""
     if expr is None or isinstance(expr, Column):
         return expr
     tokens = _tokenize(expr)
     if not tokens:
         return None
-    return _Parser(tokens, expr).parse()
+    return _Parser(tokens, expr, columns=columns, meta_col=meta_col).parse()

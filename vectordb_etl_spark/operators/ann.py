@@ -772,17 +772,25 @@ def recall_at_k(exact_ids: list, approx_ids: list) -> float:
 # defaults below derive m from dim at the recall-grade sub-width so a user
 # taking the defaults gets >=0.7 recall, not the 64x-compression play.
 PQ_RECALL_GRADE_SUB_WIDTH = 2
+# Cap on the DERIVED default m: uncapped, d=1024 would train 512 per-subspace
+# k-means problems and store 512 smallint codes/row (~8x compression instead
+# of ~32x) — a silent build-cost/storage jump at the CLI's default dimension.
+# m=64 keeps ADC table size and build cost bounded at high dim; callers who
+# want finer subspaces pass n_subs explicitly (validated by _resolve_pq_subs).
+PQ_RECALL_GRADE_M_CAP = 64
 
 
 def recall_grade_pq_subs(dim: int) -> int:
     """Default PQ subspace count for a ``dim``-wide embedding: the largest
     ``m`` dividing ``dim`` with sub-width >= PQ_RECALL_GRADE_SUB_WIDTH
-    floats per code (e.g. d=64 -> m=32, d=1024 -> m=512). Callers wanting
-    the storage-size play (wider subspaces, lower recall) must opt in
-    explicitly — and get a RuntimeWarning from :meth:`IVFIndex.build`."""
+    floats per code, capped at PQ_RECALL_GRADE_M_CAP so high-dim configs
+    (e.g. d=1024, the CLI default) don't silently train hundreds of
+    per-subspace k-means problems (d=64 -> m=32, d=1024 -> m=64). Callers
+    wanting the storage-size play (wider subspaces, lower recall) must opt
+    in explicitly — and get a RuntimeWarning from :meth:`IVFIndex.build`."""
     if dim < 1:
         raise ValueError(f"dim must be positive, got {dim}")
-    m = max(1, dim // PQ_RECALL_GRADE_SUB_WIDTH)
+    m = max(1, min(dim // PQ_RECALL_GRADE_SUB_WIDTH, PQ_RECALL_GRADE_M_CAP))
     while dim % m:
         m -= 1
     return m
@@ -792,9 +800,20 @@ def _resolve_pq_subs(dim: int, n_subs: int | None, where: str) -> int:
     """Resolve an explicit-or-None subspace count against ``dim``; warn
     loudly when an explicit choice sits below the measured recall-grade
     point so default-porting users (e.g. Milvus IVF_PQ m=8 habits) don't
-    silently ship 0.48-recall retrieval."""
+    silently ship 0.48-recall retrieval. An explicit ``n_subs`` must
+    divide ``dim`` — failing here with the nearest valid divisors beats
+    the opaque slice-shape error deep in encode/decode."""
     if n_subs is None:
         return recall_grade_pq_subs(dim)
+    if n_subs < 1:
+        raise ValueError(f"{where}: n_subs must be positive, got {n_subs}")
+    if dim % n_subs:
+        lo = next(m for m in range(min(n_subs, dim), 0, -1) if dim % m == 0)
+        hi = next((m for m in range(n_subs, dim + 1) if dim % m == 0), dim)
+        raise ValueError(
+            f"{where}: n_subs={n_subs} does not divide dim={dim}; "
+            f"nearest valid subspace counts are {lo} and {hi}"
+        )
     if dim // max(n_subs, 1) > PQ_RECALL_GRADE_SUB_WIDTH:
         import warnings
 
@@ -922,8 +941,29 @@ def pq_topk_adc(
     dictionary/RLE encoding shrinks the code column further).
 
     ``n_subs=None`` derives the recall-grade default from the query's
-    dim (:func:`recall_grade_pq_subs`)."""
-    if n_subs is None:
+    dim (:func:`recall_grade_pq_subs`) — unless an existing ``codebook``
+    is supplied, in which case the codebook's own subspace count wins: a
+    codebook trained under a different default must not be silently
+    re-sliced (the (sub, code) lookups would miss and return wrong/empty
+    results); an explicit ``n_subs`` disagreeing with the codebook
+    raises."""
+    if codebook is not None:
+        cb_subs = codebook.agg(F.max("sub")).first()[0] + 1
+        if n_subs is None:
+            n_subs = cb_subs
+        elif n_subs != cb_subs:
+            raise ValueError(
+                f"pq_topk_adc: n_subs={n_subs} disagrees with the supplied "
+                f"codebook ({cb_subs} subspaces); pass n_subs=None to use "
+                "the codebook's own subspace count"
+            )
+        if len(query) % n_subs:
+            raise ValueError(
+                f"pq_topk_adc: codebook has {n_subs} subspaces but the "
+                f"query dim {len(query)} is not divisible by it — the "
+                "codebook was trained for a different embedding dim"
+            )
+    elif n_subs is None:
         n_subs = recall_grade_pq_subs(len(query))
     cb = (
         codebook

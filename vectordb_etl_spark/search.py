@@ -76,9 +76,24 @@ def search_with_scores(
     during-traversal filter (operators/graph_ann.py), where ``ef`` stays
     k-sized at any selectivity and the predicate may reference any
     stored index column."""
+    # fail fast on a typo'd filter_mode regardless of which code path is
+    # taken — otherwise it's silently ignored whenever predicate is None
+    # or index_kind != 'graph'
+    if filter_mode not in ("post", "traversal"):
+        raise ValueError(
+            f"filter_mode must be 'post' or 'traversal'; got {filter_mode!r}"
+        )
     # a blank filter string parses to None and must behave like "no filter
-    # given" (auto-detect still applies), not like "filter everything off"
-    predicate = parse_filter(filter) if filter is not None else None
+    # given" (auto-detect still applies), not like "filter everything off".
+    # Filter strings resolve against the store schema so bare identifiers
+    # that aren't typed columns reach the dynamic `meta` map (the
+    # reference's enable_dynamic_field filter surface) — schema-only read,
+    # no scan.
+    predicate = (
+        parse_filter(filter, columns=store.read(None).columns)
+        if filter is not None
+        else None
+    )
     if predicate is None:
         if auto_detect_language and filter_language is None:
             filter_language = detect_language_query(query)
@@ -139,6 +154,13 @@ def search_with_scores(
         score = d.pop("score")
         d.pop("embedding", None)
         d.pop("centroid_id", None)  # IVF partition key, not user metadata
+        # dynamic fields surface as top-level metadata keys, exactly like
+        # Milvus returns $meta contents flattened into the hit entity;
+        # typed columns win on name collision
+        dyn = d.pop("meta", None)
+        if dyn:
+            for k, v in dyn.items():
+                d.setdefault(k, v)
         hits.append(SearchHit(text=text, score=score, metadata=d))
     return hits
 

@@ -267,12 +267,54 @@ def _hwp_section_bytes(paragraphs: list[str], compress=True) -> bytes:
     return c.compress(raw) + c.flush()
 
 
-def make_hwp(paragraphs: list[str], compress=True) -> bytes:
-    return write_min_cfb(
-        {
-            "FileHeader": b"HWP Document File" + b"\x00" * 239,
-            "BodyText/Section0": _hwp_section_bytes(paragraphs, compress),
-        }
-    )
+def property_set_bytes(props: dict[int, str]) -> bytes:
+    """Minimal MS-OLEPS property-set stream: one section, VT_LPWSTR values
+    — the WRITE side of ``hwp.parse_ole_property_set`` for round-trip
+    fixtures of the \\x05HwpSummaryInformation metadata (title=2,
+    subject=3, author=4, keywords=5)."""
+    items = sorted(props.items())
+    # section: size(4) + count(4) + count*(pid 4, off 4) + packed values
+    head = 8 + 8 * len(items)
+    vals, offs = [], []
+    pos = head
+    for _, s in items:
+        u = (s + "\x00").encode("utf-16-le")
+        v = struct.pack("<II", 31, len(u) // 2) + u  # VT_LPWSTR
+        v += b"\x00" * (-len(v) % 4)
+        offs.append(pos)
+        vals.append(v)
+        pos += len(v)
+    section = struct.pack("<II", pos, len(items))
+    for (pid, _), off in zip(items, offs):
+        section += struct.pack("<II", pid, off)
+    section += b"".join(vals)
+    # header: byte-order, version, sysid, clsid, 1 set; fmtid+offset
+    header = struct.pack("<HHI16sI", 0xFFFE, 0, 0x020A0002, b"\x00" * 16, 1)
+    header += b"\x11" * 16 + struct.pack("<I", 48)
+    return header + section
+
+
+def make_hwp(
+    paragraphs: list[str],
+    compress=True,
+    title: str | None = None,
+    author: str | None = None,
+    subject: str | None = None,
+    keywords: str | None = None,
+) -> bytes:
+    streams = {
+        "FileHeader": b"HWP Document File" + b"\x00" * 239,
+        "BodyText/Section0": _hwp_section_bytes(paragraphs, compress),
+    }
+    meta = {
+        2: title, 3: subject, 4: author, 5: keywords,
+    }
+    meta = {k: v for k, v in meta.items() if v is not None}
+    if meta:
+        # the minimal two-stream writer is hardcoded; the general writer
+        # takes arbitrary stream paths
+        streams["\x05HwpSummaryInformation"] = property_set_bytes(meta)
+        return write_cfb(streams)
+    return write_min_cfb(streams)
 
 

@@ -198,10 +198,80 @@ def _scan_utf16_text(raw: bytes) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
+# OLE property-set property IDs for the SummaryInformation set (MS-OLEPS
+# §PIDSI; HWP 5.0 reuses them in its \x05HwpSummaryInformation stream).
+# The reference reads title/author/subject/keywords via
+# olefile.get_metadata() (modules/hwp_loader.py:141-147) and pyhwpx
+# doc-info (hwp_loader.py:108-113).
+_PIDSI_TITLE, _PIDSI_SUBJECT, _PIDSI_AUTHOR, _PIDSI_KEYWORDS = 2, 3, 4, 5
+_VT_LPSTR, _VT_LPWSTR = 30, 31
+
+
+def parse_ole_property_set(raw: bytes) -> dict[int, str]:
+    """Minimal MS-OLEPS reader: first property section, string-typed
+    properties only (VT_LPSTR/VT_LPWSTR) — exactly what SummaryInformation
+    metadata needs. Returns {property_id: value}; anything malformed or
+    non-string is skipped, never raised (per-row error contract of the
+    extractors below)."""
+    out: dict[int, str] = {}
+    try:
+        if len(raw) < 48 or struct.unpack_from("<H", raw, 0)[0] != 0xFFFE:
+            return out
+        n_sets = struct.unpack_from("<I", raw, 24)[0]
+        if n_sets < 1:
+            return out
+        sec = struct.unpack_from("<I", raw, 28 + 16)[0]
+        n_props = struct.unpack_from("<I", raw, sec + 4)[0]
+        for i in range(min(n_props, 256)):
+            pid, off = struct.unpack_from("<II", raw, sec + 8 + 8 * i)
+            base = sec + off
+            vt = struct.unpack_from("<I", raw, base)[0]
+            if vt == _VT_LPWSTR:
+                cch = struct.unpack_from("<I", raw, base + 4)[0]
+                s = raw[base + 8 : base + 8 + 2 * cch].decode(
+                    "utf-16-le", "replace"
+                )
+            elif vt == _VT_LPSTR:
+                cb = struct.unpack_from("<I", raw, base + 4)[0]
+                b = raw[base + 8 : base + 8 + cb]
+                try:
+                    s = b.decode("utf-8")
+                except UnicodeDecodeError:
+                    s = b.decode("cp949", "replace")  # HWP's legacy codepage
+            else:
+                continue
+            s = s.rstrip("\x00").strip()
+            if s:
+                out[pid] = s
+    except (struct.error, IndexError):
+        return out
+    return out
+
+
+def _summary_metadata(cf: "CompoundFile") -> dict[str, str | None]:
+    """title/author/subject/keywords from the \\x05HwpSummaryInformation
+    property-set stream (HWP 5.0 spec; reference hwp_loader.py:141-147
+    gets the same four fields from olefile.get_metadata). Tolerant name
+    match: any stream whose leaf name ends with 'SummaryInformation'
+    (the \\x05 well-known-stream prefix varies across writers)."""
+    fields = {"title": None, "author": None, "subject": None, "keywords": None}
+    for path in cf.list_streams():
+        leaf = path.rsplit("/", 1)[-1].lstrip("\x01\x02\x03\x04\x05")
+        if leaf.endswith("SummaryInformation"):
+            props = parse_ole_property_set(cf.read_stream(path))
+            fields["title"] = props.get(_PIDSI_TITLE)
+            fields["subject"] = props.get(_PIDSI_SUBJECT)
+            fields["author"] = props.get(_PIDSI_AUTHOR)
+            fields["keywords"] = props.get(_PIDSI_KEYWORDS)
+            break
+    return fields
+
+
 def extract_hwp(data: bytes) -> dict:
     """OLE tier: iterate BodyText/Section{N} in numeric order, inflate
     (wbits=-15; fall back to raw when the distribution-flag bit is off),
-    whitelist-scan UTF-16LE (hwp_loader.py:150-170)."""
+    whitelist-scan UTF-16LE (hwp_loader.py:150-170); document metadata
+    from the HwpSummaryInformation property set (hwp_loader.py:141-147)."""
     cf = CompoundFile(data)
     sections = [
         p for p in cf.list_streams()
@@ -220,8 +290,7 @@ def extract_hwp(data: bytes) -> dict:
             parts.append(t)
     return {
         "text": "\n".join(parts),
-        "title": None,
-        "author": None,
+        **_summary_metadata(cf),
         "n_sections": len(sections),
     }
 
@@ -258,10 +327,12 @@ def extract_hwp_subprocess(
         )
         text = proc.stdout.decode("utf-8", "replace")
         lines = [ln.strip() for ln in text.split("\n")]
+        # converter emits text only; metadata comes from the CFB
+        # property-set stream, which is present regardless of tier
+        meta = _summary_metadata(CompoundFile(data))
         return {
             "text": "\n".join(ln for ln in lines if ln),
-            "title": None,
-            "author": None,
+            **meta,
             "n_sections": -1,  # converter does not expose section count
         }
     finally:
@@ -285,7 +356,7 @@ def extract_hwpx(data: bytes) -> dict:
     from ``*meta*.xml`` (hwp_loader.py:430-457)."""
     zf = zipfile.ZipFile(BytesIO(data))
     parts: list[str] = []
-    title = author = None
+    title = author = subject = keywords = None
     section_names = sorted(n for n in zf.namelist() if "section" in n.lower() and n.endswith(".xml"))
     for name in section_names:
         try:
@@ -307,10 +378,20 @@ def extract_hwpx(data: bytes) -> dict:
                 title = el.text.strip()
             elif _local(el.tag) == "creator" and el.text and not author:
                 author = el.text.strip()
+            elif _local(el.tag) == "subject" and el.text and not subject:
+                subject = el.text.strip()
+            elif (
+                _local(el.tag) in ("keyword", "keywords")
+                and el.text
+                and not keywords
+            ):
+                keywords = el.text.strip()
     return {
         "text": "\n".join(parts),
         "title": title,
         "author": author,
+        "subject": subject,
+        "keywords": keywords,
         "n_sections": len(section_names),
     }
 
@@ -320,6 +401,8 @@ HWP_STRUCT = StructType(
         StructField("text", StringType()),
         StructField("title", StringType()),
         StructField("author", StringType()),
+        StructField("subject", StringType()),
+        StructField("keywords", StringType()),
         StructField("n_sections", IntegerType()),
         StructField("error", StringType()),
     ]
@@ -354,8 +437,8 @@ def _extract_any(data: bytes, hwp5txt: str | None = None) -> dict:
         err = "empty" if not data else "unknown_format"
     except Exception as e:  # corrupt stream/zip: record, don't fail the task
         err = f"parse_error:{type(e).__name__}"
-    return {"text": "", "title": None, "author": None, "n_sections": 0,
-            "error": err}
+    return {"text": "", "title": None, "author": None, "subject": None,
+            "keywords": None, "n_sections": 0, "error": err}
 
 
 @F.pandas_udf(HWP_STRUCT)

@@ -72,10 +72,32 @@ def _with_metadata(df: DataFrame, root: str) -> DataFrame:
     )
 
 
-def load_html_documents(spark: SparkSession, root: str) -> DataFrame:
+def dynamic_meta_col(extra_meta: dict[str, Column | str]) -> Column:
+    """Build the ``meta: map<string,string>`` dynamic-field column from
+    loader-specific expressions (reference enable_dynamic_field,
+    milvus_store.py:62-66 — loaders attach arbitrary extra metadata that
+    the fixed schema doesn't declare). Values stringify; the filter
+    surface casts back for numeric comparison (functions/filter_expr.py).
+    """
+    entries = []
+    for name, col in extra_meta.items():
+        c = F.col(col) if isinstance(col, str) else col
+        entries += [F.lit(name), c.cast("string")]
+    return F.create_map(*entries)
+
+
+def load_html_documents(
+    spark: SparkSession,
+    root: str,
+    extra_meta: dict[str, Column | str] | None = None,
+) -> DataFrame:
     """S1+S2+S3+P3+S6 composed: scan → parse (one pandas-UDF projection) →
     metadata + language columns → min-viable filter. Returns the documents
-    schema of SURVEY.md §1.4."""
+    schema of SURVEY.md §1.4.
+
+    ``extra_meta`` maps dynamic-field names to column expressions over the
+    scan/parse columns; they land in the ``meta`` map column and ride the
+    chunker passthrough into the store (enable_dynamic_field parity)."""
     scanned = _with_metadata(scan_files(spark, root, "*.{html,jsp}"), root)
     parsed = scanned.withColumn("parsed", parse_html_udf(html_from_binary("content")))
     return (
@@ -92,6 +114,11 @@ def load_html_documents(spark: SparkSession, root: str) -> DataFrame:
             F.col("parsed.paragraph_count").alias("paragraph_count"),
             F.col("parsed.table_count").alias("table_count"),
             F.col("parsed.list_count").alias("list_count"),
+            *(
+                [dynamic_meta_col(extra_meta).alias("meta")]
+                if extra_meta
+                else []
+            ),
         )
         .withColumn("char_count", F.length("text"))
         .withColumn("language", language.detect_language_content_col("text"))
@@ -99,8 +126,13 @@ def load_html_documents(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
-def load_hwp_documents(spark: SparkSession, root: str) -> DataFrame:
-    """S1+S4/S5+P3+S6 composed for HWP/HWPX trees (hwp_loader.py:241-371)."""
+def load_hwp_documents(
+    spark: SparkSession,
+    root: str,
+    extra_meta: dict[str, Column | str] | None = None,
+) -> DataFrame:
+    """S1+S4/S5+P3+S6 composed for HWP/HWPX trees (hwp_loader.py:241-371).
+    ``extra_meta`` as in :func:`load_html_documents`."""
     scanned = _with_metadata(scan_files(spark, root, "*.{hwp,hwpx}"), root)
     parsed = scanned.withColumn("parsed", extract_hwp_udf(F.col("content")))
     return (
@@ -114,7 +146,14 @@ def load_hwp_documents(spark: SparkSession, root: str) -> DataFrame:
             F.col("parsed.text").alias("text"),
             F.col("parsed.title").alias("title"),
             F.col("parsed.author").alias("author"),
+            F.col("parsed.subject").alias("subject"),
+            F.col("parsed.keywords").alias("keywords"),
             F.col("parsed.n_sections").alias("n_sections"),
+            *(
+                [dynamic_meta_col(extra_meta).alias("meta")]
+                if extra_meta
+                else []
+            ),
         )
         .withColumn("char_count", F.length("text"))
         .withColumn("language", language.detect_language_content_col("text"))

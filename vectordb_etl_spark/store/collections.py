@@ -31,6 +31,66 @@ from vectordb_etl_spark.embeddings import with_embeddings
 from vectordb_etl_spark.functions.text import truncate_cols
 
 
+# The declared document/chunk schema — the analog of the reference's fixed
+# FieldSchema list (modules/milvus_store.py:47-66: id/text/embedding/source/
+# filename/language/chunk_index/total_chunks/chunk_size_chars/
+# chunk_size_tokens) plus this engine's own typed metadata columns
+# (SURVEY.md §1.4). Anything OUTSIDE this set is a "dynamic field" in the
+# reference's sense (enable_dynamic_field=True, milvus_store.py:62-66).
+DOCUMENT_FIXED_COLS = frozenset({
+    "id", "doc_id", "chunk_id", "text", "embedding",
+    "source", "filename", "folder_name", "file_type", "file_size",
+    "modified_time", "title", "author", "subject", "keywords",
+    "language", "char_count",
+    "heading_count", "paragraph_count", "table_count", "list_count",
+    "n_sections", "chunk_index", "total_chunks", "chunk_size_chars",
+    "chunk_size_tokens", "collection", "meta",
+})
+
+
+def fold_dynamic_meta(
+    df: DataFrame,
+    fixed_cols=None,
+    meta_col: str = "meta",
+) -> DataFrame:
+    """``enable_dynamic_field=True`` parity (reference
+    modules/milvus_store.py:62-66): columns OUTSIDE the declared schema
+    fold into a ``meta: map<string,string>`` column — Milvus's hidden
+    ``$meta`` JSON field, re-expressed as Spark's native map type so the
+    parquet schema stays STABLE across heterogeneous loader batches
+    (appending typed one-off columns to an existing dataset makes them
+    invisible to later non-mergeSchema reads; a map column does not).
+
+    Values are stringified (map<string,string> — the lowest common
+    denominator across loaders); numeric comparisons on dynamic keys cast
+    back at filter time (functions/filter_expr.py). An existing
+    ``meta_col`` map is preserved and merged, with the folded typed
+    columns winning on key collision. Pure column expressions — map-side,
+    no shuffle, no UDF."""
+    fixed = (
+        frozenset(fixed_cols) if fixed_cols is not None else DOCUMENT_FIXED_COLS
+    )
+    extras = [c for c in df.columns if c not in fixed and c != meta_col]
+    empty = F.expr("map()").cast("map<string,string>")
+    folded = (
+        F.create_map(
+            *[x for c in extras for x in (F.lit(c), F.col(c).cast("string"))]
+        )
+        if extras
+        else empty
+    )
+    if meta_col in df.columns:
+        existing = F.coalesce(F.col(meta_col).cast("map<string,string>"), empty)
+        if extras:
+            # typed columns win on collision; map_concat errors on dup keys
+            # under the default EXCEPTION dedup policy, so drop them first
+            existing = F.map_filter(
+                existing, lambda k, _: ~k.isin(extras)
+            )
+        folded = F.map_concat(existing, folded)
+    return df.withColumn(meta_col, folded).drop(*extras)
+
+
 def checked_rename(fs, src, dst) -> None:
     """Hadoop ``FileSystem.rename`` reports failure by RETURNING FALSE, not
     by raising — an unchecked call can silently skip a swap step and leave
@@ -184,6 +244,7 @@ class CollectionStore:
         embed: bool = True,
         embedding_config: EmbeddingConfig | None = None,
         mode: str = "append",
+        dynamic_meta: bool = False,
     ) -> dict[str, int]:
         """Embed + write, partitioned by collection.
 
@@ -192,7 +253,14 @@ class CollectionStore:
         the partitioned write itself (one distributed job, no driver loop)
         and batching is Arrow's. Returns per-collection row counts like the
         reference's Dict[str, int].
-        """
+
+        ``dynamic_meta=True`` is the reference's ``enable_dynamic_field``
+        (milvus_store.py:62-66): columns outside DOCUMENT_FIXED_COLS fold
+        into the ``meta: map<string,string>`` column (:func:
+        `fold_dynamic_meta`) so heterogeneous loader batches share ONE
+        stable parquet schema. Default off — this store also accepts any
+        typed column as-is (a superset of Milvus's fixed schema), and
+        callers relying on that keep their exact layout."""
         cfg = self.config
         if split_by_folder and folder_col in chunks.columns:
             collection = F.concat_ws(
@@ -201,6 +269,8 @@ class CollectionStore:
         else:
             collection = F.lit(f"{cfg.collection_prefix}_documents")
         df = chunks.withColumn("collection", collection)
+        if dynamic_meta:
+            df = fold_dynamic_meta(df)
         # P7 varchar truncation at the sink (milvus_store.py:207-215)
         for name, col in truncate_cols(
             cfg.text_max_len, cfg.source_max_len, cfg.filename_max_len,
@@ -224,6 +294,7 @@ class CollectionStore:
         folder_col: str = "folder_name",
         embed: bool = True,
         embedding_config: EmbeddingConfig | None = None,
+        dynamic_meta: bool = False,
     ) -> dict[str, int]:
         """Incremental merge: new rows replace existing rows with the same
         ``key_col`` within their collection; unrelated collections are
@@ -249,6 +320,8 @@ class CollectionStore:
         else:
             collection = F.lit(f"{cfg.collection_prefix}_documents")
         incoming = chunks.withColumn("collection", collection)
+        if dynamic_meta:
+            incoming = fold_dynamic_meta(incoming)
         for name, col in truncate_cols(
             cfg.text_max_len, cfg.source_max_len, cfg.filename_max_len,
             cfg.language_max_len,
