@@ -983,6 +983,69 @@ def main() -> None:
         "super-linear shuffle"
     )
 
+    # sf1.0 rehearsal (VERDICT r10 item 4): run the dedup headliners that
+    # had NO measured exponent — minhash LSH, simhash blocking, connected
+    # components — once at sf1.0 volume (10x the sf0.1 documents) and
+    # record measured-vs-design agreement. The 10x corpus is DISJOINT-
+    # vocabulary replicas (per-replica alphabet rotation via translate):
+    # suffix-token replicas would be near-identical shingle sets, so LSH
+    # buckets/simhash blocks would collide ACROSS replicas and the pair
+    # count would grow quadratically by construction — measuring the
+    # corpus trick, not the operator. Rotated vocabularies keep replica
+    # content disjoint, the true "10x more distinct documents" shape.
+    # Design bound for all three: ~1.0 (pair work bucketed by band/block
+    # keys; components do O(log n) bounded-shuffle rounds).
+    import string as _string
+
+    _lo, _up = _string.ascii_lowercase, _string.ascii_uppercase
+    _sf1_docs = None
+    for _rep in range(10):
+        _rot = _lo[_rep:] + _lo[:_rep] + _up[_rep:] + _up[:_rep]
+        _part = _sp_docs1.select(
+            (F.col("doc_id") + _rep * 1_000_000).alias("doc_id"),
+            F.translate("text", _lo + _up, _rot).alias("text"),
+        )
+        _sf1_docs = _part if _sf1_docs is None else _sf1_docs.unionByName(_part)
+
+    def _components_probe(docs):
+        pairs = dedup_ops.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+        return dedup_ops.connected_components(docs, pairs)
+
+    _sf1_cases = {
+        "minhash_lsh_candidates": lambda d: dedup_ops.lsh_candidate_pairs(
+            d, num_hashes=8, bands=4
+        ),
+        "simhash_near_dups": lambda d: dedup_ops.simhash_near_dup_pairs(
+            d, bits=32, max_hamming=3, blocks=4
+        ),
+        "dedup_components": _components_probe,
+    }
+    sf1_checks = {}
+    for name, op in _sf1_cases.items():
+        t1 = min(
+            _noop_time(lambda: op(_sp_docs1)),
+            _noop_time(lambda: op(_sp_docs1)),
+        )
+        t_sf1 = _noop_time(lambda: op(_sf1_docs))  # once, per the rehearsal
+        measured = round(math.log10(max(t_sf1, 1e-3) / max(t1, 1e-3)), 3)
+        sf1_checks[name] = {
+            "t_1x": t1,
+            "t_sf1": t_sf1,
+            "measured_exponent": measured,
+            "design_exponent": 1.0,
+            # >1 means the sf1 run cost more than the linear design
+            # predicts from the 1x leg; the scalar the compact line keeps
+            "measured_over_predicted": round(
+                t_sf1 / max(t1 * 10.0, 1e-3), 3
+            ),
+            # end-to-end job times, fixed overhead NOT subtracted: values
+            # far below 1 mean overhead-dominated legs at bench scale;
+            # the binding rehearsal claim is the absence of super-linear
+            # blowup (a quadratic pair explosion would read ~10x here)
+            "note": "end-to-end incl. job overhead; binding claim is "
+                    "measured_over_predicted <= ~1",
+        }
+
     # ANN index BUILD probes (VERDICT r07 item 6): the 100 TB risk in the
     # ANN tier is build, not probe — IVF is a bounded driver-sample train
     # plus a linear assign scan, HNSW is hash-sharding plus per-shard
@@ -1128,6 +1191,62 @@ def main() -> None:
                 "— throughput contract, cores fixed at 32 here",
     }
 
+    # GRAPH serve under shard SKEW (VERDICT r10 item 6): the exponent
+    # above assumes balanced shards; real corpora skew via append-heavy
+    # segment mixes (one old compacted segment + many small add() ones).
+    # Layout A (skewed 10:1): ~10/19 of the 1x corpus as ONE base segment
+    # (build num_shards=1) + the rest add()ed at a unit-sized
+    # target_rows_per_shard — the derived count keeps NEW batches
+    # balanced (recorded), but the oversized base segment persists until
+    # rebuild. Layout B (balanced): same corpus, 10 equal hash shards.
+    # Both serve the same 100-query batch; penalty = t_skew/t_balanced is
+    # the tail-shard price a compaction would reclaim.
+    _skew_key = F.pmod(F.hash(F.col("vec_id")), F.lit(19))
+    _skew_big = emb.where(_skew_key < 10)
+    _skew_rest = emb.where(_skew_key >= 10)
+    _skew_unit = max(1, _skew_rest.count() // 9)
+    _gskew = _GIdx(spark, f"{_bench_tmp}/sp_gskew").build(
+        _skew_big, num_shards=1, m=16, ef_construction=64
+    )
+    _gskew.add(
+        _skew_rest, m=16, ef_construction=64,
+        target_rows_per_shard=_skew_unit,
+    )
+    _gbal = _GIdx(spark, f"{_bench_tmp}/sp_gbal").build(
+        emb, num_shards=10, m=16, ef_construction=64
+    )
+    _skew_sizes = sorted(
+        r["count"]
+        for r in spark.read.parquet(f"{_bench_tmp}/sp_gskew")
+        .groupBy("shard").count().collect()
+    )
+
+    def _t_serve_skew(idx) -> float:
+        qs = _sv_queries(100)
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            idx.search_many(qs, k=10, ef=64).collect()
+            ts.append(round(time.time() - t0, 3))
+        return min(ts)
+
+    _t_skew, _t_bal = _t_serve_skew(_gskew), _t_serve_skew(_gbal)
+    _med_shard = _skew_sizes[len(_skew_sizes) // 2]
+    graph_serve_skew = {
+        "t_skew": _t_skew,
+        "t_balanced": _t_bal,
+        "penalty": round(_t_skew / max(_t_bal, 1e-3), 3),
+        "n_shards": len(_skew_sizes),
+        "max_shard": _skew_sizes[-1],
+        "median_shard": _med_shard,
+        "max_over_median": round(_skew_sizes[-1] / max(_med_shard, 1), 2),
+        "derived_add_shards": len(_skew_sizes) - 1,
+        "note": "100-query batch, min-of-2, identical corpus/ef; add() "
+                "derives unit-sized shards for NEW data (stays balanced) "
+                "but the oversized base segment persists until "
+                "rebuild/compaction — the penalty prices that tail shard",
+    }
+
     # IVF SERVE scale probe (r09): the serving contract at scale is
     # FAISS-standard nlist ∝ √n with nprobe fixed — probed rows per query
     # grow as √n, so batched serve wall-clock should probe ~0.5, NOT ~1
@@ -1192,6 +1311,12 @@ def main() -> None:
 
     shutil.rmtree(_bench_tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)
+    _repo = Path(__file__).resolve().parent
+    noise_vs_prev = noise_comparison(
+        {k: timings[k] for k in HEADLINE_QUERIES if k in timings},
+        previous_round_queries(_repo),
+        sf=_sf_from_dir(SF_DIR),
+    )
     full = {
         "metric": "suite_wall_clock",
         "value": total,
@@ -1212,6 +1337,10 @@ def main() -> None:
         # creeping toward its cap is the early signal to re-size
         # before the loud cap-trip fires
         "convergence_depths": dict(graph_ops.convergence_stats),
+        "graph_serve_skew": graph_serve_skew,
+        "sf1_checks": sf1_checks,
+        "noise_vs_prev": noise_vs_prev,
+        "rotation_age": rotation_age(qs),
         "sf": _sf_from_dir(SF_DIR),
     }
     full_line = json.dumps(full)
@@ -1262,6 +1391,84 @@ HEADLINE_QUERIES = [
 COMPACT_BUDGET = 1799
 
 
+def previous_round_queries(repo: Path):
+    """Headline timings from the newest committed driver BENCH_r*.json
+    whose compact line parsed (VERDICT r10 item 5 — the noise
+    comparator's reference point is the previous round's committed
+    MIN-of-2 numbers, not a local rerun). Returns (record_name, queries)
+    or None when no parsed record exists."""
+    for p in sorted(repo.glob("BENCH_r[0-9]*.json"), reverse=True):
+        try:
+            parsed = json.loads(p.read_text()).get("parsed") or {}
+            q = parsed.get("queries") or {}
+            if q:
+                return p.stem, {k: float(v) for k, v in q.items()}, parsed.get("sf")
+        except (OSError, ValueError, TypeError):
+            continue
+    return None
+
+
+def noise_comparison(current: dict, prev_rec, sf=None) -> dict:
+    """Per-row ratio vs the previous committed round + a noise flag:
+    when >=80% of common rows drift the SAME direction, the drift is
+    host load, not plan changes — plan regressions hit specific rows,
+    load shifts everything together (the r10 +18% suite drift was
+    exactly this shape and the record couldn't prove it by itself).
+
+    Only compares SAME-sf records: a local sf0.01 run vs the driver's
+    sf0.1 record would flag 'everything faster' as drift."""
+    if not prev_rec:
+        return {"suspect": False, "n_common": 0}
+    name, prev, prev_sf = prev_rec
+    if sf is not None and prev_sf is not None and prev_sf != sf:
+        return {"suspect": False, "n_common": 0, "vs": name,
+                "skipped": f"sf mismatch ({prev_sf} vs {sf})"}
+    ratios = {
+        k: round(float(current[k]) / prev[k], 3)
+        for k in current
+        if k in prev and prev[k] > 0
+    }
+    n = len(ratios)
+    if n < 5:
+        return {"suspect": False, "n_common": n, "vs": name}
+    frac_up = round(sum(1 for r in ratios.values() if r > 1.0) / n, 3)
+    med = sorted(ratios.values())[n // 2]
+    return {
+        "suspect": frac_up >= 0.8 or frac_up <= 0.2,
+        "frac_up": frac_up,
+        "drift_med": med,
+        "n_common": n,
+        "vs": name,
+        "ratios": ratios,  # full record only; compact keeps the scalars
+    }
+
+
+def rotation_age(names) -> dict:
+    """Driver-check staleness telemetry (VERDICT r10 item 8): with ~190
+    registered queries and a head-50 driver window, a query's verified
+    age can reach ~4 rounds. `oldest` = the earliest round any currently
+    registered query was last driver-checked; `never` = queries the
+    driver has not checked yet (new this round — the live rotation puts
+    them first)."""
+    try:
+        import importlib.util as _ilu
+
+        repo = Path(__file__).resolve().parent
+        spec = _ilu.spec_from_file_location(
+            "_bench_plan_rotation", repo / "tools" / "plan_rotation.py"
+        )
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _, last, _ = mod.rotation_order(list(names))
+        checked = [v for v in last.values() if v > 0]
+        return {
+            "oldest": min(checked) if checked else 0,
+            "never": sum(1 for v in last.values() if v == 0),
+        }
+    except Exception:
+        return {"oldest": -1, "never": -1}  # telemetry must not fail bench
+
+
 def compact_record(full: dict) -> str:
     """Derive the driver-parseable final line from the full record.
 
@@ -1292,6 +1499,26 @@ def compact_record(full: dict) -> str:
         "detail": "bench_full.json",
         "sf": full["sf"],
     }
+    nv = full.get("noise_vs_prev")
+    if nv:
+        compact["noise"] = {
+            k: nv[k]
+            for k in ("suspect", "frac_up", "drift_med", "vs")
+            if k in nv
+        }
+    if full.get("rotation_age"):
+        compact["rotation"] = full["rotation_age"]
+    gs = full.get("graph_serve_skew")
+    if gs:
+        compact["graph_serve_skew"] = {
+            "penalty": gs["penalty"],
+            "skew": gs["max_over_median"],
+        }
+    if full.get("sf1_checks"):
+        compact["sf1"] = {
+            k: v["measured_over_predicted"]
+            for k, v in full["sf1_checks"].items()
+        }
     out = json.dumps(compact)
     while len(out) > COMPACT_BUDGET and compact["queries"]:
         compact["queries"].popitem()

@@ -417,3 +417,18 @@ def test_without_columns_identifiers_stay_typed(meta_df):
     pred = parse_filter('origin == "WEB"')
     with pytest.raises(AnalysisException):
         meta_df.filter(pred).collect()
+
+
+def test_mixed_filter_typed_half_still_pushes_down(spark, tmp_path, meta_df):
+    # map-element predicates can't reach the parquet scan, but the typed
+    # half of a mixed filter must still land in PushedFilters — at 100 TB
+    # the typed predicate is what prunes IO; the meta probe runs post-scan
+    meta_df.write.parquet(str(tmp_path / "t"))
+    df = spark.read.parquet(str(tmp_path / "t"))
+    pred = parse_filter(
+        'language == "english" and rating > 5', columns=df.columns
+    )
+    plan = df.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "language" in plan.split(
+        "PushedFilters: [", 1
+    )[1].split("]", 1)[0]

@@ -264,3 +264,97 @@ def test_rotation_order_invariants_on_random_histories(tmp_path):
             key=lambda n: (expect_last[n], n),
         )
         assert order == reds + never + rest
+
+
+def test_bench_noise_comparator_flags_uniform_drift():
+    """VERDICT r10 item 5: uniform same-direction drift = host load, not
+    plans — the flag must fire on >=80% same-direction rows and stay off
+    on mixed drift or thin overlap."""
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    import bench
+
+    prev = ("BENCH_r99", {f"q{i}": 1.0 for i in range(20)}, 0.1)
+    up = {f"q{i}": 1.1 for i in range(20)}          # everything +10%
+    down = {f"q{i}": 0.9 for i in range(20)}        # everything -10%
+    mixed = {f"q{i}": (1.2 if i % 2 else 0.8) for i in range(20)}
+
+    assert bench.noise_comparison(up, prev, sf=0.1)["suspect"] is True
+    assert bench.noise_comparison(down, prev, sf=0.1)["suspect"] is True
+    m = bench.noise_comparison(mixed, prev, sf=0.1)
+    assert m["suspect"] is False and m["n_common"] == 20
+    # thin overlap or no prior record: never suspect
+    assert bench.noise_comparison({"q0": 2.0}, prev, sf=0.1)["suspect"] is False
+    assert bench.noise_comparison(up, None, sf=0.1)["suspect"] is False
+    # cross-sf comparison is meaningless — skipped, never suspect
+    skip = bench.noise_comparison(up, prev, sf=0.01)
+    assert skip["suspect"] is False and "skipped" in skip
+    # per-row ratios ride the full record
+    assert bench.noise_comparison(up, prev, sf=0.1)["ratios"]["q3"] == 1.1
+
+
+def test_bench_previous_round_queries_reads_committed_record():
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    import bench
+
+    got = bench.previous_round_queries(PKG.parent)
+    assert got is not None
+    name, queries, sf = got
+    assert name.startswith("BENCH_r") and len(queries) >= 5
+    assert all(isinstance(v, float) for v in queries.values())
+    assert sf == 0.1  # the driver records at sf0.1
+
+
+def test_bench_rotation_age_telemetry():
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    import __spark_entry__ as entry
+    import bench
+
+    age = bench.rotation_age(entry._QUERIES)
+    # repo has 10 rounds of committed scoreboards: every age signal real
+    assert age["oldest"] >= 1
+    assert age["never"] >= 1  # this round registered new queries
+
+
+def test_bench_compact_carries_new_telemetry_under_budget():
+    """noise/rotation/graph_serve_skew ride the compact line as scalars
+    (never the per-row ratios) and the committed real record still fits
+    the driver window with them attached."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    import bench
+
+    real = json.loads((PKG.parent / "bench_full.json").read_text())
+    real = dict(real)
+    real["noise_vs_prev"] = {
+        "suspect": True, "frac_up": 0.95, "drift_med": 1.18,
+        "n_common": 22, "vs": "BENCH_r10",
+        "ratios": {f"q{i}": 1.18 for i in range(22)},
+    }
+    real["rotation_age"] = {"oldest": 7, "never": 2}
+    real["graph_serve_skew"] = {
+        "t_skew": 2.0, "t_balanced": 1.4, "penalty": 1.43,
+        "n_shards": 10, "max_shard": 1000, "median_shard": 100,
+        "max_over_median": 10.0, "derived_add_shards": 9, "note": "x",
+    }
+    line = bench.compact_record(real)
+    assert len(line) <= bench.COMPACT_BUDGET
+    parsed = json.loads(line)
+    assert parsed["noise"] == {
+        "suspect": True, "frac_up": 0.95, "drift_med": 1.18,
+        "vs": "BENCH_r10",
+    }
+    assert "ratios" not in json.dumps(parsed["noise"])
+    assert parsed["rotation"] == {"oldest": 7, "never": 2}
+    assert parsed["graph_serve_skew"] == {"penalty": 1.43, "skew": 10.0}
+    # headline rows still all survive the budget with telemetry attached
+    assert set(parsed["queries"]) == {
+        q for q in bench.HEADLINE_QUERIES if q in real["queries"]
+    }

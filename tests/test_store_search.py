@@ -675,3 +675,28 @@ def test_dynamic_meta_store_roundtrip_and_facade(spark, docs_tiny, tmp_path):
     assert "ingest_job" not in re.columns
     n8 = re.filter(F.col("meta")["ingest_job"] == "crawler-8").count()
     assert n8 == 5
+
+
+def test_mixed_schema_warehouse_needs_merge_schema(spark, docs_tiny, tmp_path):
+    """A warehouse mixing pre-meta and dynamic-meta batches: the default
+    read may resolve a footer without `meta`; read(merge_schema=True)
+    must surface it."""
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    base = docs_tiny.select(
+        "doc_id", "source", F.lit("old").alias("folder_name"), "text",
+        F.lit("english").alias("language"),
+    ).limit(5)
+    store.insert_documents(base, embedding_config=EMB)            # no meta
+    store.insert_documents(                                        # meta
+        base.withColumn("folder_name", F.lit("new"))
+        .withColumn("batch_tag", F.lit("b7")),
+        embedding_config=EMB, dynamic_meta=True,
+    )
+    merged = store.read(merge_schema=True)
+    assert "meta" in merged.columns
+    tagged = merged.filter(F.col("meta")["batch_tag"] == "b7")
+    assert tagged.count() == 5
+    # pre-meta rows read back with NULL meta, not an error
+    assert merged.filter(F.col("meta").isNull()).count() == 5

@@ -369,9 +369,22 @@ class CollectionStore:
 
     # -- scans ---------------------------------------------------------------
 
-    def read(self, collection: str | None = None) -> DataFrame:
-        """Scan one collection (partition-pruned) or all (fan-out)."""
-        df = self.spark.read.parquet(self._data_dir)
+    def read(
+        self, collection: str | None = None, merge_schema: bool = False
+    ) -> DataFrame:
+        """Scan one collection (partition-pruned) or all (fan-out).
+
+        ``merge_schema=True`` unions footers across files — needed ONLY
+        when collections were written with heterogeneous columns (e.g. a
+        warehouse mixing pre-`meta` and dynamic-meta batches: the default
+        single-footer schema can silently hide the `meta` column). Off by
+        default: footer union is an extra metadata pass that a
+        consistently-written warehouse never needs, and at 100 TB file
+        counts it is not free."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self._data_dir)
         if collection is not None:
             df = df.filter(F.col("collection") == collection)
         return df
