@@ -1486,7 +1486,10 @@ def compact_record(full: dict) -> str:
         "n_queries": len(timings),
         "recall": {
             "ivf@3": full["ivf_design_point"]["recall_at_3"],
-            "pq@10": full["pq_design_point"]["recall_at_10"],
+            # deliberately-kept m=8 CONTRAST row (the storage-size play a
+            # Milvus porter might choose), not a regression — the
+            # recall-grade default is the m32 row below
+            "pq_m8@10": full["pq_design_point"]["recall_at_10"],
             "pq_m32@10": full["pq_design_point"]["recall_grade_recall_at_10"],
             "pq_res@10": full["pq_residual_design_point"]["recall_at_10"],
             "hnsw@10": full["graph_design_point"]["hnsw_recall_at_10"],

@@ -700,3 +700,53 @@ def test_mixed_schema_warehouse_needs_merge_schema(spark, docs_tiny, tmp_path):
     assert tagged.count() == 5
     # pre-meta rows read back with NULL meta, not an error
     assert merged.filter(F.col("meta").isNull()).count() == 5
+
+
+def test_dynamic_meta_filter_through_ivf_index(spark, docs_tiny, tmp_path):
+    """Milvus composes dynamic-field exprs WITH the index
+    (milvus_store.py:62-66 + 254-299): a dynamic-meta filter string must
+    work through index_kind='ivf' too — the meta map rides the index
+    layout and the predicate applies above the pruned probe scan."""
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    docs = docs_tiny.select(
+        "doc_id", "source", F.lit("f1").alias("folder_name"), "text",
+        detect_language_content_col("text").alias("language"),
+        (F.col("doc_id") % 3).alias("shard_hint"),   # dynamic
+    ).limit(30)
+    store.insert_documents(docs, embedding_config=EMB, dynamic_meta=True)
+    store.build_index("html_f1", kind="ivf", nlist=4, max_iter=3)
+    hits = search_with_scores(
+        store, "query", k=3, embedding_config=EMB,
+        index_kind="ivf", nprobe=4, filter="shard_hint == 1",
+    )
+    assert len(hits) == 3
+    assert all(h.metadata["shard_hint"] == "1" for h in hits)
+    # exact path with the same dynamic filter ranks identically at
+    # probe-all (nprobe=nlist makes the indexed path exact)
+    exact = search_with_scores(
+        store, "query", k=3, embedding_config=EMB, filter="shard_hint == 1",
+    )
+    assert [round(h.score, 6) for h in hits] == [
+        round(h.score, 6) for h in exact
+    ]
+
+
+def test_insert_returns_batch_counts_not_warehouse_totals(spark, tmp_path):
+    """Reference parity (milvus_store.py:176-234 accumulates per-batch
+    inserted counts): a second append must report ITS rows, not the
+    warehouse total — and the count must come from the batch, never a
+    post-write scan of every collection."""
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    df = spark.createDataFrame(
+        [(i, "s", "f1", f"text {i}", "english", 0) for i in range(10)],
+        ["doc_id", "source", "folder_name", "text", "language", "chunk_index"],
+    )
+    first = store.insert_documents(df, embedding_config=EMB)
+    assert first == {"html_f1": 10}
+    second = store.insert_documents(df.limit(3), embedding_config=EMB)
+    assert second == {"html_f1": 3}          # batch, not 13
+    assert store.read("html_f1").count() == 13  # warehouse total intact

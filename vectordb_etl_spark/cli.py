@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-overlap", type=int, default=60)
     p.add_argument("--dimension", type=int, default=1024)
     p.add_argument("--embedder", choices=["hash", "sentence-transformer"], default="hash")
+    p.add_argument(
+        "--dynamic-meta", action="store_true",
+        help="load: fold non-schema checkpoint columns into the meta map "
+             "(enable_dynamic_field parity)",
+    )
     p.add_argument("--confirm", action="store_true", help="required for reset")
     p.add_argument("--master", default="local[*]")
     p.add_argument("--report", default=None, help="validate: JSON report path")
@@ -165,7 +170,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         ]
     elif args.stage == "load":
-        results = [runner.load()]
+        results = [runner.load(dynamic_meta=args.dynamic_meta)]
     else:  # validate
         results = [runner.validate(report_path=args.report)]
 

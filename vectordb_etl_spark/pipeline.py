@@ -222,8 +222,12 @@ class PipelineRunner:
         drop_existing: bool = True,
         split_by_folder: bool = True,
         use_curated: bool | None = None,
+        dynamic_meta: bool = False,
     ) -> StageResult:
         """Load the freshest checkpoint into the collection store.
+        ``dynamic_meta=True`` folds non-schema checkpoint columns into the
+        ``meta`` map at the sink (enable_dynamic_field parity — reference
+        milvus_store.py:62-66).
 
         ``use_curated=None`` (default) picks ``curated.parquet`` only when it
         is at least as new as ``chunks.parquet`` — a curate run from a
@@ -261,6 +265,7 @@ class PipelineRunner:
             split_by_folder=split_by_folder,
             embedding_config=self.config.embedding,
             mode="append",
+            dynamic_meta=dynamic_meta,
         )
         return StageResult(
             "load", sum(counts.values()), time.time() - t0,

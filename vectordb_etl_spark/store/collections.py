@@ -251,8 +251,12 @@ class CollectionStore:
         Reference (milvus_store.py:138-234) groups docs by folder in the
         driver and loops collections with batch-100 inserts; here grouping is
         the partitioned write itself (one distributed job, no driver loop)
-        and batching is Arrow's. Returns per-collection row counts like the
-        reference's Dict[str, int].
+        and batching is Arrow's. Returns per-collection counts of the rows
+        INSERTED BY THIS CALL (the reference's Dict[str, int] semantics —
+        milvus_store.py:176-234 accumulates per-batch inserted counts),
+        computed from the incoming batch BEFORE the embedding stage: one
+        UDF-free aggregation over the batch, never a post-write scan of
+        the whole warehouse (which is O(total data) per insert at 100 TB).
 
         ``dynamic_meta=True`` is the reference's ``enable_dynamic_field``
         (milvus_store.py:62-66): columns outside DOCUMENT_FIXED_COLS fold
@@ -278,13 +282,14 @@ class CollectionStore:
         ).items():
             if name in df.columns:
                 df = df.withColumn(name, col)
+        counts = {
+            r["collection"]: r["count"]
+            for r in df.groupBy("collection").count().collect()
+        }
         if embed and "embedding" not in df.columns:
             df = with_embeddings(df, config=embedding_config)
         df.write.mode(mode).partitionBy("collection").parquet(self._data_dir)
-        counts = (
-            self.read().groupBy("collection").count().collect()
-        )
-        return {r["collection"]: r["count"] for r in counts}
+        return counts
 
     def upsert_documents(
         self,
