@@ -750,3 +750,37 @@ def test_insert_returns_batch_counts_not_warehouse_totals(spark, tmp_path):
     second = store.insert_documents(df.limit(3), embedding_config=EMB)
     assert second == {"html_f1": 3}          # batch, not 13
     assert store.read("html_f1").count() == 13  # warehouse total intact
+
+
+def test_dynamic_meta_filter_through_graph_index(spark, docs_tiny, tmp_path):
+    """The graph tier carries the dynamic meta map too: build_index's
+    default passthrough includes it, post AND traversal (ACORN) filter
+    modes accept a dynamic-field filter string, and hits flatten the
+    dynamic keys — full-beam edge makes both modes exact."""
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    docs = docs_tiny.select(
+        "doc_id", "source", F.lit("f1").alias("folder_name"), "text",
+        detect_language_content_col("text").alias("language"),
+        (F.col("doc_id") % 3).alias("grp"),   # dynamic
+    ).limit(30)
+    store.insert_documents(docs, embedding_config=EMB, dynamic_meta=True)
+    store.build_index(
+        "html_f1", kind="graph", id_col="doc_id",
+        num_shards=2, m=4, ef_construction=20,
+    )
+    exact = search_with_scores(
+        store, "query", k=3, embedding_config=EMB, filter="grp == 1",
+    )
+    for mode in ("post", "traversal"):
+        hits = search_with_scores(
+            store, "query", k=3, embedding_config=EMB,
+            index_kind="graph", ef=1_000_000, filter="grp == 1",
+            filter_mode=mode,
+        )
+        assert [round(h.score, 6) for h in hits] == [
+            round(h.score, 6) for h in exact
+        ], mode
+        assert all(h.metadata["grp"] == "1" for h in hits)
+        assert all("meta" not in h.metadata for h in hits)

@@ -377,6 +377,22 @@ _INDEX_META_COLS = ("shard", "id", "pos", "embedding", "node_level",
                     "neighbors", "upper")
 
 
+def _orderable_tiebreak(idx_schema, out_cols: list[str]):
+    """Tie-break columns for the global merge sort: every output column
+    EXCEPT non-orderable types (map columns — e.g. the store's dynamic
+    `meta` field riding passthrough). Dropping them is safe: the
+    orderable remainder (id first by convention) already makes the order
+    deterministic, while sorting on a MapType is an AnalysisException."""
+    from pyspark.sql.types import MapType
+
+    return [
+        F.asc(c)
+        for c in out_cols
+        if c not in idx_schema.fieldNames()
+        or not isinstance(idx_schema[c].dataType, MapType)
+    ]
+
+
 def _require_hnsw_format(df: DataFrame, path: str) -> None:
     """Refuse to operate on a pre-hierarchy (flat-NSW) index layout —
     the alternative is a mixed-schema parquet table that fails, or
@@ -692,7 +708,7 @@ class GraphANNIndex:
         if predicate is not None and not during:
             local = local.filter(predicate)
         return local.orderBy(
-            F.desc(score_name), *[F.asc(c) for c in out_cols]
+            F.desc(score_name), *_orderable_tiebreak(idx.schema, out_cols)
         ).limit(k)
 
     def search_per_group(
@@ -768,7 +784,7 @@ class GraphANNIndex:
         local = idx.groupBy("shard").applyInPandas(_search, out_schema)
         if predicate is not None and not during:
             local = local.filter(predicate)
-        order = [F.desc(score_name)] + [F.asc(c) for c in out_cols]
+        order = [F.desc(score_name)] + _orderable_tiebreak(idx.schema, out_cols)
         w = Window.partitionBy(group_col).orderBy(*order)
         return (
             local.withColumn("__rn", F.row_number().over(w))
@@ -883,7 +899,7 @@ class GraphANNIndex:
         if predicate is not None and not during:
             # post strategy: the predicate may only reference output_cols
             local = local.filter(predicate)
-        order = [F.desc(score_name)] + [F.asc(c) for c in out_cols]
+        order = [F.desc(score_name)] + _orderable_tiebreak(idx.schema, out_cols)
         w = Window.partitionBy("query_id").orderBy(*order)
         return (
             local.withColumn("__rn", F.row_number().over(w))

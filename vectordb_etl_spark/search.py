@@ -117,7 +117,13 @@ def search_with_scores(
         if predicate is not None:
             kwargs["predicate"] = predicate
         if index_kind == "graph":
-            kwargs["output_cols"] = ["id", "text", "language"]
+            # meta rides along when the store carries dynamic fields —
+            # build_index's default passthrough includes it, so dynamic
+            # keys stay filterable and surface in hit metadata on the
+            # graph path too
+            kwargs["output_cols"] = ["id", "text", "language"] + (
+                ["meta"] if "meta" in store.read(None).columns else []
+            )
             kwargs["ef"] = ef
             if predicate is not None:
                 kwargs["filter_mode"] = filter_mode

@@ -449,7 +449,11 @@ class CollectionStore:
 
             passthrough = params.pop(
                 "passthrough",
-                [c for c in ("text", "language", "collection") if c in df.columns],
+                [
+                    c
+                    for c in ("text", "language", "collection", "meta")
+                    if c in df.columns
+                ],
             )
             # pass the store metric so a non-COSINE store fails here with
             # the tier's clear contract error, not with silently-wrong
