@@ -7813,6 +7813,49 @@ _register(
 )
 
 
+def _dynamic_meta_key_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic-schema introspection (CollectionStore.dynamic_field_stats
+    shape): with enable_dynamic_field there is no declared schema to
+    consult, so "which dynamic keys exist, on how many rows, with how
+    many distinct values" is the first question a $meta user asks before
+    filtering. Exercises fold_dynamic_meta + the map explode-aggregate:
+    one map-side fold, one explode, one combinable aggregation — no UDF,
+    key cardinality (not corpus size) bounds the result."""
+    from vectordb_etl_spark.store.collections import fold_dynamic_meta
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") % 5).cast("string").alias("rating"),
+        F.upper(F.col("lang")).alias("origin"),
+    )
+    return (
+        fold_dynamic_meta(docs)
+        .select(F.explode("meta").alias("key", "value"))
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("value").alias("n_values"),
+        )
+        .orderBy("key")
+    )
+
+
+_register(
+    "dynamic_meta_key_stats",
+    _dynamic_meta_key_stats,
+    "WITH s AS ("
+    "SELECT 'lang' AS key, lang AS value FROM documents "
+    "UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents "
+    "UNION ALL SELECT 'origin', upper(lang) FROM documents "
+    "UNION ALL SELECT 'rating', CAST(n_chars % 5 AS VARCHAR) FROM documents) "
+    "SELECT key, count(*) AS n_rows, count(DISTINCT value) AS n_values "
+    "FROM s GROUP BY key ORDER BY key",
+)
+
+
 # The driver verifies the FIRST 50 registered queries only. Since r09 the
 # live order comes from _dynamic_rotation (recomputed from the committed
 # CORRECTNESS_r*.json files on every queries() call — reds first, then
@@ -7822,6 +7865,7 @@ _register(
 # live computation is unavailable (last regenerated r09 via
 # `python tools/plan_rotation.py --python`).
 _PRIORITY = [
+    "dynamic_meta_key_stats",
     "dynamic_meta_roundtrip",
     "disjunctive_predicate_revenue",
     "event_type_pivot",

@@ -784,3 +784,29 @@ def test_dynamic_meta_filter_through_graph_index(spark, docs_tiny, tmp_path):
         ], mode
         assert all(h.metadata["grp"] == "1" for h in hits)
         assert all("meta" not in h.metadata for h in hits)
+
+
+def test_dynamic_field_stats_introspection(spark, docs_tiny, tmp_path):
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    docs = docs_tiny.select(
+        "doc_id", "source", F.lit("f1").alias("folder_name"), "text",
+        F.lit("english").alias("language"),
+        (F.col("doc_id") % 4).alias("grp"),
+        F.lit("crawl9").alias("job"),
+    ).limit(20)
+    store.insert_documents(docs, embedding_config=EMB, dynamic_meta=True)
+    stats = {
+        r["key"]: (r["n_rows"], r["n_values"])
+        for r in store.dynamic_field_stats().collect()
+    }
+    assert stats == {"grp": (20, 4), "job": (20, 1)}
+    # store without a meta column: empty result, stable schema, no error
+    bare = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w2"))
+    )
+    bare.insert_documents(docs.drop("grp", "job"), embedding_config=EMB)
+    empty = bare.dynamic_field_stats()
+    assert empty.count() == 0
+    assert empty.columns == ["key", "n_rows", "n_values"]

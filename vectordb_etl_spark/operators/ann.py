@@ -948,7 +948,10 @@ def pq_topk_adc(
     results); an explicit ``n_subs`` disagreeing with the codebook
     raises."""
     if codebook is not None:
-        cb_subs = codebook.agg(F.max("sub")).first()[0] + 1
+        cb_max = codebook.agg(F.max("sub")).first()[0]
+        if cb_max is None:
+            raise ValueError("pq_topk_adc: supplied codebook is empty")
+        cb_subs = cb_max + 1
         if n_subs is None:
             n_subs = cb_subs
         elif n_subs != cb_subs:

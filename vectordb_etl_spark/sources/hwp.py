@@ -19,6 +19,14 @@ is present on the executors the UDF prefers it exactly like the reference's
 fallback order (subprocess → pure-Python scan), and when it is not, the
 pure-CFB tier runs alone. Per-row subprocess cost is real — enable it only
 for corpora where the whitelist scan measurably under-extracts.
+
+The reference's MIDDLE tier — pyhwpx (modules/hwp_loader.py:89-124) — is
+deliberately NOT replicated: pyhwpx drives the Hangul word processor via
+Windows COM automation, which has no distributable (or non-Windows)
+equivalent; its one unique output, the doc-info metadata dict
+(title/author/subject/keywords, hwp_loader.py:108-113), is recovered
+instead from the \\x05HwpSummaryInformation property-set stream
+(:func:`parse_ole_property_set`) that the same files carry.
 """
 
 from __future__ import annotations

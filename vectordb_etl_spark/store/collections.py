@@ -602,3 +602,27 @@ class CollectionStore:
         df = self.read(collection)
         rows = df.groupBy("collection").count().collect()
         return {r["collection"]: r["count"] for r in rows}
+
+    def dynamic_field_stats(
+        self, collection: str | None = None, meta_col: str = "meta"
+    ) -> DataFrame:
+        """Introspect the dynamic schema: per dynamic-field key, how many
+        rows carry it and how many distinct values it takes — what a
+        Milvus enable_dynamic_field user asks before filtering on $meta
+        keys (there is no declared schema to consult). One
+        explode-and-aggregate over the (pruned) scan; returns a DataFrame
+        so it composes (collect at the caller's edge)."""
+        df = self.read(collection)
+        if meta_col not in df.columns:
+            return self.spark.createDataFrame(
+                [], "key string, n_rows long, n_values long"
+            )
+        return (
+            df.select(F.explode(meta_col).alias("key", "value"))
+            .groupBy("key")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.count_distinct("value").alias("n_values"),
+            )
+            .orderBy("key")
+        )
