@@ -810,3 +810,27 @@ def test_dynamic_field_stats_introspection(spark, docs_tiny, tmp_path):
     empty = bare.dynamic_field_stats()
     assert empty.count() == 0
     assert empty.columns == ["key", "n_rows", "n_values"]
+
+
+def test_collection_naming_rule_matches_reference(spark, tmp_path):
+    """Reference MilvusConfig.get_collection_name (modules/config.py:37-43):
+    lowercase, '-'/' ' -> '_', 'root' folder -> the default
+    '<prefix>_documents' collection — applied identically by the config
+    helper (driver-side) and the sink column (JVM-side)."""
+    from vectordb_etl_spark.config import StoreConfig as SC
+
+    cfg = SC()
+    assert cfg.collection_name("My-Docs Files") == "html_my_docs_files"
+    assert cfg.collection_name("root") == "html_documents"
+    assert cfg.collection_name(None) == "html_documents"
+    assert cfg.collection_name("plain") == "html_plain"
+
+    store = CollectionStore(spark, SC(warehouse_dir=str(tmp_path / "w")))
+    df = spark.createDataFrame(
+        [(1, "s", "My-Docs Files", "t", "english", 0),
+         (2, "s", "root", "u", "english", 0)],
+        ["doc_id", "source", "folder_name", "text", "language", "chunk_index"],
+    )
+    counts = store.insert_documents(df, embedding_config=EMB)
+    assert set(counts) == {"html_my_docs_files", "html_documents"}
+    assert store.list_collections() == ["html_documents", "html_my_docs_files"]

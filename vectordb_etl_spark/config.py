@@ -60,19 +60,28 @@ class StoreConfig:
     """
 
     warehouse_dir: str = "data/warehouse"
-    collection_prefix: str = "html"  # name rule: f"{prefix}_{folder}" (config.py:37-43)
+    collection_prefix: str = "html"  # name rule: collection_name() (config.py:37-43)
     metric_type: str = "COSINE"  # COSINE | IP | L2
-    index_type: str = "IVF_FLAT"  # IVF_FLAT | NONE (HNSW: perf-tier, out of scope)
+    index_type: str = "IVF_FLAT"  # IVF_FLAT | HNSW ('graph' tier) | NONE
     nlist: int = 128
     nprobe: int = 16
+    ef_construction: int = 200  # HNSW build beam (reference config.py:26)
+    ef_search: int = 100        # HNSW serve beam (reference config.py:27)
     text_max_len: int = 65535  # varchar truncation (milvus_store.py:207-211)
     source_max_len: int = 512
     filename_max_len: int = 256
     language_max_len: int = 32
 
-    def collection_name(self, folder: str) -> str:
-        """Reference name rule (modules/config.py:37-43, main.py:390)."""
-        return f"{self.collection_prefix}_{folder}"
+    def collection_name(self, folder: str | None = None) -> str:
+        """Reference name rule (modules/config.py:37-43, main.py:390):
+        folder names are lowercased with '-'/' ' replaced by '_'; the
+        'root' folder (top-level files) and None fall back to the default
+        '<prefix>_documents' collection — exactly
+        MilvusConfig.get_collection_name."""
+        if folder and folder != "root":
+            clean = folder.lower().replace("-", "_").replace(" ", "_")
+            return f"{self.collection_prefix}_{clean}"
+        return f"{self.collection_prefix}_documents"
 
 
 @dataclass

@@ -40,8 +40,8 @@ def search_with_scores(
     embedding_config: EmbeddingConfig | None = None,
     filter: "str | Column | None" = None,
     index_kind: str | None = None,
-    nprobe: int = 16,
-    ef: int = 100,
+    nprobe: int | None = None,
+    ef: int | None = None,
     filter_mode: str = "post",
 ) -> list[SearchHit]:
     """Q4 — language-filtered search facade
@@ -68,14 +68,25 @@ def search_with_scores(
     (brute-force, Milvus-style) rather than erroring. The indexed path
     ranks under the STORE's configured metric (the index artifact's
     contract), not this function's ``metric`` argument; ``nprobe``/``ef``
-    are the IVF/graph serving knobs. Graph-kind filtered search defaults
+    are the IVF/graph serving knobs — ``None`` (default) takes the
+    store's configured ``StoreConfig.nprobe``/``ef_search`` (the
+    reference's MilvusConfig serving params, modules/config.py:25-27).
+    Graph-kind filtered search defaults
     to post-filter over the beam (predicate limited to the surfaced
-    columns ``id``/``text``/``language`` — build_index's default
+    columns ``id``/``text``/``language``, plus ``meta`` when the store
+    carries dynamic fields — build_index's default
     passthrough; size ``ef`` to the filter's selectivity);
     ``filter_mode='traversal'`` switches to the ACORN-style
     during-traversal filter (operators/graph_ann.py), where ``ef`` stays
     k-sized at any selectivity and the predicate may reference any
     stored index column."""
+    # serving-knob defaults come from the STORE config (the reference's
+    # MilvusConfig.nprobe/ef_search, modules/config.py:25-27); explicit
+    # arguments win
+    if nprobe is None:
+        nprobe = store.config.nprobe
+    if ef is None:
+        ef = store.config.ef_search
     # fail fast on a typo'd filter_mode regardless of which code path is
     # taken — otherwise it's silently ignored whenever predicate is None
     # or index_kind != 'graph'

@@ -91,6 +91,18 @@ def fold_dynamic_meta(
     return df.withColumn(meta_col, folded).drop(*extras)
 
 
+def collection_name_col(prefix: str, folder_col):
+    """Column twin of StoreConfig.collection_name — the reference's
+    collection-naming rule applied JVM-side at the sink
+    (modules/config.py:37-43): lowercase, '-'/' ' -> '_', and the 'root'
+    folder (or NULL) falls back to the '<prefix>_documents' default."""
+    clean = F.translate(F.lower(folder_col), "- ", "__")
+    return F.when(
+        folder_col.isNull() | (folder_col == "root"),
+        F.lit(f"{prefix}_documents"),
+    ).otherwise(F.concat_ws("_", F.lit(prefix), clean))
+
+
 def checked_rename(fs, src, dst) -> None:
     """Hadoop ``FileSystem.rename`` reports failure by RETURNING FALSE, not
     by raising — an unchecked call can silently skip a swap step and leave
@@ -267,8 +279,10 @@ class CollectionStore:
         callers relying on that keep their exact layout."""
         cfg = self.config
         if split_by_folder and folder_col in chunks.columns:
-            collection = F.concat_ws(
-                "_", F.lit(cfg.collection_prefix), F.col(folder_col)
+            # reference naming rule incl. lowercase/sanitize and the
+            # 'root'-folder default (modules/config.py:37-43)
+            collection = collection_name_col(
+                cfg.collection_prefix, F.col(folder_col)
             )
         else:
             collection = F.lit(f"{cfg.collection_prefix}_documents")
@@ -319,8 +333,10 @@ class CollectionStore:
         Returns per-affected-collection row counts."""
         cfg = self.config
         if split_by_folder and folder_col in chunks.columns:
-            collection = F.concat_ws(
-                "_", F.lit(cfg.collection_prefix), F.col(folder_col)
+            # reference naming rule incl. lowercase/sanitize and the
+            # 'root'-folder default (modules/config.py:37-43)
+            collection = collection_name_col(
+                cfg.collection_prefix, F.col(folder_col)
             )
         else:
             collection = F.lit(f"{cfg.collection_prefix}_documents")
@@ -455,6 +471,7 @@ class CollectionStore:
                     if c in df.columns
                 ],
             )
+            params.setdefault("ef_construction", self.config.ef_construction)
             # pass the store metric so a non-COSINE store fails here with
             # the tier's clear contract error, not with silently-wrong
             # cosine scores ranked under the store's metric
