@@ -1397,7 +1397,18 @@ def previous_round_queries(repo: Path):
     comparator's reference point is the previous round's committed
     MIN-of-2 numbers, not a local rerun). Returns (record_name, queries)
     or None when no parsed record exists."""
-    for p in sorted(repo.glob("BENCH_r[0-9]*.json"), reverse=True):
+    def _round_num(p: Path) -> int:
+        # numeric, not lexicographic: sorted() strings put BENCH_r100
+        # before BENCH_r99 (same class of bug plan_rotation.py fixes for
+        # CORRECTNESS_r*.json)
+        try:
+            return int(p.stem.split("_r", 1)[1])
+        except (IndexError, ValueError):
+            return -1
+
+    for p in sorted(
+        repo.glob("BENCH_r[0-9]*.json"), key=_round_num, reverse=True
+    ):
         try:
             parsed = json.loads(p.read_text()).get("parsed") or {}
             q = parsed.get("queries") or {}

@@ -337,3 +337,49 @@ def test_load_hwp_documents_projects_summary_fields(spark, tmp_path):
     row = load_hwp_documents(spark, str(d)).collect()[0]
     assert row["title"] == "T1" and row["author"] == "A1"
     assert row["subject"] == "S1" and row["keywords"] == "K1"
+
+
+def test_hwp_prefers_hwp_summary_over_document_summary():
+    """Code-review r11: \\x05DocumentSummaryInformation also ends with
+    'SummaryInformation' but uses a DIFFERENT property-id mapping (PID 2
+    is 'category' there, not title) — the extractor must bind metadata to
+    the Hwp stream even when the Document one enumerates first."""
+    from vectordb_etl_spark.sources.cfb_fixtures import (
+        property_set_bytes,
+        write_cfb,
+    )
+    from vectordb_etl_spark.sources.hwp import _summary_metadata, CompoundFile
+    from vectordb_etl_spark.sources.cfb_fixtures import _hwp_section_bytes
+
+    data = write_cfb({
+        "FileHeader": b"HWP Document File" + b"\x00" * 239,
+        "BodyText/Section0": _hwp_section_bytes(["body"]),
+        # category/byte-count style values under the SAME pids — reading
+        # these as title/author would be the bug
+        "\x05DocumentSummaryInformation": property_set_bytes(
+            {2: "WRONG-category", 4: "WRONG-bytecount"}
+        ),
+        "\x05HwpSummaryInformation": property_set_bytes(
+            {2: "Right Title", 4: "Right Author"}
+        ),
+    })
+    got = _summary_metadata(CompoundFile(data))
+    assert got["title"] == "Right Title" and got["author"] == "Right Author"
+    # standard OLE SummaryInformation (same PIDSI ids) is an acceptable
+    # fallback when no Hwp stream exists; DocumentSummary alone is NOT
+    only_doc = write_cfb({
+        "FileHeader": b"HWP Document File" + b"\x00" * 239,
+        "BodyText/Section0": _hwp_section_bytes(["body"]),
+        "\x05DocumentSummaryInformation": property_set_bytes(
+            {2: "WRONG-category"}
+        ),
+    })
+    got2 = _summary_metadata(CompoundFile(only_doc))
+    assert got2["title"] is None
+    only_std = write_cfb({
+        "FileHeader": b"HWP Document File" + b"\x00" * 239,
+        "BodyText/Section0": _hwp_section_bytes(["body"]),
+        "\x05SummaryInformation": property_set_bytes({2: "Std Title"}),
+    })
+    got3 = _summary_metadata(CompoundFile(only_std))
+    assert got3["title"] == "Std Title"

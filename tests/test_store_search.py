@@ -834,3 +834,75 @@ def test_collection_naming_rule_matches_reference(spark, tmp_path):
     counts = store.insert_documents(df, embedding_config=EMB)
     assert set(counts) == {"html_my_docs_files", "html_documents"}
     assert store.list_collections() == ["html_documents", "html_my_docs_files"]
+
+
+def test_graph_exact_fallback_with_meta_output_cols(spark, docs_tiny, tmp_path):
+    """Code-review r11: the graph-kind EXACT fallback (un-indexed
+    collection served by brute force) used output_cols as topk_search
+    tie-breakers — with dynamic meta in output_cols that was an orderBy
+    on a MapType. Must serve, return dynamic fields, and rank like the
+    plain exact facade."""
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    docs = docs_tiny.select(
+        "doc_id", "source", F.lit("f1").alias("folder_name"), "text",
+        detect_language_content_col("text").alias("language"),
+        (F.col("doc_id") % 3).alias("grp"),
+    ).limit(20)
+    store.insert_documents(docs, embedding_config=EMB, dynamic_meta=True)
+    # NO graph index built: index_kind='graph' takes the exact fallback
+    hits = search_with_scores(
+        store, "query", k=3, embedding_config=EMB,
+        index_kind="graph", ef=1_000_000,
+    )
+    exact = search_with_scores(store, "query", k=3, embedding_config=EMB)
+    assert [round(h.score, 6) for h in hits] == [
+        round(h.score, 6) for h in exact
+    ]
+    assert all("grp" in h.metadata for h in hits)
+
+
+def test_pre_naming_rule_partition_warns(spark, tmp_path):
+    """Code-review r11: a warehouse written before the naming rule holds
+    collection=html_My-Docs / collection=html_root style partitions; a
+    post-rule insert targeting the sanitized names must WARN about the
+    split instead of silently leaving duplicate-key twins behind."""
+    import shutil
+    import warnings as w
+
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    df = spark.createDataFrame(
+        [(1, "s", "my_docs", "t", "english", 0),
+         (2, "s", "plain", "u", "english", 0)],
+        ["doc_id", "source", "folder_name", "text", "language", "chunk_index"],
+    )
+    store.insert_documents(df, embedding_config=EMB)
+    # forge pre-rule spellings next to the sanitized ones
+    base = tmp_path / "w" / "collections"
+    shutil.copytree(base / "collection=html_my_docs",
+                    base / "collection=html_My-Docs")
+    shutil.copytree(base / "collection=html_plain",
+                    base / "collection=html_root")
+    with pytest.warns(UserWarning, match="pre-naming-rule"):
+        store.insert_documents(df.filter(F.col("doc_id") == 1),
+                               embedding_config=EMB)
+    no_folder = df.drop("folder_name")  # targets the html_documents default
+    with pytest.warns(UserWarning, match="html_root"):
+        store.upsert_documents(no_folder, key_col="doc_id",
+                               embedding_config=EMB)
+
+
+def test_insert_count_rows_false_skips_count(spark, tmp_path):
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    df = spark.createDataFrame(
+        [(1, "s", "f1", "t", "english", 0)],
+        ["doc_id", "source", "folder_name", "text", "language", "chunk_index"],
+    )
+    out = store.insert_documents(df, embedding_config=EMB, count_rows=False)
+    assert out == {}
+    assert store.read("html_f1").count() == 1

@@ -43,6 +43,7 @@ def search_with_scores(
     nprobe: int | None = None,
     ef: int | None = None,
     filter_mode: str = "post",
+    merge_schema: bool = False,
 ) -> list[SearchHit]:
     """Q4 — language-filtered search facade
     (reference: modules/search_utils.py:70-98).
@@ -94,6 +95,14 @@ def search_with_scores(
         raise ValueError(
             f"filter_mode must be 'post' or 'traversal'; got {filter_mode!r}"
         )
+    # one schema resolution for the whole call (footer listing is not
+    # free at large file counts — used by the filter parse, the graph
+    # output_cols probe, and the IVF projection below).
+    # ``merge_schema=True`` unions footers: needed on warehouses mixing
+    # pre-`meta` and dynamic-meta batches, where the default single-footer
+    # schema can hide the `meta` column from the filter resolver and the
+    # output projection (see CollectionStore.read).
+    data_cols = store.read(None, merge_schema=merge_schema).columns
     # a blank filter string parses to None and must behave like "no filter
     # given" (auto-detect still applies), not like "filter everything off".
     # Filter strings resolve against the store schema so bare identifiers
@@ -101,7 +110,7 @@ def search_with_scores(
     # reference's enable_dynamic_field filter surface) — schema-only read,
     # no scan.
     predicate = (
-        parse_filter(filter, columns=store.read(None).columns)
+        parse_filter(filter, columns=data_cols)
         if filter is not None
         else None
     )
@@ -133,14 +142,23 @@ def search_with_scores(
             # keys stay filterable and surface in hit metadata on the
             # graph path too
             kwargs["output_cols"] = ["id", "text", "language"] + (
-                ["meta"] if "meta" in store.read(None).columns else []
+                ["meta"] if "meta" in data_cols else []
             )
             kwargs["ef"] = ef
+            # the exact fallback surfaces its id column AS "id" to match
+            # the indexed side; resolve which store column that is
+            # (chunk_id for chunked stores — build_index's id_col default
+            # — else doc_id) instead of assuming chunk_id exists
+            idc = next(
+                (c for c in ("chunk_id", "doc_id", "id") if c in data_cols),
+                None,
+            )
+            if idc is not None:
+                kwargs["fallback_id_col"] = idc
             if predicate is not None:
                 kwargs["filter_mode"] = filter_mode
         else:
             kwargs["nprobe"] = nprobe
-            data_cols = store.read(None).columns  # schema-only, no scan
             # explicit user-facing projection: aligns the indexed side
             # (whose stored rows carry the centroid_id partition key)
             # with the exact-fallback side for the union, and prunes the

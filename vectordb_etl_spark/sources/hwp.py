@@ -263,15 +263,28 @@ def _summary_metadata(cf: "CompoundFile") -> dict[str, str | None]:
     match: any stream whose leaf name ends with 'SummaryInformation'
     (the \\x05 well-known-stream prefix varies across writers)."""
     fields = {"title": None, "author": None, "subject": None, "keywords": None}
-    for path in cf.list_streams():
-        leaf = path.rsplit("/", 1)[-1].lstrip("\x01\x02\x03\x04\x05")
-        if leaf.endswith("SummaryInformation"):
-            props = parse_ole_property_set(cf.read_stream(path))
-            fields["title"] = props.get(_PIDSI_TITLE)
-            fields["subject"] = props.get(_PIDSI_SUBJECT)
-            fields["author"] = props.get(_PIDSI_AUTHOR)
-            fields["keywords"] = props.get(_PIDSI_KEYWORDS)
-            break
+
+    def _leaf(p: str) -> str:
+        return p.rsplit("/", 1)[-1].lstrip("\x01\x02\x03\x04\x05")
+
+    streams = cf.list_streams()
+    # preference order matters: \x05DocumentSummaryInformation also ends
+    # with 'SummaryInformation' but uses a DIFFERENT property-id mapping
+    # (PID 2 = category, not title) — never read the PIDSI ids out of it.
+    # HwpSummaryInformation first (the HWP 5.0 stream), then the standard
+    # OLE SummaryInformation (same PIDSI ids) as fallback.
+    chosen = next(
+        (p for p in streams if _leaf(p) == "HwpSummaryInformation"),
+        None,
+    ) or next(
+        (p for p in streams if _leaf(p) == "SummaryInformation"), None
+    )
+    if chosen is not None:
+        props = parse_ole_property_set(cf.read_stream(chosen))
+        fields["title"] = props.get(_PIDSI_TITLE)
+        fields["subject"] = props.get(_PIDSI_SUBJECT)
+        fields["author"] = props.get(_PIDSI_AUTHOR)
+        fields["keywords"] = props.get(_PIDSI_KEYWORDS)
     return fields
 
 

@@ -170,6 +170,43 @@ class CollectionStore:
         ".upsert-collection=", ".compact-collection=",
     )
 
+    def _warn_pre_rule_partitions(self, targets) -> None:
+        """The naming rule (lowercase/sanitize, 'root'->default — reference
+        modules/config.py:37-43) changed where some folders land relative
+        to warehouses written before r11. If a partition exists whose name
+        is a PRE-rule spelling of a target (sanitizes to it but differs
+        literally, or the old literal '<prefix>_root'), new rows would
+        silently split across the two spellings and upsert's key-dedup
+        would not see the old rows — warn with the rename needed instead
+        of letting that happen quietly. One FS listing, no data read."""
+        existing = self.list_collections()
+        if not existing:
+            return
+
+        def _sanitize(n: str) -> str:
+            return n.lower().replace("-", "_").replace(" ", "_")
+
+        default = f"{self.config.collection_prefix}_documents"
+        old_root = f"{self.config.collection_prefix}_root"
+        import warnings
+
+        for t in set(targets):
+            clashes = [
+                e for e in existing if e != t and _sanitize(e) == t
+            ]
+            if t == default and old_root in existing:
+                clashes.append(old_root)
+            for e in clashes:
+                warnings.warn(
+                    f"collection {e!r} looks like a pre-naming-rule "
+                    f"spelling of the target {t!r}: new rows go to {t!r} "
+                    f"while the old rows stay in {e!r} (duplicate keys "
+                    "across the pair are invisible to upsert's dedup). "
+                    f"Rename the partition directory (collection={e} -> "
+                    f"collection={t}) or drop_collection the stale one.",
+                    stacklevel=3,
+                )
+
     def _restore_if_crashed(self, fs, name: str) -> None:
         """Cross-mechanism crash recovery: if ANY aside (upsert's .old- or
         compaction's .precompact-) holds the only copy of a collection
@@ -257,6 +294,7 @@ class CollectionStore:
         embedding_config: EmbeddingConfig | None = None,
         mode: str = "append",
         dynamic_meta: bool = False,
+        count_rows: bool = True,
     ) -> dict[str, int]:
         """Embed + write, partitioned by collection.
 
@@ -296,10 +334,22 @@ class CollectionStore:
         ).items():
             if name in df.columns:
                 df = df.withColumn(name, col)
-        counts = {
-            r["collection"]: r["count"]
-            for r in df.groupBy("collection").count().collect()
-        }
+        # the pre-write count re-executes the batch's lineage once (cheap
+        # for parquet-backed batches, real for UDF-heavy ones) — callers
+        # that discard the counts (e.g. the streaming sink, which writes
+        # every micro-batch) pass count_rows=False and pay only the write
+        counts = (
+            {
+                r["collection"]: r["count"]
+                for r in df.groupBy("collection").count().collect()
+            }
+            if count_rows
+            else {}
+        )
+        if counts:
+            # the count job already materialized the target names —
+            # reuse them to flag pre-naming-rule partition spellings
+            self._warn_pre_rule_partitions(counts)
         if embed and "embedding" not in df.columns:
             df = with_embeddings(df, config=embedding_config)
         df.write.mode(mode).partitionBy("collection").parquet(self._data_dir)
@@ -356,6 +406,7 @@ class CollectionStore:
             r["collection"]
             for r in incoming.select("collection").distinct().collect()
         ]
+        self._warn_pre_rule_partitions(affected)
         counts: dict[str, int] = {}
         fs = self._fs(self._data_dir)
         for name in affected:
@@ -559,7 +610,18 @@ class CollectionStore:
                             f"is {self.config.metric_type!r}"
                         )
                     scan = scan.withColumnRenamed(fallback_id_col, "id")
-                    fb_ties = list(fb_kwargs.get("output_cols") or ["id"])
+                    # same non-orderable exclusion as the indexed path's
+                    # merge (graph_ann._orderable_tiebreak): output_cols
+                    # may carry the dynamic `meta` map, and an orderBy on
+                    # a MapType is an AnalysisException
+                    from pyspark.sql.types import MapType
+
+                    fb_ties = [
+                        c
+                        for c in (fb_kwargs.get("output_cols") or ["id"])
+                        if c not in scan.columns
+                        or not isinstance(scan.schema[c].dataType, MapType)
+                    ]
                 else:
                     fb_ties = tie_break
                 hits = topk_search(

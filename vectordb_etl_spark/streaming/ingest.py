@@ -116,6 +116,8 @@ def write_collection_stream(
             split_by_folder=split_by_folder,
             embed=False,  # embedding already applied upstream
             mode="append",
+            count_rows=False,  # counts discarded — skip the extra
+            # per-micro-batch lineage execution
         )
 
     writer = (
