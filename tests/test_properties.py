@@ -4,7 +4,7 @@ these are the functions that run inside the pandas UDFs."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from vectordb_etl_spark.config import ChunkerConfig
@@ -337,3 +337,60 @@ def test_filtered_full_beam_is_exact_filtered_ranking(n, m, seed, stride):
         allowed=np.ones(n, dtype=bool),
     )
     assert r_none == r_all and s_none["evals"] == s_all["evals"]
+
+
+# --------------------------------------------------------------------------
+# Dynamic meta fold round-trip (enable_dynamic_field parity): ANY set of
+# extra columns folds into the map and reads back exactly, regardless of
+# names/types/null patterns, with an optional pre-existing meta merged
+# under typed-column precedence
+# --------------------------------------------------------------------------
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True).filter(
+    lambda s: s not in ("meta", "doc_id")
+)
+_VAL = st.one_of(
+    st.none(),
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0xD7FF),
+        max_size=12,
+    ),
+)
+
+
+@given(
+    extras=st.dictionaries(_IDENT, _VAL, min_size=0, max_size=5),
+    pre_meta=st.one_of(
+        st.none(),
+        st.dictionaries(
+            _IDENT, st.text(max_size=6), min_size=0, max_size=3
+        ),
+    ),
+)
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fold_dynamic_meta_roundtrip_property(spark, extras, pre_meta):
+    from pyspark.sql.types import (
+        LongType, MapType, StringType, StructField, StructType,
+    )
+
+    from vectordb_etl_spark.store.collections import fold_dynamic_meta
+
+    fields = [StructField("doc_id", LongType())]
+    for k, v in extras.items():
+        fields.append(
+            StructField(k, LongType() if isinstance(v, int) else StringType())
+        )
+    fields.append(StructField("meta", MapType(StringType(), StringType())))
+    df = spark.createDataFrame(
+        [tuple([1] + list(extras.values()) + [pre_meta])],
+        StructType(fields),
+    )
+    got = fold_dynamic_meta(df).collect()[0]["meta"]
+    want = dict(pre_meta or {})
+    for k, v in extras.items():  # typed columns win on collision
+        want[k] = None if v is None else str(v)
+    assert got == want
