@@ -318,7 +318,9 @@ def test_bench_rotation_age_telemetry():
     age = bench.rotation_age(entry._QUERIES)
     # repo has 10 rounds of committed scoreboards: every age signal real
     assert age["oldest"] >= 1
-    assert age["never"] >= 1  # this round registered new queries
+    # never-checked count is >=0 and bounded by the registry (it is >0
+    # only in rounds that register new queries — do NOT pin >0 here)
+    assert 0 <= age["never"] <= len(entry._QUERIES)
 
 
 def test_bench_compact_carries_new_telemetry_under_budget():
