@@ -1232,19 +1232,33 @@ def main() -> None:
 
     _t_skew, _t_bal = _t_serve_skew(_gskew), _t_serve_skew(_gbal)
     _med_shard = _skew_sizes[len(_skew_sizes) // 2]
+    # third leg (VERDICT r11 item 1): close the compaction loop — the
+    # index itself must SAY it needs compacting (rebalance_hint), and
+    # compact() must actually remove the tail-shard penalty, not just
+    # exist. Re-serve the SAME query batch on the re-sharded layout.
+    _hint_before = _gskew.rebalance_hint()
+    _gskew.compact(num_shards=10, m=16, ef_construction=64)
+    _hint_after = _gskew.rebalance_hint()
+    _t_compacted = _t_serve_skew(_gskew)
     graph_serve_skew = {
         "t_skew": _t_skew,
         "t_balanced": _t_bal,
+        "t_compacted": _t_compacted,
         "penalty": round(_t_skew / max(_t_bal, 1e-3), 3),
+        "penalty_compacted": round(_t_compacted / max(_t_bal, 1e-3), 3),
         "n_shards": len(_skew_sizes),
         "max_shard": _skew_sizes[-1],
         "median_shard": _med_shard,
         "max_over_median": round(_skew_sizes[-1] / max(_med_shard, 1), 2),
+        "max_over_median_compacted": _hint_after["max_over_median"],
+        "recommend_compact_before": _hint_before["recommend_compact"],
+        "recommend_compact_after": _hint_after["recommend_compact"],
         "derived_add_shards": len(_skew_sizes) - 1,
         "note": "100-query batch, min-of-2, identical corpus/ef; add() "
                 "derives unit-sized shards for NEW data (stays balanced) "
-                "but the oversized base segment persists until "
-                "rebuild/compaction — the penalty prices that tail shard",
+                "but the oversized base segment persists until compact() "
+                "— rebalance_hint flags it (max/median > 4), compact() "
+                "re-shards by id hash, and t_compacted prices the result",
     }
 
     # IVF SERVE scale probe (r09): the serving contract at scale is
@@ -1528,6 +1542,10 @@ def compact_record(full: dict) -> str:
             "penalty": gs["penalty"],
             "skew": gs["max_over_median"],
         }
+        # compacted leg (r12): present only on records that ran the
+        # skew -> compact() -> re-serve loop; .get keeps old records parsing
+        if gs.get("penalty_compacted") is not None:
+            compact["graph_serve_skew"]["penalty_c"] = gs["penalty_compacted"]
     if full.get("sf1_checks"):
         compact["sf1"] = {
             k: v["measured_over_predicted"]

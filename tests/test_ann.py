@@ -837,6 +837,37 @@ def test_graph_compact_merges_segments_results_stable(spark, embeddings_tiny, tm
     assert spark.read.parquet(path).count() == embeddings_tiny.count()
 
 
+def test_graph_rebalance_hint_flags_skew_and_compact_clears_it(
+    spark, embeddings_tiny, tmp_path
+):
+    """The segment-manager loop: an append-heavy lifecycle (one big base
+    segment + unit-sized add() batches) must trip rebalance_hint at
+    max/median > 4 (the pinned REBALANCE_RATIO), and compact() must
+    restore a layout the hint no longer flags."""
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    assert GraphANNIndex.REBALANCE_RATIO == 4.0  # pinned threshold
+    idx = GraphANNIndex(spark, str(tmp_path / "graph_skew")).build(
+        embeddings_tiny.filter(F.col("vec_id") % 3 != 0),  # ~2/3 as ONE segment
+        num_shards=1, m=8, ef_construction=32,
+    )
+    rest = embeddings_tiny.filter(F.col("vec_id") % 3 == 0)
+    idx.add(rest, m=8, ef_construction=32,
+            target_rows_per_shard=max(1, rest.count() // 6))
+    hint = idx.rebalance_hint()
+    assert hint["recommend_compact"] is True
+    assert hint["max_over_median"] > 4
+    assert hint["max_shard"] == max(idx.shard_sizes().values())
+    # mild skew below the ratio must NOT churn a rebuild
+    assert idx.rebalance_hint(ratio=hint["max_over_median"] + 1)[
+        "recommend_compact"
+    ] is False
+    idx.compact(num_shards=6, m=8, ef_construction=32)
+    after = idx.rebalance_hint()
+    assert after["recommend_compact"] is False
+    assert after["max_over_median"] < 2  # id-hash re-shard ~ uniform
+
+
 def test_ivf_pq_residual_search_many_matches_single(spark, embeddings_tiny, tmp_path):
     """The batched serve path composes with residual storage: search_many
     returns exactly N independent search() results over centroid-add-back

@@ -37,6 +37,11 @@ def test_no_collect_outside_sanctioned_files():
                             # the vectorized assignment UDF (k bounded by
                             # the operator's rows-per-cluster contract —
                             # same class as ann.py's centroid artifact)
+        "graph_ann.py",     # shard_sizes/rebalance_hint: one count row per
+                            # shard (rows = segment count, bounded by the
+                            # index layout, size-independent of corpus
+                            # rows) — the segment-manager telemetry has to
+                            # reach the driver to decide compact()
         "ingest.py",        # cm_ingest_stream: one scalar (last committed
                             # batch_id) from the ≤ d·w+1-row persisted
                             # sketch — size-independent of the stream;
@@ -342,9 +347,12 @@ def test_bench_compact_carries_new_telemetry_under_budget():
     }
     real["rotation_age"] = {"oldest": 7, "never": 2}
     real["graph_serve_skew"] = {
-        "t_skew": 2.0, "t_balanced": 1.4, "penalty": 1.43,
+        "t_skew": 2.0, "t_balanced": 1.4, "t_compacted": 1.45,
+        "penalty": 1.43, "penalty_compacted": 1.04,
         "n_shards": 10, "max_shard": 1000, "median_shard": 100,
-        "max_over_median": 10.0, "derived_add_shards": 9, "note": "x",
+        "max_over_median": 10.0, "max_over_median_compacted": 1.1,
+        "recommend_compact_before": True, "recommend_compact_after": False,
+        "derived_add_shards": 9, "note": "x",
     }
     line = bench.compact_record(real)
     assert len(line) <= bench.COMPACT_BUDGET
@@ -355,7 +363,9 @@ def test_bench_compact_carries_new_telemetry_under_budget():
     }
     assert "ratios" not in json.dumps(parsed["noise"])
     assert parsed["rotation"] == {"oldest": 7, "never": 2}
-    assert parsed["graph_serve_skew"] == {"penalty": 1.43, "skew": 10.0}
+    assert parsed["graph_serve_skew"] == {
+        "penalty": 1.43, "skew": 10.0, "penalty_c": 1.04,
+    }
     # headline rows still all survive the budget with telemetry attached
     assert set(parsed["queries"]) == {
         q for q in bench.HEADLINE_QUERIES if q in real["queries"]

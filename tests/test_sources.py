@@ -176,6 +176,19 @@ def test_subprocess_tier_preferred_when_gated(fake_hwp5txt, monkeypatch):
     assert got["error"] is None
 
 
+def test_subprocess_tier_keeps_text_when_cfb_metadata_fails(fake_hwp5txt):
+    """hwp5txt can convert files whose CFB directory our reader chokes
+    on; a metadata-recovery failure must degrade to None fields, never
+    discard the successfully converted text."""
+    from vectordb_etl_spark.sources.hwp import extract_hwp_subprocess
+
+    not_cfb = b"\x00" * 1024  # no CFB magic — CompoundFile raises
+    out = extract_hwp_subprocess(not_cfb, fake_hwp5txt)
+    assert out["text"] == "converted by hwp5txt\nspaced line"
+    assert out["title"] is None and out["author"] is None
+    assert out["subject"] is None and out["keywords"] is None
+
+
 def test_subprocess_tier_falls_back_to_cfb_on_failure(tmp_path):
     from vectordb_etl_spark.sources.hwp import _extract_any
 

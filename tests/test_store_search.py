@@ -701,6 +701,41 @@ def test_mixed_schema_warehouse_needs_merge_schema(spark, docs_tiny, tmp_path):
     # pre-meta rows read back with NULL meta, not an error
     assert merged.filter(F.col("meta").isNull()).count() == 5
 
+    # merge_schema must reach the EXACT search paths too, not just the
+    # facade's schema probe: a dynamic-field filter on this mixed
+    # warehouse through (a) the non-indexed exact path and (b) the
+    # fanout exact fallback (index_kind set, no index built) must both
+    # resolve `meta` and return only the tagged rows
+    exact = search_with_scores(
+        store, "query", k=10, embedding_config=EMB,
+        filter='batch_tag == "b7"', merge_schema=True,
+    )
+    assert len(exact) == 5
+    assert all(h.metadata["batch_tag"] == "b7" for h in exact)
+    fb = search_with_scores(
+        store, "query", k=10, embedding_config=EMB,
+        filter='batch_tag == "b7"', merge_schema=True, index_kind="ivf",
+    )
+    assert [h.metadata.get("doc_id") for h in fb] == [
+        h.metadata.get("doc_id") for h in exact
+    ]
+
+
+def test_collection_name_col_empty_folder_matches_python_twin(spark):
+    """'' folders must land in '<prefix>_documents' on BOTH twins: the
+    Python rule treats '' as falsy (config.py:81), so the column rule
+    must too — otherwise the two disagree on where data lives."""
+    from vectordb_etl_spark.store.collections import collection_name_col
+
+    cfg = StoreConfig()
+    cases = [None, "", "root", "My-Folder", "a b"]
+    df = spark.createDataFrame(
+        [(f,) for f in cases], "folder string"
+    ).withColumn("c", collection_name_col(cfg.collection_prefix, F.col("folder")))
+    got = {r["folder"]: r["c"] for r in df.collect()}
+    for f in cases:
+        assert got[f] == cfg.collection_name(f), f"folder={f!r}"
+
 
 def test_dynamic_meta_filter_through_ivf_index(spark, docs_tiny, tmp_path):
     """Milvus composes dynamic-field exprs WITH the index

@@ -627,6 +627,48 @@ class GraphANNIndex:
         )
         return before, after
 
+    # threshold for rebalance_hint: below ~4x the tail shard costs only a
+    # few percent (bench's graph_serve_skew measured 1.035 at 11:1 under
+    # shard parallelism — the straggler hides while cores outnumber
+    # shards), so recommending compaction for mild skew would churn
+    # rebuilds for nothing; past ~4x the oversized segment is also the
+    # memory high-water mark of its executor, which is the real risk at
+    # 100 TB (a shard must fit one task). Milvus's own compaction triggers
+    # on segment-size imbalance the same way (milvus_store.py:232
+    # flush/seal lifecycle).
+    REBALANCE_RATIO = 4.0
+
+    def shard_sizes(self) -> dict[int, int]:
+        """Rows per shard — a scan of the ``shard`` partition column only
+        (column-pruned; no vector or adjacency bytes move)."""
+        return {
+            r["shard"]: r["count"]
+            for r in self.spark.read.parquet(self.path)
+            .groupBy("shard").count().collect()
+        }
+
+    def rebalance_hint(self, ratio: float | None = None) -> dict:
+        """Should this index be compact()ed? Returns the skew telemetry a
+        segment manager needs: ``max_over_median`` (the oversized-segment
+        ratio an append-heavy lifecycle accumulates — one old base segment
+        plus many unit-sized ``add()`` batches) and ``recommend_compact``
+        when it exceeds ``ratio`` (default ``REBALANCE_RATIO``).
+        ``compact()`` re-shards by id hash, which restores ~1.0."""
+        if ratio is None:
+            ratio = self.REBALANCE_RATIO
+        sizes = sorted(self.shard_sizes().values())
+        if not sizes:
+            raise ValueError(f"rebalance_hint: empty index at {self.path}")
+        median = sizes[len(sizes) // 2]
+        mom = sizes[-1] / max(median, 1)
+        return {
+            "n_shards": len(sizes),
+            "max_shard": sizes[-1],
+            "median_shard": median,
+            "max_over_median": round(mom, 2),
+            "recommend_compact": mom > ratio,
+        }
+
     def search(
         self,
         query: list[float],

@@ -170,10 +170,18 @@ def search_with_scores(
                 kwargs["tie_break"] = ["chunk_id"]
         rows = store.fanout_search_indexed(
             vec, k=k, kind=index_kind, collections=names,
-            on_missing="exact", **kwargs,
+            on_missing="exact", merge_schema=merge_schema, **kwargs,
         ).collect()
     else:
-        df = store.read(None if search_all_collections else collection_name)
+        # merge_schema must reach the exact path too: on a mixed
+        # pre-meta/dynamic-meta warehouse a dynamic-field filter would
+        # otherwise hit an AnalysisException (or nondeterministically miss
+        # the meta column, footer-dependent) even though the schema probe
+        # above saw it
+        df = store.read(
+            None if search_all_collections else collection_name,
+            merge_schema=merge_schema,
+        )
         rows = topk_search(
             df,
             vec,
@@ -194,8 +202,10 @@ def search_with_scores(
         # typed columns win on name collision
         dyn = d.pop("meta", None)
         if dyn:
-            for k, v in dyn.items():
-                d.setdefault(k, v)
+            # mk/mv, not k/v — `k` is the function's top-k parameter and a
+            # bare `k` below this loop must keep meaning that
+            for mk, mv in dyn.items():
+                d.setdefault(mk, mv)
         hits.append(SearchHit(text=text, score=score, metadata=d))
     return hits
 

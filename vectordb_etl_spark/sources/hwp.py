@@ -349,8 +349,17 @@ def extract_hwp_subprocess(
         text = proc.stdout.decode("utf-8", "replace")
         lines = [ln.strip() for ln in text.split("\n")]
         # converter emits text only; metadata comes from the CFB
-        # property-set stream, which is present regardless of tier
-        meta = _summary_metadata(CompoundFile(data))
+        # property-set stream. Recovery is best-effort: hwp5txt can
+        # convert files whose CFB directory our reader chokes on, and a
+        # metadata failure must not discard the successfully converted
+        # text (the whole point of this tier)
+        try:
+            meta = _summary_metadata(CompoundFile(data))
+        except Exception:
+            meta = {
+                "title": None, "author": None,
+                "subject": None, "keywords": None,
+            }
         return {
             "text": "\n".join(ln for ln in lines if ln),
             **meta,

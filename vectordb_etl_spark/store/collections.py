@@ -97,8 +97,11 @@ def collection_name_col(prefix: str, folder_col):
     (modules/config.py:37-43): lowercase, '-'/' ' -> '_', and the 'root'
     folder (or NULL) falls back to the '<prefix>_documents' default."""
     clean = F.translate(F.lower(folder_col), "- ", "__")
+    # '' must hit the default too: StoreConfig.collection_name's
+    # `if folder and folder != "root"` treats the empty string as falsy,
+    # and the two twins must agree on where a row lands
     return F.when(
-        folder_col.isNull() | (folder_col == "root"),
+        folder_col.isNull() | (folder_col == "root") | (folder_col == ""),
         F.lit(f"{prefix}_documents"),
     ).otherwise(F.concat_ws("_", F.lit(prefix), clean))
 
@@ -544,6 +547,7 @@ class CollectionStore:
         ef: int = 100,
         on_missing: str = "raise",
         fallback_id_col: str = "chunk_id",
+        merge_schema: bool = False,
         **search_kwargs,
     ) -> DataFrame:
         """Q2 through PER-COLLECTION indexes (the exact Milvus fan-out
@@ -594,7 +598,12 @@ class CollectionStore:
                         "first (or pass on_missing='exact' to serve it by "
                         "brute-force scan, Milvus-style)"
                     )
-                scan = self.read(n).drop("collection")
+                # merge_schema threads through to the exact fallback: on a
+                # mixed pre-meta/dynamic-meta warehouse the single-footer
+                # default could hide the `meta` column from a dynamic-field
+                # predicate while the indexed tiers (which store their own
+                # schema) resolve it fine
+                scan = self.read(n, merge_schema=merge_schema).drop("collection")
                 # graph-only beam knob: the exact fallback applies the
                 # predicate exactly regardless of strategy
                 fb_kwargs = {

@@ -104,9 +104,15 @@ def write_collection_stream(
     checkpoint_dir: str,
     split_by_folder: bool = True,
     trigger_available_now: bool = False,
+    dynamic_meta: bool = False,
 ):
     """S8 as a streaming sink: foreachBatch reuses the batch collection sink,
-    so layout/truncation/naming rules are shared with the batch path."""
+    so layout/truncation/naming rules are shared with the batch path.
+    ``dynamic_meta=True`` folds non-schema columns into the ``meta`` map
+    exactly like batch insert — the reference's ``enable_dynamic_field``
+    applies to EVERY insert path (milvus_store.py:62-66), so a
+    stream-landed document with extra fields must land identically to the
+    same document batch-inserted."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -116,6 +122,7 @@ def write_collection_stream(
             split_by_folder=split_by_folder,
             embed=False,  # embedding already applied upstream
             mode="append",
+            dynamic_meta=dynamic_meta,
             count_rows=False,  # counts discarded — skip the extra
             # per-micro-batch lineage execution
         )
@@ -138,6 +145,7 @@ def upsert_collection_stream(
     split_by_folder: bool = True,
     trigger_available_now: bool = False,
     version_col: str | None = None,
+    dynamic_meta: bool = False,
 ):
     """Streaming UPSERT sink: foreachBatch routes each micro-batch through
     the store's copy-on-write merge, so a re-ingested document REPLACES its
@@ -180,6 +188,8 @@ def upsert_collection_stream(
             key_col=key_col,
             split_by_folder=split_by_folder,
             embed=False,
+            dynamic_meta=dynamic_meta,  # enable_dynamic_field applies to
+            # every insert path, CDC upserts included
         )
 
     writer = (
