@@ -7856,6 +7856,66 @@ _register(
 )
 
 
+def _streaming_dynamic_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """enable_dynamic_field through the STREAMING insert path (reference
+    milvus_store.py:62-66 — the dynamic field applies to EVERY insert
+    path; VERDICT r11 item 2): the same documents-with-extra-columns feed
+    as dynamic_meta_roundtrip lands as files, flows through
+    write_collection_stream(dynamic_meta=True) — foreachBatch reusing the
+    batch sink, so the fold IS fold_dynamic_meta — and reads back through
+    the same dynamic-field filter string. The oracle is the batch
+    roundtrip's SQL verbatim: stream-landed ≡ batch-inserted, hash-equal.
+    Scale shape: per-micro-batch cost is the batch sink's (map-only fold +
+    one partitioned write); no extra state, no extra shuffle."""
+    import tempfile
+
+    from vectordb_etl_spark.config import StoreConfig
+    from vectordb_etl_spark.functions.filter_expr import parse_filter
+    from vectordb_etl_spark.store.collections import CollectionStore
+    from vectordb_etl_spark.streaming.ingest import write_collection_stream
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") % 5).cast("string").alias("rating"),
+        F.upper(F.col("lang")).alias("origin"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(f"{tmp}/landing")
+        store = CollectionStore(spark, StoreConfig(warehouse_dir=f"{tmp}/w"))
+        stream = spark.readStream.schema(docs.schema).parquet(f"{tmp}/landing")
+        q = write_collection_stream(
+            stream, store, f"{tmp}/ckpt",
+            trigger_available_now=True, dynamic_meta=True,
+        )
+        q.awaitTermination()
+        back = store.read()
+        pred = parse_filter(
+            'rating == "3" and n_chars > 300', columns=back.columns
+        )
+        out = back.filter(pred).select(
+            "doc_id",
+            F.col("meta")["rating"].alias("rating"),
+            F.col("meta")["origin"].alias("origin"),
+            F.col("meta")["n_chars"].cast("long").alias("n_chars"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+    return out
+
+
+_register(
+    "streaming_dynamic_meta",
+    _streaming_dynamic_meta,
+    # batch roundtrip's oracle verbatim: the stream path must land the
+    # exact same fold
+    "SELECT doc_id, CAST(n_chars % 5 AS VARCHAR) AS rating, "
+    "upper(lang) AS origin, n_chars "
+    "FROM documents WHERE n_chars % 5 = 3 AND n_chars > 300",
+)
+
+
 # The driver verifies the FIRST 50 registered queries only. Since r09 the
 # live order comes from _dynamic_rotation (recomputed from the committed
 # CORRECTNESS_r*.json files on every queries() call — reds first, then
@@ -7865,56 +7925,7 @@ _register(
 # live computation is unavailable (last regenerated r09 via
 # `python tools/plan_rotation.py --python`).
 _PRIORITY = [
-    "dynamic_meta_key_stats",
-    "dynamic_meta_roundtrip",
-    "disjunctive_predicate_revenue",
-    "event_type_pivot",
-    "events_cube",
-    "events_gap_fill",
-    "events_multi_grain_rollup",
-    "filter_expr_search",
-    "gopher_pass_rate",
-    "gopher_quality_signals",
-    "graph_fanout_topk",
-    "graph_topk",
-    "html_parse_roundtrip",
-    "hwp_cfb_roundtrip",
-    "hwpx_extract_roundtrip",
-    "hybrid_rrf_search",
-    "ivf_fanout_topk",
-    "ivf_topk_batch",
-    "ivf_topk_nprobe",
-    "kcore_converged",
-    "large_order_customers",
-    "lsh_topk",
-    "multimodal_audio_meta",
-    "multimodal_image_meta",
-    "order_value_percentiles",
-    "pagerank_converged",
-    "priority_shipments",
-    "promo_revenue_ratio",
-    "purchasers_without_errors",
-    "range_join_purchase_followups",
-    "returned_orders",
-    "sequence_packing",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "sq8_topk",
-    "streaming_enriched_counts",
-    "streaming_interval_join",
-    "streaming_windowed_counts",
-    "supplier_balance_by_region",
-    "token_budget_mix",
-    "top_terms_per_language",
-    "user_event_windows",
-    "video_frame_fanout",
-    "chunk_id",
-    "chunk_metadata",
-    "chunk_pipeline",
-    "chunk_stats",
-    "clean_hwp_text",
-    "clean_text",
-    "contamination_check",
+    "streaming_dynamic_meta",
     "conversion_funnel",
     "corpus_health",
     "customer_order_distribution",
@@ -8058,6 +8069,56 @@ _PRIORITY = [
     "streaming_cm_ingest",
     "streaming_hll_ingest",
     "zorder_locality",
+    "chunk_id",
+    "chunk_metadata",
+    "chunk_pipeline",
+    "chunk_stats",
+    "clean_hwp_text",
+    "clean_text",
+    "contamination_check",
+    "disjunctive_predicate_revenue",
+    "dynamic_meta_key_stats",
+    "dynamic_meta_roundtrip",
+    "event_type_pivot",
+    "events_cube",
+    "events_gap_fill",
+    "events_multi_grain_rollup",
+    "filter_expr_search",
+    "gopher_pass_rate",
+    "gopher_quality_signals",
+    "graph_fanout_topk",
+    "graph_topk",
+    "html_parse_roundtrip",
+    "hwp_cfb_roundtrip",
+    "hwpx_extract_roundtrip",
+    "hybrid_rrf_search",
+    "ivf_fanout_topk",
+    "ivf_topk_batch",
+    "ivf_topk_nprobe",
+    "kcore_converged",
+    "large_order_customers",
+    "lsh_topk",
+    "multimodal_audio_meta",
+    "multimodal_image_meta",
+    "order_value_percentiles",
+    "pagerank_converged",
+    "priority_shipments",
+    "promo_revenue_ratio",
+    "purchasers_without_errors",
+    "range_join_purchase_followups",
+    "returned_orders",
+    "sequence_packing",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "sq8_topk",
+    "streaming_enriched_counts",
+    "streaming_interval_join",
+    "streaming_windowed_counts",
+    "supplier_balance_by_region",
+    "token_budget_mix",
+    "top_terms_per_language",
+    "user_event_windows",
+    "video_frame_fanout",
 ]
 
 # Retired: the old two-list head/tail scheme. plan_rotation.py now emits the

@@ -197,6 +197,7 @@ def main() -> None:
         "semantic_dedup",
         "bigram_logprob",
         "streaming_exact_dedup",
+        "streaming_dynamic_meta",
         "streaming_lsh_dedup",
         "streaming_ivf_ingest",
         "streaming_graph_ingest",

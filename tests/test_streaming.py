@@ -193,6 +193,51 @@ def test_enrich_stream_broadcasts_static_side(spark):
     assert {r["segment"] for r in out.collect()} == {"A", "B"}
 
 
+def test_stream_dynamic_meta_folds_like_batch(spark, tmp_path_factory):
+    """enable_dynamic_field applies to EVERY insert path (reference
+    milvus_store.py:62-66): a stream-landed document with extra columns
+    must fold into `meta` exactly like the same batch insert — identical
+    schema, identical map contents, on both the append and upsert sinks."""
+    from vectordb_etl_spark.streaming.ingest import (
+        upsert_collection_stream,
+        write_collection_stream,
+    )
+
+    work = tmp_path_factory.mktemp("dyn_stream")
+    schema = "chunk_id string, text string, folder_name string, rating string"
+    rows = [("c1", "doc one", "hr", "5"), ("c2", "doc two", "hr", "3")]
+    df = spark.createDataFrame(rows, schema)
+    df.repartition(1).write.parquet(str(work / "landing"))
+
+    batch_store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(work / "wh_batch"))
+    )
+    batch_store.insert_documents(df, embed=False, dynamic_meta=True)
+    expected = {
+        r["chunk_id"]: r["meta"] for r in batch_store.read().collect()
+    }
+    assert expected["c1"]["rating"] == "5"  # fold actually happened
+
+    for sink, wh in (
+        (write_collection_stream, "wh_append"),
+        (lambda s, st, ck, **kw: upsert_collection_stream(
+            s, st, ck, key_col="chunk_id", **kw), "wh_upsert"),
+    ):
+        store = CollectionStore(
+            spark, StoreConfig(warehouse_dir=str(work / wh))
+        )
+        stream = spark.readStream.schema(df.schema).parquet(
+            str(work / "landing")
+        )
+        q = sink(stream, store, str(work / f"ckpt_{wh}"),
+                 trigger_available_now=True, dynamic_meta=True)
+        q.awaitTermination(120)
+        back = store.read()
+        assert "rating" not in back.columns, wh
+        got = {r["chunk_id"]: r["meta"] for r in back.collect()}
+        assert got == expected, wh
+
+
 def test_upsert_collection_stream_idempotent_rekey(spark, tmp_path_factory):
     # CDC shape: a later file re-delivers chunk c1 with NEW text; the
     # streaming upsert sink must replace, not duplicate — and unrelated
