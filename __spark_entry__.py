@@ -6307,6 +6307,11 @@ def _hwp_cfb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p.author").alias("author"),
         F.col("p.subject").alias("subject"),
         F.col("p.keywords").alias("keywords"),
+        # serving-tier audit column (r12): in a stock environment neither
+        # env-gated tier (hwp5txt binary, pyhwpx package) resolves, so the
+        # pure-CFB tier serves every row — which the oracle pins. An env
+        # with HWP5TXT_BIN set would legitimately report 'hwp5txt' here.
+        F.col("p.method").alias("method"),
     )
 
 
@@ -6318,7 +6323,8 @@ _register(
     "CASE WHEN doc_id % 3 = 0 THEN 'title ' || CAST(doc_id AS VARCHAR) END AS title, "
     "CASE WHEN doc_id % 3 = 0 THEN 'author ' || CAST(doc_id % 7 AS VARCHAR) END AS author, "
     "CASE WHEN doc_id % 3 = 0 THEN 'subject ' || CAST(doc_id % 5 AS VARCHAR) END AS subject, "
-    "CASE WHEN doc_id % 3 = 0 THEN 'kw' || CAST(doc_id AS VARCHAR) || ', kw' || CAST(doc_id + 1 AS VARCHAR) END AS keywords "
+    "CASE WHEN doc_id % 3 = 0 THEN 'kw' || CAST(doc_id AS VARCHAR) || ', kw' || CAST(doc_id + 1 AS VARCHAR) END AS keywords, "
+    "'cfb' AS method "
     "FROM documents",
 )
 

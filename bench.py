@@ -999,14 +999,22 @@ def main() -> None:
     import string as _string
 
     _lo, _up = _string.ascii_lowercase, _string.ascii_uppercase
-    _sf1_docs = None
-    for _rep in range(10):
-        _rot = _lo[_rep:] + _lo[:_rep] + _up[_rep:] + _up[:_rep]
-        _part = _sp_docs1.select(
-            (F.col("doc_id") + _rep * 1_000_000).alias("doc_id"),
-            F.translate("text", _lo + _up, _rot).alias("text"),
-        )
-        _sf1_docs = _part if _sf1_docs is None else _sf1_docs.unionByName(_part)
+
+    def _rot10(df):
+        """Ten disjoint-vocabulary replicas: per-replica alphabet rotation,
+        distinct ids, every non-text column carried through unchanged."""
+        out = None
+        for _rep in range(10):
+            _rot = _lo[_rep:] + _lo[:_rep] + _up[_rep:] + _up[:_rep]
+            _part = df.select(
+                (F.col("doc_id") + _rep * 1_000_000).alias("doc_id"),
+                *[c for c in df.columns if c not in ("doc_id", "text")],
+                F.translate("text", _lo + _up, _rot).alias("text"),
+            )
+            out = _part if out is None else out.unionByName(_part)
+        return out
+
+    _sf1_docs = _rot10(_sp_docs1)
 
     def _components_probe(docs):
         pairs = dedup_ops.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
@@ -1320,6 +1328,67 @@ def main() -> None:
                 "nprobe fixed at 8: probed rows per query grow as "
                 "sqrt(n); fixed nlist on growing data is the serving "
                 "anti-pattern",
+    }
+
+    # sf1.0 rehearsal of the remaining lifecycles (VERDICT r11 item 3):
+    # the serving tiers' 10x corpora (jittered-distinct replicas of the
+    # sf0.1 vectors) ARE sf1.0 volume, so their marginal legs above are
+    # the rehearsal — record measured-vs-design agreement next to the
+    # dedup headliners. Designs differ per tier: ivf_serve probes sqrt(n)
+    # rows per query under the sqrt-n-nlist rule (predicted x3.16);
+    # graph_serve's per-query work grows with shard count, bounded LINEAR
+    # on fixed cores (the throughput contract — shard parallelism absorbs
+    # it on a cluster, local[32] caps the bound at x10). etl re-runs its
+    # lifecycle once on the disjoint-vocabulary corpus (suffix-token
+    # replicas leave pre-suffix chunks exact-dup ACROSS replicas, which
+    # measures the dedup window's collapse, not the pipeline).
+    _m1_iv, _m10_iv = (
+        min(_iv_legs1["marginal"]), min(_iv_legs10["marginal"])
+    )
+    sf1_checks["ivf_serve"] = {
+        "t_1x": _m1_iv,
+        "t_sf1": _m10_iv,
+        "measured_exponent": round(
+            math.log10(max(_m10_iv, 1e-3) / max(_m1_iv, 1e-3)), 3
+        ),
+        "design_exponent": 0.5,
+        "measured_over_predicted": round(
+            _m10_iv / max(_m1_iv * 10.0 ** 0.5, 1e-3), 3
+        ),
+        "note": "marginal 6k-query serve legs (same instrument as "
+                "scale_probe.ivf_serve); design sqrt(n) via sqrt-n nlist",
+    }
+    _m1_g, _m10_g = (
+        min(_gs_legs1["marginal"]), min(_gs_legs10["marginal"])
+    )
+    sf1_checks["graph_serve"] = {
+        "t_1x": _m1_g,
+        "t_sf1": _m10_g,
+        "measured_exponent": round(
+            math.log10(max(_m10_g, 1e-3) / max(_m1_g, 1e-3)), 3
+        ),
+        "design_exponent": 1.0,
+        "measured_over_predicted": round(
+            _m10_g / max(_m1_g * 10.0, 1e-3), 3
+        ),
+        "note": "marginal 300-query serve legs; linear BOUND on fixed "
+                "cores (throughput contract: shard parallelism absorbs "
+                "the growth when executors scale with data)",
+    }
+    _t1_etl = scale_probe["etl_pipeline"]["t_1x"]
+    _t_sf1_etl = _noop_time(lambda: _etl_probe(_rot10(_etl_docs1)))
+    sf1_checks["etl_pipeline"] = {
+        "t_1x": _t1_etl,
+        "t_sf1": _t_sf1_etl,
+        "measured_exponent": round(
+            math.log10(max(_t_sf1_etl, 1e-3) / max(_t1_etl, 1e-3)), 3
+        ),
+        "design_exponent": 1.0,
+        "measured_over_predicted": round(
+            _t_sf1_etl / max(_t1_etl * 10.0, 1e-3), 3
+        ),
+        "note": "clean->chunk->dedup->embed once at 10x disjoint-"
+                "vocabulary volume; per-document parallelism => linear",
     }
 
     import shutil

@@ -354,6 +354,15 @@ def test_bench_compact_carries_new_telemetry_under_budget():
         "recommend_compact_before": True, "recommend_compact_after": False,
         "derived_add_shards": 9, "note": "x",
     }
+    # r12 widens sf1_checks to six rows (three dedup headliners + the two
+    # serve tiers + etl); the compact line keeps one scalar per row
+    real["sf1_checks"] = dict(real.get("sf1_checks") or {})
+    for extra in ("ivf_serve", "graph_serve", "etl_pipeline"):
+        real["sf1_checks"][extra] = {
+            "t_1x": 1.0, "t_sf1": 3.0, "measured_exponent": 0.48,
+            "design_exponent": 1.0, "measured_over_predicted": 0.3,
+            "note": "x",
+        }
     line = bench.compact_record(real)
     assert len(line) <= bench.COMPACT_BUDGET
     parsed = json.loads(line)

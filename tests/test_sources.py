@@ -200,6 +200,84 @@ def test_subprocess_tier_falls_back_to_cfb_on_failure(tmp_path):
     assert out["error"] is None
 
 
+def test_pyhwpx_middle_tier_cascade_order(monkeypatch, tmp_path):
+    """S4 tier (b): with a stubbed pyhwpx module the cascade runs
+    hwp5txt -> pyhwpx -> CFB exactly like the reference's tier selection
+    (hwp_loader.py:25-40): pyhwpx serves when the subprocess tier is
+    absent or fails, and a pyhwpx failure falls through to CFB. Each
+    row records its serving tier in `method`."""
+    import sys
+    import types
+
+    from vectordb_etl_spark.sources import hwp as hwp_mod
+
+    class FakeHwp:
+        def open(self, path):
+            self._path = path
+
+        def get_text(self):
+            return "text from pyhwpx"
+
+        def get_doc_info(self):
+            return {"title": "T", "author": "A", "subject": None,
+                    "keywords": ""}
+
+        def quit(self):
+            pass
+
+    fake = types.ModuleType("pyhwpx")
+    fake.Hwp = FakeHwp
+    monkeypatch.setitem(sys.modules, "pyhwpx", fake)
+    assert hwp_mod.pyhwpx_hwp_class() is FakeHwp
+
+    data = make_hwp(["cfb tier text"])
+    # no hwp5txt -> pyhwpx serves, doc_info metadata mapped (''/None -> None)
+    out = hwp_mod._extract_any(data, None, FakeHwp)
+    assert out["method"] == "pyhwpx"
+    assert out["text"] == "text from pyhwpx"
+    assert (out["title"], out["author"]) == ("T", "A")
+    assert out["subject"] is None and out["keywords"] is None
+    assert out["n_sections"] == -1 and out["error"] is None
+
+    # hwp5txt present and working -> it wins over pyhwpx
+    good = tmp_path / "hwp5txt"
+    good.write_text("#!/bin/sh\necho 'converted by hwp5txt'\n")
+    good.chmod(0o755)
+    assert hwp_mod._extract_any(data, str(good), FakeHwp)["method"] == "hwp5txt"
+
+    # failing subprocess tier falls to pyhwpx, not straight to CFB
+    bad = tmp_path / "hwp5txt_bad"
+    bad.write_text("#!/bin/sh\nexit 3\n")
+    bad.chmod(0o755)
+    assert hwp_mod._extract_any(data, str(bad), FakeHwp)["method"] == "pyhwpx"
+
+    # pyhwpx failure falls through to the CFB tier with its text
+    class BrokenHwp(FakeHwp):
+        def get_text(self):
+            raise RuntimeError("COM automation unavailable")
+
+    out = hwp_mod._extract_any(data, None, BrokenHwp)
+    assert out["method"] == "cfb"
+    assert out["text"] == "cfb tier text"
+
+    # no doc_info on the installed pyhwpx -> CFB property-set best-effort
+    class NoInfoHwp:
+        def open(self, path):
+            pass
+
+        def get_text(self):
+            return "text from pyhwpx"
+
+        def quit(self):
+            pass
+
+    with_meta = make_hwp(["cfb tier text"], title="cfb title")
+    out = hwp_mod._extract_any(with_meta, None, NoInfoHwp)
+    assert out["method"] == "pyhwpx"
+    assert out["text"] == "text from pyhwpx"
+    assert out["title"] == "cfb title"  # recovered from the summary stream
+
+
 def test_hwp5txt_binary_ungated(monkeypatch):
     from vectordb_etl_spark.sources.hwp import hwp5txt_binary
 

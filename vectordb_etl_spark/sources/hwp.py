@@ -435,47 +435,128 @@ HWP_STRUCT = StructType(
         StructField("keywords", StringType()),
         StructField("n_sections", IntegerType()),
         StructField("error", StringType()),
+        # which cascade tier produced the row ('hwp5txt'|'pyhwpx'|'cfb'|
+        # 'hwpx'; NULL on error rows) — the 100 TB audit column for
+        # extraction-quality drift across environments
+        StructField("method", StringType()),
     ]
 )
 
 # Per-file failure contract: the reference tries hwp5txt-subprocess →
-# pyhwpx → olefile (modules/hwp_loader.py:48-87) and a file that defeats
-# the pure-Python scan would fall through to the subprocess tiers. Those
-# tiers are deliberately NOT replicated (a per-row subprocess with a 60 s
-# timeout, hwp_loader.py:67, is not distributable); instead a failure is
+# pyhwpx → olefile (modules/hwp_loader.py:25-40 tier selection, 48-124
+# extractors). All three tiers exist here — (a) the hwp5txt subprocess and
+# (b) pyhwpx are ENV-GATED (converter binary on PATH / package importable;
+# neither ships in a stock Spark image), (c) the pure-Python CFB scan
+# always runs. A file that defeats every available tier has its failure
 # RECORDED per row — empty text plus an ``error`` tag
 # ('parse_error:<ExcName>' / 'unknown_format' / 'empty') — so a 100 TB run
-# can audit exactly which files would have needed the fallback
-# (``df.filter(col('parsed.error').isNotNull())``) instead of silently
-# dropping them at the min-viability filter. One bad file fails its row,
-# never the task.
+# can audit exactly which files failed
+# (``df.filter(col('parsed.error').isNotNull())``) and which tier served
+# each row (``col('parsed.method')``) instead of silently dropping them at
+# the min-viability filter. One bad file fails its row, never the task.
 
 
-def _extract_any(data: bytes, hwp5txt: str | None = None) -> dict:
+def pyhwpx_hwp_class():
+    """Resolve the optional pyhwpx middle tier (reference
+    hwp_loader.py:32-34): the ``Hwp`` automation class when the package is
+    importable, else None (the common case — pyhwpx drives the Hangul
+    desktop application, so it only exists on provisioned Windows
+    executors)."""
+    try:
+        from pyhwpx import Hwp  # type: ignore[import-not-found]
+
+        return Hwp
+    except Exception:
+        return None
+
+
+def extract_hwp_pyhwpx(data: bytes, hwp_cls) -> dict:
+    """Reference tier (b): pyhwpx ``Hwp().open → get_text → get_doc_info →
+    quit`` (modules/hwp_loader.py:89-124). File-based like the subprocess
+    tier, so bytes spool to a temp file per row. Raises on any failure —
+    callers fall through to the pure-CFB tier, the same cascade contract
+    as hwp5txt. Metadata comes from ``get_doc_info`` when the installed
+    pyhwpx exposes it (the reference hasattr-guards it too), else
+    best-effort from the CFB property-set stream."""
+    tf = tempfile.NamedTemporaryFile(suffix=".hwp", delete=False)
+    try:
+        with tf:
+            tf.write(data)
+        hwp = hwp_cls()
+        try:
+            hwp.open(tf.name)
+            text = hwp.get_text()
+            meta = {
+                "title": None, "author": None,
+                "subject": None, "keywords": None,
+            }
+            if hasattr(hwp, "get_doc_info"):
+                info = hwp.get_doc_info() or {}
+                for k in meta:
+                    meta[k] = info.get(k) or None
+            else:
+                try:
+                    meta = _summary_metadata(CompoundFile(data))
+                except Exception:
+                    pass
+        finally:
+            try:
+                hwp.quit()
+            except Exception:
+                pass
+        return {
+            "text": text,
+            **meta,
+            "n_sections": -1,  # automation API does not expose section count
+        }
+    finally:
+        try:
+            os.unlink(tf.name)
+        except OSError:
+            pass
+
+
+def _extract_any(
+    data: bytes, hwp5txt: str | None = None, pyhwpx_hwp=None
+) -> dict:
     ok = {"error": None}
     try:
         if data[:8] == CFB_MAGIC:
             if hwp5txt is not None:
-                # reference tier order: subprocess first, CFB scan on failure
+                # reference tier order: subprocess first (most accurate,
+                # hwp_loader.py:48), pyhwpx next, CFB scan on failure
                 try:
-                    return {**extract_hwp_subprocess(data, hwp5txt), **ok}
+                    return {
+                        **extract_hwp_subprocess(data, hwp5txt),
+                        **ok, "method": "hwp5txt",
+                    }
                 except Exception:
                     pass
-            return {**extract_hwp(data), **ok}
+            if pyhwpx_hwp is not None:
+                try:
+                    return {
+                        **extract_hwp_pyhwpx(data, pyhwpx_hwp),
+                        **ok, "method": "pyhwpx",
+                    }
+                except Exception:
+                    pass
+            return {**extract_hwp(data), **ok, "method": "cfb"}
         if data[:2] == b"PK":
-            return {**extract_hwpx(data), **ok}
+            return {**extract_hwpx(data), **ok, "method": "hwpx"}
         err = "empty" if not data else "unknown_format"
     except Exception as e:  # corrupt stream/zip: record, don't fail the task
         err = f"parse_error:{type(e).__name__}"
     return {"text": "", "title": None, "author": None, "subject": None,
-            "keywords": None, "n_sections": 0, "error": err}
+            "keywords": None, "n_sections": 0, "error": err, "method": None}
 
 
 @F.pandas_udf(HWP_STRUCT)
 def extract_hwp_udf(content: pd.Series) -> pd.DataFrame:
-    hwp5txt = hwp5txt_binary()  # resolved once per Arrow batch, executor-side
+    # both optional tiers resolved once per Arrow batch, executor-side
+    hwp5txt = hwp5txt_binary()
+    pyhwpx_hwp = pyhwpx_hwp_class()
     rows = [
-        _extract_any(bytes(b) if b is not None else b"", hwp5txt)
+        _extract_any(bytes(b) if b is not None else b"", hwp5txt, pyhwpx_hwp)
         for b in content
     ]
     return pd.DataFrame(rows)
