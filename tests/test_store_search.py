@@ -45,6 +45,101 @@ def test_collection_stats(store):
     assert sum(stats.values()) == 40
 
 
+def test_collection_stats_served_from_manifest_zero_jobs(
+    spark, docs_tiny, tmp_path, monkeypatch
+):
+    """A11 at 100 TB: counts come from the _stats manifest maintained by
+    the sinks (the parquet twin of Milvus num_entities' segment metadata,
+    milvus_store.py:387-406) — the manifest path launches ZERO Spark scan
+    jobs and tracks insert deltas, upsert totals and drops exactly."""
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    docs = docs_tiny.select(
+        "doc_id", "source", F.col("source").alias("folder_name"), "text",
+        F.lit("english").alias("language"),
+    ).limit(20)
+    store.insert_documents(docs, embedding_config=EMB)
+    expected = store.collection_stats(use_manifest=False)  # scan truth
+    assert sum(expected.values()) == 20
+
+    def _no_jobs(*a, **k):
+        raise AssertionError("manifest path must not launch a scan")
+
+    monkeypatch.setattr(CollectionStore, "read", _no_jobs)
+    assert store.collection_stats() == expected
+    one = next(iter(expected))
+    assert store.collection_stats(one) == {one: expected[one]}
+    assert store.collection_stats("nope") == {}
+    monkeypatch.undo()
+
+    # append delta folds in without a scan
+    more = docs.limit(5)
+    store.insert_documents(more, embedding_config=EMB)
+    after = store.collection_stats(use_manifest=False)
+    monkeypatch.setattr(CollectionStore, "read", _no_jobs)
+    assert store.collection_stats() == after
+    assert sum(after.values()) == 25
+    monkeypatch.undo()
+
+    # upsert overlays post-merge totals (5 rows re-keyed, no growth)
+    store.upsert_documents(more, key_col="doc_id", embedding_config=EMB)
+    merged = store.collection_stats(use_manifest=False)
+    monkeypatch.setattr(CollectionStore, "read", _no_jobs)
+    assert store.collection_stats() == merged
+    monkeypatch.undo()
+
+    # drop removes the key from the manifest
+    store.drop_collection(one)
+    monkeypatch.setattr(CollectionStore, "read", _no_jobs)
+    stats = store.collection_stats()
+    assert one not in stats
+    monkeypatch.undo()
+    assert stats == store.collection_stats(use_manifest=False)
+
+
+def test_collection_stats_manifest_staleness_guards(
+    spark, docs_tiny, tmp_path, monkeypatch
+):
+    """The manifest must refuse to serve when it can be wrong: the
+    streaming fast path (count_rows=False) invalidates it, an
+    out-of-band partition directory fails the set cross-check — both
+    fall back to the scan, which self-heals the manifest."""
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    docs = docs_tiny.select(
+        "doc_id", "source", F.lit("f1").alias("folder_name"), "text",
+        F.lit("english").alias("language"),
+    ).limit(10)
+    store.insert_documents(docs, embedding_config=EMB)
+    assert store._latest_stats_counts() == {"html_f1": 10}
+
+    # streaming fast path: unknown delta -> manifest marked invalid
+    store.insert_documents(
+        docs.limit(3), embedding_config=EMB, count_rows=False
+    )
+    assert store._latest_stats_counts() is None
+    assert store.collection_stats() == {"html_f1": 13}  # scan fallback
+    assert store._latest_stats_counts() == {"html_f1": 13}  # self-healed
+
+    def _no_jobs(*a, **k):
+        raise AssertionError("manifest path must not launch a scan")
+
+    monkeypatch.setattr(CollectionStore, "read", _no_jobs)
+    assert store.collection_stats() == {"html_f1": 13}
+    monkeypatch.undo()
+
+    # out-of-band write: a partition dir the manifest has never seen
+    docs.limit(2).withColumn("collection", F.lit("html_rogue")).write.mode(
+        "append"
+    ).partitionBy("collection").parquet(store._data_dir)
+    stats = store.collection_stats()  # set mismatch -> scan + re-seed
+    assert stats == {"html_f1": 13, "html_rogue": 2}
+    monkeypatch.setattr(CollectionStore, "read", _no_jobs)
+    assert store.collection_stats() == stats
+
+
 def test_partition_pruning_on_named_collection(store):
     name = store.list_collections()[0]
     plan = store.read(name)._jdf.queryExecution().executedPlan().toString()

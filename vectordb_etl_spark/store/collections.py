@@ -20,6 +20,7 @@ to absolute local paths, preserving the local behavior.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -235,6 +236,13 @@ class CollectionStore:
         ]
         for t in targets:
             checked_delete(fs, self._jpath(t))
+        self._update_stats(
+            lambda prev, n=name: (
+                {k: v for k, v in prev.items() if k != n}
+                if prev is not None
+                else None
+            )
+        )
 
     def vacuum(self, grace_s: float = 900.0) -> list[str]:
         """Delete orphaned work directories (.upsert-/.old-/.compact-/
@@ -355,7 +363,24 @@ class CollectionStore:
             self._warn_pre_rule_partitions(counts)
         if embed and "embedding" not in df.columns:
             df = with_embeddings(df, config=embedding_config)
+        # seed decision BEFORE the write: a first insert into an empty
+        # warehouse can seed the stats manifest even with no prior manifest
+        fresh = not self._fs(self._data_dir).exists(self._jpath(self._data_dir))
         df.write.mode(mode).partitionBy("collection").parquet(self._data_dir)
+        if not count_rows:
+            # unknown delta (streaming fast path skips the count job):
+            # mark the manifest stale rather than serving drifting numbers
+            self._update_stats(lambda _prev: None)
+        elif mode != "append":
+            self._update_stats(lambda _prev: counts)  # overwrite = totals
+        else:
+            self._update_stats(
+                lambda prev, c=counts, f=fresh: (
+                    {**prev, **{k: prev.get(k, 0) + v for k, v in c.items()}}
+                    if prev is not None
+                    else (c if f else None)
+                )
+            )
         return counts
 
     def upsert_documents(
@@ -440,6 +465,11 @@ class CollectionStore:
             checked_rename(fs, self._jpath(staging), self._jpath(part_dir))
             checked_delete(fs, self._jpath(aside))
             counts[name] = self.spark.read.parquet(part_dir).count()
+        # upsert counts are post-merge TOTALS for the affected collections —
+        # overlay them; unaffected collections keep their manifest numbers
+        self._update_stats(
+            lambda prev, c=counts: {**prev, **c} if prev is not None else None
+        )
         return counts
 
     # -- scans ---------------------------------------------------------------
@@ -684,12 +714,150 @@ class CollectionStore:
 
     # -- A11: stats ------------------------------------------------------------
 
-    def collection_stats(self, collection: str | None = None) -> dict[str, int]:
-        """Row counts per collection (milvus_store.py:374-406) — one
-        partition-column-only aggregation (metadata-cheap scan)."""
-        df = self.read(collection)
-        rows = df.groupBy("collection").count().collect()
-        return {r["collection"]: r["count"] for r in rows}
+    # -- A11 stats manifest ----------------------------------------------------
+    #
+    # Milvus serves num_entities from segment METADATA, not a scan
+    # (milvus_store.py:387-406 calls collection.num_entities). The parquet
+    # twin of that is a tiny versioned count manifest under
+    # ``<warehouse>/_stats/``, maintained transactionally by this store's
+    # own mutating API (insert/upsert/drop) with the same rename-if-absent
+    # optimistic commit as store/snapshots.py — so collection_stats is a
+    # driver-side JSON read, ZERO Spark jobs, instead of a per-call scan
+    # job over the partition column (which at 100 TB file counts is a real
+    # listing+footer pass every time someone asks "how many rows").
+    # Out-of-band writes (direct parquet into the data dir) are detected
+    # by cross-checking the manifest's collection SET against the
+    # partition listing; in-place row changes outside this API are not
+    # detectable and such writers must call refresh via
+    # collection_stats(use_manifest=False) (which self-heals the
+    # manifest from its scan).
+
+    @property
+    def _stats_dir(self) -> str:
+        return f"{self._root}/_stats"
+
+    def _stats_versions(self, fs) -> list[int]:
+        d = self._jpath(self._stats_dir)
+        if not fs.exists(d):
+            return []
+        out = []
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.endswith(".json") and not name.startswith("."):
+                try:
+                    out.append(int(name[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _read_stats(self, fs, version: int) -> dict:
+        stream = fs.open(self._jpath(f"{self._stats_dir}/{version}.json"))
+        try:
+            # JVM-side read (commons-io ships with Spark): py4j does not
+            # copy mutations back into a Python bytearray buffer
+            text = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    def _try_commit_stats(self, fs, version: int, manifest: dict) -> bool:
+        fs.mkdirs(self._jpath(self._stats_dir))
+        tmp = self._jpath(
+            f"{self._stats_dir}/.tmp-{version}-{time.time_ns()}.json"
+        )
+        out = fs.create(tmp, False)
+        try:
+            out.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
+        finally:
+            out.close()
+        dest = self._jpath(f"{self._stats_dir}/{version}.json")
+        if fs.exists(dest):
+            fs.delete(tmp, False)
+            return False
+        ok = fs.rename(tmp, dest)
+        if not ok:
+            fs.delete(tmp, False)
+        return bool(ok)
+
+    def _latest_stats_counts(self) -> dict[str, int] | None:
+        """Counts from the newest manifest, or None when absent/invalid."""
+        fs = self._fs(self._root)
+        vs = self._stats_versions(fs)
+        if not vs:
+            return None
+        m = self._read_stats(fs, vs[-1])
+        return dict(m["collections"]) if m.get("valid", True) else None
+
+    def _update_stats(self, fn) -> None:
+        """Optimistic commit loop: ``fn(prev_counts | None) -> counts |
+        None`` rebased on the latest manifest each retry (a lost rename
+        race re-applies the delta onto whatever won). ``None`` out marks
+        the manifest invalid; best-effort — a stats failure must never
+        fail the write that produced the rows."""
+        try:
+            fs = self._fs(self._root)
+            while True:
+                vs = self._stats_versions(fs)
+                prev = None
+                if vs:
+                    m = self._read_stats(fs, vs[-1])
+                    prev = (
+                        dict(m["collections"])
+                        if m.get("valid", True)
+                        else None
+                    )
+                new = fn(prev)
+                if new is None and prev is None:
+                    return  # already invalid/absent — no marker churn
+                version = (vs[-1] + 1) if vs else 0
+                manifest = (
+                    {"version": version, "valid": False}
+                    if new is None
+                    else {
+                        "version": version,
+                        "valid": True,
+                        "collections": {k: int(v) for k, v in new.items()},
+                    }
+                )
+                if self._try_commit_stats(fs, version, manifest):
+                    return
+        except Exception:  # noqa: BLE001 — telemetry only, never fail a write
+            pass
+
+    def collection_stats(
+        self, collection: str | None = None, use_manifest: bool = True
+    ) -> dict[str, int]:
+        """Row counts per collection (milvus_store.py:374-406 — Milvus
+        reads collection.num_entities, segment metadata, not a scan).
+        Served from the ``_stats`` manifest when it is valid AND its
+        collection set matches the partition listing (one FS listing, zero
+        Spark jobs); otherwise one partition-column aggregation scan,
+        whose result self-heals the manifest for the next call. Pass
+        ``use_manifest=False`` to force the scan (and re-seed the
+        manifest) after out-of-band writes."""
+        if use_manifest:
+            counts = self._latest_stats_counts()
+            if counts is not None and set(counts) == set(
+                self.list_collections()
+            ):
+                if collection is not None:
+                    return (
+                        {collection: counts[collection]}
+                        if collection in counts
+                        else {}
+                    )
+                return counts
+        if collection is not None:
+            # partition-pruned scan; a single-collection ask must never
+            # pay a warehouse-wide pass, so no full re-seed here
+            rows = self.read(collection).groupBy("collection").count().collect()
+            return {r["collection"]: r["count"] for r in rows}
+        rows = self.read(None).groupBy("collection").count().collect()
+        counts = {r["collection"]: r["count"] for r in rows}
+        self._update_stats(lambda _prev: counts)  # self-heal for next call
+        return counts
 
     def dynamic_field_stats(
         self, collection: str | None = None, meta_col: str = "meta"
