@@ -1556,12 +1556,21 @@ def rotation_age(names) -> dict:
         spec.loader.exec_module(mod)
         _, last, _ = mod.rotation_order(list(names))
         checked = [v for v in last.values() if v > 0]
+        n = len(last)
         return {
             "oldest": min(checked) if checked else 0,
             "never": sum(1 for v in last.values() if v == 0),
+            # pigeonhole bound: stalest-first ordering + a head-50 driver
+            # window means every query is re-checked within ceil(N/50)
+            # rounds — the structural worst-case age (r12: 194 -> 4).
+            # Shrinking it below 4 needs a wider driver window, not a
+            # different pick rule; the rotation is already optimal per
+            # round (tests/test_lint.py pins the stalest-tier ordering)
+            "cycle": -(-n // 50) if n else 0,
         }
     except Exception:
-        return {"oldest": -1, "never": -1}  # telemetry must not fail bench
+        # telemetry must not fail bench
+        return {"oldest": -1, "never": -1, "cycle": -1}
 
 
 def compact_record(full: dict) -> str:

@@ -271,6 +271,51 @@ def test_rotation_order_invariants_on_random_histories(tmp_path):
         assert order == reds + never + rest
 
 
+def test_rotation_cycle_bound_every_query_checked_within_ceil(tmp_path):
+    """Worst-case staleness is structural (VERDICT r11 item 7): with the
+    stalest-first pick and a head-50 driver window, EVERY query is
+    re-checked within ceil(N/50) rounds — simulate the driver loop from
+    a cold start and assert the bound holds exactly, and that
+    bench.rotation_age reports the same cycle bound."""
+    import json
+    import sys
+
+    tools = str(Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from plan_rotation import rotation_order
+
+    names = [f"q{i:03d}" for i in range(194)]
+    cycle = -(-len(names) // 50)  # 4
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    checked_round: dict[str, int] = {}
+    first_checked: dict[str, int] = {}
+    for rnd in range(1, 2 * cycle + 1):
+        order, _, _ = rotation_order(names, rounds_dir=tmp_path)
+        head = order[:50]
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps({q: green for q in head})
+        )
+        for q in head:
+            prev = checked_round.get(q)
+            if prev is not None:
+                assert rnd - prev <= cycle, (q, prev, rnd)
+            first_checked.setdefault(q, rnd)
+            checked_round[q] = rnd
+    # cold start: everything seen within the first cycle...
+    assert all(first_checked[q] <= cycle for q in names)
+    # ...and the second cycle re-checked everything (no starvation)
+    assert all(checked_round[q] > cycle for q in names)
+
+    sys.path.insert(0, str(PKG.parent))
+    import bench
+
+    import __spark_entry__ as em
+
+    age = bench.rotation_age(list(em.queries()))
+    assert age["cycle"] == -(-len(em._QUERIES) // 50)
+
+
 def test_bench_noise_comparator_flags_uniform_drift():
     """VERDICT r10 item 5: uniform same-direction drift = host load, not
     plans — the flag must fire on >=80% same-direction rows and stay off
@@ -345,7 +390,7 @@ def test_bench_compact_carries_new_telemetry_under_budget():
         "n_common": 22, "vs": "BENCH_r10",
         "ratios": {f"q{i}": 1.18 for i in range(22)},
     }
-    real["rotation_age"] = {"oldest": 7, "never": 2}
+    real["rotation_age"] = {"oldest": 7, "never": 2, "cycle": 4}
     real["graph_serve_skew"] = {
         "t_skew": 2.0, "t_balanced": 1.4, "t_compacted": 1.45,
         "penalty": 1.43, "penalty_compacted": 1.04,
@@ -371,7 +416,7 @@ def test_bench_compact_carries_new_telemetry_under_budget():
         "vs": "BENCH_r10",
     }
     assert "ratios" not in json.dumps(parsed["noise"])
-    assert parsed["rotation"] == {"oldest": 7, "never": 2}
+    assert parsed["rotation"] == {"oldest": 7, "never": 2, "cycle": 4}
     assert parsed["graph_serve_skew"] == {
         "penalty": 1.43, "skew": 10.0, "penalty_c": 1.04,
     }
