@@ -868,6 +868,47 @@ def test_graph_rebalance_hint_flags_skew_and_compact_clears_it(
     assert after["max_over_median"] < 2  # id-hash re-shard ~ uniform
 
 
+def test_store_index_rebalance_hints_sweep(spark, embeddings_tiny, tmp_path):
+    """Store-level segment-manager sweep: only graph-indexed collections
+    report, and the skewed one is the one flagged."""
+    from pyspark.sql import functions as SF
+
+    from vectordb_etl_spark.config import StoreConfig
+    from vectordb_etl_spark.store.collections import CollectionStore
+
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    docs = embeddings_tiny.select(
+        F.col("vec_id").alias("chunk_id"),
+        F.lit("t").alias("text"),
+        F.when(F.col("vec_id") % 2 == 0, "even").otherwise("odd").alias(
+            "folder_name"
+        ),
+        "embedding",
+    )
+    store.insert_documents(docs, embed=False)
+    # 'even' gets a skewed index (one big segment + tiny add batches),
+    # 'odd' gets none at all
+    idx = store.open_index("html_even", kind="graph")
+    even = store.read("html_even").select(
+        F.col("chunk_id").alias("vec_id"), "embedding"
+    )
+    idx.build(even.filter(SF.col("vec_id") < 400), num_shards=1, m=8,
+              ef_construction=32)
+    rest = even.filter(SF.col("vec_id") >= 400)
+    idx.add(rest, m=8, ef_construction=32,
+            target_rows_per_shard=max(1, rest.count() // 5))
+    hints = store.index_rebalance_hints()
+    assert set(hints) == {"html_even"}
+    assert hints["html_even"]["recommend_compact"] is True
+    # explicit ratio override threads through
+    loose = store.index_rebalance_hints(
+        ratio=hints["html_even"]["max_over_median"] + 1
+    )
+    assert loose["html_even"]["recommend_compact"] is False
+
+
 def test_ivf_pq_residual_search_many_matches_single(spark, embeddings_tiny, tmp_path):
     """The batched serve path composes with residual storage: search_many
     returns exactly N independent search() results over centroid-add-back

@@ -712,7 +712,26 @@ class CollectionStore:
             )
         raise ValueError(f"unknown index kind {kind!r}")
 
-    # -- A11: stats ------------------------------------------------------------
+    def index_rebalance_hints(
+        self, collections: list[str] | None = None, ratio: float | None = None
+    ) -> dict[str, dict]:
+        """Segment-manager sweep (the Milvus compaction-trigger analog —
+        milvus_store.py:232 flush/seal lifecycle): per collection that has
+        a graph index, its ``rebalance_hint`` telemetry. A warehouse
+        maintenance job filters on ``recommend_compact`` and runs
+        ``open_index(name, 'graph').compact()`` on the flagged ones. Cost:
+        one partition-column-only count per indexed collection."""
+        names = (
+            collections if collections is not None else self.list_collections()
+        )
+        out: dict[str, dict] = {}
+        for n in names:
+            ipath = self._index_path(n, "graph")
+            if self._fs(ipath).exists(self._jpath(ipath)):
+                out[n] = self.open_index(n, kind="graph").rebalance_hint(
+                    ratio=ratio
+                )
+        return out
 
     # -- A11 stats manifest ----------------------------------------------------
     #
