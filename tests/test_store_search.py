@@ -138,6 +138,17 @@ def test_collection_stats_manifest_staleness_guards(
     assert stats == {"html_f1": 13, "html_rogue": 2}
     monkeypatch.setattr(CollectionStore, "read", _no_jobs)
     assert store.collection_stats() == stats
+    monkeypatch.undo()
+
+    # retention: heavy mutation traffic never accumulates unbounded
+    # manifest files (pruned to the keep window at each commit)
+    from vectordb_etl_spark.store.collections import _STATS_KEEP_VERSIONS
+
+    for _ in range(_STATS_KEEP_VERSIONS + 5):
+        store._update_stats(lambda prev: dict(prev) if prev else {"x": 1})
+    fs = store._fs(store._root)
+    assert len(store._stats_versions(fs)) <= _STATS_KEEP_VERSIONS
+    assert store._latest_stats_counts() is not None  # latest survives
 
 
 def test_partition_pruning_on_named_collection(store):

@@ -107,6 +107,11 @@ def collection_name_col(prefix: str, folder_col):
     ).otherwise(F.concat_ws("_", F.lit(prefix), clean))
 
 
+# stats-manifest retention: versions beyond this many are pruned at commit
+# (no time-travel value in count telemetry; the window is reader slack)
+_STATS_KEEP_VERSIONS = 20
+
+
 def checked_rename(fs, src, dst) -> None:
     """Hadoop ``FileSystem.rename`` reports failure by RETURNING FALSE, not
     by raising — an unchecked call can silently skip a swap step and leave
@@ -798,7 +803,15 @@ class CollectionStore:
         ok = fs.rename(tmp, dest)
         if not ok:
             fs.delete(tmp, False)
-        return bool(ok)
+            return False
+        # prune: unlike the snapshot log, old stats manifests carry no
+        # time-travel value — without pruning an insert-heavy warehouse
+        # accumulates one tiny file per mutation forever. Keep a window
+        # (readers open the latest; 20 commits of slack covers any
+        # reader that listed versions just before this commit)
+        for v in self._stats_versions(fs)[:-_STATS_KEEP_VERSIONS]:
+            fs.delete(self._jpath(f"{self._stats_dir}/{v}.json"), False)
+        return True
 
     def _latest_stats_counts(self) -> dict[str, int] | None:
         """Counts from the newest manifest, or None when absent/invalid."""
