@@ -1240,7 +1240,7 @@ def main() -> None:
         return min(ts)
 
     _t_skew, _t_bal = _t_serve_skew(_gskew), _t_serve_skew(_gbal)
-    _med_shard = _skew_sizes[len(_skew_sizes) // 2]
+    _med_shard = _skew_sizes[(len(_skew_sizes) - 1) // 2]  # lower median, as rebalance_hint
     # third leg (VERDICT r11 item 1): close the compaction loop — the
     # index itself must SAY it needs compacting (rebalance_hint), and
     # compact() must actually remove the tail-shard penalty, not just

@@ -868,6 +868,31 @@ def test_graph_rebalance_hint_flags_skew_and_compact_clears_it(
     assert after["max_over_median"] < 2  # id-hash re-shard ~ uniform
 
 
+def test_graph_rebalance_hint_two_segment_lifecycle(
+    spark, embeddings_tiny, tmp_path
+):
+    """The MINIMAL append lifecycle — one oversized base segment plus one
+    add() batch — must still flag. This pins the lower-median choice:
+    with an even shard count the upper median IS the oversized segment,
+    so max/median would read 1.0 and the hint could never fire on
+    exactly the layout it exists for."""
+    from vectordb_etl_spark.operators.graph_ann import GraphANNIndex
+
+    idx = GraphANNIndex(spark, str(tmp_path / "graph_two")).build(
+        embeddings_tiny.filter(F.col("vec_id") % 10 != 0),  # ~90% as ONE segment
+        num_shards=1, m=8, ef_construction=32,
+    )
+    rest = embeddings_tiny.filter(F.col("vec_id") % 10 == 0)
+    idx.add(rest, m=8, ef_construction=32,
+            target_rows_per_shard=rest.count())  # exactly ONE add shard
+    sizes = sorted(idx.shard_sizes().values())
+    assert len(sizes) == 2
+    hint = idx.rebalance_hint()
+    assert hint["median_shard"] == sizes[0]  # lower median, not the max
+    assert hint["max_over_median"] > 4
+    assert hint["recommend_compact"] is True
+
+
 def test_store_index_rebalance_hints_sweep(spark, embeddings_tiny, tmp_path):
     """Store-level segment-manager sweep: only graph-indexed collections
     report, and the skewed one is the one flagged."""

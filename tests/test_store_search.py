@@ -151,6 +151,36 @@ def test_collection_stats_manifest_staleness_guards(
     assert store._latest_stats_counts() is not None  # latest survives
 
 
+def test_collection_stats_survives_corrupt_manifest(
+    spark, docs_tiny, tmp_path
+):
+    """A half-visible or hand-damaged latest manifest (object-store
+    'rename' is a non-atomic copy) must degrade to the scan — never
+    raise — and the scan's self-heal must commit a NEW version past the
+    bad file (commits are rename-if-absent, so the bad file itself can
+    never be rewritten in place)."""
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    docs = docs_tiny.select(
+        "doc_id", "source", F.lit("f1").alias("folder_name"), "text",
+        F.lit("english").alias("language"),
+    ).limit(10)
+    store.insert_documents(docs, embedding_config=EMB)
+    fs = store._fs(store._root)
+    v0 = store._stats_versions(fs)[-1]
+    with open(f"{store._root}/_stats/{v0}.json", "w") as f:
+        f.write('{"version": 0, "valid": true, "collections": {trunc')
+    assert store._latest_stats_counts() is None  # degrade, don't raise
+    assert store.collection_stats() == {"html_f1": 10}  # scan fallback
+    vs = store._stats_versions(fs)
+    assert vs[-1] > v0  # self-heal superseded the corrupt version
+    assert store._latest_stats_counts() == {"html_f1": 10}
+    # a mutation on top of the healed manifest folds normally again
+    store.insert_documents(docs.limit(2), embedding_config=EMB)
+    assert store._latest_stats_counts() == {"html_f1": 12}
+
+
 def test_partition_pruning_on_named_collection(store):
     name = store.list_collections()[0]
     plan = store.read(name)._jdf.queryExecution().executedPlan().toString()

@@ -659,7 +659,12 @@ class GraphANNIndex:
         sizes = sorted(self.shard_sizes().values())
         if not sizes:
             raise ValueError(f"rebalance_hint: empty index at {self.path}")
-        median = sizes[len(sizes) // 2]
+        # lower median: with an even shard count the upper median can BE the
+        # oversized segment (the 2-segment base+add() lifecycle this hint
+        # exists for would report max/median == 1.0 and never flag), so err
+        # toward the small side — overstating skew only risks an early
+        # compact, understating it hides the memory high-water mark.
+        median = sizes[(len(sizes) - 1) // 2]
         mom = sizes[-1] / max(median, 1)
         return {
             "n_shards": len(sizes),

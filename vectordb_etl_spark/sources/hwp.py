@@ -21,11 +21,17 @@ pure-CFB tier runs alone. Per-row subprocess cost is real — enable it only
 for corpora where the whitelist scan measurably under-extracts.
 
 The reference's MIDDLE tier — pyhwpx (modules/hwp_loader.py:89-124) — is
-deliberately NOT replicated: pyhwpx drives the Hangul word processor via
-Windows COM automation, which has no distributable (or non-Windows)
-equivalent; its one unique output, the doc-info metadata dict
-(title/author/subject/keywords, hwp_loader.py:108-113), is recovered
-instead from the \\x05HwpSummaryInformation property-set stream
+replicated behind an IMPORT gate (:func:`pyhwpx_hwp_class` /
+:func:`extract_hwp_pyhwpx`): pyhwpx drives the Hangul word processor via
+Windows COM automation, so the package is importable only on Windows
+executors with HWP installed — everywhere else the resolver returns None
+and the cascade falls straight through, exactly like the absent-binary
+case of the subprocess tier. The cascade order matches the reference
+(hwp5txt subprocess → pyhwpx → pure-CFB scan), each row records which
+tier produced it in the ``method`` column, and the doc-info metadata
+dict pyhwpx uniquely provides (title/author/subject/keywords,
+hwp_loader.py:108-113) is ALSO recovered on the pure-Python tier from
+the \\x05HwpSummaryInformation property-set stream
 (:func:`parse_ole_property_set`) that the same files carry.
 """
 

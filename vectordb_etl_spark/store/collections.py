@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 from vectordb_etl_spark.config import EmbeddingConfig, StoreConfig
 from vectordb_etl_spark.embeddings import with_embeddings
 from vectordb_etl_spark.functions.text import truncate_cols
+from vectordb_etl_spark.store.snapshots import (
+    manifest_versions,
+    read_manifest,
+    try_commit_manifest,
+)
 
 
 # The declared document/chunk schema — the analog of the reference's fixed
@@ -761,48 +766,17 @@ class CollectionStore:
         return f"{self._root}/_stats"
 
     def _stats_versions(self, fs) -> list[int]:
-        d = self._jpath(self._stats_dir)
-        if not fs.exists(d):
-            return []
-        out = []
-        for st in fs.listStatus(d):
-            name = st.getPath().getName()
-            if name.endswith(".json") and not name.startswith("."):
-                try:
-                    out.append(int(name[: -len(".json")]))
-                except ValueError:
-                    continue
-        return sorted(out)
+        return manifest_versions(fs, self._jpath, self._stats_dir)
 
     def _read_stats(self, fs, version: int) -> dict:
-        stream = fs.open(self._jpath(f"{self._stats_dir}/{version}.json"))
-        try:
-            # JVM-side read (commons-io ships with Spark): py4j does not
-            # copy mutations back into a Python bytearray buffer
-            text = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        return json.loads(text)
+        return read_manifest(
+            self.spark, fs, self._jpath, self._stats_dir, version
+        )
 
     def _try_commit_stats(self, fs, version: int, manifest: dict) -> bool:
-        fs.mkdirs(self._jpath(self._stats_dir))
-        tmp = self._jpath(
-            f"{self._stats_dir}/.tmp-{version}-{time.time_ns()}.json"
-        )
-        out = fs.create(tmp, False)
-        try:
-            out.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
-        finally:
-            out.close()
-        dest = self._jpath(f"{self._stats_dir}/{version}.json")
-        if fs.exists(dest):
-            fs.delete(tmp, False)
-            return False
-        ok = fs.rename(tmp, dest)
-        if not ok:
-            fs.delete(tmp, False)
+        if not try_commit_manifest(
+            fs, self._jpath, self._stats_dir, version, manifest
+        ):
             return False
         # prune: unlike the snapshot log, old stats manifests carry no
         # time-travel value — without pruning an insert-heavy warehouse
@@ -819,8 +793,14 @@ class CollectionStore:
         vs = self._stats_versions(fs)
         if not vs:
             return None
-        m = self._read_stats(fs, vs[-1])
-        return dict(m["collections"]) if m.get("valid", True) else None
+        try:
+            m = self._read_stats(fs, vs[-1])
+            return dict(m["collections"]) if m.get("valid", True) else None
+        except Exception:  # noqa: BLE001 — a half-copied manifest (s3a
+            # rename is a non-atomic copy) or hand-damaged JSON must
+            # degrade to the scan path, never fail the stats call; the
+            # scan's self-heal then commits a NEW version past the bad one
+            return None
 
     def _update_stats(self, fn) -> None:
         """Optimistic commit loop: ``fn(prev_counts | None) -> counts |
@@ -834,12 +814,18 @@ class CollectionStore:
                 vs = self._stats_versions(fs)
                 prev = None
                 if vs:
-                    m = self._read_stats(fs, vs[-1])
-                    prev = (
-                        dict(m["collections"])
-                        if m.get("valid", True)
-                        else None
-                    )
+                    try:
+                        m = self._read_stats(fs, vs[-1])
+                        prev = (
+                            dict(m["collections"])
+                            if m.get("valid", True)
+                            else None
+                        )
+                    except Exception:  # noqa: BLE001 — corrupt latest:
+                        # rebase on nothing but STILL commit vs[-1]+1, so
+                        # the bad file is superseded (it can never be
+                        # rewritten in place — commits are rename-if-absent)
+                        prev = None
                 new = fn(prev)
                 if new is None and prev is None:
                     return  # already invalid/absent — no marker churn
