@@ -45,7 +45,11 @@ from pyspark.sql import functions as F
 # One versioned-JSON-manifest mechanism, two users: the snapshot log below
 # and store/collections.py's ``_stats`` count manifest. Module-level so a
 # hardening fix (e.g. partial-file tolerance) lands in both. ``jpath`` is
-# the caller's str -> hadoop.fs.Path constructor.
+# the caller's str -> hadoop.fs.Path constructor. Corruption policy is the
+# CALLER's: read_manifest raises on damaged JSON — the snapshot log lets
+# that propagate (it is the source of truth for data files; silence would
+# hide loss), while the stats manifest catches it and degrades to a scan
+# (it is a derived cache the scan can always rebuild).
 
 
 def manifest_versions(fs, jpath, log_dir: str) -> list[int]:
