@@ -158,6 +158,48 @@ def test_bench_compact_line_fits_driver_window():
     assert parsed2["n_queries"] == len(patho["queries"])
 
 
+def test_compact_record_fits_budget_property():
+    """Property over arbitrary payload inflation: compact_record must
+    ALWAYS emit a parseable line within the driver window (an
+    over-budget line records as a null BENCH), with the scalar
+    identity fields (value, n_queries) intact no matter how much the
+    trimmable containers grew."""
+    import json
+    import sys
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sys.path.insert(0, str(PKG.parent))
+    import bench
+
+    real = json.loads((PKG.parent / "bench_full.json").read_text())
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        nq=st.integers(0, 300), qlen=st.integers(1, 80),
+        n_probe=st.integers(0, 40), plen=st.integers(1, 60),
+        nc=st.integers(0, 40),
+    )
+    def prop(nq, qlen, n_probe, plen, nc):
+        patho = dict(real)
+        patho["queries"] = {f"q{'x' * qlen}{i}": 1.0 for i in range(nq)}
+        patho["scale_probe"] = {
+            f"p{'y' * plen}{i}": {"exponent": 0.5} for i in range(n_probe)
+        }
+        patho["convergence_depths"] = {
+            f"c{'z' * plen}{i}": 7 for i in range(nc)
+        }
+        line = bench.compact_record(patho)
+        assert len(line) <= bench.COMPACT_BUDGET
+        parsed = json.loads(line)
+        assert parsed["n_queries"] == nq
+        assert parsed["value"] == real["value"]
+        assert parsed["detail"] == "bench_full.json"
+
+    prop()
+
+
 def test_rotation_auto_advances_when_next_scoreboard_lands(tmp_path):
     """The point of the live rotation: the moment the driver's next
     CORRECTNESS file is committed, the head-50 must move PAST the

@@ -181,6 +181,47 @@ def test_collection_stats_survives_corrupt_manifest(
     assert store._latest_stats_counts() == {"html_f1": 12}
 
 
+def test_stats_manifest_lost_race_rebases_delta(
+    spark, docs_tiny, tmp_path, monkeypatch
+):
+    """The optimistic-commit claim in _update_stats: a writer that loses
+    the rename race must re-apply its DELTA onto whatever won — not
+    overwrite the winner and not drop its own rows. Simulated by landing
+    a competing manifest at the same version number between the loser's
+    log read and its commit."""
+    from vectordb_etl_spark.store.snapshots import try_commit_manifest
+
+    store = CollectionStore(
+        spark, StoreConfig(warehouse_dir=str(tmp_path / "w"))
+    )
+    docs = docs_tiny.select(
+        "doc_id", "source", F.lit("f1").alias("folder_name"), "text",
+        F.lit("english").alias("language"),
+    ).limit(10)
+    store.insert_documents(docs, embedding_config=EMB)
+    assert store._latest_stats_counts() == {"html_f1": 10}
+
+    real = CollectionStore._try_commit_stats
+    calls = {"n": 0}
+
+    def racy(self, fs, version, manifest):
+        calls["n"] += 1
+        if calls["n"] == 1:  # a concurrent writer wins this version
+            won = {"version": version, "valid": True,
+                   "collections": {"html_f1": 15}}
+            assert try_commit_manifest(
+                fs, self._jpath, self._stats_dir, version, won
+            )
+        return real(self, fs, version, manifest)
+
+    monkeypatch.setattr(CollectionStore, "_try_commit_stats", racy)
+    store.insert_documents(docs.limit(3), embedding_config=EMB)  # delta +3
+    monkeypatch.undo()
+    assert calls["n"] == 2  # first commit lost, retry won
+    # +3 rebased onto the winner's 15 — not onto the loser's stale 10
+    assert store._latest_stats_counts() == {"html_f1": 18}
+
+
 def test_partition_pruning_on_named_collection(store):
     name = store.list_collections()[0]
     plan = store.read(name)._jdf.queryExecution().executedPlan().toString()
