@@ -2645,7 +2645,10 @@ def _bipartite_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    ranks = pagerank(edges, iterations=4)
+    # pairs is distinct()-ed and the two mirror directions are disjoint
+    # (even→odd vs odd→even), so the union is provably duplicate-free —
+    # skip pagerank's internal distinct (one edge-list shuffle saved)
+    ranks = pagerank(edges, iterations=4, assume_distinct=True)
     return (
         ranks.select(
             F.when(F.col("node") % 2 == 0, "customer")
@@ -2781,7 +2784,10 @@ def _bfs_part_reach(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("p_partkey") % 100 == 1)
         .select(F.col("p_partkey").alias("node"))
     )
-    return bfs_hops(edges, seeds, max_hops=4)
+    # bundle edges: distinct by construction (grouped pairs, disjoint
+    # mirror) and self-loop-free (a < b strict) — skip the internal
+    # filter+distinct shuffle
+    return bfs_hops(edges, seeds, max_hops=4, assume_distinct=True)
 
 
 def _bfs_part_reach_sql() -> str:
@@ -2820,7 +2826,9 @@ def _part_affinity_ppr(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("p_partkey") % 100 == 1)
         .select(F.col("p_partkey").alias("node"))
     )
-    out = personalized_pagerank(edges, seeds, iterations=4)
+    # bundle edges are a distinct canonical pair table unioned with its
+    # own swap (disjoint directions: a<b vs b>a) — provably duplicate-free
+    out = personalized_pagerank(edges, seeds, iterations=4, assume_distinct=True)
     return out.filter(F.col("rank_micro") > 0).orderBy(
         F.desc("rank_micro"), F.asc("node")
     )
@@ -2860,7 +2868,12 @@ def _part_communities(spark: SparkSession, sf: str) -> DataFrame:
         label_propagation,
     )
 
-    return label_propagation(_part_bundle_edges(spark, sf), rounds=4)
+    # bundle edges are already the mirrored, distinct, self-loop-free
+    # directed list LPA's canonicalize+mirror preamble would reproduce —
+    # skip it (one edge-list shuffle saved)
+    return label_propagation(
+        _part_bundle_edges(spark, sf), rounds=4, assume_mirrored=True
+    )
 
 
 def _part_communities_sql() -> str:
@@ -3011,7 +3024,8 @@ def _pagerank_converged(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return pagerank(
-        edges, iterations=None, max_iterations=_PAGERANK_CONVERGED_MAX_ITERS
+        edges, iterations=None, max_iterations=_PAGERANK_CONVERGED_MAX_ITERS,
+        assume_distinct=True,  # edges is .distinct()-ed two lines up
     )
 
 
@@ -3064,6 +3078,7 @@ def _communities_converged(spark: SparkSession, sf: str) -> DataFrame:
         _part_bundle_edges(spark, sf),
         rounds=None,
         max_rounds=_LPA_CONVERGED_MAX_ROUNDS,
+        assume_mirrored=True,  # same provably-mirrored input as part_communities
     )
 
 

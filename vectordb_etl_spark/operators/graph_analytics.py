@@ -69,6 +69,32 @@ def _cap_tripped(op: str, cap: int, detail: str = "") -> None:
     )
 
 
+def _probe_says_equal(new_df: DataFrame, old_df: DataFrame, cols) -> bool:
+    """Exact convergence probe with a cheap negative fast-path.
+
+    Both inputs are already materialized (checkpointed/persisted), so an
+    order-insensitive checksum — count + sum(xxhash64(cols)) — is one
+    scan over cached blocks with NO shuffle (partial aggregation only).
+    Checksums differing proves the tables differ (sum over a multiset is
+    order-free), which is the common case for every round before the
+    fixpoint; only a checksum MATCH pays the exact exceptAll
+    confirmation, so a hash collision can never mislabel a non-fixpoint
+    as converged (r13 optimization: the per-round exceptAll was a full
+    shuffle pair per iteration — guide §2.3/§2.4)."""
+    def _sig(df: DataFrame):
+        # decimal(38,0) sum: xxhash64 is full-range bigint, so a plain
+        # bigint sum overflows under ANSI; decimal accumulates exactly
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        ).head()
+
+    a, b = _sig(new_df), _sig(old_df)
+    if (a["n"], a["h"]) != (b["n"], b["h"]):
+        return False
+    return new_df.exceptAll(old_df).isEmpty()
+
+
 def pagerank(
     edges: DataFrame,
     damping_ppm: int = 850_000,
@@ -77,6 +103,7 @@ def pagerank(
     dst_col: str = "dst",
     checkpoint_dir: str | None = None,
     max_iterations: int = 40,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list (pass both
     directions for an undirected graph). Returns ``(node, rank_micro)``
@@ -102,8 +129,14 @@ def pagerank(
     identical update), so a fixed-iteration oracle with iterations >=
     the reached depth — or == ``max_iterations`` if the guard trips
     (truncation can in principle 2-cycle) — reproduces it exactly.
-    The probe is one anti-join emptiness check per iteration between
-    two already-materialized rank tables."""
+    The probe is a cached-scan checksum per iteration (exceptAll only
+    confirms a checksum match — see :func:`_probe_says_equal`).
+
+    ``assume_distinct=True`` skips the internal ``distinct()`` when the
+    caller proves the edge list is already duplicate-free (e.g. built
+    from a ``distinct()``-ed pair table, or a union of provably disjoint
+    directions) — one full shuffle of the edge list saved (guide §2.4:
+    'a distinct on data that is already unique')."""
     if not 0 < damping_ppm < _ONE:
         raise ValueError(f"damping_ppm must be in (0, 1e6); got {damping_ppm}")
     if iterations is not None and iterations < 1:
@@ -119,7 +152,9 @@ def pagerank(
             return df.localCheckpoint(eager=True)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    )
+    if not assume_distinct:
+        e = e.distinct()
     # edges with the source degree attached — the one table every
     # iteration joins; truncated so it is computed exactly once
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
@@ -159,7 +194,9 @@ def pagerank(
         # materialize every round for the exceptAll probe
         if iterations is None or (_i + 1) % 8 == 0:
             new_ranks = truncate(new_ranks)
-        if iterations is None and new_ranks.exceptAll(ranks).isEmpty():
+        if iterations is None and _probe_says_equal(
+            new_ranks, ranks, ["node", "rank_micro"]
+        ):
             _converged("pagerank", _i + 1)
             return new_ranks
         ranks = new_ranks
@@ -281,12 +318,40 @@ def triangle_count(
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
-    tri = wedges.join(closing, ["v", "w"])
+    # ONE pass over the O(m^1.5) wedge set: a left join against the
+    # (unique — canon is distinct and orientation is 1:1) closing-edge
+    # set flags each wedge, so n_wedges and n_triangles come from a
+    # single count/sum aggregate instead of two separate wedge
+    # materializations (the pre-r13 shape computed the wedge join twice:
+    # once for its count, once under the triangle join — guide §1.2
+    # 'don't compute things you throw away'). n_nodes/n_edges likewise
+    # derive from the already-checkpointed `oriented` (a permutation of
+    # canon with both endpoints present) instead of re-running the
+    # canonicalize/degree subplans.
+    flagged = wedges.join(
+        closing.withColumn("__closed", F.lit(1)), ["v", "w"], "left"
+    )
+    wedge_counts = flagged.agg(
+        F.count("*").cast("bigint").alias("n_wedges"),
+        # outer coalesce: sum over an EMPTY wedge set is NULL, the
+        # contract (and the old count(*) formulation) says 0
+        F.coalesce(
+            F.sum(F.coalesce(F.col("__closed"), F.lit(0))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_triangles"),
+    )
+    n_nodes = (
+        oriented.select(F.col("src").alias("node"))
+        .unionByName(oriented.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    n_edges = oriented.agg(F.count("*").cast("bigint").alias("n_edges"))
     return (
-        deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
-        .crossJoin(canon.agg(F.count("*").cast("bigint").alias("n_edges")))
-        .crossJoin(wedges.agg(F.count("*").cast("bigint").alias("n_wedges")))
-        .crossJoin(tri.agg(F.count("*").cast("bigint").alias("n_triangles")))
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(wedge_counts)
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
 
 
@@ -337,6 +402,7 @@ def bfs_hops(
     src_col: str = "src",
     dst_col: str = "dst",
     seed_col: str = "node",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Multi-source BFS over a DIRECTED edge list (pass both directions
     for an undirected graph): returns ``(node, hop)`` — the MINIMUM hop
@@ -357,12 +423,15 @@ def bfs_hops(
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0; got {max_hops}")
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    if not assume_distinct:
+        # assume_distinct=True: caller proves the list is duplicate-free
+        # and self-loop-free, so this filter+distinct would be an
+        # identity — skipping it saves a full edge shuffle (guide §2.4)
+        e = e.filter(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
@@ -552,6 +621,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 20,
+    assume_mirrored: bool = False,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation over an
     UNDIRECTED edge list (canonicalized, then mirrored internally):
@@ -576,30 +646,50 @@ def label_propagation(
     oracle with rounds >= the reached depth — or == ``max_rounds``
     when the guard trips (sync LPA can 2-cycle on bipartite structure;
     the cap makes that case deterministic too) — returns the identical
-    labeling. The probe is one anti-join count between two already-
-    materialized label tables (both localCheckpointed)."""
+    labeling. The probe is a cached-scan checksum per round, exceptAll
+    only confirming a match (:func:`_probe_says_equal`).
+
+    ``assume_mirrored=True`` skips the canonicalize/mirror preamble when
+    the caller proves the input is already a DISTINCT, self-loop-free
+    edge list with BOTH directions present (e.g. a canonical pair table
+    unioned with its own swap) — the least/greatest+distinct+union would
+    reproduce the input exactly, so skipping it saves a full shuffle of
+    the edge list (guide §2.4).
+
+    The per-round argmax is a ``min(struct(-count, label))`` aggregate
+    rather than a row_number window: same (count desc, label asc) total
+    order, but aggregates do PARTIAL map-side combining and skip the
+    window's full per-partition sort (guide §2.3 'aggregate before you
+    shuffle'). Fixed-round runs chain rounds in one declarative plan
+    (lineage truncated every 8th round — label tables are referenced
+    once per round, so plan growth is linear); convergence mode still
+    materializes every round for the probe."""
     if rounds is not None and rounds < 1:
         raise ValueError(f"rounds must be >= 1; got {rounds}")
     if rounds is None and max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1; got {max_rounds}")
     a, b = F.col(src_col), F.col(dst_col)
-    canon = (
-        edges.filter(a != b)
-        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .distinct()
-    )
-    e = (
-        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    if assume_mirrored:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).localCheckpoint(eager=True)
+    else:
+        canon = (
+            edges.filter(a != b)
+            .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+            .distinct()
         )
-        .localCheckpoint(eager=True)
-    )
+        e = (
+            canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(
+                canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .localCheckpoint(eager=True)
+        )
     nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=True
     )
     labels = nodes.withColumn("label", F.col("node"))
-    from pyspark.sql import Window as _W
 
     for _i in range(max_rounds if rounds is None else rounds):
         votes = (
@@ -607,14 +697,18 @@ def label_propagation(
             .groupBy(F.col("dst").alias("n2"), "label")
             .agg(F.count("*").alias("c"))
         )
-        w = _W.partitionBy("n2").orderBy(F.desc("c"), F.asc("label"))
-        new_labels = (
-            votes.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select(F.col("n2").alias("node"), "label")
-            .localCheckpoint(eager=True)
-        )
-        if rounds is None and new_labels.exceptAll(labels).isEmpty():
+        # argmax by (c desc, label asc) as a struct-min aggregate: bit-
+        # identical winner to the row_number formulation, partial-agg
+        # friendly, no per-partition sort
+        new_labels = votes.groupBy("n2").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l")))
+            .alias("w")
+        ).select(F.col("n2").alias("node"), F.col("w.l").alias("label"))
+        if rounds is None or (_i + 1) % 8 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        if rounds is None and _probe_says_equal(
+            new_labels, labels, ["node", "label"]
+        ):
             _converged("label_propagation", _i + 1)
             return new_labels
         labels = new_labels
@@ -674,6 +768,7 @@ def personalized_pagerank(
     dst_col: str = "dst",
     seed_col: str = "node",
     max_iterations: int = 40,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Random walk with RESTART — the recommendation twin of
     :func:`pagerank`: the teleport term returns mass only to the SEED
@@ -708,7 +803,9 @@ def personalized_pagerank(
         raise ValueError(f"max_iterations must be >= 1; got {max_iterations}")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    )
+    if not assume_distinct:
+        e = e.distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ewd = (
         e.join(deg, "src").select("src", "dst", "deg")
@@ -788,8 +885,9 @@ def personalized_pagerank(
         # lineage only every 8th round so deep runs can't blow the plan
         if iterations is None or (_i + 1) % 8 == 0:
             new_ranks = new_ranks.localCheckpoint(eager=True)
-        if iterations is None and new_ranks.count() == ranks.count() \
-                and new_ranks.exceptAll(ranks).isEmpty():
+        if iterations is None and _probe_says_equal(
+            new_ranks, ranks, ["node", "rank_micro", "seed_micro"]
+        ):
             _converged("personalized_pagerank", _i + 1)
             return _restore_zeros(new_ranks)
         ranks = new_ranks
