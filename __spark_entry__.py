@@ -4036,14 +4036,14 @@ def _ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from vectordb_etl_spark.operators.ann import IVFIndex
 
     emb = _table(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    cent_rows = (
-        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    # ONE scan job for query + centroids (vec_id < 16 includes the query
+    # vector 0) instead of a separate head() + collect() pair
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
     )
-    cents = np.array(
-        [r["embedding"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])],
-        dtype=np.float64,
-    )
+    q = cent_rows[0]["embedding"]
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
     with tempfile.TemporaryDirectory() as tmp:
         idx = IVFIndex(spark, f"{tmp}/ivfpq").build(
             emb, centroids=cents, assign_round_dp=6, storage="pq",
@@ -4112,14 +4112,14 @@ def _ivf_pq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
     from vectordb_etl_spark.operators.ann import IVFIndex
 
     emb = _table(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    cent_rows = (
-        emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    # ONE scan job for query + centroids (vec_id < 4 includes the query
+    # vector 0) instead of a separate head() + collect() pair
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
     )
-    cents = np.array(
-        [r["embedding"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])],
-        dtype=np.float64,
-    )
+    q = cent_rows[0]["embedding"]
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
     with tempfile.TemporaryDirectory() as tmp:
         idx = IVFIndex(spark, f"{tmp}/ivfpqr").build(
             emb, centroids=cents, assign_round_dp=6, storage="pq_residual",

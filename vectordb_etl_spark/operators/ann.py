@@ -583,13 +583,25 @@ class IVFIndex:
                 dtype=np.float64,
             )
             return pq_reconstruct_udf(cb_arr)(F.col(codes_col))
-        cb_lit = F.array(*[
-            F.array(*[
-                F.array(*[F.lit(v) for v in by_sub[s][c]])
-                for c in sorted(by_sub[s])
-            ])
-            for s in sorted(by_sub)
-        ])
+        # ONE parsed SQL expression instead of nested F.array/F.lit calls:
+        # the Column-API version costs one py4j round trip per literal
+        # (1000+ for an 8-sub × 16-code × 8-double codebook — measured
+        # multi-second driver gaps per search), while expr() ships one
+        # string and parses in the JVM. repr() is the shortest round-trip
+        # form, and the D-suffixed literal parses back to the identical
+        # double bits, so scores are unchanged (same trick as
+        # pq_topk_adc's query literal).
+        cb_lit = F.expr(
+            "array({})".format(",".join(
+                "array({})".format(",".join(
+                    "array({})".format(
+                        ",".join(f"{v!r}D" for v in by_sub[s][c])
+                    )
+                    for c in sorted(by_sub[s])
+                ))
+                for s in sorted(by_sub)
+            ))
+        )
         return F.flatten(
             F.transform(
                 F.col(codes_col),
