@@ -25,6 +25,18 @@ from vectordb_etl_spark.functions import vector as V
 from vectordb_etl_spark.operators import chunker
 
 
+def _detach(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Collect a SMALL result and rebuild it as a bounded-slice local
+    DataFrame, detaching it from temp dirs / memory sinks that go away
+    when the query function returns. One slice instead of
+    ``createDataFrame``'s defaultParallelism pickled slices — 32
+    near-empty tasks (~0.3 s pure scheduling on local[32]) per detach
+    otherwise; identical data and schema."""
+    from vectordb_etl_spark.session import local_rows_df
+
+    return local_rows_df(spark, df.collect(), df.schema)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents feeds map-heavy expression pipelines (cleaning, shingling,
     hashing); the testdata is a single parquet file = a single partition, so
@@ -1993,7 +2005,7 @@ def _inverted_term_lookup(spark: SparkSession, sf: str) -> DataFrame:
             .select("doc_id", "lang", "source")
             .orderBy("doc_id")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -2033,7 +2045,7 @@ def _bm25_ranked_lookup(spark: SparkSession, sf: str) -> DataFrame:
         out = idx.bm25_topk(_BM25_QUERY, 10).withColumnRenamed(
             "id", "doc_id"
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -3898,7 +3910,7 @@ def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         idx = IVFIndex(spark, f"{tmp}/ivf").build(emb, nlist=16, seed=42, max_iter=4)
         out = idx.search(list(q), k=10, nprobe=16, tie_break=["vec_id"],
                          output_cols=["vec_id", "label"])
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+        out = _detach(spark, out)  # bounded-slice local frame from tmp
     return out
 
 
@@ -3924,7 +3936,7 @@ def _ivf_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
             list(q), k=10, nprobe=16, predicate=F.col("label") == 2,
             tie_break=["vec_id"], output_cols=["vec_id", "label"],
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -3959,7 +3971,7 @@ def _ivf_fanout_topk(spark: SparkSession, sf: str) -> DataFrame:
         out = idx.search_per_group(
             list(q), k=3, nprobe=16, group_col="label", tie_break=["vec_id"],
         ).select("vec_id", "label", "score")
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+        out = _detach(spark, out)  # bounded-slice local frame from tmp
     return out
 
 
@@ -3996,7 +4008,7 @@ def _ivf_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = idx.search(list(q), k=10, nprobe=16, tie_break=["vec_id"],
                          output_cols=["vec_id", "label"])
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+        out = _detach(spark, out)  # bounded-slice local frame from tmp
     return out
 
 
@@ -4053,7 +4065,7 @@ def _ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
             list(q), k=10, nprobe=16, tie_break=["vec_id"],
             output_cols=["vec_id", "label"],
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -4129,7 +4141,7 @@ def _ivf_pq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
             list(q), k=10, nprobe=4, tie_break=["vec_id"],
             output_cols=["vec_id", "label"],
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -4243,7 +4255,7 @@ def _ivf_topk_nprobe(spark: SparkSession, sf: str) -> DataFrame:
             list(q), k=10, nprobe=4, probe_round_dp=6, tie_break=["vec_id"],
             output_cols=["vec_id", "label"],
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+        out = _detach(spark, out)  # bounded-slice local frame from tmp
     return out
 
 
@@ -4297,7 +4309,7 @@ def _ivf_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
             qs, k=10, nprobe=16, tie_break=["vec_id"],
             output_cols=["vec_id", "label"],
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+        out = _detach(spark, out)  # bounded-slice local frame from tmp
     return out
 
 
@@ -4349,7 +4361,7 @@ def _graph_topk(spark: SparkSession, sf: str) -> DataFrame:
         out = idx.search(
             list(q), k=10, ef=1_000_000, output_cols=["id", "label"]
         ).withColumnRenamed("id", "vec_id")
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp
+        out = _detach(spark, out)  # bounded-slice local frame from tmp
     return out
 
 
@@ -4381,7 +4393,7 @@ def _graph_fanout_topk(spark: SparkSession, sf: str) -> DataFrame:
             .withColumnRenamed("id", "vec_id")
             .select("vec_id", "label", "score")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -4431,7 +4443,7 @@ def _fanout_mixed_topk(spark: SparkSession, sf: str) -> DataFrame:
             list(q), k=10, nprobe=4, on_missing="exact",
             tie_break=["vec_id"], output_cols=["vec_id"],
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -4471,7 +4483,7 @@ def _graph_topk_incremental(spark: SparkSession, sf: str) -> DataFrame:
         out = idx.search(
             list(q), k=10, ef=1_000_000, output_cols=["id", "label"]
         ).withColumnRenamed("id", "vec_id")
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -4514,7 +4526,7 @@ def _streaming_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
         out = idx.search(
             list(q), k=10, ef=1_000_000, output_cols=["id", "label"]
         ).withColumnRenamed("id", "vec_id")
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -4541,7 +4553,7 @@ def _graph_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
             list(q), k=10, ef=1_000_000, output_cols=["id", "label"],
             predicate=F.col("label") == 2,
         ).withColumnRenamed("id", "vec_id")
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -4581,7 +4593,7 @@ def _graph_topk_acorn(spark: SparkSession, sf: str) -> DataFrame:
             list(q), k=10, ef=1_000_000, output_cols=["id", "label"],
             predicate=F.col("id") % 97 == 0, filter_mode="traversal",
         ).withColumnRenamed("id", "vec_id")
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -4623,7 +4635,7 @@ def _graph_acorn_batch(spark: SparkSession, sf: str) -> DataFrame:
             qs, k=10, ef=1_000_000, output_cols=["id", "label"],
             predicate=F.col("id") % 97 == 0, filter_mode="traversal",
         ).withColumnRenamed("id", "vec_id")
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -4666,7 +4678,7 @@ def _graph_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
         out = idx.search_many(
             qs, k=10, ef=1_000_000, output_cols=["id", "label"]
         ).withColumnRenamed("id", "vec_id")
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -4998,7 +5010,7 @@ def _streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
             "n",
             F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink
+        out = _detach(spark, out)  # bounded-slice local frame from sink
     return out
 
 
@@ -5152,7 +5164,7 @@ def _streaming_enriched_counts(spark: SparkSession, sf: str) -> DataFrame:
             "n",
             F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink
+        out = _detach(spark, out)  # bounded-slice local frame from sink
     return out
 
 
@@ -5221,7 +5233,7 @@ def _streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
             )
             q.awaitTermination()
             out = spark.table(name)
-            out = spark.createDataFrame(out.collect(), out.schema)  # detach
+            out = _detach(spark, out)  # bounded-slice local frame
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
@@ -5282,7 +5294,7 @@ def _streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
             )
             q.awaitTermination()
             out = spark.table(name)
-            out = spark.createDataFrame(out.collect(), out.schema)  # detach
+            out = _detach(spark, out)  # bounded-slice local frame
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
@@ -5348,7 +5360,7 @@ def _streaming_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
             )
             q.awaitTermination()
             out = spark.table(name).select("doc_id", "text_hash")
-            out = spark.createDataFrame(out.collect(), out.schema)  # detach
+            out = _detach(spark, out)  # bounded-slice local frame
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
@@ -5382,25 +5394,34 @@ def _streaming_hll_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from vectordb_etl_spark.streaming.ingest import hll_ingest_stream
 
     ev = _events(spark, sf).select("event_type", "user_id")
+    # sketch-sink state is ≤ groups×256 register rows BY CONTRACT at any
+    # scale, so the per-batch merge aggregations don't need the session's
+    # scan-sized shuffle width — pin it low for the stream (same pattern
+    # as streaming_interval_join) and restore afterwards
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as tmp:
-        ev.repartition(4).write.parquet(f"{tmp}/landing")
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/landing")
-        )
-        q = hll_ingest_stream(
-            stream, f"{tmp}/registers", f"{tmp}/ckpt",
-            value_col="user_id", group_cols=["event_type"],
-            trigger_available_now=True,
-        )
-        q.awaitTermination()
-        regs = spark.read.parquet(f"{tmp}/registers")
-        out = regs.groupBy("event_type").agg(
-            F.count("*").cast("bigint").alias("n_buckets_used"),
-            hll_estimate_expr(8).alias("hll_est"),
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            ev.repartition(4).write.parquet(f"{tmp}/landing")
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/landing")
+            )
+            q = hll_ingest_stream(
+                stream, f"{tmp}/registers", f"{tmp}/ckpt",
+                value_col="user_id", group_cols=["event_type"],
+                trigger_available_now=True,
+            )
+            q.awaitTermination()
+            regs = spark.read.parquet(f"{tmp}/registers")
+            out = regs.groupBy("event_type").agg(
+                F.count("*").cast("bigint").alias("n_buckets_used"),
+                hll_estimate_expr(8).alias("hll_est"),
+            )
+            out = _detach(spark, out)  # bounded-slice local frame
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 
@@ -5433,24 +5454,31 @@ def _streaming_cm_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from vectordb_etl_spark.streaming.ingest import cm_ingest_stream
 
     ev = _events(spark, sf).select("user_id")
+    # pin the stream's shuffle width: CM state is ≤ d·w counter rows by
+    # contract at any scale (see _streaming_hll_ingest)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as tmp:
-        ev.repartition(4).write.parquet(f"{tmp}/landing")
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/landing")
-        )
-        q = cm_ingest_stream(
-            stream, f"{tmp}/cm", f"{tmp}/ckpt",
-            value_col="user_id", d=4, w=256, trigger_available_now=True,
-        )
-        q.awaitTermination()
-        out = (
-            spark.read.parquet(f"{tmp}/cm")
-            .filter(F.col("row") >= 0)
-            .select("row", "pos", "cnt")
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            ev.repartition(4).write.parquet(f"{tmp}/landing")
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/landing")
+            )
+            q = cm_ingest_stream(
+                stream, f"{tmp}/cm", f"{tmp}/ckpt",
+                value_col="user_id", d=4, w=256, trigger_available_now=True,
+            )
+            q.awaitTermination()
+            out = (
+                spark.read.parquet(f"{tmp}/cm")
+                .filter(F.col("row") >= 0)
+                .select("row", "pos", "cnt")
+            )
+            out = _detach(spark, out)  # bounded-slice local frame
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 
@@ -5484,21 +5512,28 @@ def _streaming_bloom_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from vectordb_etl_spark.streaming.ingest import bloom_ingest_stream
 
     od = _table(spark, sf, "orders").select("o_custkey")
+    # pin the stream's shuffle width: bloom state is ceil(m/63) word rows
+    # by contract at any scale (see _streaming_hll_ingest)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as tmp:
-        od.repartition(4).write.parquet(f"{tmp}/landing")
-        stream = (
-            spark.readStream.schema(od.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/landing")
-        )
-        q = bloom_ingest_stream(
-            stream, f"{tmp}/bloom", f"{tmp}/ckpt",
-            key_col="o_custkey", m_bits=8192, k=2,
-            trigger_available_now=True,
-        )
-        q.awaitTermination()
-        out = spark.read.parquet(f"{tmp}/bloom").select("word", "bits")
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            od.repartition(4).write.parquet(f"{tmp}/landing")
+            stream = (
+                spark.readStream.schema(od.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/landing")
+            )
+            q = bloom_ingest_stream(
+                stream, f"{tmp}/bloom", f"{tmp}/ckpt",
+                key_col="o_custkey", m_bits=8192, k=2,
+                trigger_available_now=True,
+            )
+            q.awaitTermination()
+            out = spark.read.parquet(f"{tmp}/bloom").select("word", "bits")
+            out = _detach(spark, out)  # bounded-slice local frame
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 
@@ -5531,24 +5566,31 @@ def _streaming_bitmap_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from vectordb_etl_spark.streaming.ingest import bitmap_ingest_stream
 
     ev = _events(spark, sf).select("event_type", "user_id")
+    # pin the stream's shuffle width: bitmap state is touched WORDS per
+    # type by contract, not event rows (see _streaming_hll_ingest)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as tmp:
-        ev.repartition(4).write.parquet(f"{tmp}/landing")
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/landing")
-        )
-        q = bitmap_ingest_stream(
-            stream, f"{tmp}/regs", f"{tmp}/ckpt",
-            value_col="user_id", group_cols=["event_type"],
-            trigger_available_now=True,
-        )
-        q.awaitTermination()
-        regs = spark.read.parquet(f"{tmp}/regs")
-        out = regs.groupBy("event_type").agg(
-            F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct")
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            ev.repartition(4).write.parquet(f"{tmp}/landing")
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/landing")
+            )
+            q = bitmap_ingest_stream(
+                stream, f"{tmp}/regs", f"{tmp}/ckpt",
+                value_col="user_id", group_cols=["event_type"],
+                trigger_available_now=True,
+            )
+            q.awaitTermination()
+            regs = spark.read.parquet(f"{tmp}/regs")
+            out = regs.groupBy("event_type").agg(
+                F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct")
+            )
+            out = _detach(spark, out)  # bounded-slice local frame
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 
@@ -5628,7 +5670,7 @@ def _streaming_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
             )
             q.awaitTermination()
             out = spark.table(name).select("doc_id")
-            out = spark.createDataFrame(out.collect(), out.schema)  # detach
+            out = _detach(spark, out)  # bounded-slice local frame
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
@@ -5690,7 +5732,7 @@ def _streaming_ivf_ingest(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("centroid_id")
             .agg(F.count("*").alias("n"))
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -7821,7 +7863,7 @@ def _dynamic_meta_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.col("meta")["origin"].alias("origin"),
             F.col("meta")["n_chars"].cast("long").alias("n_chars"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 
@@ -7922,7 +7964,7 @@ def _streaming_dynamic_meta(spark: SparkSession, sf: str) -> DataFrame:
             F.col("meta")["origin"].alias("origin"),
             F.col("meta")["n_chars"].cast("long").alias("n_chars"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach
+        out = _detach(spark, out)  # bounded-slice local frame
     return out
 
 

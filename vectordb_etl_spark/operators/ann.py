@@ -30,6 +30,7 @@ from pyspark.sql.types import IntegerType
 
 from vectordb_etl_spark.functions.vector import metric_ascending
 from vectordb_etl_spark.operators.topk import topk_search
+from vectordb_etl_spark.session import local_rows_df
 
 
 def assign_centroids_udf(
@@ -241,7 +242,8 @@ class IVFIndex:
             if storage == "pq_residual":
                 # residual = vector − assigned centroid; centroids join
                 # BROADCAST (nlist rows) so this adds no exchange
-                cents_df = self.spark.createDataFrame(
+                cents_df = local_rows_df(
+                    self.spark,
                     [
                         (int(i), [float(x) for x in cents[i]])
                         for i in range(cents.shape[0])
@@ -303,14 +305,13 @@ class IVFIndex:
         rows = [
             (int(i), [float(x) for x in cents[i]]) for i in range(cents.shape[0])
         ]
-        # repartition(1), NOT coalesce(1): a local-rows DataFrame spreads
-        # over defaultParallelism pickled slices, and coalesce(1) evaluates
-        # every slice SERIALLY inside one task (one Python-worker round trip
-        # each — seconds of wall clock for 16 rows); repartition evaluates
-        # them in parallel and shuffles the handful of rows to one writer
-        self.spark.createDataFrame(
-            rows, "centroid_id int, centroid array<double>"
-        ).repartition(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
+        # bounded-slice local frame: ONE task writes the handful of
+        # centroid rows (createDataFrame would spread them over
+        # defaultParallelism pickled slices — 32 near-empty tasks — and
+        # the old repartition(1) added an exchange on top)
+        local_rows_df(
+            self.spark, rows, "centroid_id int, centroid array<double>"
+        ).write.mode("overwrite").parquet(f"{self.path}/centroids")
         self._centroids = cents
         return self
 
@@ -337,10 +338,11 @@ class IVFIndex:
             for qi, q in enumerate(queries)
             for cid in self.probe_ids(q, nprobe, round_dp=probe_round_dp)
         ]
-        probes_df = self.spark.createDataFrame(
-            pairs, "query_id int, centroid_id int"
+        probes_df = local_rows_df(
+            self.spark, pairs, "query_id int, centroid_id int"
         )
-        qdf = self.spark.createDataFrame(
+        qdf = local_rows_df(
+            self.spark,
             [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
             "query_id int, qvec array<double>",
         )
@@ -431,7 +433,8 @@ class IVFIndex:
         if "__pqr" in existing_cols:
             cb = self.spark.read.parquet(f"{self.path}/pq_codebook")
             n_subs = cb.agg(F.max("sub")).head()[0] + 1
-            cents_df = self.spark.createDataFrame(
+            cents_df = local_rows_df(
+                self.spark,
                 [
                     (int(i), [float(x) for x in cents[i]])
                     for i in range(cents.shape[0])
@@ -1209,9 +1212,9 @@ def _pq_lloyds_codebook(
         rows.extend(
             (s, j, [float(x) for x in cents[j]]) for j in range(cents.shape[0])
         )
-    return spark.createDataFrame(
-        rows, "sub int, code int, cw array<double>"
-    ).repartition(1)
+    return local_rows_df(
+        spark, rows, "sub int, code int, cw array<double>"
+    )
 
 
 def train_pq_codebook_residual(

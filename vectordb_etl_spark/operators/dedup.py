@@ -1693,7 +1693,11 @@ def semantic_dedup(
 
     spark = df.sparkSession
     cid_type = centroids.schema["cid"].dataType.simpleString()
-    idx_to_cid = spark.createDataFrame(
+    from vectordb_etl_spark.session import local_rows_df
+
+    # bounded-slice local frame (broadcast join input, k rows)
+    idx_to_cid = local_rows_df(
+        spark,
         [(i, c) for i, c in enumerate(cids)],
         f"__ci int, cluster_id {cid_type}",
     )

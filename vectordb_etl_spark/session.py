@@ -40,6 +40,25 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def local_rows_df(spark, rows, schema, slices: int = 1):
+    """Small local-rows DataFrame with a BOUNDED slice count.
+
+    ``spark.createDataFrame(rows)`` parallelizes the local collection
+    over ``defaultParallelism`` pickled slices — on local[32] that is 32
+    near-empty tasks (each a Python-worker round trip) for a handful of
+    rows, measured ~0.3 s of pure scheduling per materialization. The
+    data and schema are identical through ``sc.parallelize(rows, n)``;
+    only the slice count changes (guide §2.2: fewer, larger tasks).
+    Callers pass the query vectors / probe pairs / sketch meta rows that
+    are small BY CONTRACT at any scale — real tables never come through
+    here."""
+    rows = list(rows)
+    n = max(1, min(slices, len(rows)))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema
+    )
+
+
 def ensure_min_partitions(df, min_partitions: int | None = None):
     """Round-robin repartition iff the input is under-partitioned.
 

@@ -426,7 +426,12 @@ def bloom_prune_files(
     if not keys:
         raise ValueError("bloom_prune_files: keys must be non-empty")
     spark = manifest.sparkSession
-    probe = spark.createDataFrame([(v,) for v in keys], ["key"])
+    from vectordb_etl_spark.session import local_rows_df
+
+    # bounded-slice local frame: a handful of probe keys, one task
+    probe = local_rows_df(
+        spark, [(v,) for v in keys], ["key"]
+    )
     probes = probe.select(
         "key",
         F.posexplode(F.array(*_hash_cols(F.col("key"), m_bits, k))).alias(

@@ -655,8 +655,12 @@ def cm_ingest_stream(
             if old_counters is not None
             else new_regs
         )
-        meta = spark.createDataFrame(
-            [(-1, 0, batch_id)], "row int, pos int, cnt long"
+        from vectordb_etl_spark.session import local_rows_df
+
+        # one slice, one task: createDataFrame would spread the single
+        # meta row over defaultParallelism empty pickled slices per batch
+        meta = local_rows_df(
+            spark, [(-1, 0, batch_id)], "row int, pos int, cnt long"
         )
         out = merged.unionByName(meta)
         staging = f"{sketch_path}.staging"
