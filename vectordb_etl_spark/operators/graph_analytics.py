@@ -80,17 +80,25 @@ def _probe_says_equal(new_df: DataFrame, old_df: DataFrame, cols) -> bool:
     fixpoint; only a checksum MATCH pays the exact exceptAll
     confirmation, so a hash collision can never mislabel a non-fixpoint
     as converged (r13 optimization: the per-round exceptAll was a full
-    shuffle pair per iteration — guide §2.3/§2.4)."""
-    def _sig(df: DataFrame):
-        # decimal(38,0) sum: xxhash64 is full-range bigint, so a plain
-        # bigint sum overflows under ANSI; decimal accumulates exactly
-        return df.agg(
+    shuffle pair per iteration — guide §2.3/§2.4). Both sides'
+    signatures come from ONE union-tagged job (two cached scans, a
+    2-row exchange) so the probe never costs more jobs than the
+    exceptAll it replaces."""
+    sides = new_df.select(
+        F.lit(0).alias("__side"), *[F.col(c) for c in cols]
+    ).unionByName(
+        old_df.select(F.lit(1).alias("__side"), *[F.col(c) for c in cols])
+    )
+    # decimal(38,0) sum: xxhash64 is full-range bigint, so a plain
+    # bigint sum overflows under ANSI; decimal accumulates exactly
+    sig = {
+        r["__side"]: (r["n"], r["h"])
+        for r in sides.groupBy("__side").agg(
             F.count("*").alias("n"),
             F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
-        ).head()
-
-    a, b = _sig(new_df), _sig(old_df)
-    if (a["n"], a["h"]) != (b["n"], b["h"]):
+        ).collect()
+    }
+    if sig.get(0) != sig.get(1):
         return False
     return new_df.exceptAll(old_df).isEmpty()
 
