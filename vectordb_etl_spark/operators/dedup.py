@@ -1035,11 +1035,21 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
             )
         )
-        changed = new_labels.alias("n").join(
-            labels.alias("o"), F.col("n.id") == F.col("o.id")
-        ).filter(F.col("n.comp") < F.col("o.comp"))
+        # EXACT join-free probe (r13): comp is monotone non-increasing per
+        # id (least() against the old value) over an identical id set, so
+        # Σcomp unchanged ⟺ no label changed. One union-tagged aggregate
+        # over the two cached label tables — no join, no shuffle pair per
+        # superstep (decimal sum: bigint ids can overflow an ANSI sum).
+        sums = {
+            r["__side"]: r["s"]
+            for r in new_labels.select(F.lit(0).alias("__side"), "comp")
+            .unionByName(labels.select(F.lit(1).alias("__side"), "comp"))
+            .groupBy("__side")
+            .agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"))
+            .collect()
+        }
         labels = new_labels
-        if changed.isEmpty():
+        if sums.get(0) == sums.get(1):
             converged = True
             break
     if not converged:
