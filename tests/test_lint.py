@@ -47,6 +47,12 @@ def test_no_collect_outside_sanctioned_files():
                             # sketch — size-independent of the stream;
                             # the exactly-once watermark has to be read
                             # on the driver before deciding to merge
+        "graph_analytics.py",  # _probe_says_equal: the per-round
+                            # convergence signature is a ≤2-row aggregate
+                            # (count + checksum per side) — the fixpoint
+                            # decision is inherently driver-side, same
+                            # class as the isEmpty()/count() probes the
+                            # iterative loops always used
     }
     offenders = []
     for path in PKG.rglob("*.py"):
