@@ -252,6 +252,22 @@ def test_star_contraction_long_chain_beats_diameter_bound(spark):
     assert comp == {i: 0 for i in range(n)}
 
 
+def test_connected_components_string_ids_hashmin(spark):
+    # the hashmin convergence probe branches on comp dtype (numeric:
+    # exact monotone sum; string: checksum + join confirm) — pin the
+    # STRING branch end to end, incl. a diameter-2 chain so at least one
+    # superstep sees a changed-checksum round before the fixpoint
+    nodes = spark.createDataFrame(
+        [("d1",), ("d2",), ("d3",), ("d9",)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame([("d2", "d3"), ("d3", "d1")], ["id_a", "id_b"])
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(nodes, pairs).collect()
+    }
+    assert comp == {"d1": "d1", "d2": "d1", "d3": "d1", "d9": "d9"}
+
+
 def test_star_contraction_string_ids(spark):
     # min-id determinism must hold for lexicographic string ids too
     nodes = spark.createDataFrame(

@@ -1035,21 +1035,46 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
             )
         )
-        # EXACT join-free probe (r13): comp is monotone non-increasing per
-        # id (least() against the old value) over an identical id set, so
-        # Σcomp unchanged ⟺ no label changed. One union-tagged aggregate
-        # over the two cached label tables — no join, no shuffle pair per
-        # superstep (decimal sum: bigint ids can overflow an ANSI sum).
+        # Join-free convergence probe (r13): comp is monotone
+        # non-increasing per id (least() against the old value) over an
+        # identical id set. For NUMERIC ids Σcomp unchanged ⟺ no label
+        # changed — exact on its own. For string ids (md5 doc ids in the
+        # near-dup pipeline) the summed probe is an order-insensitive
+        # xxhash64 checksum: a mismatch proves change (skip the join);
+        # only a MATCH pays the exact changed-labels join to rule out a
+        # collision — which happens once, at the true fixpoint. Either
+        # way: one union-tagged aggregate over the two cached label
+        # tables per superstep instead of a join shuffle pair (decimal
+        # sum — a bigint sum can overflow under ANSI).
+        comp_type = dict(new_labels.dtypes)["comp"]
+        numeric = comp_type in ("tinyint", "smallint", "int", "bigint")
+        probe_col = (
+            F.col("comp").cast("decimal(38,0)")
+            if numeric
+            else F.xxhash64(F.col("id"), F.col("comp")).cast("decimal(38,0)")
+        )
         sums = {
             r["__side"]: r["s"]
-            for r in new_labels.select(F.lit(0).alias("__side"), "comp")
-            .unionByName(labels.select(F.lit(1).alias("__side"), "comp"))
+            for r in new_labels.select(
+                F.lit(0).alias("__side"), "id", "comp"
+            )
+            .unionByName(
+                labels.select(F.lit(1).alias("__side"), "id", "comp")
+            )
             .groupBy("__side")
-            .agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"))
+            .agg(F.sum(probe_col).alias("s"))
             .collect()
         }
+        equal = sums.get(0) == sums.get(1)
+        if equal and not numeric:
+            equal = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                .filter(F.col("n.comp") < F.col("o.comp"))
+                .isEmpty()
+            )
         labels = new_labels
-        if sums.get(0) == sums.get(1):
+        if equal:
             converged = True
             break
     if not converged:
