@@ -20,7 +20,6 @@ to absolute local paths, preserving the local behavior.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -382,7 +381,23 @@ class CollectionStore:
             # mark the manifest stale rather than serving drifting numbers
             self._update_stats(lambda _prev: None)
         elif mode != "append":
-            self._update_stats(lambda _prev: counts)  # overwrite = totals
+            # overwrite = totals ASSUMES static partitionOverwriteMode
+            # (the session default here): the whole table is replaced, so
+            # the batch counts ARE the totals. Under
+            # spark.sql.sources.partitionOverwriteMode=dynamic, untouched
+            # collections survive on disk but would vanish from this
+            # manifest — mark it invalid instead so stats fall back to the
+            # (self-healing) scan path rather than serving wrong numbers
+            # (ADVICE r12).
+            dyn = (
+                self.spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                ).lower()
+                == "dynamic"
+            )
+            self._update_stats(
+                lambda _prev, c=counts, d=dyn: (None if d else c)
+            )
         else:
             self._update_stats(
                 lambda prev, c=counts, f=fresh: (
@@ -738,9 +753,14 @@ class CollectionStore:
         for n in names:
             ipath = self._index_path(n, "graph")
             if self._fs(ipath).exists(self._jpath(ipath)):
-                out[n] = self.open_index(n, kind="graph").rebalance_hint(
-                    ratio=ratio
-                )
+                # one existing-but-empty (or partially deleted) index dir
+                # must not abort the whole warehouse sweep (ADVICE r12)
+                try:
+                    out[n] = self.open_index(n, kind="graph").rebalance_hint(
+                        ratio=ratio
+                    )
+                except Exception as e:  # noqa: BLE001 — per-collection guard
+                    out[n] = {"error": str(e)}
         return out
 
     # -- A11 stats manifest ----------------------------------------------------
@@ -810,7 +830,10 @@ class CollectionStore:
         fail the write that produced the rows."""
         try:
             fs = self._fs(self._root)
-            while True:
+            # bounded retries (ADVICE r12): if rename persistently fails
+            # for a NON-race reason (object-store/permission quirk), give
+            # up rather than spin — the scan path self-heals later anyway
+            for _attempt in range(5):
                 vs = self._stats_versions(fs)
                 prev = None
                 if vs:
