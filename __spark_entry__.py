@@ -4991,26 +4991,38 @@ def _streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     # decimal sum → exact regardless of per-partition accumulation order
     ev = _events(spark, sf).withColumn("value", F.col("value").cast("decimal(18,6)"))
     name = f"stream_wc_{next(_STREAM_SEQ)}"
+    # windowed-count sink state is bounded per (window, event_type) key at
+    # ANY input scale — same contract as the sketch sinks — so the default
+    # 32-wide stream shuffle is pure state-store/scheduling overhead (the
+    # r13 scaling block measured 8 cores 3.2x FASTER than 32 on this row).
+    # Pin the stream's width for its lifetime (baked into the checkpoint at
+    # creation) and restore the session default afterwards; a single-file
+    # landing dir gives each micro-batch one scan task instead of 32.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as tmp:
-        ev.write.parquet(f"{tmp}/landing")
-        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/landing")
-        counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
-        q = (
-            counts.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.table(name).select(
-            "window_start",
-            "event_type",
-            "n",
-            F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
-        )
-        out = _detach(spark, out)  # bounded-slice local frame from sink
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            ev.repartition(1).write.parquet(f"{tmp}/landing")
+            stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/landing")
+            counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+            q = (
+                counts.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.table(name).select(
+                "window_start",
+                "event_type",
+                "n",
+                F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
+            )
+            out = _detach(spark, out)  # bounded-slice local frame from sink
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 
@@ -5142,29 +5154,36 @@ def _streaming_enriched_counts(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
     name = f"stream_en_{next(_STREAM_SEQ)}"
+    # same bounded-per-(window, segment)-key sink-state contract as
+    # streaming_windowed_counts — pin the stream width, single-file landing
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as tmp:
-        ev.write.parquet(f"{tmp}/landing")
-        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/landing")
-        enriched = enrich_stream(stream, dim, "user_id")
-        counts = windowed_event_counts(
-            enriched, window="1 hour", watermark="2 hours", group_col="segment"
-        )
-        q = (
-            counts.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.table(name).select(
-            "window_start",
-            "segment",
-            "n",
-            F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
-        )
-        out = _detach(spark, out)  # bounded-slice local frame from sink
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            ev.repartition(1).write.parquet(f"{tmp}/landing")
+            stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/landing")
+            enriched = enrich_stream(stream, dim, "user_id")
+            counts = windowed_event_counts(
+                enriched, window="1 hour", watermark="2 hours", group_col="segment"
+            )
+            q = (
+                counts.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.table(name).select(
+                "window_start",
+                "segment",
+                "n",
+                F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
+            )
+            out = _detach(spark, out)  # bounded-slice local frame from sink
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 

@@ -36,7 +36,11 @@ def test_no_collect_outside_sanctioned_files():
         "dedup.py",         # semantic_dedup: k-row centroid collect feeding
                             # the vectorized assignment UDF (k bounded by
                             # the operator's rows-per-cluster contract —
-                            # same class as ann.py's centroid artifact)
+                            # same class as ann.py's centroid artifact);
+                            # connected_components _sig: 1-row per-round
+                            # convergence signature — the fixpoint decision
+                            # is inherently driver-side, same class as the
+                            # isEmpty()/count() probes the loops always used
         "graph_ann.py",     # shard_sizes/rebalance_hint: one count row per
                             # shard (rows = segment count, bounded by the
                             # index layout, size-independent of corpus
@@ -47,12 +51,6 @@ def test_no_collect_outside_sanctioned_files():
                             # sketch — size-independent of the stream;
                             # the exactly-once watermark has to be read
                             # on the driver before deciding to merge
-        "graph_analytics.py",  # _probe_says_equal: the per-round
-                            # convergence signature is a ≤2-row aggregate
-                            # (count + checksum per side) — the fixpoint
-                            # decision is inherently driver-side, same
-                            # class as the isEmpty()/count() probes the
-                            # iterative loops always used
     }
     offenders = []
     for path in PKG.rglob("*.py"):

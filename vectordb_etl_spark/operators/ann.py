@@ -577,7 +577,16 @@ class IVFIndex:
         n_doubles = sum(
             len(cw) for subs in by_sub.values() for cw in subs.values()
         )
-        if n_doubles > self.PQ_LITERAL_MAX_DOUBLES:
+        # non-finite codewords (degenerate training data) render as
+        # nanD/infD, which F.expr cannot parse — route them to the UDF
+        # path, which handles any float64 (ADVICE r13)
+        finite = all(
+            np.isfinite(v)
+            for subs in by_sub.values()
+            for cw in subs.values()
+            for v in cw
+        )
+        if n_doubles > self.PQ_LITERAL_MAX_DOUBLES or not finite:
             cb_arr = np.array(
                 [
                     [by_sub[s][c] for c in sorted(by_sub[s])]

@@ -977,9 +977,12 @@ def connected_components(
     recovers from the checkpointed blocks, which a real cluster run needs.
     Without it, ``localCheckpoint`` (executor-local blocks, fine for
     single-node/local mode but lost with the executor) is used. The
-    convergence probe is ``isEmpty`` — a driver-side loop is inherent to
-    iterative fixpoints (same shape as GraphFrames'/Pregel's superstep
-    loop), not a collect of data rows.
+    convergence probe is a remembered per-round signature (Σcomp for
+    numeric ids — exact, comp is monotone; xxhash64 checksum + a
+    confirming join for string ids): one aggregate over the new label
+    table per superstep. A driver-side loop is inherent to iterative
+    fixpoints (same shape as GraphFrames'/Pregel's superstep loop), not
+    a collect of data rows.
     """
     if checkpoint_dir is not None:
         nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -1021,6 +1024,34 @@ def connected_components(
     labels = _truncate(
         nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
     )
+    # Join-free convergence probe on a REMEMBERED signature (r14; the
+    # r13 variant scanned BOTH label tables per superstep via a
+    # union-tagged aggregate — twice the scan work the probe needs):
+    # comp is monotone non-increasing per id (least() against the old
+    # value) over a fixed id set. For NUMERIC ids Σcomp unchanged ⟺ no
+    # label changed — exact on its own. For string ids (md5 doc ids in
+    # the near-dup pipeline) the signature is an order-insensitive
+    # xxhash64 checksum: a mismatch proves change; only a MATCH pays the
+    # exact changed-labels join to rule out a collision — which happens
+    # once, at the true fixpoint. Each superstep therefore aggregates
+    # only the NEW table (one cached scan, 1-row exchange, no join) and
+    # compares against the previous round's signature (decimal sum — a
+    # bigint sum can overflow under ANSI).
+    comp_type = dict(labels.dtypes)["comp"]
+    numeric = comp_type in ("tinyint", "smallint", "int", "bigint")
+    probe_col = (
+        F.col("comp").cast("decimal(38,0)")
+        if numeric
+        else F.xxhash64(F.col("id"), F.col("comp")).cast("decimal(38,0)")
+    )
+
+    def _sig(df: DataFrame):
+        r = df.agg(
+            F.count("*").alias("n"), F.sum(probe_col).alias("s")
+        ).collect()[0]
+        return (r["n"], r["s"])
+
+    prev_sig = _sig(labels)
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -1035,37 +1066,8 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
             )
         )
-        # Join-free convergence probe (r13): comp is monotone
-        # non-increasing per id (least() against the old value) over an
-        # identical id set. For NUMERIC ids Σcomp unchanged ⟺ no label
-        # changed — exact on its own. For string ids (md5 doc ids in the
-        # near-dup pipeline) the summed probe is an order-insensitive
-        # xxhash64 checksum: a mismatch proves change (skip the join);
-        # only a MATCH pays the exact changed-labels join to rule out a
-        # collision — which happens once, at the true fixpoint. Either
-        # way: one union-tagged aggregate over the two cached label
-        # tables per superstep instead of a join shuffle pair (decimal
-        # sum — a bigint sum can overflow under ANSI).
-        comp_type = dict(new_labels.dtypes)["comp"]
-        numeric = comp_type in ("tinyint", "smallint", "int", "bigint")
-        probe_col = (
-            F.col("comp").cast("decimal(38,0)")
-            if numeric
-            else F.xxhash64(F.col("id"), F.col("comp")).cast("decimal(38,0)")
-        )
-        sums = {
-            r["__side"]: r["s"]
-            for r in new_labels.select(
-                F.lit(0).alias("__side"), "id", "comp"
-            )
-            .unionByName(
-                labels.select(F.lit(1).alias("__side"), "id", "comp")
-            )
-            .groupBy("__side")
-            .agg(F.sum(probe_col).alias("s"))
-            .collect()
-        }
-        equal = sums.get(0) == sums.get(1)
+        new_sig = _sig(new_labels)
+        equal = new_sig == prev_sig
         if equal and not numeric:
             equal = (
                 new_labels.alias("n")
@@ -1074,6 +1076,7 @@ def connected_components(
                 .isEmpty()
             )
         labels = new_labels
+        prev_sig = new_sig
         if equal:
             converged = True
             break

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _ONE = 1_000_000
@@ -70,36 +70,18 @@ def _cap_tripped(op: str, cap: int, detail: str = "") -> None:
 
 
 def _probe_says_equal(new_df: DataFrame, old_df: DataFrame, cols) -> bool:
-    """Exact convergence probe with a cheap negative fast-path.
+    """Exact convergence probe: multiset equality via ``exceptAll``.
 
-    Both inputs are already materialized (checkpointed/persisted), so an
-    order-insensitive checksum — count + sum(xxhash64(cols)) — is one
-    scan over cached blocks with NO shuffle (partial aggregation only).
-    Checksums differing proves the tables differ (sum over a multiset is
-    order-free), which is the common case for every round before the
-    fixpoint; only a checksum MATCH pays the exact exceptAll
-    confirmation, so a hash collision can never mislabel a non-fixpoint
-    as converged (r13 optimization: the per-round exceptAll was a full
-    shuffle pair per iteration — guide §2.3/§2.4). Both sides'
-    signatures come from ONE union-tagged job (two cached scans, a
-    2-row exchange) so the probe never costs more jobs than the
-    exceptAll it replaces."""
-    sides = new_df.select(
-        F.lit(0).alias("__side"), *[F.col(c) for c in cols]
-    ).unionByName(
-        old_df.select(F.lit(1).alias("__side"), *[F.col(c) for c in cols])
-    )
-    # decimal(38,0) sum: xxhash64 is full-range bigint, so a plain
-    # bigint sum overflows under ANSI; decimal accumulates exactly
-    sig = {
-        r["__side"]: (r["n"], r["h"])
-        for r in sides.groupBy("__side").agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
-        ).collect()
-    }
-    if sig.get(0) != sig.get(1):
-        return False
+    r13 replaced this with a union-tagged checksum fast-path
+    (count + sum(xxhash64) per side, exceptAll only confirming a match);
+    r14 interleaved same-session A/B at the bench SF measured the
+    checksum variant consistently SLOWER — pagerank_converged 1.76 vs
+    1.29 s min (fixpoint at round 1, so the checksum+confirm double-pays
+    the final round) and communities_converged no better than exceptAll
+    on any of 5 alternated rounds — so the r12 shape is restored. Both
+    inputs are checkpointed, so this is two cached scans + one shuffle
+    pair; at cluster scale the shuffle carries only the (small) rank or
+    label tables, never the edge list."""
     return new_df.exceptAll(old_df).isEmpty()
 
 
@@ -137,8 +119,8 @@ def pagerank(
     identical update), so a fixed-iteration oracle with iterations >=
     the reached depth — or == ``max_iterations`` if the guard trips
     (truncation can in principle 2-cycle) — reproduces it exactly.
-    The probe is a cached-scan checksum per iteration (exceptAll only
-    confirms a checksum match — see :func:`_probe_says_equal`).
+    The probe is an exceptAll multiset-equality check per iteration
+    over the two checkpointed rank tables (:func:`_probe_says_equal`).
 
     ``assume_distinct=True`` skips the internal ``distinct()`` when the
     caller proves the edge list is already duplicate-free (e.g. built
@@ -437,8 +419,14 @@ def bfs_hops(
     if not assume_distinct:
         # assume_distinct=True: caller proves the list is duplicate-free
         # and self-loop-free, so this filter+distinct would be an
-        # identity — skipping it saves a full edge shuffle (guide §2.4)
+        # identity — skipping it saves the distinct's hash-aggregation
+        # (guide §2.4). The REBALANCE stays either way: every hop
+        # re-scans this checkpoint, and without a compacting shuffle it
+        # inherits the preamble's raw layout (measured in r14 on the LPA
+        # twin: ~2.4x task count from 20 near-empty partitions).
         e = e.filter(F.col("src") != F.col("dst")).distinct()
+    else:
+        e = e.hint("rebalance")
     e = e.localCheckpoint(eager=True)
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
@@ -654,21 +642,25 @@ def label_propagation(
     oracle with rounds >= the reached depth — or == ``max_rounds``
     when the guard trips (sync LPA can 2-cycle on bipartite structure;
     the cap makes that case deterministic too) — returns the identical
-    labeling. The probe is a cached-scan checksum per round, exceptAll
-    only confirming a match (:func:`_probe_says_equal`).
+    labeling. The probe is an exceptAll multiset-equality check per
+    round over the checkpointed label tables
+    (:func:`_probe_says_equal`).
 
     ``assume_mirrored=True`` skips the canonicalize/mirror preamble when
     the caller proves the input is already a DISTINCT, self-loop-free
     edge list with BOTH directions present (e.g. a canonical pair table
     unioned with its own swap) — the least/greatest+distinct+union would
-    reproduce the input exactly, so skipping it saves a full shuffle of
-    the edge list (guide §2.4).
+    reproduce the input exactly, so skipping it saves the distinct's
+    hash-aggregation (guide §2.4). The table is still REBALANCE-shuffled
+    once before its checkpoint: every round re-scans it, and the r12→r13
+    regression this flag caused came from inheriting the preamble's raw
+    near-empty partition layout, not from the flag's semantics.
 
-    The per-round argmax is a ``min(struct(-count, label))`` aggregate
-    rather than a row_number window: same (count desc, label asc) total
-    order, but aggregates do PARTIAL map-side combining and skip the
-    window's full per-partition sort (guide §2.3 'aggregate before you
-    shuffle'). Fixed-round runs chain rounds in one declarative plan
+    The per-round argmax is a row_number window over the vote counts
+    (r13's min(struct(-count, label)) aggregate computed the identical
+    winner with map-side partials, but struct min/max aggregation runs
+    outside whole-stage codegen and measured ~4x the task-time — see the
+    loop comment). Fixed-round runs chain rounds in one declarative plan
     (lineage truncated every 8th round — label tables are referenced
     once per round, so plan growth is linear); convergence mode still
     materializes every round for the probe."""
@@ -678,9 +670,22 @@ def label_propagation(
         raise ValueError(f"max_rounds must be >= 1; got {max_rounds}")
     a, b = F.col(src_col), F.col(dst_col)
     if assume_mirrored:
-        e = edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        ).localCheckpoint(eager=True)
+        # REBALANCE before the checkpoint: skipping the canonicalize/
+        # mirror preamble also skips the AQE-coalesced shuffle that used
+        # to COMPACT the edge table, and every one of the loop's rounds
+        # re-scans this checkpoint (r14 measured the raw preamble layout
+        # at 20 near-empty partitions → ~2.4x the loop's task count; the
+        # r12-shape run that paid the distinct was ~25% faster overall).
+        # A rebalance shuffle moves the same bytes the distinct did but
+        # skips its hash-aggregation, and AQE sizes the output partitions
+        # at any scale — no local-mode constants.
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+            .hint("rebalance")
+            .localCheckpoint(eager=True)
+        )
     else:
         canon = (
             edges.filter(a != b)
@@ -705,13 +710,19 @@ def label_propagation(
             .groupBy(F.col("dst").alias("n2"), "label")
             .agg(F.count("*").alias("c"))
         )
-        # argmax by (c desc, label asc) as a struct-min aggregate: bit-
-        # identical winner to the row_number formulation, partial-agg
-        # friendly, no per-partition sort
-        new_labels = votes.groupBy("n2").agg(
-            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l")))
-            .alias("w")
-        ).select(F.col("n2").alias("node"), F.col("w.l").alias("label"))
+        # argmax by (c desc, label asc) as a row_number window. r13 used
+        # a min(struct(-c, label)) aggregate instead (bit-identical
+        # winner, map-side partials); r14 event-log A/B measured the
+        # struct-min loop at ~2.4x the tasks and ~4x the task-time of
+        # this window form (struct min/max aggregation runs outside
+        # whole-stage codegen), with identical exchange counts — the
+        # window form is restored on those numbers.
+        w = Window.partitionBy("n2").orderBy(F.desc("c"), F.asc("label"))
+        new_labels = (
+            votes.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(F.col("n2").alias("node"), "label")
+        )
         if rounds is None or (_i + 1) % 8 == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         if rounds is None and _probe_says_equal(

@@ -864,6 +864,15 @@ class CollectionStore:
                 )
                 if self._try_commit_stats(fs, version, manifest):
                     return
+            # retries exhausted with the delta NOT applied: a still-valid
+            # latest manifest would serve stale counts forever — the
+            # out-of-band check only compares the collection SET, which a
+            # same-collection append never changes (ADVICE r13). Mark the
+            # manifest invalid (best-effort) so readers fall back to the
+            # self-healing scan path instead of undercounting.
+            vs = self._stats_versions(fs)
+            version = (vs[-1] + 1) if vs else 0
+            self._try_commit_stats(fs, version, {"version": version, "valid": False})
         except Exception:  # noqa: BLE001 — telemetry only, never fail a write
             pass
 
