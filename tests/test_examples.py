@@ -35,6 +35,7 @@ def html_tree(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_staged_cli_pipeline_path_contract(html_tree, tmp_path_factory):
     work = tmp_path_factory.mktemp("dag_work")
     report = str(work / "report.json")
@@ -91,6 +92,7 @@ def test_airflow_builders_gated():
     ]
 
 
+@pytest.mark.slow
 def test_training_data_prep_composition(spark, docs_tiny, tmp_path):
     # the full prep chain composes: counts are monotone non-increasing
     # through the screens, packs respect the budget, shards are written
@@ -129,6 +131,7 @@ def test_training_data_prep_composition(spark, docs_tiny, tmp_path):
     assert spark.read.parquet(p).count() == stages["packed_rows"]
 
 
+@pytest.mark.slow
 def test_corpus_observability_dashboard(spark):
     """Deterministic sketch dashboard: sections present, integer-typed,
     and byte-identical across two runs."""
@@ -165,6 +168,7 @@ def test_corpus_observability_dashboard(spark):
     assert first == second  # bit-deterministic dashboard
 
 
+@pytest.mark.slow
 def test_warehouse_health_dashboard(spark):
     """Table-side health dashboard: sections present and byte-identical
     across two runs (every number integer / pinned arithmetic)."""

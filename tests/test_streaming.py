@@ -4,6 +4,8 @@ sessionization."""
 
 from __future__ import annotations
 
+import time
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -125,7 +127,17 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # idle_timeout=True keeps the availableNow query alive running empty
+    # micro-batches until the 30-min PROCESSING-time timer fires, so a
+    # plain awaitTermination(120) burned its full 120 s and left the
+    # query running. The closed session is emitted by the first data
+    # micro-batch — poll for it, then stop the query.
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) FROM sessions").collect()[0][0] >= 1:
+            break
+        time.sleep(0.5)
+    q.stop()
     rows = spark.sql("SELECT * FROM sessions").collect()
     assert len(rows) == 1
     s = rows[0]
