@@ -495,6 +495,13 @@ def prefix_filter_jaccard_pairs(
             + 1,
         )
     )
+    # NOTE (r14, measured): the candidate SELF-join consumes the prefix
+    # table on both sides and the plan shows the rank-window subplan
+    # twice. Materializing `pref` with a localCheckpoint to deduplicate
+    # that pass was A/B-tested (6 alternated rounds at the bench SF) and
+    # was neutral-to-slower — the duplicated window runs in PARALLEL
+    # inside one job, while the checkpoint serializes an extra
+    # materialization job before the join — so the recompute stays.
     pref = ranked.filter(F.col("rn") <= F.col("plen")).select("id", "s")
     cand = (
         pref.alias("pa")

@@ -109,16 +109,33 @@ def equi_depth_histogram(
     ``(bucket, n, lo_micro, hi_micro)`` — bucket extents in integer
     micro-units (the house float canonicalization).
 
-    Shape: ONE percentile aggregate (1 row), broadcast to the scan by a
-    literal-free crossJoin, then a map-side-combined count keyed by at
-    most ``buckets`` values — two passes over the column, no sort, no
-    per-row Python; skew-proof because bucket ids are near-uniform BY
-    CONSTRUCTION (that is what equi-depth means)."""
+    Shape: a value→count pre-aggregation feeding ONE frequency-weighted
+    percentile aggregate (1 row), broadcast to the scan by a literal-free
+    crossJoin, then a map-side-combined count keyed by at most
+    ``buckets`` values — two passes over the column, no sort, no per-row
+    Python; skew-proof because bucket ids are near-uniform BY
+    CONSTRUCTION (that is what equi-depth means).
+
+    The pre-aggregation exists because exact ``percentile`` is an object
+    aggregate whose FINAL merge is one task inserting every (value,
+    count) pair into a hash map: fed raw rows, each single-threaded
+    partial buffers its whole input split (r14 event-log profile: a
+    2.0-2.5 s final-merge task dominated the query). Grouping to
+    distinct values first runs the dedup as a codegen hash aggregate at
+    full parallelism, and ``percentile(col, probs, freq)`` builds the
+    IDENTICAL counts map — boundaries verified bit-equal — from strictly
+    fewer rows (r14 interleaved A/B: 5/6 alternated rounds faster,
+    min 2.67 s vs 3.32 s)."""
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2; got {buckets}")
     probs = ", ".join(str(i / buckets) for i in range(1, buckets))
-    bnd = df.agg(
-        F.expr(f"percentile({value_col}, array({probs}))").alias("__bnds")
+    vc = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count("*").alias("__c"))
+    )
+    bnd = vc.agg(
+        F.expr(f"percentile({value_col}, array({probs}), __c)").alias("__bnds")
     )
     assigned = (
         df.where(F.col(value_col).isNotNull())
